@@ -1,0 +1,287 @@
+"""Deterministic triples -> RDF/XML serializer.
+
+From-scratch Python 3 implementation matching the reference
+``meresco/rdf/graph/triples2rdfxml.py:42-191`` output shape exactly
+(canonical-XML equivalence with its golden fixtures):
+
+(a) top-level subject ordering ``(min relative-type-position, in-degree,
+    -relation-count, subject)`` (triples2rdfxml.py:168-174) with defaults
+    ``oa:Annotation`` -10 (first) and ``rdf:Statement`` +100 (last) (:188-191)
+(b) bnode subjects with exactly one incoming edge are inlined inside their
+    referrer (:83-85,142-149); two or more referrers -> ``rdf:nodeID``
+    (:98-100,133-134); orphan top-level bnodes get no attribute
+(c) URI objects -> ``rdf:resource`` unless ``inline_descriptions`` and the
+    object has its own relations -> nested ``rdf:Description rdf:about``
+    (:128-149, consumed descriptions popped)
+(d) literals -> element text + ``xml:lang`` (:135-138)
+(e) per-subject relations emitted sorted by (predicate, object) (:118)
+(f) type promotion: ``rdf:Statement`` / ``oa:Annotation`` / known types
+    become the element tag, dropping the type triple (:159-166,185-186)
+(g) reification: a BGP query finds ``(?r rdf:subject/predicate/object ...)``
+    and reattaches ``rdf:ID`` on the matching property element (:106-115,
+    125-127); rdf:subject/predicate/object are suppressed on rdf:Statement
+    elements carrying rdf:about (:119-121); bnode-subject statements never
+    emit rdf:subject (pinned by triples2rdfxmltest.py:260-276)
+(h) only actually-used namespace prefixes are declared (cleanup_namespaces
+    analog, :103)
+
+No lxml/meresco deps: a minimal element struct + emitter.  The distributed
+adapter (``sinks.rdfxml_sink``) runs this per subject-closure shard inside
+``applyInPandas``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+from xml.sax.saxutils import escape, quoteattr
+
+from ..graph import Graph
+from ..model import (
+    BNode,
+    RDF_OBJECT,
+    RDF_PREDICATE,
+    RDF_SUBJECT,
+    RDF_TYPE,
+    Uri,
+)
+from ..namespaces import namespaces as default_namespaces
+
+REIFICATION_RELATIONS = frozenset({RDF_SUBJECT, RDF_PREDICATE, RDF_OBJECT})
+NODE_PROMOTED_TYPES = frozenset({"rdf:Statement", "oa:Annotation"})
+
+
+class XmlElement:
+    """Minimal namespace-aware element: curie tag + curie-keyed attrib."""
+
+    __slots__ = ("tag", "attrib", "text", "children")
+
+    def __init__(self, tag: str, attrib: Optional[dict] = None, text=None):
+        self.tag = tag
+        self.attrib = dict(attrib) if attrib else {}
+        self.text = text
+        self.children: list[XmlElement] = []
+
+    def sub(self, tag: str, attrib: Optional[dict] = None, text=None) -> "XmlElement":
+        child = XmlElement(tag, attrib=attrib, text=text)
+        self.children.append(child)
+        return child
+
+
+def _used_prefixes(elem: XmlElement, acc: set) -> set:
+    acc.add(elem.tag.partition(":")[0])
+    for key in elem.attrib:
+        prefix = key.partition(":")[0]
+        if prefix != "xml":  # xml: prefix is implicitly bound
+            acc.add(prefix)
+    for child in elem.children:
+        _used_prefixes(child, acc)
+    return acc
+
+
+def element_to_string(elem: XmlElement, nsmap) -> str:
+    """Emit XML, declaring only the prefixes actually used (h)."""
+    prefixes = sorted(_used_prefixes(elem, set()))
+    decls = "".join(
+        ' xmlns:%s="%s"' % (p, nsmap[p]) for p in prefixes if p in nsmap
+    )
+
+    def emit(e: XmlElement, out: list):
+        out.append("<%s" % e.tag)
+        for key, value in e.attrib.items():
+            out.append(" %s=%s" % (key, quoteattr(value)))
+        if e.text is None and not e.children:
+            out.append("/>")
+            return
+        out.append(">")
+        if e.text is not None:
+            out.append(escape(e.text))
+        for child in e.children:
+            emit(child, out)
+        out.append("</%s>" % e.tag)
+
+    body: list[str] = []
+    for child in elem.children:
+        emit(child, body)
+    if not body and elem.text is None:
+        return "<%s%s/>" % (elem.tag, decls)
+    text = escape(elem.text) if elem.text is not None else ""
+    return "<%s%s>%s%s</%s>" % (elem.tag, decls, text, "".join(body), elem.tag)
+
+
+def _relation_sort_key(rel):
+    pred, obj = rel
+    if hasattr(obj, "_sort_key"):
+        return (pred, obj._sort_key())
+    return (pred, (str(obj), "", ""))
+
+
+class Triples2RdfXml:
+    """Configured serializer; ``as_rdfxml`` accepts a Graph, an object with
+    ``.triples()``, or an iterable of (s, p, o) (triples2rdfxml.py:60-70).
+    """
+
+    def __init__(self, namespaces=None, inlineDescriptions: bool = False,
+                 knownTypes=None, relativeTypePositions=None):
+        self._ns = namespaces or default_namespaces
+        self._inline = inlineDescriptions
+        promoted = set(NODE_PROMOTED_TYPES) | set(knownTypes or [])
+        self._promoted = {self._ns.curie_to_uri(c): c for c in promoted}
+        self._positions = {
+            self._ns.curie_to_uri("oa:Annotation"): -10,
+            self._ns.curie_to_uri("rdf:Statement"): 100,
+        }
+        self._positions.update(relativeTypePositions or {})
+
+    # -- input normalization ------------------------------------------------
+
+    def _as_graph(self, triples_or_graph) -> Graph:
+        if hasattr(triples_or_graph, "matchTriplePatterns"):
+            return triples_or_graph
+        graph = Graph()
+        triples = triples_or_graph
+        if hasattr(triples, "triples"):
+            triples = triples.triples()
+        for s, p, o in triples:
+            graph.addTriple(s, p, o)
+        return graph
+
+    # -- public API -----------------------------------------------------------
+
+    def as_rdfxml(self, triples_or_graph) -> XmlElement:
+        graph = self._as_graph(triples_or_graph)
+        return _SerializerRun(
+            graph, self._ns, self._inline, self._promoted, self._positions
+        ).run()
+
+    def as_rdfxml_string(self, triples_or_graph) -> str:
+        return element_to_string(self.as_rdfxml(triples_or_graph), self._ns)
+
+    asRdfXml = as_rdfxml
+
+
+class _SerializerRun:
+    """One serialization pass over a single graph."""
+
+    def __init__(self, graph: Graph, ns, inline: bool, promoted: dict,
+                 positions: dict):
+        self.graph = graph
+        self.ns = ns
+        self.inline = inline
+        self.promoted = promoted
+        self.positions = positions
+        self.reification_ids = self._gather_reification_ids()
+
+    def _gather_reification_ids(self) -> dict:
+        """(s, p, o) -> fragment id, from reified statements with URI
+        subjects (triples2rdfxml.py:106-115)."""
+        ids = {}
+        for binding in self.graph.matchTriplePatterns(
+            ("?r", RDF_SUBJECT, "?s"),
+            ("?r", RDF_PREDICATE, "?p"),
+            ("?r", RDF_OBJECT, "?o"),
+        ):
+            r = binding["r"].value
+            if not r.startswith("_:"):
+                key = (binding["s"].value, binding["p"].value, binding["o"])
+                ids[key] = r.partition("#")[-1]
+        return ids
+
+    def _incoming_subjects(self, obj_node) -> set:
+        """Distinct referrers ignoring rdf:subject edges
+        (``_leftHandSides``, triples2rdfxml.py:151-152)."""
+        return {
+            s for s, p, _ in self.graph.triples(object=obj_node)
+            if p != RDF_SUBJECT
+        }
+
+    def _gather(self, desc: dict, p: str, o):
+        desc["relations"].append((p, o))
+        if p == RDF_TYPE:
+            desc["types"].add(o.value)
+
+    def _tag_curie(self, desc: dict) -> str:
+        """Promoted-type tag selection (triples2rdfxml.py:159-166);
+        iteration over the type set made deterministic by sorting."""
+        for rdf_type in sorted(desc["types"]):
+            curie = self.promoted.get(rdf_type)
+            if curie:
+                desc["relations"].remove((RDF_TYPE, Uri(rdf_type)))
+                return curie
+        return "rdf:Description"
+
+    def _subject_order(self, item) -> tuple:
+        subject, desc = item
+        node = BNode(subject) if subject.startswith("_:") else Uri(subject)
+        type_positions = [self.positions.get(t, 0) for t in desc["types"]]
+        return (
+            min(type_positions or [0]),
+            len(self._incoming_subjects(node)),
+            -len(desc["relations"]),
+            subject,
+        )
+
+    def run(self) -> XmlElement:
+        root = XmlElement("rdf:RDF")
+        descriptions: dict[str, dict] = {}
+        for s, p, o in self.graph.triples():
+            if s.startswith("_:") and len(self._incoming_subjects(BNode(s))) == 1:
+                continue  # single-referrer bnodes render inline (b)
+            desc = descriptions.setdefault(s, {"types": set(), "relations": []})
+            self._gather(desc, p, o)
+
+        ordered = [s for s, _ in sorted(descriptions.items(), key=self._subject_order)]
+        for subject in ordered:
+            desc = descriptions.pop(subject, None)
+            if desc is None:
+                continue  # consumed by inlining
+            tag = self._tag_curie(desc)
+            attrib = None
+            if not subject.startswith("_:"):
+                attrib = {"rdf:about": subject}
+            elif self._incoming_subjects(BNode(subject)):
+                attrib = {"rdf:nodeID": subject.partition("_:")[-1]}
+            node = root.sub(tag, attrib=attrib)
+            self._serialize_description(node, subject, desc, descriptions)
+        return root
+
+    def _serialize_description(self, desc_node: XmlElement, subject: str,
+                               desc: dict, pending: dict):
+        for p, o in sorted(desc["relations"], key=_relation_sort_key):
+            if (
+                desc_node.tag == "rdf:Statement"
+                and desc_node.attrib.get("rdf:about")
+                and p in REIFICATION_RELATIONS
+            ):
+                continue  # (g) suppression on identified statements
+            text = None
+            attrib = {}
+            obj_desc = {"types": set(), "relations": []}
+            rdf_id = self.reification_ids.get((subject, p, o))
+            if rdf_id:
+                attrib["rdf:ID"] = rdf_id
+            if o.isIdentifier():
+                for _, p1, o1 in self.graph.triples(subject=o.value):
+                    self._gather(obj_desc, p1, o1)
+                if o.isUri() and (not self.inline or not obj_desc["relations"]):
+                    attrib["rdf:resource"] = o.value
+                elif o.isBNode() and len(self._incoming_subjects(o)) > 1:
+                    attrib["rdf:nodeID"] = o.value.partition("_:")[-1]
+            elif o.isLiteral():
+                if o.lang:
+                    attrib["xml:lang"] = o.lang
+                text = o.value
+            pred_node = desc_node.sub(self.ns.uri_to_curie(p), attrib=attrib, text=text)
+            if "rdf:nodeID" in attrib or not obj_desc["relations"]:
+                continue
+            if o.isBNode() or self.inline:
+                nested_attrib = {"rdf:about": o.value} if o.isUri() else {}
+                tag = self._tag_curie(obj_desc)
+                nested = pred_node.sub(tag, attrib=nested_attrib or None)
+                pending.pop(o.value, None)
+                self._serialize_description(nested, o.value, obj_desc, pending)
+
+
+def serialize_triples(triples_or_graph, namespaces=None, **kwargs) -> str:
+    """One-shot convenience: triples/Graph -> RDF/XML string."""
+    ns = namespaces or default_namespaces
+    return Triples2RdfXml(namespaces=ns, **kwargs).as_rdfxml_string(triples_or_graph)
