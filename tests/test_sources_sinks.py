@@ -1,0 +1,145 @@
+"""RDF/XML source (mapInPandas parse), SPARQL-JSON decode, transcript
+synthesis, and RDF/XML sink (applyInPandas serialize) round-trips."""
+
+import pytest
+
+from meresco_rdf_spark.namespaces import namespaces
+from meresco_rdf_spark.sinks import serialize_shards
+from meresco_rdf_spark.sinks.rdfxml_sink import validate_bnode_locality
+from meresco_rdf_spark.sources import (
+    decode_bindings,
+    read_rdfxml_triples,
+    synthesize_transcripts,
+)
+from meresco_rdf_spark.sources.rdf_source import file_sources
+
+pytestmark = pytest.mark.spark
+
+DOC_A = '''<rdf:RDF %(xmlns_rdf)s %(xmlns_rdfs)s %(xmlns_dcterms)s>
+<rdf:Description rdf:about="uri:book:1">
+    <dcterms:title xml:lang="en">A Book</dcterms:title>
+    <dcterms:creator>
+        <rdf:Description>
+            <rdfs:label>Someone</rdfs:label>
+        </rdf:Description>
+    </dcterms:creator>
+</rdf:Description>
+</rdf:RDF>''' % namespaces
+
+DOC_B = '''<rdf:RDF %(xmlns_rdf)s %(xmlns_rdfs)s>
+<rdf:Description rdf:about="uri:book:2">
+    <rdfs:seeAlso rdf:resource="uri:book:1"/>
+</rdf:Description>
+</rdf:RDF>''' % namespaces
+
+DOC_BAD = "<rdf:RDF not well formed"
+
+
+def docs_df(spark, docs):
+    return spark.createDataFrame(list(docs.items()), "context string, xml string")
+
+
+def test_parse_documents_to_triples(spark):
+    df = read_rdfxml_triples(docs_df(spark, {"file:a.rdf": DOC_A, "file:b.rdf": DOC_B}))
+    rows = df.collect()
+    assert len(rows) == 4
+    by_ctx = {}
+    for r in rows:
+        by_ctx.setdefault(r.context, []).append(r)
+    assert len(by_ctx["file:a.rdf"]) == 3
+    # bnode ids are rescoped per document -> globally unique, deterministic
+    bnodes = [r.obj_value for r in by_ctx["file:a.rdf"] if r.obj_kind == "bnode"]
+    assert len(bnodes) == 1 and bnodes[0].startswith("_:d")
+    df2 = read_rdfxml_triples(docs_df(spark, {"file:a.rdf": DOC_A, "file:b.rdf": DOC_B}))
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, df2.collect()))
+
+
+def test_parse_quarantines_bad_documents(spark):
+    df = read_rdfxml_triples(
+        docs_df(spark, {"file:a.rdf": DOC_A, "file:bad.rdf": DOC_BAD}),
+        keep_errors=True)
+    errors = df.filter("error is not null").collect()
+    assert len(errors) == 1 and errors[0].context == "file:bad.rdf"
+    assert "ParseError" in errors[0].error
+    ok = read_rdfxml_triples(
+        docs_df(spark, {"file:a.rdf": DOC_A, "file:bad.rdf": DOC_BAD}))
+    assert ok.count() == 3
+
+
+def test_read_rdfxml_from_directory(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.rdf").write_text(DOC_A, encoding="utf-8")
+    (tmp_path / "sub" / "b.rdf").write_text(DOC_B, encoding="utf-8")
+    (tmp_path / "ignored.txt").write_text("nope")
+    df = read_rdfxml_triples(spark, str(tmp_path))
+    contexts = {r.context for r in df.select("context").distinct().collect()}
+    assert contexts == {"file:a.rdf", "file:b.rdf"}
+    assert df.count() == 4
+
+
+def test_file_sources_walk(tmp_path):
+    (tmp_path / "a.rdf").write_text(DOC_A, encoding="utf-8")
+    out = file_sources(str(tmp_path))
+    assert out[0][0] == "file:a.rdf" and out[0][1] == "text/xml"
+    import pytest as _pytest
+
+    (tmp_path / "weird.xyz").write_text("?")
+    with _pytest.raises(ValueError):
+        file_sources(str(tmp_path))
+
+
+def test_sparql_json_decode(spark):
+    df = spark.createDataFrame(
+        [('{"type": "uri", "value": "uri:a"}',),
+         ('{"type": "literal", "value": "x", "xml:lang": "en"}',),
+         ('{"type": "typed-literal", "value": "42"}',),
+         ('{"type": "bnode", "value": "_:b0"}',)],
+        "binding string")
+    rows = decode_bindings(df).collect()
+    got = [(r.obj_value, r.obj_kind, r.obj_lang) for r in rows]
+    assert got == [
+        ("uri:a", "uri", None),
+        ("x", "literal", "en"),
+        ("42", "literal", None),
+        ("_:b0", "bnode", None),
+    ]
+
+
+def test_synthesize_transcripts_deterministic(spark):
+    a = synthesize_transcripts(spark, 20, turns_per_conv=5, partitions=4)
+    b = synthesize_transcripts(spark, 20, turns_per_conv=5, partitions=13)
+    assert a.count() == 100
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    row = a.filter("conv_id = 'conv-00000003' and turn_idx = 2").collect()[0]
+    assert row.role in ("user", "assistant", "tool")
+    assert (row.tool is None) == (row.role != "tool")
+    # every text contains at least one gazetteer alias
+    from meresco_rdf_spark.sources.transcripts import GAZETTEER
+
+    aliases = [a for al in GAZETTEER.values() for a in al]
+    sample = a.limit(20).collect()
+    for r in sample:
+        assert any(alias in r.text for alias in aliases), r.text
+    # ts monotone within conv
+    ts = [r.ts for r in a.filter("conv_id = 'conv-00000003'").orderBy("turn_idx").collect()]
+    assert ts == sorted(ts)
+
+
+def test_serialize_shards_round_trip(spark):
+    triples = read_rdfxml_triples(
+        docs_df(spark, {"file:a.rdf": DOC_A, "file:b.rdf": DOC_B}))
+    assert validate_bnode_locality(triples, "context") == 0
+    shards = {r.shard: r for r in serialize_shards(triples, "context").collect()}
+    assert set(shards) == {"file:a.rdf", "file:b.rdf"}
+    assert shards["file:a.rdf"].n_triples == 3
+
+    # re-parse each shard and compare triple sets (bnode-bijection aware)
+    from helpers import assert_isomorphic
+
+    reparsed = read_rdfxml_triples(
+        spark.createDataFrame(
+            [(shard, r.xml) for shard, r in shards.items()],
+            "context string, xml string"))
+    original = {tuple(r)[1:] for r in triples.collect()}
+    round_tripped = {tuple(r)[1:] for r in reparsed.collect()}
+    assert_isomorphic(original, round_tripped)
