@@ -1,0 +1,269 @@
+"""Entity canonicalization: salted MinHash blocking + connected components.
+
+Pipeline (north_star step (c)):
+
+1. character-shingle each distinct normalized surface (tiny relation vs
+   the mention stream — dedup first, so all similarity work is per
+   DISTINCT surface, not per mention);
+2. MinHash signatures with K independent hash functions — all computed
+   JVM-side (``xxhash64(shingle, seed_k)`` inside ``F.transform`` +
+   ``array_min``): no Python, no UDF;
+3. LSH banding: signatures split into B bands of R rows; each band hashes
+   to a bucket; surfaces sharing any (band, bucket) are candidates.  The
+   band join is salted by construction (band_id is part of the join key),
+   so one hot bucket never concentrates a partition;
+4. exact Jaccard verification on the candidate pairs (``array_intersect``
+   / ``array_union`` on the shingle sets — built-ins);
+5. connected components over the verified similarity edges via
+   alternating large-star / small-star min-label propagation
+   (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+   PAPERS.md), with ``localCheckpoint`` per round to cut lineage;
+6. canonical entity id = lexicographic min surface uri in the component;
+   ``rewrite_triples`` maps every subject/uri-object through the
+   (broadcast) canonical map and emits ``owl:sameAs`` provenance.
+
+Scale: steps 1-4 shuffle on (band_id, band_hash) and candidate-pair keys —
+cardinality ~ distinct surfaces x B, independent of transcript volume.
+Step 5's join keys are component labels; AQE skew-join splits hot
+components (giant components are the known worst case — the large-star
+step specifically bounds them).  The canonical map is |distinct surfaces|
+rows — broadcastable far beyond this sandbox; ``rewrite_triples`` takes an
+explicit ``broadcast_map`` switch for when it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .extract import OWL_SAMEAS, SURFACE_URI_PREFIX
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash (all JVM-side)
+# --------------------------------------------------------------------------
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a string, as an array column.
+    ``sequence`` + ``transform`` + ``substring`` — whole-stage codegen."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+            lambda i: padded.substr(i, F.lit(n)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 32, seed: int = 42) -> Column:
+    """K-permutation MinHash signature (array<long>, length k).
+
+    Each permutation h_i(x) = xxhash64(x, seed+i); signature[i] =
+    min over shingles.  Empty shingle sets get LONG_MAX sentinels."""
+    return F.array(*[
+        F.coalesce(
+            F.array_min(F.transform(shingles, lambda x, i=i: F.xxhash64(x, F.lit(seed + i)))),
+            F.lit(2**63 - 1),
+        )
+        for i in range(k)
+    ])
+
+
+def lsh_bands(sig_col: str, bands: int, rows: int) -> Column:
+    """Signature -> array of (band_id, band_hash) structs."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(sig_col)[b * rows + r] for r in range(rows)]).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+
+
+def similar_surface_pairs(surfaces: DataFrame,
+                          key_col: str = "surface_key",
+                          n: int = 3, k: int = 32,
+                          bands: int = 16,
+                          threshold: float = 0.5) -> DataFrame:
+    """Distinct-surface similarity edges ``(a, b)`` with exact Jaccard >=
+    threshold, found via MinHash-LSH candidate generation.
+
+    ``surfaces`` needs one row per distinct ``key_col`` value.  Output is
+    symmetric-free (a < b).  Plan shape: narrow signature computation ->
+    explode(bands) -> self-equi-join on (band_id, band_hash) ->
+    dropDuplicates(pair) -> Jaccard filter on the carried shingle arrays.
+    """
+    rows = k // bands
+    enriched = (
+        surfaces.select(key_col)
+        .dropDuplicates([key_col])
+        .withColumn("shingles", char_shingles(F.col(key_col), n))
+        .withColumn("sig", minhash_signature(F.col("shingles"), k))
+        .withColumn("band", F.explode(lsh_bands("sig", bands, rows)))
+        .select(key_col, "shingles", "band.band_id", "band.band_hash")
+    )
+    left = enriched.alias("l")
+    right = enriched.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.%s" % key_col) < F.col("r.%s" % key_col)),
+        )
+        .select(
+            F.col("l.%s" % key_col).alias("a"),
+            F.col("r.%s" % key_col).alias("b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# connected components (alternating large-star / small-star)
+# --------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame,
+                         src: str = "a", dst: str = "b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    Alternating large-star / small-star (Kiveris et al. 2014; PAPERS.md):
+    each round is two self-grouping aggregations; converges in
+    O(log^2 n) rounds on pathological graphs, 2-4 rounds on the
+    near-transitive similarity graphs this pipeline produces.  Lineage is
+    cut every round with ``localCheckpoint`` (SURVEY.md §4) — without it
+    the iterative plan grows exponentially and re-executes prior rounds.
+
+    Returns ``(node, component)`` where component = min node label
+    (string order) of the node's component.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # large-star: every neighbor v > u links to min(N(u) + {u})
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        mins = mins.withColumn("m", F.least(F.col("m"), F.col("u")))
+        large = (
+            e.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: every neighbor v <= u links to the same min
+        small = (
+            e.filter(F.col("v") <= F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        new_e = (
+            large.unionByName(small)
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        # converged when the edge multiset is a stable star forest:
+        # every u points only at the component min and nothing changed
+        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
+            e = new_e
+            break
+        e = new_e
+
+    comp = e.groupBy("u").agg(F.min("v").alias("component"))
+    comp = comp.withColumn("component", F.least(F.col("component"), F.col("u")))
+    # isolated star centers: nodes appearing only as v
+    centers = (
+        e.select(F.col("v").alias("u"))
+        .join(comp.select("u"), "u", "left_anti")
+        .dropDuplicates(["u"])
+        .withColumn("component", F.col("u"))
+    )
+    return comp.unionByName(centers).select(
+        F.col("u").alias("node"), "component")
+
+
+def canonical_surface_map(surfaces: DataFrame,
+                          key_col: str = "surface_key",
+                          threshold: float = 0.5) -> DataFrame:
+    """(surface_key, canonical_key, canonical_uri) for every distinct
+    surface — singletons map to themselves."""
+    distinct = surfaces.select(key_col).dropDuplicates([key_col])
+    edges = similar_surface_pairs(distinct, key_col=key_col, threshold=threshold)
+    comps = connected_components(edges)
+    mapped = (
+        distinct.join(
+            comps, distinct[key_col] == comps["node"], "left")
+        .select(
+            F.col(key_col).alias("surface_key"),
+            F.coalesce(F.col("component"), F.col(key_col)).alias("canonical_key"))
+    )
+    uri = F.concat(
+        F.lit(SURFACE_URI_PREFIX),
+        F.replace(F.col("canonical_key"), F.lit(" "), F.lit("-")))
+    return mapped.withColumn("canonical_uri", uri)
+
+
+def rewrite_triples(triples: DataFrame, canon: DataFrame,
+                    broadcast_map: bool = True) -> DataFrame:
+    """Rewrite subj and uri-objects through the canonical map
+    (surface_uri -> canonical_uri) and dedup (set semantics survive the
+    merge).  ``canon`` columns: surface_key, canonical_uri.
+
+    Scale: two left joins keyed on the uri string.  The map is distinct
+    surfaces — broadcast by default; pass ``broadcast_map=False`` to let
+    AQE choose (sort-merge with skew splitting) when the entity universe
+    outgrows the driver."""
+    uri_map = canon.select(
+        F.concat(F.lit(SURFACE_URI_PREFIX),
+                 F.replace(F.col("surface_key"), F.lit(" "), F.lit("-"))).alias("from_uri"),
+        F.col("canonical_uri").alias("to_uri"),
+    ).dropDuplicates(["from_uri"])
+    if broadcast_map:
+        uri_map = F.broadcast(uri_map)
+
+    s_map = uri_map.withColumnRenamed("from_uri", "s_from").withColumnRenamed("to_uri", "s_to")
+    o_map = uri_map.withColumnRenamed("from_uri", "o_from").withColumnRenamed("to_uri", "o_to")
+
+    out = (
+        triples.join(s_map, triples["subj"] == s_map["s_from"], "left")
+        .withColumn("subj", F.coalesce(F.col("s_to"), F.col("subj")))
+        .drop("s_from", "s_to")
+    )
+    out = (
+        out.join(
+            o_map,
+            (out["obj_kind"] == "uri") & (out["obj_value"] == o_map["o_from"]),
+            "left")
+        .withColumn("obj_value", F.coalesce(F.col("o_to"), F.col("obj_value")))
+        .drop("o_from", "o_to")
+    )
+    return out.dropDuplicates(["subj", "pred", "obj_value", "obj_kind", "obj_lang"])
+
+
+def sameas_triples(canon: DataFrame) -> DataFrame:
+    """owl:sameAs provenance edges for every non-identity canonicalization."""
+    from_uri = F.concat(
+        F.lit(SURFACE_URI_PREFIX),
+        F.replace(F.col("surface_key"), F.lit(" "), F.lit("-")))
+    return (
+        canon.filter(F.col("surface_key") != F.col("canonical_key"))
+        .select(
+            from_uri.alias("subj"),
+            F.lit(OWL_SAMEAS).alias("pred"),
+            F.col("canonical_uri").alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+    )

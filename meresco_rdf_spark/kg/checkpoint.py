@@ -1,0 +1,86 @@
+"""Per-partition checkpoint manifest: lineage + metrics + resume.
+
+North_star requirement: "resumable from per-partition checkpoints carrying
+lineage and triple-count metrics".  The resume unit is a **conversation
+bucket** — ``pmod(xxhash64(conv_id), n_buckets)`` — because every pipeline
+stage up to canonicalization is conv-local and mention/bnode ids are
+deterministic (kg/extract.py), so re-running a bucket is idempotent.
+
+The manifest is itself a tiny parquet table, one row per completed bucket:
+
+    bucket int, status string, n_turns long, n_mentions long,
+    n_triples long, input_fingerprint string, run_id string, ts timestamp
+
+``input_fingerprint`` is an order-insensitive xxhash of the bucket's input
+rows — lineage: a resume with changed input invalidates the bucket instead
+of silently skipping it.  The driver-side logic reads ONLY the manifest
+(a few KB) — no driver iteration over data.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST_SCHEMA = (
+    "bucket int, status string, n_turns long, n_mentions long, "
+    "n_triples long, input_fingerprint string, run_id string, ts double"
+)
+
+
+def bucket_of(conv_id_col, n_buckets: int):
+    return F.pmod(F.xxhash64(conv_id_col), F.lit(n_buckets)).cast("int")
+
+
+def input_fingerprints(transcripts: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, n_turns, input_fingerprint): order-insensitive row-hash sum
+    per bucket — one agg over the input, no collect of data rows."""
+    hashed = transcripts.select(
+        bucket_of(F.col("conv_id"), n_buckets).alias("bucket"),
+        F.xxhash64(
+            F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+            F.col("text"), F.col("tool"), F.col("ts")).alias("h"))
+    # decimal(38,0) accumulator: order-insensitive and overflow-proof under
+    # ANSI mode (a plain long sum of xxhash64 values overflows)
+    return hashed.groupBy("bucket").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("string")
+        .alias("input_fingerprint"))
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    if not os.path.exists(manifest_path):
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
+
+
+def pending_buckets(spark: SparkSession, transcripts: DataFrame,
+                    manifest_path: str, n_buckets: int) -> list[int]:
+    """Buckets not yet completed with an unchanged input fingerprint.
+    Driver-side result is a list of bucket ids (size n_buckets max)."""
+    fp = input_fingerprints(transcripts, n_buckets)
+    done = (
+        read_manifest(spark, manifest_path)
+        .filter(F.col("status") == "done")
+        .select("bucket", F.col("input_fingerprint").alias("done_fp"))
+        .dropDuplicates(["bucket"])
+    )
+    pending = (
+        fp.join(done, "bucket", "left")
+        .filter(
+            F.col("done_fp").isNull()
+            | (F.col("done_fp") != F.col("input_fingerprint")))
+        .select("bucket")
+    )
+    return sorted(r.bucket for r in pending.collect())
+
+
+def record_done(spark: SparkSession, manifest_path: str, bucket: int,
+                n_turns: int, n_mentions: int, n_triples: int,
+                input_fingerprint: str, run_id: str) -> None:
+    row = [(bucket, "done", n_turns, n_mentions, n_triples,
+            input_fingerprint, run_id, time.time())]
+    spark.createDataFrame(row, MANIFEST_SCHEMA).write.mode("append").parquet(
+        manifest_path)

@@ -1,0 +1,215 @@
+"""Transcript -> mention detection + entity-link scoring + triple emission.
+
+The scale input is the transcripts table (``conv_id:string, turn_idx:int,
+role:string, text:string, tool:string, ts:timestamp`` — the authoritative
+``BASELINE.json.input_hint`` shape).  Stage layout (north_star):
+
+1. ``detect_mentions`` — batched, vectorized mention detection + link
+   scoring inside ``applyInPandas`` grouped by ``conv_id`` with turns
+   stably ordered by ``turn_idx``.  The gazetteer is tiny and rides into
+   the UDF closure (the cluster equivalent of a broadcast variable); the
+   matcher is one compiled longest-first alternation, executed once per
+   turn — per-conversation batches of turns arrive as a single Arrow
+   RecordBatch, no per-row Python UDFs anywhere.
+2. ``mention_triples`` — pure JVM-side column expressions that turn each
+   mention row into its triple fan-out (explode of a literal struct
+   array): whole-stage-codegen, zero Python.
+
+Scale posture: the only shuffle in stage 1 is the hash partition on
+``conv_id`` that ``groupBy.applyInPandas`` requires — the same key the
+input Iceberg table is bucketed by, so on a bucketed table AQE elides it.
+Stage 2 is narrow.  Mention ids are deterministic, document-scoped bnode
+labels (``sha1(conv_id, turn_idx, start)``; SURVEY.md §1.4) so re-running
+any partition is idempotent — the checkpoint/resume path relies on that.
+
+Reference parity: emitted nodes follow the meresco node model — mention
+nodes are BNodes, entities are Uris, surfaces are lang-less Literals and
+labels carry language tags (``meresco/rdf/graph/abstract.py:28-57``,
+``literal.py:33-64``); mention annotations are typed ``oa:Annotation``,
+the type the reference serializer promotes and sorts first
+(``triples2rdfxml.py:188-191``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..namespaces import namespaces as _ns
+
+# --------------------------------------------------------------------------
+# KG vocabulary (constants; kg: is our pipeline namespace, oa:/foaf: are
+# the reference's own prefixes — triples2rdfxml.py:177-191)
+# --------------------------------------------------------------------------
+
+KG = "http://data.example.org/kg#"
+OA_ANNOTATION = _ns.curie_to_uri("oa:Annotation")
+RDF_TYPE = _ns.curie_to_uri("rdf:type")
+FOAF_NAME = _ns.curie_to_uri("foaf:name")
+SKOS_ALTLABEL = _ns.curie_to_uri("skos:altLabel")
+OWL_SAMEAS = _ns.curie_to_uri("owl:sameAs")
+
+KG_SURFACE = KG + "surface"          # mention -> Literal(matched text)
+KG_CANDIDATE = KG + "candidate"      # mention -> Uri(surface entity)
+KG_CONVERSATION = KG + "conversation"  # mention -> Uri(conversation)
+KG_TURN = KG + "turn"                # mention -> Literal(turn index)
+KG_SCORE = KG + "score"              # mention -> Literal(link score)
+KG_MENTIONS = KG + "mentions"        # conversation -> Uri(surface entity)
+
+CONV_URI_PREFIX = "urn:conv:"
+SURFACE_URI_PREFIX = "urn:surface:"
+
+MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, start int, end int, surface string, "
+    "surface_key string, score double"
+)
+
+
+def normalize_surface(surface: str) -> str:
+    """Deterministic surface normalization -> blocking/join key."""
+    return re.sub(r"[^a-z0-9]+", " ", surface.lower()).strip()
+
+
+def surface_uri(surface_key: str) -> str:
+    return SURFACE_URI_PREFIX + surface_key.replace(" ", "-")
+
+
+def _compile_matcher(aliases: Iterable[str]) -> re.Pattern:
+    """Longest-first alternation with word boundaries: one C-level scan per
+    turn text; longest-first makes overlapping aliases resolve to the most
+    specific match (e.g. 'Apache Spark engine' over 'Apache Spark')."""
+    ordered = sorted(set(aliases), key=lambda a: (-len(a), a))
+    pattern = "|".join(re.escape(a) for a in ordered)
+    return re.compile(r"(?<![0-9A-Za-z])(?:%s)(?![0-9A-Za-z])" % pattern)
+
+
+def detect_mentions(transcripts: DataFrame,
+                    aliases: Optional[Iterable[str]] = None) -> DataFrame:
+    """Mentions per turn via grouped pandas UDF (one group per conv_id,
+    turns stably sorted by ``turn_idx`` inside the group — the per-row
+    invariant from ``BASELINE.json.input_hint``).
+
+    Link score per mention = alias-length specificity, boosted by
+    within-conversation co-occurrence support (number of earlier turns in
+    the same conversation that mention the same normalized surface) —
+    deterministic, order-stable, and computed entirely inside the batch.
+
+    Returns: ``conv_id, turn_idx, start, end, surface, surface_key, score``.
+    """
+    if aliases is None:
+        from ..sources.transcripts import GAZETTEER
+
+        aliases = [a for names in GAZETTEER.values() for a in names]
+    matcher = _compile_matcher(aliases)
+
+    def find(pdfs):  # executes on executors; Arrow batches in/out
+        import pandas as pd
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            out = {k: [] for k in ("conv_id", "turn_idx", "start", "end",
+                                   "surface", "surface_key", "score")}
+            support: dict[tuple[str, str], int] = {}
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"].values, pdf["turn_idx"].values,
+                    pdf["text"].values):
+                if not text:
+                    continue
+                for m in matcher.finditer(text):
+                    surface = m.group(0)
+                    key = normalize_surface(surface)
+                    seen = support.get((conv_id, key), 0)
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(int(turn_idx))
+                    out["start"].append(m.start())
+                    out["end"].append(m.end())
+                    out["surface"].append(surface)
+                    out["surface_key"].append(key)
+                    out["score"].append(float(len(key)) + float(seen))
+                    support[(conv_id, key)] = seen + 1
+            yield pd.DataFrame(out)
+
+    # mapInPandas after an explicit conv_id repartition (not groupBy.apply):
+    # mention detection needs no cross-conversation state, so a plain
+    # partition-local iterator avoids the per-group invocation overhead;
+    # the sort inside the batch restores stable turn order per conv.
+    parts = transcripts.sparkSession.sparkContext.defaultParallelism
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .repartition(parts, "conv_id")
+        .mapInPandas(find, schema=MENTION_SCHEMA)
+    )
+
+
+def mention_triples(mentions: DataFrame) -> DataFrame:
+    """Mention rows -> triples (SURVEY.md §1.4 five-column schema), pure
+    column expressions (whole-stage codegen; no Python).
+
+    Per mention (bnode ``_:b<sha1(conv, turn, start)>``):
+      - rdf:type          oa:Annotation
+      - kg:surface        Literal(matched text)
+      - kg:turn           Literal(turn index)
+      - kg:score          Literal(score)
+      - kg:conversation   Uri(urn:conv:<conv_id>)
+      - kg:candidate      Uri(urn:surface:<key>)
+    Plus the conversation-level edge ``conv kg:mentions surface-entity``.
+    Dedup is deferred to the caller (set semantics, reference
+    graph.py:45-51): one hash shuffle at the end of the stage.
+    """
+    bnode = F.concat(
+        F.lit("_:b"),
+        F.substring(F.sha1(F.concat_ws(
+            "\x00", F.col("conv_id"), F.col("turn_idx"), F.col("start"))), 1, 20))
+    conv_uri = F.concat(F.lit(CONV_URI_PREFIX), F.col("conv_id"))
+    surf_uri = F.concat(
+        F.lit(SURFACE_URI_PREFIX), F.replace(F.col("surface_key"), F.lit(" "), F.lit("-")))
+
+    def t(subj, pred, obj_value, kind, lang=None):
+        return F.struct(
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            obj_value.cast("string").alias("obj_value"),
+            F.lit(kind).alias("obj_kind"),
+            (F.lit(None).cast("string") if lang is None else F.lit(lang)).alias("obj_lang"))
+
+    fanout = F.array(
+        t(bnode, RDF_TYPE, F.lit(OA_ANNOTATION), "uri"),
+        t(bnode, KG_SURFACE, F.col("surface"), "literal"),
+        t(bnode, KG_TURN, F.col("turn_idx"), "literal"),
+        t(bnode, KG_SCORE, F.format_number(F.col("score"), 1), "literal"),
+        t(bnode, KG_CONVERSATION, conv_uri, "uri"),
+        t(bnode, KG_CANDIDATE, surf_uri, "uri"),
+        t(conv_uri, KG_MENTIONS, surf_uri, "uri"),
+    )
+    return mentions.select(F.explode(fanout).alias("t")).select("t.*")
+
+
+def surface_label_triples(mentions: DataFrame) -> DataFrame:
+    """Surface-entity label triples: the most frequent raw surface per
+    normalized key becomes ``foaf:name`` (the reference's top label
+    predicate, _uris.py:28-35), every other raw form ``skos:altLabel``.
+
+    One hash-agg keyed (surface_key, surface) then one keyed surface_key
+    (both partial-aggregatable; ties broken by (-count, surface))."""
+    counts = mentions.groupBy("surface_key", "surface").agg(
+        F.count("*").alias("n"))
+    best = counts.groupBy("surface_key").agg(
+        F.min_by("surface", F.struct(
+            (-F.col("n")).alias("neg"), F.col("surface"))).alias("best_surface"))
+    surf_uri = F.concat(
+        F.lit(SURFACE_URI_PREFIX), F.replace(F.col("surface_key"), F.lit(" "), F.lit("-")))
+    names = best.select(
+        surf_uri.alias("subj"), F.lit(FOAF_NAME).alias("pred"),
+        F.col("best_surface").alias("obj_value"),
+        F.lit("literal").alias("obj_kind"), F.lit(None).cast("string").alias("obj_lang"))
+    alts = (
+        counts.join(best, "surface_key")
+        .filter(F.col("surface") != F.col("best_surface"))
+        .select(
+            surf_uri.alias("subj"), F.lit(SKOS_ALTLABEL).alias("pred"),
+            F.col("surface").alias("obj_value"),
+            F.lit("literal").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+    )
+    return names.unionByName(alts)

@@ -1,0 +1,129 @@
+"""End-to-end KG construction pipeline (the north_star flagship).
+
+transcripts -> detect_mentions (Arrow-batched, conv-partitioned)
+            -> mention_triples + surface_label_triples (codegen fan-out)
+            -> canonical_surface_map (MinHash-LSH + connected components)
+            -> rewrite_triples (+ owl:sameAs provenance)
+            -> [optional] materialized triple/adjacency tables + manifest
+
+``run_pipeline`` is the lazy composition (returns DataFrames — callers
+decide what to materialize); ``run_checkpointed`` drives the bucket-wise
+resumable materialization from kg/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .canonicalize import (
+    canonical_surface_map,
+    rewrite_triples,
+    sameas_triples,
+)
+from .checkpoint import (
+    bucket_of,
+    input_fingerprints,
+    pending_buckets,
+    record_done,
+)
+from .extract import detect_mentions, mention_triples, surface_label_triples
+from .materialize import write_adjacency_table, write_triple_table
+
+TRIPLE_COLS = ["subj", "pred", "obj_value", "obj_kind", "obj_lang"]
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    canonical_map: DataFrame
+    triples: DataFrame  # canonicalized, deduped, with provenance edges
+
+
+def run_pipeline(transcripts: DataFrame, *, jaccard_threshold: float = 0.5,
+                 broadcast_canonical: bool = True) -> PipelineResult:
+    mentions = detect_mentions(transcripts)
+    raw = mention_triples(mentions).unionByName(surface_label_triples(mentions))
+    canon = canonical_surface_map(
+        mentions.select("surface_key"), threshold=jaccard_threshold)
+    rewritten = rewrite_triples(raw, canon, broadcast_map=broadcast_canonical)
+    triples = rewritten.unionByName(sameas_triples(canon)).dropDuplicates(TRIPLE_COLS)
+    return PipelineResult(mentions=mentions, canonical_map=canon, triples=triples)
+
+
+def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
+                     out_dir: str, *, n_buckets: int = 16,
+                     table_buckets: int = 16,
+                     jaccard_threshold: float = 0.5) -> dict:
+    """Bucket-wise resumable materialization.
+
+    Each conv-bucket runs the conv-local stages independently and lands in
+    its own output subtree + manifest row; canonicalization runs over the
+    union of per-bucket surfaces at the end (it is global by nature).  A
+    re-run processes only buckets whose manifest row is missing or whose
+    input fingerprint changed — the idempotency lever is that every id in
+    the pipeline is deterministic in the input rows.
+
+    Returns summary metrics.  At sandbox scale buckets are processed in a
+    driver loop (n_buckets is small); each iteration is a fully
+    distributed job, so the loop costs scheduling only.
+    """
+    manifest_path = os.path.join(out_dir, "_manifest")
+    run_id = uuid.uuid4().hex[:12]
+    todo = pending_buckets(spark, transcripts, manifest_path, n_buckets)
+    fps = {
+        r.bucket: (r.n_turns, r.input_fingerprint)
+        for r in input_fingerprints(transcripts, n_buckets).collect()
+    }
+
+    with_bucket = transcripts.withColumn(
+        "_bucket", bucket_of(F.col("conv_id"), n_buckets))
+    processed = 0
+    for bucket in todo:
+        part = with_bucket.filter(F.col("_bucket") == bucket).drop("_bucket")
+        mentions = detect_mentions(part)
+        triples = (
+            mention_triples(mentions)
+            .unionByName(surface_label_triples(mentions))
+            .dropDuplicates(TRIPLE_COLS)
+        )
+        bucket_path = os.path.join(out_dir, "raw_triples", "bucket=%d" % bucket)
+        triples.write.mode("overwrite").parquet(bucket_path)
+        n_triples = spark.read.parquet(bucket_path).count()
+        n_mentions = mentions.count()
+        n_turns, fingerprint = fps.get(bucket, (0, ""))
+        record_done(spark, manifest_path, bucket, n_turns, n_mentions,
+                    n_triples, fingerprint, run_id)
+        processed += 1
+
+    # global phase: canonicalize over all raw triples, materialize outputs
+    raw = spark.read.parquet(os.path.join(out_dir, "raw_triples"))
+    raw_cols = raw.select(*TRIPLE_COLS)
+    surfaces = (
+        raw_cols.filter(F.col("subj").startswith("urn:surface:"))
+        .select(
+            F.replace(
+                F.expr("substring(subj, %d)" % (len("urn:surface:") + 1)),
+                F.lit("-"), F.lit(" ")).alias("surface_key"))
+        .dropDuplicates(["surface_key"])
+    )
+    canon = canonical_surface_map(surfaces, threshold=jaccard_threshold)
+    final = (
+        rewrite_triples(raw_cols, canon)
+        .unionByName(sameas_triples(canon))
+        .dropDuplicates(TRIPLE_COLS)
+    )
+    write_triple_table(final, os.path.join(out_dir, "triples"),
+                       buckets=table_buckets)
+    write_adjacency_table(final, os.path.join(out_dir, "adjacency"),
+                          buckets=table_buckets)
+    n_final = spark.read.parquet(os.path.join(out_dir, "triples")).count()
+    return {
+        "run_id": run_id,
+        "buckets_processed": processed,
+        "buckets_skipped": n_buckets - processed,
+        "final_triples": n_final,
+    }

@@ -1,0 +1,227 @@
+"""Tests for the KG construction pipeline: extraction, canonicalization,
+materialization, checkpoint/resume (SURVEY.md §7 steps 4-7)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meresco_rdf_spark.kg.canonicalize import (
+    canonical_surface_map,
+    char_shingles,
+    connected_components,
+    rewrite_triples,
+    sameas_triples,
+    similar_surface_pairs,
+)
+from meresco_rdf_spark.kg.extract import (
+    FOAF_NAME,
+    KG_CANDIDATE,
+    KG_MENTIONS,
+    KG_SURFACE,
+    OA_ANNOTATION,
+    RDF_TYPE,
+    detect_mentions,
+    mention_triples,
+    normalize_surface,
+    surface_label_triples,
+)
+from meresco_rdf_spark.kg.materialize import adjacency, write_triple_table
+from meresco_rdf_spark.kg.pipeline import run_checkpointed, run_pipeline
+from meresco_rdf_spark.sources.transcripts import (
+    GAZETTEER,
+    synthesize_transcripts,
+)
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def make_transcripts(spark, rows):
+    return spark.createDataFrame(
+        [(c, t, "user", text, None, None) for c, t, text in rows],
+        TRANSCRIPT_SCHEMA)
+
+
+class TestDetectMentions:
+    def test_finds_known_aliases_with_offsets(self, spark):
+        t = make_transcripts(spark, [
+            ("c1", 0, "We met Marie Curie in Amsterdam."),
+            ("c1", 1, "Apache Spark engine is fast."),
+            ("c2", 0, "No entities here."),
+        ])
+        rows = {(r.conv_id, r.turn_idx, r.surface, r.start, r.end)
+                for r in detect_mentions(t).collect()}
+        assert ("c1", 0, "Marie Curie", 7, 18) in rows
+        assert ("c1", 0, "Amsterdam", 22, 31) in rows
+        # longest-first: the 3-word alias wins over 'Apache Spark'
+        assert ("c1", 1, "Apache Spark engine", 0, 19) in rows
+        assert not any(r[0] == "c2" for r in rows)
+
+    def test_word_boundaries(self, spark):
+        t = make_transcripts(spark, [("c1", 0, "Seecrets about xAmsterdam.")])
+        assert detect_mentions(t).count() == 0
+
+    def test_score_grows_with_conversation_support(self, spark):
+        t = make_transcripts(spark, [
+            ("c1", 0, "Marie Curie wrote."),
+            ("c1", 1, "Then Marie Curie spoke."),
+            ("c2", 0, "Marie Curie alone."),
+        ])
+        m = detect_mentions(t).orderBy("conv_id", "turn_idx").collect()
+        scores = {(r.conv_id, r.turn_idx): r.score for r in m}
+        base = float(len(normalize_surface("Marie Curie")))
+        assert scores[("c1", 0)] == base
+        assert scores[("c1", 1)] == base + 1.0  # one earlier support
+        assert scores[("c2", 0)] == base  # support never crosses convs
+
+    def test_deterministic_across_parallelism(self, spark):
+        t = synthesize_transcripts(spark, 40, 6)
+        a = {tuple(r) for r in detect_mentions(t.repartition(1)).collect()}
+        b = {tuple(r) for r in detect_mentions(t.repartition(7)).collect()}
+        assert a == b and len(a) > 0
+
+
+class TestMentionTriples:
+    def test_fanout_and_node_model(self, spark):
+        t = make_transcripts(spark, [("c1", 2, "Marie Curie visited.")])
+        m = detect_mentions(t)
+        triples = {(r.subj, r.pred, r.obj_value, r.obj_kind, r.obj_lang)
+                   for r in mention_triples(m).collect()}
+        bnodes = {s for s, *_ in triples if s.startswith("_:b")}
+        assert len(bnodes) == 1
+        b = bnodes.pop()
+        assert (b, RDF_TYPE, OA_ANNOTATION, "uri", None) in triples
+        assert (b, KG_SURFACE, "Marie Curie", "literal", None) in triples
+        assert (b, KG_CANDIDATE, "urn:surface:marie-curie", "uri", None) in triples
+        assert ("urn:conv:c1", KG_MENTIONS, "urn:surface:marie-curie",
+                "uri", None) in triples
+
+    def test_bnode_ids_deterministic_and_scoped(self, spark):
+        t = make_transcripts(spark, [
+            ("c1", 0, "Marie Curie."), ("c2", 0, "Marie Curie.")])
+        m = detect_mentions(t)
+        one = {r.subj for r in mention_triples(m).collect() if r.subj.startswith("_:")}
+        two = {r.subj for r in mention_triples(detect_mentions(t)).collect()
+               if r.subj.startswith("_:")}
+        assert one == two  # re-run identical (resume idempotency)
+        assert len(one) == 2  # distinct per conversation scope
+
+    def test_surface_labels_prefer_most_frequent_form(self, spark):
+        t = make_transcripts(spark, [
+            ("c1", 0, "Marie Curie and Marie Curie met."),
+            ("c2", 0, "Curie, Marie wrote."),
+        ])
+        m = detect_mentions(t)
+        rows = {(r.subj, r.pred, r.obj_value)
+                for r in surface_label_triples(m).collect()}
+        assert ("urn:surface:marie-curie", FOAF_NAME, "Marie Curie") in rows
+
+
+class TestCanonicalize:
+    def test_char_shingles(self, spark):
+        df = spark.range(1).select(char_shingles(F.lit("ab"), 3).alias("s"))
+        assert df.collect()[0].s == [" ab", "ab "]
+
+    def test_similar_pairs_catch_shared_shingle_aliases(self, spark):
+        surfaces = spark.createDataFrame(
+            [("apache spark",), ("apache spark engine",), ("marie curie",)],
+            "surface_key string")
+        pairs = {(r.a, r.b) for r in similar_surface_pairs(surfaces).collect()}
+        assert ("apache spark", "apache spark engine") in pairs
+        assert not any("marie curie" in p for p in pairs)
+
+    def test_connected_components_chain_and_isolate(self, spark):
+        edges = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], "a string, b string")
+        comp = {r.node: r.component
+                for r in connected_components(edges).collect()}
+        assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_canonical_map_clusters_are_pure(self, spark):
+        t = synthesize_transcripts(spark, 60, 8)
+        m = detect_mentions(t)
+        canon = canonical_surface_map(m.select("surface_key"))
+        truth = {normalize_surface(a): e
+                 for e, aliases in GAZETTEER.items() for a in aliases}
+        clusters: dict[str, set] = {}
+        for r in canon.collect():
+            clusters.setdefault(r.canonical_key, set()).add(truth[r.surface_key])
+        for members in clusters.values():
+            assert len(members) == 1  # never merges distinct entities
+
+    def test_rewrite_and_sameas(self, spark):
+        triples = spark.createDataFrame(
+            [("urn:surface:m-curie", "p", "urn:surface:m-curie", "uri", None),
+             ("s", "p", "keep", "literal", None)],
+            "subj string, pred string, obj_value string, obj_kind string, obj_lang string")
+        canon = spark.createDataFrame(
+            [("m curie", "marie curie", "urn:surface:marie-curie")],
+            "surface_key string, canonical_key string, canonical_uri string")
+        out = {(r.subj, r.obj_value) for r in rewrite_triples(triples, canon).collect()}
+        assert ("urn:surface:marie-curie", "urn:surface:marie-curie") in out
+        assert ("s", "keep") in out
+        same = sameas_triples(canon).collect()
+        assert [(r.subj, r.obj_value) for r in same] == [
+            ("urn:surface:m-curie", "urn:surface:marie-curie")]
+
+
+class TestPipelineAndMaterialize:
+    def test_run_pipeline_links_aliases_to_one_canonical_entity(self, spark):
+        t = make_transcripts(spark, [
+            ("c1", 0, "Apache Spark is fast."),
+            ("c2", 0, "The Apache Spark engine runs."),
+        ])
+        res = run_pipeline(t)
+        cands = {(r.subj, r.obj_value)
+                 for r in res.triples.filter(F.col("pred") == KG_CANDIDATE).collect()}
+        targets = {o for _, o in cands}
+        assert targets == {"urn:surface:apache-spark"}
+
+    def test_adjacency_sorted_and_degree(self, spark):
+        triples = spark.createDataFrame(
+            [("s", "p2", "b", "literal", None), ("s", "p1", "a", "uri", None)],
+            "subj string, pred string, obj_value string, obj_kind string, obj_lang string")
+        row = adjacency(triples).collect()[0]
+        assert row.degree == 2
+        assert [e.pred for e in row.edges] == ["p1", "p2"]
+
+    def test_triple_table_bucket_pruning(self, spark, tmp_path):
+        t = synthesize_transcripts(spark, 20, 5)
+        res = run_pipeline(t)
+        path = str(tmp_path / "triples")
+        write_triple_table(res.triples, path, buckets=8)
+        back = spark.read.parquet(path)
+        assert back.select("subj_bucket").distinct().count() > 1
+        assert back.drop("subj_bucket").count() == res.triples.count()
+        # partition filter prunes to one bucket's files
+        plan = back.filter(F.col("subj_bucket") == 3)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "PartitionFilters" in plan or "subj_bucket" in plan
+
+    def test_checkpoint_resume_skips_completed_buckets(self, spark, tmp_path):
+        t = synthesize_transcripts(spark, 30, 5)
+        out = str(tmp_path / "kg")
+        first = run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
+        assert first["buckets_processed"] == 4
+        n1 = spark.read.parquet(os.path.join(out, "triples")).count()
+        assert first["final_triples"] == n1 > 0
+        second = run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
+        assert second["buckets_processed"] == 0
+        assert second["buckets_skipped"] == 4
+        assert spark.read.parquet(os.path.join(out, "triples")).count() == n1
+
+    def test_checkpoint_reruns_changed_bucket(self, spark, tmp_path):
+        t = synthesize_transcripts(spark, 30, 5)
+        out = str(tmp_path / "kg")
+        run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
+        changed = t.withColumn(
+            "text",
+            F.when(F.col("conv_id") == "conv-00000003",
+                   F.lit("Now about Alan Turing.")).otherwise(F.col("text")))
+        res = run_checkpointed(spark, changed, out, n_buckets=4, table_buckets=4)
+        assert res["buckets_processed"] == 1
