@@ -59,13 +59,15 @@ def minhash_signature(shingles: Column, k: int = 32, seed: int = 42) -> Column:
 
     Each permutation h_i(x) = xxhash64(x, seed+i); signature[i] =
     min over shingles.  Empty shingle sets get LONG_MAX sentinels."""
-    return F.array(*[
-        F.coalesce(
-            F.array_min(F.transform(shingles, lambda x, i=i: F.xxhash64(x, F.lit(seed + i)))),
+    def perm_min(i):
+        # single-arg lambda: a two-arg lambda would receive (element, index)
+        # from F.transform and shadow the permutation number
+        return F.coalesce(
+            F.array_min(F.transform(shingles, lambda x: F.xxhash64(x, F.lit(seed + i)))),
             F.lit(2**63 - 1),
         )
-        for i in range(k)
-    ])
+
+    return F.array(*[perm_min(i) for i in range(k)])
 
 
 def lsh_bands(sig_col: str, bands: int, rows: int) -> Column:

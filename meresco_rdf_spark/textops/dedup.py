@@ -1,0 +1,254 @@
+"""Deduplication operators for large document corpora.
+
+Five strategies, all DataFrame-native (no Python in the hot path):
+
+- exact: md5-of-normalized-text groupBy — one shuffle on the hash.
+- n-gram Jaccard: word-shingle inverted index join, exact Jaccard verify.
+- MinHash-LSH: banding over MinHash signatures (wraps the same machinery
+  as kg/canonicalize, here over word shingles + pluggable hash so the
+  md5 variant is oracle-checkable in DuckDB).
+- SimHash: 32-bit weighted bit-vote fingerprint from md5 nibbles
+  (md5 -> oracle parity), near-dups = Hamming<=k via banded join.
+- embedding cosine: near-dup pairs above a cosine threshold via the
+  similarity module.
+
+Scale notes: every strategy is (narrow per-doc signature) -> (shuffle on
+signature/bucket key) -> (pair verify).  Pair explosion is bounded by
+banding; hot buckets (boilerplate shingles) are capped with a
+``max_bucket_size`` guard — the standard web-dedup trick: a shingle shared
+by thousands of docs carries no information and only creates skew.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .textstats import fingerprint, normalized_text, tokens
+
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, fp, keep): keep = row has the min id within its normalized-text
+    fingerprint group.  One window on fp (hash-partitioned; no skew beyond
+    genuine duplicate clusters, which AQE splits)."""
+    w = Window.partitionBy("fp")
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+    )
+
+
+# --------------------------------------------------------------------------
+# word shingles + n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text."""
+    toks = tokens(normalized_text(col))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        max_bucket_size: int = 50) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard, candidates from an
+    inverted shingle index (docs sharing >=1 shingle).
+
+    ``max_bucket_size`` drops shingles shared by more docs than the cap
+    (boilerplate): they add candidates quadratically but no precision —
+    this is the skew guard that keeps the self-join bounded at corpus
+    scale.  Output: (a, b, jaccard) with a < b."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"))
+    inv = (
+        sh.select("id", F.explode("shingles").alias("shingle"))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("n_docs") <= max_bucket_size)
+    )
+    cand = (
+        inv.alias("l").join(
+            inv.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sa = sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH dedup (pluggable hash: xxhash64 fast path / md5 oracle path)
+# --------------------------------------------------------------------------
+
+def _perm_hash_xx(x: Column, i: int) -> Column:
+    return F.xxhash64(x, F.lit(i)).cast("string")
+
+
+def _perm_hash_md5(x: Column, i: int) -> Column:
+    # oracle-parity permutation: md5 exists in DuckDB; min over hex strings
+    return F.substring(F.md5(F.concat(x, F.lit("#%d" % i))), 1, 16)
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3, k: int = 16,
+                        bands: int = 8, threshold: float = 0.7,
+                        hash_fn: str = "xx") -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact Jaccard verification.
+    ``hash_fn='md5'`` makes every value reproducible in ANSI SQL/DuckDB."""
+    perm = _perm_hash_md5 if hash_fn == "md5" else _perm_hash_xx
+    rows = k // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"))
+    def perm_min(i):
+        # single-arg lambda: a two-arg lambda would receive (element, index)
+        # from F.transform and shadow the permutation number
+        return F.coalesce(
+            F.array_min(F.transform(F.col("shingles"), lambda x: perm(x, i))),
+            F.lit("~"))
+
+    sig = sh.withColumn("sig", F.array(*[perm_min(i) for i in range(k)]))
+    banded = sig.select(
+        "id", "shingles",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                .alias("band_key"))
+            for b in range(bands)
+        ])).alias("band"),
+    ).select("id", "shingles", "band.band_id", "band.band_key")
+    cand = (
+        banded.alias("l").join(
+            banded.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+            F.col("l.shingles").alias("sh_a"), F.col("r.shingles").alias("sh_b"))
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit, md5-nibble bit source -> oracle parity)
+# --------------------------------------------------------------------------
+
+def simhash_bits(col: Column, n_bits: int = 32) -> Column:
+    """Weighted SimHash as an ``n_bits``-char '0'/'1' string.
+
+    Bit j's vote per token = +1 if the j-th hex nibble of md5(token) has
+    its high bit set, else -1; bit j of the fingerprint = 1 iff the vote
+    sum is >= 0.  A string (not a long) so ANSI SQL oracles reproduce it
+    exactly without 64-bit signed overflow games."""
+    toks = tokens(normalized_text(col))
+    high = F.array(*[F.lit(h) for h in HEX_HIGH])
+
+    def vote(j):
+        return F.aggregate(
+            toks, F.lit(0),
+            lambda acc, x: acc + F.when(
+                F.array_contains(high, F.substring(F.md5(x), j + 1, 1)),
+                F.lit(1)).otherwise(F.lit(-1)))
+
+    return F.concat(*[
+        F.when(vote(j) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(n_bits)
+    ])
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n_bits: int = 32) -> DataFrame:
+    return df.select(
+        F.col(id_col), simhash_bits(F.col(text_col), n_bits).alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_bits: int = 32,
+                      max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation: split the fingerprint into ``bands`` blocks; by
+    pigeonhole any pair within Hamming <= bands-1 shares an exact block,
+    so the join key is (block_id, block_bits) — no quadratic scan.
+    Verify computes exact Hamming distance on the bit strings."""
+    fp = simhash_fingerprints(df, id_col, text_col, n_bits)
+    width = n_bits // bands
+    blocks = fp.select(
+        F.col(id_col).alias("id"), "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.substring("simhash", b * width + 1, width).alias("block"))
+            for b in range(bands)
+        ])).alias("blk"),
+    ).select("id", "simhash", "blk.block_id", "blk.block")
+    cand = (
+        blocks.alias("l").join(
+            blocks.alias("r"),
+            (F.col("l.block_id") == F.col("r.block_id"))
+            & (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("h_a"), F.col("r.simhash").alias("h_b"))
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.size(F.filter(
+        F.zip_with(
+            F.split(F.col("h_a"), ""), F.split(F.col("h_b"), ""),
+            lambda x, y: x != y),
+        lambda d: d))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95,
+                        n_planes: int = 0) -> DataFrame:
+    """Near-dup pairs with cosine >= threshold.  ``n_planes > 0`` switches
+    from the exact all-pairs path to random-hyperplane LSH bucketing
+    (similarity.hyperplane_buckets) — the scale path."""
+    from .similarity import cosine_pairs
+
+    return cosine_pairs(df, id_col, vec_col, threshold, n_planes=n_planes)

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **brute-force cosine top-k** — exact baseline: a crossJoin between the
+  (broadcast) query set and the corpus, the dot product computed JVM-side
+  with ``F.zip_with`` + ``F.aggregate`` in double precision, top-k per
+  query via ``min_by``-style window.  Cost: |Q| x |corpus| — right when
+  |Q| is small (the usual "probe" shape) or corpus chunks are scanned
+  once.
+- **random-hyperplane LSH** (sign-LSH) — the scale path: each vector gets
+  a ``n_planes``-bit sign signature against deterministic pseudo-random
+  hyperplanes (components derived from ``xxhash64(dim, plane)`` — no
+  stored model, reproducible on any executor); candidates share a
+  signature band; exact cosine re-ranks.  This is the IVF-style
+  bucket-then-verify layout: the shuffle key is the bucket id, corpus
+  size per bucket drops ~2^-bits.
+
+All arithmetic is double; cosines are rounded to 6 decimals so results
+are stable across accumulation orders (and match SQL oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self-id matches).
+
+    Output: (query_id, neighbor_id, cos) — cos rounded to 6 decimals;
+    ties broken by neighbor id.  The query side is broadcast: the corpus
+    is scanned exactly once regardless of |Q|."""
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, n_planes: int, dim: int,
+                         seed: int = 42) -> Column:
+    """Sign-LSH signature as an ``n_planes``-char '0'/'1' string.
+
+    Plane p's component for dimension d = ±1 by the parity of
+    ``xxhash64(d, p, seed)`` — deterministic, storage-free, identical on
+    every executor.  sign bit = (Σ_d v[d]·plane[p][d]) >= 0."""
+    bits = []
+    for p in range(n_planes):
+        signs = F.array(*[
+            F.when(F.pmod(F.xxhash64(F.lit(d), F.lit(p), F.lit(seed)), F.lit(2)) == 0,
+                   F.lit(1.0)).otherwise(F.lit(-1.0))
+            for d in range(dim)
+        ])
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_planes: int = 8,
+             dim: int = 64, bands: int = 4) -> DataFrame:
+    """Approximate top-k: sign-LSH banding for candidates, exact cosine
+    re-rank.  Recall is tunable by bands/planes; candidates per query
+    shrink ~2^(-planes/bands) of the corpus — the 100-TB-side win."""
+    width = n_planes // bands
+
+    def banded(df, id_alias):
+        sig = hyperplane_signature(F.col(vec_col), n_planes, dim)
+        return df.select(
+            F.col(id_alias[0]).alias(id_alias[1]),
+            F.col(vec_col).alias(id_alias[2]),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.substring(sig, b * width + 1, width).alias("band_bits"))
+                for b in range(bands)
+            ])).alias("band"),
+        ).select(id_alias[1], id_alias[2], "band.band_id", "band.band_bits")
+
+    qb = banded(queries, (query_id_col, "query_id", "q_vec"))
+    cb = banded(corpus, (id_col, "neighbor_id", "c_vec"))
+    cand = (
+        qb.join(cb, ["band_id", "band_bits"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", threshold: float = 0.95,
+                 n_planes: int = 0, dim: int = 64, bands: int = 4) -> DataFrame:
+    """All pairs with cosine >= threshold (a < b).  ``n_planes=0`` = exact
+    self-join (quadratic — test scale); ``n_planes>0`` = sign-LSH banding
+    first (scale path)."""
+    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("v_a"))
+    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("v_b"))
+    if n_planes:
+        width = n_planes // bands
+
+        def banded(side, idc, vecc):
+            sig = hyperplane_signature(F.col(vecc), n_planes, dim)
+            return side.select(
+                idc, vecc,
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(bb).alias("band_id"),
+                        F.substring(sig, bb * width + 1, width).alias("band_bits"))
+                    for bb in range(bands)
+                ])).alias("band"),
+            ).select(idc, vecc, "band.band_id", "band.band_bits")
+
+        lb = banded(left, "a", "v_a")
+        rb = banded(right, "b", "v_b")
+        cand = (
+            lb.join(rb, ["band_id", "band_bits"])
+            .filter(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+    else:
+        cand = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

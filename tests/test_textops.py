@@ -1,0 +1,201 @@
+"""Tests for training-data operators: dedup, similarity, text analysis,
+multimodal plumbing — including DuckDB parity spot-checks for the
+oracle-checkable ones."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from meresco_rdf_spark.textops.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+    simhash_fingerprints,
+    word_shingles,
+)
+from meresco_rdf_spark.textops.multimodal import (
+    extract_features,
+    fake_feature,
+    synthesize_media,
+)
+from meresco_rdf_spark.textops.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_topk,
+)
+from meresco_rdf_spark.textops.textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog again and again"),
+    (2, "The quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (3, "The quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "Der Hund und die Katze sind nicht mit der Maus"),
+    (5, "completely different words about spark engines and tables"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string").cache()
+
+
+class TestTextStats:
+    def test_token_count_and_fingerprint(self, spark, docs):
+        rows = {r.doc_id: (r.n, r.fp) for r in docs.select(
+            "doc_id", token_count(F.col("text")).alias("n"),
+            fingerprint(F.col("text")).alias("fp")).collect()}
+        assert rows[1][0] == 12
+        assert rows[1][1] == rows[2][1]
+        assert rows[1][1] != rows[3][1]
+
+    def test_fingerprint_matches_duckdb(self, spark, docs):
+        got = {r.doc_id: r.fp for r in docs.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+        for doc_id, text in DOCS:
+            expect = duckdb.sql(
+                "select md5(trim(regexp_replace(lower(?), '[^a-z0-9]+', ' ', 'g')))",
+                params=[text]).fetchone()[0]
+            assert got[doc_id] == expect
+
+    def test_lang_id(self, spark, docs):
+        rows = {r.doc_id: r.lang for r in docs.select(
+            "doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+        assert rows[1] == "en"
+        assert rows[4] == "de"
+
+    def test_quality_features(self, spark, docs):
+        rows = {r.doc_id: r for r in quality_features(docs).collect()}
+        assert rows[1].n_tokens == 12
+        assert rows[1].quality_score >= 3
+        assert rows[1].n_distinct == 10  # 'the' and 'again' repeat
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, spark, docs):
+        rows = {r.doc_id: r.keep for r in exact_dedup(docs).collect()}
+        assert rows == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+    def test_ngram_jaccard_finds_near_dup(self, spark, docs):
+        pairs = {(r.a, r.b): r.jaccard
+                 for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+        assert not any({a, b} & {4, 5} for a, b in pairs)
+
+    def test_minhash_pairs_both_hash_paths(self, spark, docs):
+        for fn in ("xx", "md5"):
+            pairs = {(r.a, r.b) for r in minhash_dedup_pairs(
+                docs, threshold=0.5, hash_fn=fn).collect()}
+            assert (1, 2) in pairs
+            assert not any({a, b} & {4, 5} for a, b in pairs)
+
+    def test_simhash_identical_for_dups_and_hamming(self, spark, docs):
+        fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+        assert fp[1] == fp[2]
+        assert len(fp[1]) == 32 and set(fp[1]) <= {"0", "1"}
+        pairs = {(r.a, r.b): r.hamming
+                 for r in simhash_dup_pairs(docs, max_hamming=6).collect()}
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs  # one word changed -> small hamming
+
+    def test_simhash_matches_duckdb(self, spark, docs):
+        got = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+        bit_exprs = ", ".join(
+            "case when list_sum(list_transform(toks, x -> case when "
+            "substr(md5(x), %d, 1) in ('8','9','a','b','c','d','e','f') "
+            "then 1 else -1 end)) >= 0 then '1' else '0' end" % (j + 1)
+            for j in range(32))
+        sql = (
+            "with t as (select doc_id, list_filter(string_split(trim("
+            "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), "
+            "x -> x != '') as toks from docs) "
+            "select doc_id, concat(%s) as simhash from t" % bit_exprs)
+        con = duckdb.connect()
+        con.execute("create table docs as select * from (values %s) t(doc_id, text)"
+                    % ", ".join("(%d, '%s')" % (i, t) for i, t in DOCS))
+        expect = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+        assert got == expect
+
+
+class TestSimilarity:
+    def _vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [1.0, 0.01, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_cosine_topk_exact(self, spark):
+        v = self._vecs(spark)
+        q = v.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+        got = cosine_topk(v, q, k=2).collect()
+        assert [(r.neighbor_id, r.rank) for r in got] == [(4, 1), (1, 2)]
+        expect = 0.9 / math.sqrt(0.81 + 0.01)
+        assert abs(got[1].cos - round(expect, 6)) < 1e-9
+
+    def test_lsh_topk_subset_of_exact_with_high_recall(self, spark):
+        v = self._vecs(spark)
+        q = v.withColumnRenamed("vec_id", "query_id")
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in cosine_topk(v, q, k=1).collect()}
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in lsh_topk(v, q, k=1, n_planes=8, dim=4, bands=4).collect()}
+        # banding guarantees recall of near-identical vectors
+        assert (0, 4) in approx
+        assert approx <= {(q, n) for q in range(5) for n in range(5)}
+        assert len(approx & exact) >= 3
+
+    def test_cosine_pairs_threshold(self, spark):
+        v = self._vecs(spark)
+        exact = {(r.a, r.b) for r in cosine_pairs(v, threshold=0.99).collect()}
+        # cos(0,1)=.99388, cos(0,4)=.99995, cos(1,4)=.99448 — all >= .99
+        assert exact == {(0, 1), (0, 4), (1, 4)}
+        lsh = {(r.a, r.b) for r in cosine_pairs(
+            v, threshold=0.99, n_planes=8, dim=4).collect()}
+        assert (0, 4) in lsh and lsh <= exact
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes(self, spark):
+        media = synthesize_media(spark, 12)
+        feats = extract_features(media, dim=8).collect()
+        assert len(feats) == 12
+        for r in feats:
+            assert len(r.feature) == 8
+            assert all(0.0 <= x <= 1.0 for x in r.feature)
+            assert r.n_bytes == 32  # sha2-256 payload
+
+    def test_fake_feature_deterministic(self):
+        assert fake_feature(b"abc", 4) == fake_feature(b"abc", 4)
+        assert fake_feature(b"abc", 4) != fake_feature(b"abd", 4)
+        assert fake_feature(None, 3) == [0.0, 0.0, 0.0]
+
+    def test_real_decode_is_gated(self):
+        from meresco_rdf_spark.textops.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"payload")
+
+
+class TestShingles:
+    def test_word_shingles(self, spark):
+        df = spark.range(1).select(
+            word_shingles(F.lit("a b c d"), 2).alias("s"))
+        assert df.collect()[0].s == ["a b", "b c", "c d"]
+
+    def test_short_text_single_shingle(self, spark):
+        df = spark.range(1).select(word_shingles(F.lit("a b"), 3).alias("s"))
+        assert df.collect()[0].s == ["a b"]
