@@ -1,0 +1,633 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 (plus the training-data operators)
+gets a ``QUERIES[name]`` callable ``(spark, sf_dir) -> DataFrame`` and —
+when ANSI-SQL-expressible — an ``ORACLES[name]`` DuckDB statement over the
+same parquet tables that produces IDENTICAL rows (names, types, values).
+Column-name/typing discipline: every computed column is aliased the same
+on both sides; counts/sizes are cast to bigint; float formulas are either
+exact-integer/decimal or rounded after double-precision arithmetic with a
+deterministic fold order.
+
+The graph operators run over a triples view derived deterministically
+from the TPC-H-ish tables (customer/supplier/nation/region -> foaf:name /
+rdfs:label / skos:prefLabel / urn:rel:* triples) so the DuckDB oracle can
+rebuild the identical relation with a CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .model import (
+    DCTERMS_TITLE,
+    FOAF_NAME,
+    RDFS_LABEL,
+    SKOS_ALTLABEL,
+    SKOS_PREFLABEL,
+)
+from .operators.graph_ops import (
+    find_labels,
+    in_degrees,
+    literal_values,
+    match_patterns,
+    scan,
+)
+from .textops.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+    simhash_fingerprints,
+)
+from .textops.similarity import cosine_topk, lsh_topk
+from .textops.textstats import (
+    LANG_PRIORITY,
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+REL_NATION = "urn:rel:nation"
+REL_REGION = "urn:rel:region"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet("%s/%s.parquet" % (sf_dir, table))
+
+
+# ==========================================================================
+# triples view over the TPC-H-ish tables (identical in Spark and SQL)
+# ==========================================================================
+
+def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the graph relation from customer/supplier/nation/region."""
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+
+    def t(df, subj, pred, obj_value, kind, lang=None):
+        return df.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            obj_value.cast("string").alias("obj_value"),
+            F.lit(kind).alias("obj_kind"),
+            (F.lit(None).cast("string") if lang is None else F.lit(lang))
+            .alias("obj_lang"))
+
+    cust_uri = F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+    supp_uri = F.concat(F.lit("urn:supp:"), F.col("s_suppkey").cast("string"))
+    nation_uri = F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string"))
+    region_uri = F.concat(F.lit("urn:region:"), F.col("r_regionkey").cast("string"))
+
+    return (
+        t(cust, cust_uri, FOAF_NAME, F.col("c_name"), "literal")
+        .unionByName(t(cust, cust_uri, REL_NATION,
+                       F.concat(F.lit("urn:nation:"), F.col("c_nationkey").cast("string")), "uri"))
+        .unionByName(t(supp, supp_uri, FOAF_NAME, F.col("s_name"), "literal"))
+        .unionByName(t(supp, supp_uri, REL_NATION,
+                       F.concat(F.lit("urn:nation:"), F.col("s_nationkey").cast("string")), "uri"))
+        .unionByName(t(nation, nation_uri, RDFS_LABEL, F.col("n_name"), "literal", "en"))
+        .unionByName(t(nation, nation_uri, REL_REGION,
+                       F.concat(F.lit("urn:region:"), F.col("n_regionkey").cast("string")), "uri"))
+        .unionByName(t(region, region_uri, SKOS_PREFLABEL, F.col("r_name"), "literal"))
+    )
+
+
+TRIPLES_CTE = """
+triples AS (
+  SELECT 'urn:cust:' || c_custkey AS subj, '{foaf}' AS pred,
+         c_name AS obj_value, 'literal' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang FROM customer
+  UNION ALL
+  SELECT 'urn:cust:' || c_custkey, '{rel_nation}',
+         'urn:nation:' || c_nationkey, 'uri', NULL FROM customer
+  UNION ALL
+  SELECT 'urn:supp:' || s_suppkey, '{foaf}', s_name, 'literal', NULL FROM supplier
+  UNION ALL
+  SELECT 'urn:supp:' || s_suppkey, '{rel_nation}',
+         'urn:nation:' || s_nationkey, 'uri', NULL FROM supplier
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, '{rdfs}', n_name, 'literal', 'en' FROM nation
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, '{rel_region}',
+         'urn:region:' || n_regionkey, 'uri', NULL FROM nation
+  UNION ALL
+  SELECT 'urn:region:' || r_regionkey, '{skos_pref}', r_name, 'literal', NULL FROM region
+)""".format(foaf=FOAF_NAME, rdfs=RDFS_LABEL, skos_pref=SKOS_PREFLABEL,
+            rel_nation=REL_NATION, rel_region=REL_REGION)
+
+# shared DuckDB fragments (match textstats.tokens / normalized_text exactly)
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+_NORM_TOKS = ("list_filter(regexp_split_to_array(%s, '\\s+'), x -> x != '')"
+              % _NORM)
+# word 3-gram shingles over normalized tokens (= textops.dedup.word_shingles)
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len({t}) - 3, 0) + 1), "
+    "i -> array_to_string(({t})[i + 1:i + 3], ' ')))"
+).format(t=_NORM_TOKS)
+
+
+# ==========================================================================
+# graph-operator queries (SURVEY.md §2.1) over the triples view
+# ==========================================================================
+
+def q_graph_scan_masked(spark, sf_dir):
+    """O4: masked lookup — predicate-bound scan."""
+    return scan(tpch_triples(spark, sf_dir), predicate=REL_NATION)
+
+
+def q_graph_objects(spark, sf_dir):
+    """O5: projection — objects(subject, curie='foaf:name')."""
+    from .operators.graph_ops import objects
+
+    return objects(tpch_triples(spark, sf_dir), subject="urn:cust:1",
+                   curie="foaf:name")
+
+
+def q_graph_find_labels(spark, sf_dir):
+    """O7: per-subject priority label resolution."""
+    return find_labels(tpch_triples(spark, sf_dir))
+
+
+def q_graph_bgp(spark, sf_dir):
+    """O9: 3-pattern BGP — customers/suppliers in region EUROPE."""
+    return match_patterns(tpch_triples(spark, sf_dir), [
+        ("?c", REL_NATION, "?n"),
+        ("?n", REL_REGION, "?r"),
+        ("?r", SKOS_PREFLABEL, ("EUROPE", "literal", None)),
+    ])
+
+
+def q_graph_in_degree(spark, sf_dir):
+    """K1 support: distinct-referrer in-degree per object node."""
+    return in_degrees(tpch_triples(spark, sf_dir))
+
+
+def q_graph_literal_values(spark, sf_dir):
+    """O6: deterministic first-literal per (subj, pred)."""
+    return literal_values(tpch_triples(spark, sf_dir))
+
+
+_GRAPH_ORACLES = {
+    "graph_scan_masked": """
+WITH {cte}
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples
+WHERE pred = '{rel_nation}'""",
+    "graph_objects": """
+WITH {cte}
+SELECT obj_value, obj_kind, obj_lang FROM triples
+WHERE subj = 'urn:cust:1' AND pred = '{foaf}'""",
+    "graph_find_labels": """
+WITH {cte},
+cand AS (
+  SELECT subj, obj_value, obj_lang,
+    CASE WHEN obj_lang = 'nl' THEN 0 WHEN obj_lang = 'en' THEN 1
+         WHEN obj_lang IS NULL THEN 2 ELSE 99 END AS lang_rank,
+    CASE pred WHEN '{foaf}' THEN 1 WHEN '{rdfs}' THEN 2
+         WHEN '{skos_pref}' THEN 3 WHEN '{dcterms}' THEN 4
+         WHEN '{skos_alt}' THEN 5 ELSE 0 END AS pred_rank
+  FROM triples
+  WHERE obj_kind = 'literal'
+    AND pred IN ('{foaf}', '{rdfs}', '{skos_pref}', '{dcterms}', '{skos_alt}')
+),
+ranked AS (
+  SELECT subj, obj_value, obj_lang,
+    row_number() OVER (PARTITION BY subj
+      ORDER BY lang_rank, pred_rank, obj_value, coalesce(obj_lang, '')) AS rn
+  FROM cand WHERE lang_rank <= 2
+)
+SELECT subj, obj_value AS label_value, obj_lang AS label_lang
+FROM ranked WHERE rn = 1""",
+    "graph_bgp": """
+WITH {cte}
+SELECT DISTINCT
+  t1.subj AS c, 'uri' AS c_kind, CAST(NULL AS VARCHAR) AS c_lang,
+  t1.obj_value AS n, t1.obj_kind AS n_kind, t1.obj_lang AS n_lang,
+  t2.obj_value AS r, t2.obj_kind AS r_kind, t2.obj_lang AS r_lang
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{rel_region}'
+JOIN triples t3 ON t3.subj = t2.obj_value AND t3.pred = '{skos_pref}'
+WHERE t1.pred = '{rel_nation}'
+  AND t3.obj_value = 'EUROPE' AND t3.obj_kind = 'literal'
+  AND t3.obj_lang IS NULL""",
+    "graph_in_degree": """
+WITH {cte}
+SELECT obj_value, obj_kind, count(DISTINCT subj) AS in_degree
+FROM triples
+WHERE pred != 'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject'
+GROUP BY obj_value, obj_kind""",
+    "graph_literal_values": """
+WITH {cte},
+ranked AS (
+  SELECT subj, pred, obj_value,
+    row_number() OVER (PARTITION BY subj, pred
+      ORDER BY obj_value, coalesce(obj_lang, '')) AS rn
+  FROM triples WHERE obj_kind = 'literal' AND obj_value != ''
+)
+SELECT subj, pred, obj_value AS literal_value FROM ranked WHERE rn = 1""",
+}
+
+
+# ==========================================================================
+# text / dedup / similarity queries over documents + embeddings
+# ==========================================================================
+
+def q_text_token_count(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_text_simhash(spark, sf_dir):
+    return simhash_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return quality_features(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("punct_count").cast("long").alias("punct_count"),
+        F.col("en_stopwords").cast("long").alias("en_stopwords"),
+        F.col("quality_score").cast("long").alias("quality_score"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_dedup_pairs(
+        _read(spark, sf_dir, "documents"), k=16, bands=8, threshold=0.6,
+        hash_fn="md5")
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return simhash_dup_pairs(
+        _read(spark, sf_dir, "documents"), max_hamming=3, bands=4,
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def q_embed_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    return cosine_topk(emb, queries, k=5).withColumn(
+        "rank", F.col("rank").cast("long"))
+
+
+def _simhash_bit_exprs(n_bits: int = 32) -> str:
+    return ", ".join(
+        "CASE WHEN list_sum(list_transform(toks, x -> CASE WHEN "
+        "substr(md5(x), %d, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END" % (j + 1)
+        for j in range(n_bits))
+
+
+def _simhash_sql(n_bits: int = 32) -> str:
+    return (
+        "WITH t AS (SELECT doc_id, %s AS toks FROM documents) "
+        "SELECT doc_id, concat(%s) AS simhash FROM t"
+        % (_NORM_TOKS, _simhash_bit_exprs(n_bits)))
+
+
+def _lang_id_sql() -> str:
+    score_exprs = ", ".join(
+        "len(list_filter(%s, x -> x IN (%s))) AS s_%s"
+        % (_TOKS, ", ".join("'%s'" % w for w in LANG_STOPWORDS[lang]), lang)
+        for lang in LANG_PRIORITY)
+    mx = "greatest(%s)" % ", ".join("s_%s" % lang for lang in LANG_PRIORITY)
+    winner = " ".join(
+        "WHEN s_%s = mx THEN '%s'" % (lang, lang) for lang in LANG_PRIORITY)
+    return (
+        "WITH s AS (SELECT doc_id, %s FROM documents), "
+        "m AS (SELECT *, %s AS mx FROM s) "
+        "SELECT doc_id, CASE WHEN mx >= 1 THEN (CASE %s END) "
+        "ELSE 'und' END AS lang_guess FROM m" % (score_exprs, mx, winner))
+
+
+def _quality_sql() -> str:
+    en = ", ".join("'%s'" % w for w in LANG_STOPWORDS["en"])
+    return """
+WITH f AS (
+  SELECT doc_id,
+    len({toks}) AS n_tokens,
+    len(list_distinct({toks})) AS n_distinct,
+    length(text) AS chars,
+    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS punct_count,
+    len(list_filter({toks}, x -> x IN ({en}))) AS en_stopwords
+  FROM documents)
+SELECT doc_id, n_tokens, n_distinct, punct_count, en_stopwords,
+  (CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END
+   + CASE WHEN n_tokens <= 5000 THEN 1 ELSE 0 END
+   + CASE WHEN n_distinct * 2 >= n_tokens THEN 1 ELSE 0 END
+   + CASE WHEN punct_count * 10 <= chars THEN 1 ELSE 0 END
+   + CASE WHEN en_stopwords >= 1 THEN 1 ELSE 0 END)::BIGINT AS quality_score
+FROM f""".format(toks=_TOKS, en=en)
+
+
+def _ngram_jaccard_sql(threshold: float = 0.6, cap: int = 50) -> str:
+    return """
+WITH sh AS (SELECT doc_id AS id, {sh} AS shingles FROM documents),
+inv AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+invf AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS n_docs FROM inv),
+flt AS (SELECT id, shingle FROM invf WHERE n_docs <= {cap}),
+cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+         FROM flt l JOIN flt r ON l.shingle = r.shingle AND l.id < r.id),
+j AS (
+  SELECT cand.a, cand.b,
+    round(len(list_intersect(sa.shingles, sb.shingles))
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
+      4) AS jaccard
+  FROM cand JOIN sh sa ON sa.id = cand.a JOIN sh sb ON sb.id = cand.b)
+SELECT a, b, jaccard FROM j WHERE jaccard >= {thr}""".format(
+        sh=_SHINGLES, cap=cap, thr=threshold)
+
+
+def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.6) -> str:
+    rows = k // bands
+    sig = ", ".join(
+        "coalesce(list_min(list_transform(shingles, "
+        "x -> substr(md5(x || '#%d'), 1, 16))), '~')" % i
+        for i in range(k))
+    band_rows = " UNION ALL ".join(
+        "SELECT id, shingles, %d AS band_id, %s AS band_key FROM sig"
+        % (b, " || '|' || ".join("s[%d]" % (b * rows + r + 1) for r in range(rows)))
+        for b in range(bands))
+    return """
+WITH sh AS (SELECT doc_id AS id, {sh} AS shingles FROM documents),
+sig AS (SELECT id, shingles, [{sig}] AS s FROM sh),
+banded AS ({band_rows}),
+cand AS (SELECT DISTINCT l.id AS a, r.id AS b, l.shingles AS sh_a, r.shingles AS sh_b
+         FROM banded l JOIN banded r
+           ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.id < r.id),
+j AS (SELECT a, b,
+        round(len(list_intersect(sh_a, sh_b))
+          / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE, 4) AS jaccard
+      FROM cand)
+SELECT a, b, jaccard FROM j WHERE jaccard >= {thr}""".format(
+        sh=_SHINGLES, sig=sig, band_rows=band_rows, thr=threshold)
+
+
+def _simhash_pairs_sql(n_bits: int = 32, bands: int = 4,
+                       max_hamming: int = 3) -> str:
+    width = n_bits // bands
+    block_rows = " UNION ALL ".join(
+        "SELECT doc_id, simhash, %d AS block_id, substr(simhash, %d, %d) AS block FROM fp"
+        % (b, b * width + 1, width)
+        for b in range(bands))
+    return """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+fp AS (SELECT doc_id, concat({bits}) AS simhash FROM t),
+blocks AS ({block_rows}),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                l.simhash AS h_a, r.simhash AS h_b
+         FROM blocks l JOIN blocks r
+           ON l.block_id = r.block_id AND l.block = r.block
+              AND l.doc_id < r.doc_id),
+h AS (SELECT a, b,
+        len(list_filter(range(1, {n1}),
+            i -> substr(h_a, i, 1) != substr(h_b, i, 1))) AS hamming
+      FROM cand)
+SELECT a, b, hamming FROM h WHERE hamming <= {mh}""".format(
+        toks=_NORM_TOKS, bits=_simhash_bit_exprs(n_bits),
+        block_rows=block_rows, n1=n_bits + 1, mh=max_hamming)
+
+
+def _cosine_topk_sql(k: int = 5, n_queries: int = 8, dim: int = 64) -> str:
+    dot = ("list_sum(list_transform(range(1, {d1}), "
+           "i -> qv[i]::DOUBLE * cv[i]::DOUBLE))").format(d1=dim + 1)
+    nq = ("sqrt(list_sum(list_transform(range(1, {d1}), "
+          "i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))").format(d1=dim + 1)
+    nc = ("sqrt(list_sum(list_transform(range(1, {d1}), "
+          "i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))").format(d1=dim + 1)
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {nq_lim}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, round({dot} / ({nq} * {nc}), 6) AS cos
+  FROM q, c WHERE query_id != neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}""".format(
+        nq_lim=n_queries, dot=dot, nq=nq, nc=nc, k=k)
+
+
+# ==========================================================================
+# events sessionization (window functions) + pricing summary (agg)
+# ==========================================================================
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def q_events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"))
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("tsu").over(w).isNull()
+            | ((F.col("tsu") - F.lag("tsu").over(w)) > SESSION_GAP_US),
+            F.lit(1)).otherwise(F.lit(0)))
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("tsu").alias("first_ts"),
+        F.max("tsu").alias("last_ts"))
+
+
+_EVENTS_SESSIONS_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+lagged AS (SELECT user_id, tsu,
+  lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+  FROM e),
+flagged AS (SELECT user_id, tsu,
+  CASE WHEN prev IS NULL OR tsu - prev > {gap} THEN 1 ELSE 0 END AS new_s
+  FROM lagged),
+sess AS (SELECT user_id, tsu,
+  (sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(tsu) AS first_ts, max(tsu) AS last_ts
+FROM sess GROUP BY user_id, session_idx""".format(gap=SESSION_GAP_US)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape; sums over decimal(18,2) casts so accumulation is
+    exact and order-independent (bit-identical to the SQL oracle), doubles
+    only at the very end."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).alias("sq"),
+        F.sum(dec("l_extendedprice")).alias("sbp"),
+        F.sum(disc_price).alias("sdp"),
+        F.sum(charge).alias("sc"),
+        F.count("*").alias("count_order"))
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sbp").cast("double").alias("sum_base_price"),
+        F.round(F.col("sdp"), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.col("sc"), 2).cast("double").alias("sum_charge"),
+        F.round(F.col("sq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("sbp").cast("double") / F.col("count_order"), 4).alias("avg_price"),
+        "count_order")
+
+
+_PRICING_SQL = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+    l_quantity::DECIMAL(18,2) AS qty,
+    l_extendedprice::DECIMAL(18,2) AS ep,
+    l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) AS dp,
+    l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+      * (1::DECIMAL(18,2) + l_tax::DECIMAL(18,2)) AS ch
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+agg AS (
+  SELECT l_returnflag, l_linestatus, sum(qty) AS sq, sum(ep) AS sbp,
+         sum(dp) AS sdp, sum(ch) AS sc, count(*) AS count_order
+  FROM li GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus,
+  sq::DOUBLE AS sum_qty, sbp::DOUBLE AS sum_base_price,
+  round(sdp, 2)::DOUBLE AS sum_disc_price, round(sc, 2)::DOUBLE AS sum_charge,
+  round(sq::DOUBLE / count_order, 4) AS avg_qty,
+  round(sbp::DOUBLE / count_order, 4) AS avg_price,
+  count_order
+FROM agg"""
+
+
+# ==========================================================================
+# KG pipeline queries (not SQL-expressible -> rows-only driver check)
+# ==========================================================================
+
+def _synth_transcripts(spark):
+    from .sources.transcripts import synthesize_transcripts
+
+    return synthesize_transcripts(spark, 120, 8)
+
+
+def q_kg_mentions(spark, sf_dir):
+    from .kg.extract import detect_mentions
+
+    return detect_mentions(_synth_transcripts(spark))
+
+
+def q_kg_triples(spark, sf_dir):
+    from .kg.pipeline import run_pipeline
+
+    return run_pipeline(_synth_transcripts(spark)).triples
+
+
+def q_kg_canonical_map(spark, sf_dir):
+    from .kg.pipeline import run_pipeline
+
+    return run_pipeline(_synth_transcripts(spark)).canonical_map
+
+
+def q_kg_entity_labels(spark, sf_dir):
+    from .kg.pipeline import run_pipeline
+
+    return find_labels(run_pipeline(_synth_transcripts(spark)).triples)
+
+
+def q_similarity_lsh_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    return lsh_topk(emb, queries, k=5, n_planes=8, dim=64, bands=4)
+
+
+# ==========================================================================
+# registry
+# ==========================================================================
+
+QUERIES = {
+    "graph_scan_masked": q_graph_scan_masked,
+    "graph_objects": q_graph_objects,
+    "graph_find_labels": q_graph_find_labels,
+    "graph_bgp": q_graph_bgp,
+    "graph_in_degree": q_graph_in_degree,
+    "graph_literal_values": q_graph_literal_values,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+    "text_simhash": q_text_simhash,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "events_sessions": q_events_sessions,
+    "pricing_summary": q_pricing_summary,
+    # rows-only (non-SQL-expressible: pandas-UDF extraction, iterative
+    # connected components, xxhash64-seeded LSH planes)
+    "kg_mentions": q_kg_mentions,
+    "kg_triples": q_kg_triples,
+    "kg_canonical_map": q_kg_canonical_map,
+    "kg_entity_labels": q_kg_entity_labels,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+}
+
+
+def _fmt(sql: str) -> str:
+    return sql.format(
+        cte=TRIPLES_CTE, foaf=FOAF_NAME, rdfs=RDFS_LABEL,
+        skos_pref=SKOS_PREFLABEL, dcterms=DCTERMS_TITLE,
+        skos_alt=SKOS_ALTLABEL, rel_nation=REL_NATION, rel_region=REL_REGION)
+
+
+ORACLES = {
+    **{name: _fmt(sql) for name, sql in _GRAPH_ORACLES.items()},
+    "text_token_count":
+        "SELECT doc_id, len(%s)::BIGINT AS n_tokens FROM documents" % _TOKS,
+    "text_fingerprint":
+        "SELECT doc_id, md5(%s) AS fp FROM documents" % _NORM,
+    "text_simhash": _simhash_sql(),
+    "text_lang_id": _lang_id_sql(),
+    "text_quality": _quality_sql(),
+    "dedup_exact": """
+WITH f AS (SELECT doc_id, md5(%s) AS fp FROM documents)
+SELECT doc_id, fp, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+FROM f""" % _NORM,
+    "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+    "dedup_minhash": _minhash_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(),
+    "embed_cosine_topk": _cosine_topk_sql(),
+    "events_sessions": _EVENTS_SESSIONS_SQL,
+    "pricing_summary": _PRICING_SQL,
+}

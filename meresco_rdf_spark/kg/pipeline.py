@@ -45,12 +45,26 @@ class PipelineResult:
 
 def run_pipeline(transcripts: DataFrame, *, jaccard_threshold: float = 0.5,
                  broadcast_canonical: bool = True) -> PipelineResult:
-    mentions = detect_mentions(transcripts)
-    raw = mention_triples(mentions).unionByName(surface_label_triples(mentions))
+    """Scale path: mentions are persisted (they feed the triple fan-out,
+    the per-entity label aggregation, and canonicalization — without the
+    persist the Arrow extraction UDF re-executes once per consumer), the
+    canonical map is persisted (it feeds several joins and is tiny), and
+    triple emission is the fused unique-by-construction plan of
+    ``extract.pipeline_triples`` — no global dedup shuffle, entity refs
+    born canonical via one broadcast join."""
+    from .extract import pipeline_triples
+
+    mentions = detect_mentions(transcripts).persist()
+    # EAGER materialization: the triple-emission union consumes mentions in
+    # four parallel branches inside one job; with a lazily-populated cache
+    # those branches race and each recomputes the Arrow extraction (4x CPU,
+    # measured 3x wall at local[32]).  One count() fills the cache first.
+    mentions.count()
     canon = canonical_surface_map(
-        mentions.select("surface_key"), threshold=jaccard_threshold)
-    rewritten = rewrite_triples(raw, canon, broadcast_map=broadcast_canonical)
-    triples = rewritten.unionByName(sameas_triples(canon)).dropDuplicates(TRIPLE_COLS)
+        mentions.select("surface_key").dropDuplicates(["surface_key"]),
+        threshold=jaccard_threshold).persist()
+    canon.count()
+    triples = pipeline_triples(mentions, canon)
     return PipelineResult(mentions=mentions, canonical_map=canon, triples=triples)
 
 
@@ -84,7 +98,7 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
     processed = 0
     for bucket in todo:
         part = with_bucket.filter(F.col("_bucket") == bucket).drop("_bucket")
-        mentions = detect_mentions(part)
+        mentions = detect_mentions(part).persist()
         triples = (
             mention_triples(mentions)
             .unionByName(surface_label_triples(mentions))
@@ -94,6 +108,7 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
         triples.write.mode("overwrite").parquet(bucket_path)
         n_triples = spark.read.parquet(bucket_path).count()
         n_mentions = mentions.count()
+        mentions.unpersist()
         n_turns, fingerprint = fps.get(bucket, (0, ""))
         record_done(spark, manifest_path, bucket, n_turns, n_mentions,
                     n_triples, fingerprint, run_id)
@@ -110,7 +125,7 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
                 F.lit("-"), F.lit(" ")).alias("surface_key"))
         .dropDuplicates(["surface_key"])
     )
-    canon = canonical_surface_map(surfaces, threshold=jaccard_threshold)
+    canon = canonical_surface_map(surfaces, threshold=jaccard_threshold).persist()
     final = (
         rewrite_triples(raw_cols, canon)
         .unionByName(sameas_triples(canon))

@@ -34,6 +34,14 @@ def get_spark(app_name: str = "meresco_rdf_spark",
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(
         master or "local[%s]" % cpus)
+    # local mode runs every task inside the driver JVM — the 1g default
+    # heap OOMs under 32 concurrent hash-agg tasks.  Keep the heap MODERATE:
+    # oversized heaps (32g) put this kernel into page-allocation storms
+    # (measured 85% system time, 5x wall).  8g = ~250MB per task at 32
+    # threads, ample for the spill-aware operators.  Honored only if this
+    # builder launches the JVM (i.e. set before the first session).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     for key, value in ENGINE_CONFS.items():
         builder = builder.config(key, value)
     builder = builder.config(

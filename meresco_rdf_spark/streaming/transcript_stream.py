@@ -1,0 +1,140 @@
+"""Streaming KG construction: transcripts arrive as a stream (file /
+Kafka / rate source), mentions and triples are emitted incrementally,
+and mention rates are aggregated in event-time windows with late-data
+watermarks.
+
+The reference is fully batch (SURVEY.md §2.5: no streaming ops) — this
+module is the engine's forward-looking ingestion path: the same
+extraction semantics as ``kg.extract``, phrased so every transformation
+is streaming-legal (narrow projections + one watermarked windowed
+aggregation; no multi-pass joins, no global sorts).
+
+Mention detection here is a scalar pandas UDF (Arrow-batched) returning
+an array of mention structs that we explode — unlike the batch path's
+``mapInPandas`` this needs no repartitioning, so micro-batches stay
+narrow end-to-end until the windowed aggregation's shuffle.
+
+Scale: the stateful windowed agg is keyed (window, surface_key) — state
+size is bounded by (windows-in-watermark x distinct surfaces); the
+watermark bounds how long state lives.  Checkpointing is Spark's own
+streaming checkpoint (exactly-once file sinks).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+MENTION_STRUCT = StructType([
+    StructField("start", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+    StructField("surface", StringType(), False),
+    StructField("surface_key", StringType(), False),
+])
+
+
+def _make_extract_udf(aliases=None):
+    from ..kg.extract import _compile_matcher, normalize_surface
+
+    if aliases is None:
+        from ..sources.transcripts import GAZETTEER
+
+        aliases = [a for names in GAZETTEER.values() for a in names]
+    matcher = _compile_matcher(aliases)
+
+    @F.pandas_udf(ArrayType(MENTION_STRUCT))
+    def extract(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            found = []
+            if text:
+                for m in matcher.finditer(text):
+                    found.append((m.start(), m.end(), m.group(0),
+                                  normalize_surface(m.group(0))))
+            out.append(found)
+        return pd.Series(out)
+
+    return extract
+
+
+def read_transcript_stream(spark: SparkSession, path: str,
+                           max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """File-source stream of transcript parquet drops (the sandbox stand-in
+    for a Kafka/Iceberg CDC source — swap ``format``/options only)."""
+    reader = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).format("parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_mentions(transcripts: DataFrame, aliases=None) -> DataFrame:
+    """Streaming mention extraction: narrow (projection + explode), so it
+    composes with any downstream streaming sink/agg."""
+    extract = _make_extract_udf(aliases)
+    return (
+        transcripts
+        .withColumn("mention", F.explode(extract(F.col("text"))))
+        .select(
+            "conv_id", "turn_idx", "ts",
+            F.col("mention.start").alias("start"),
+            F.col("mention.end").alias("end"),
+            F.col("mention.surface").alias("surface"),
+            F.col("mention.surface_key").alias("surface_key"))
+    )
+
+
+def mention_rate(mentions: DataFrame, window: str = "5 minutes",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked event-time windowed mention counts per surface.
+
+    Late rows beyond the watermark are dropped (state stays bounded);
+    output mode append emits a window once the watermark passes it."""
+    return (
+        mentions
+        .withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window), F.col("surface_key"))
+        .agg(F.count("*").alias("n_mentions"),
+             F.approx_count_distinct("conv_id").alias("n_convs"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "surface_key", "n_mentions", "n_convs")
+    )
+
+
+def stream_triples(mentions: DataFrame) -> DataFrame:
+    """Streaming triple emission — same fan-out expressions as the batch
+    path (kg.extract.mention_triples), reused verbatim: the logical plan
+    is identical, Spark just runs it incrementally."""
+    from ..kg.extract import mention_triples
+
+    return mention_triples(
+        mentions.withColumn("score", F.lit(0.0)))
+
+
+def run_to_parquet(stream: DataFrame, out_path: str, checkpoint: str,
+                   available_now: bool = True):
+    """Materialize a stream to exactly-once parquet with checkpointing.
+    ``available_now`` drains the current backlog then stops (test/batch
+    drain mode); otherwise runs continuously."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

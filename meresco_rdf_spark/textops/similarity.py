@@ -68,22 +68,29 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def plane_signs(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix, derived driver-side from sha1
+    of (plane, dim, seed) — storage-free, identical on every run/executor,
+    shipped to tasks as constant literal arrays (tiny: n_planes x dim)."""
+    import hashlib
+
+    return [
+        [1.0 if hashlib.sha1(b"%d|%d|%d" % (p, d, seed)).digest()[0] % 2 == 0
+         else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_signature(vec: Column, n_planes: int, dim: int,
                          seed: int = 42) -> Column:
     """Sign-LSH signature as an ``n_planes``-char '0'/'1' string.
-
-    Plane p's component for dimension d = ±1 by the parity of
-    ``xxhash64(d, p, seed)`` — deterministic, storage-free, identical on
-    every executor.  sign bit = (Σ_d v[d]·plane[p][d]) >= 0."""
+    sign bit p = (Σ_d v[d]·plane[p][d]) >= 0; planes from
+    :func:`plane_signs` (constant arrays — small codegen footprint)."""
     bits = []
-    for p in range(n_planes):
-        signs = F.array(*[
-            F.when(F.pmod(F.xxhash64(F.lit(d), F.lit(p), F.lit(seed)), F.lit(2)) == 0,
-                   F.lit(1.0)).otherwise(F.lit(-1.0))
-            for d in range(dim)
-        ])
+    for signs in plane_signs(n_planes, dim, seed):
+        arr = F.array(*[F.lit(s) for s in signs])
         proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.zip_with(vec, arr, lambda x, s: x.cast("double") * s),
             F.lit(0.0), lambda acc, v: acc + v)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)

@@ -1,0 +1,69 @@
+"""Driver-contract tests: entry() smoke, queries()/oracle_sql() registry
+consistency, and a DuckDB parity spot-check (the full parity run lives in
+tools/check_oracles.py and covers every oracle at sf0.01)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+ORACLE_TABLES = ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+class TestDriverContract:
+    def test_entry_returns_rows_with_stable_schema(self, spark):
+        df = entry_mod.entry(spark)
+        assert df.columns == ["subj", "label_value", "label_lang", "in_degree"]
+        assert df.count() > 0
+
+    def test_registry_consistency(self):
+        queries = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
+        assert len(queries) >= 20
+        # every oracle belongs to a query; rows-only entries are the
+        # documented non-SQL-expressible ones
+        assert set(oracles) <= set(queries)
+        rows_only = set(queries) - set(oracles)
+        assert rows_only == {"kg_mentions", "kg_triples", "kg_canonical_map",
+                             "kg_entity_labels", "similarity_lsh_topk"}
+
+    @pytest.mark.parametrize("name", ["graph_find_labels", "dedup_exact",
+                                      "pricing_summary"])
+    def test_query_matches_oracle(self, spark, name):
+        queries = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
+        sdf = queries[name](spark, SF_DIR)
+        con = duckdb.connect()
+        for t in ORACLE_TABLES:
+            con.execute("CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
+                        % (t, SF_DIR, t))
+        res = con.execute(oracles[name])
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+        s_rows = [tuple(r) for r in sdf.collect()]
+        assert sorted(sdf.columns) == sorted(o_cols)
+        assert len(s_rows) == len(o_rows)
+
+        def key(cols, row):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return tuple(
+                "%.9g" % row[i] if isinstance(row[i], float) else str(row[i])
+                for i in order)
+
+        assert sorted(key(sdf.columns, r) for r in s_rows) == \
+            sorted(key(o_cols, r) for r in o_rows)
+
+    def test_rows_only_queries_run(self, spark):
+        queries = entry_mod.queries()
+        df = queries["kg_mentions"](spark, SF_DIR)
+        assert df.count() > 0

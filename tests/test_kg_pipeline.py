@@ -182,6 +182,13 @@ class TestPipelineAndMaterialize:
         targets = {o for _, o in cands}
         assert targets == {"urn:surface:apache-spark"}
 
+    def test_pipeline_triples_unique_by_construction(self, spark):
+        # the fused plan has no global dedup — set semantics must hold
+        # structurally (reference graph.py:45-51: adding twice = once)
+        t = synthesize_transcripts(spark, 40, 8)
+        triples = run_pipeline(t).triples
+        assert triples.count() == triples.dropDuplicates().count()
+
     def test_adjacency_sorted_and_degree(self, spark):
         triples = spark.createDataFrame(
             [("s", "p2", "b", "literal", None), ("s", "p1", "a", "uri", None)],

@@ -1,0 +1,87 @@
+"""Structured Streaming tests: file-source ingest, incremental mention
+extraction, watermarked windowed aggregation, exactly-once parquet sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meresco_rdf_spark.sources.transcripts import synthesize_transcripts
+from meresco_rdf_spark.streaming.transcript_stream import (
+    mention_rate,
+    read_transcript_stream,
+    run_to_parquet,
+    stream_mentions,
+    stream_triples,
+)
+
+
+def _write_input(spark, tmp_path, n_convs=20):
+    path = str(tmp_path / "in")
+    synthesize_transcripts(spark, n_convs, 5).write.parquet(path)
+    return path
+
+
+class TestTranscriptStream:
+    def test_stream_mentions_matches_batch(self, spark, tmp_path):
+        path = _write_input(spark, tmp_path)
+        stream = read_transcript_stream(spark, path)
+        assert stream.isStreaming
+        out = str(tmp_path / "mentions")
+        q = run_to_parquet(stream_mentions(stream), out,
+                           str(tmp_path / "ckpt1"))
+        q.awaitTermination(120)
+        got = {(r.conv_id, r.turn_idx, r.start, r.surface)
+               for r in spark.read.parquet(out).collect()}
+
+        from meresco_rdf_spark.kg.extract import detect_mentions
+
+        expected = {(r.conv_id, r.turn_idx, r.start, r.surface)
+                    for r in detect_mentions(spark.read.parquet(path)).collect()}
+        assert got == expected and len(got) > 0
+
+    def test_mention_rate_windows(self, spark, tmp_path):
+        path = _write_input(spark, tmp_path)
+        stream = read_transcript_stream(spark, path)
+        out = str(tmp_path / "rates")
+        q = run_to_parquet(
+            mention_rate(stream_mentions(stream), window="1 hour",
+                         watermark="0 seconds"),
+            out, str(tmp_path / "ckpt2"))
+        q.awaitTermination(120)
+        rates = spark.read.parquet(out)
+        row = rates.orderBy(F.desc("n_mentions")).first()
+        assert row.n_mentions >= 1
+        assert row.window_end > row.window_start
+        # windows align to the hour
+        assert row.window_start.minute == 0 and row.window_start.second == 0
+
+    def test_stream_triples_schema(self, spark, tmp_path):
+        path = _write_input(spark, tmp_path)
+        stream = read_transcript_stream(spark, path)
+        out = str(tmp_path / "triples")
+        q = run_to_parquet(stream_triples(stream_mentions(stream)), out,
+                           str(tmp_path / "ckpt3"))
+        q.awaitTermination(120)
+        triples = spark.read.parquet(out)
+        assert triples.columns == ["subj", "pred", "obj_value", "obj_kind",
+                                   "obj_lang"]
+        assert triples.count() > 0
+
+    def test_incremental_second_batch_only_processes_new_files(
+            self, spark, tmp_path):
+        path = _write_input(spark, tmp_path, n_convs=10)
+        out = str(tmp_path / "m2")
+        ckpt = str(tmp_path / "ckpt4")
+        stream = read_transcript_stream(spark, path)
+        q = run_to_parquet(stream_mentions(stream), out, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        # drop more files into the source dir -> only the delta is processed
+        synthesize_transcripts(spark, 10, 5).withColumn(
+            "conv_id", F.concat(F.lit("x-"), F.col("conv_id"))
+        ).write.mode("append").parquet(path)
+        q2 = run_to_parquet(
+            stream_mentions(read_transcript_stream(spark, path)), out, ckpt)
+        q2.awaitTermination(120)
+        n2 = spark.read.parquet(out).count()
+        assert n2 == 2 * n1  # same synthetic content, prefixed conv ids

@@ -1,0 +1,117 @@
+"""Physical-plan audit: assert the plans we ship are the plans we want.
+
+Checks (printed + exit code):
+- masked scan (O4): every bound position appears in PushedFilters and the
+  parquet ReadSchema is pruned to the selected columns;
+- find_labels (O7): single hash aggregate pair (partial + final), no sort,
+  no window exchange;
+- BGP (O9): AQE converts the selective pattern sides to broadcast joins;
+- pipeline emit: exactly one Arrow UDF stage (extraction), the canonical
+  map join is a BroadcastHashJoin, and no global dedup exchange exists;
+- pricing summary: decimal sums stay inside WholeStageCodegen.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def check(name: str, ok: bool, detail: str = "") -> bool:
+    print("%-34s %s %s" % (name, "PASS" if ok else "FAIL", detail))
+    return ok
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import functions as F
+
+    from meresco_rdf_spark.entry_queries import tpch_triples
+    from meresco_rdf_spark.kg.extract import pipeline_triples
+    from meresco_rdf_spark.kg.canonicalize import canonical_surface_map
+    from meresco_rdf_spark.kg.extract import detect_mentions
+    from meresco_rdf_spark.operators.graph_ops import find_labels, match_patterns
+    from meresco_rdf_spark.session import get_spark
+    from meresco_rdf_spark.sources.transcripts import synthesize_transcripts
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+
+    # O4 masked scan: predicate pushdown + column pruning on raw parquet
+    docs = spark.read.parquet("%s/documents.parquet" % sf_dir)
+    scan_df = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    p = plan_of(scan_df)
+    results.append(check(
+        "O4 pushdown+pruning", "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+        and re.search(r"ReadSchema: struct<doc_id:\w+,lang:string,n_chars", p) is not None,
+        ""))
+
+    # O7 find_labels: hash agg (partial+final), no sort/window
+    labels = find_labels(tpch_triples(spark, sf_dir))
+    labels.count()  # let AQE finalize
+    p = plan_of(labels)
+    results.append(check(
+        "O7 one hash-agg, no window",
+        p.count("HashAggregate") >= 2 and "Window" not in p and "Sort" not in p))
+
+    # O9 BGP: AQE broadcast-joins the selective pattern sides
+    bgp = match_patterns(tpch_triples(spark, sf_dir), [
+        ("?c", "urn:rel:nation", "?n"),
+        ("?n", "urn:rel:region", "?r"),
+    ])
+    bgp.count()
+    p = plan_of(bgp)
+    results.append(check(
+        "O9 AQE broadcast join", "BroadcastHashJoin" in p, ""))
+
+    # pipeline emit: 1 Arrow eval stage, broadcast canonical join, no
+    # full-width dedup exchange on the union
+    t = synthesize_transcripts(spark, 500, 8)
+    mentions = detect_mentions(t).persist()
+    mentions.count()
+    canon = canonical_surface_map(
+        mentions.select("surface_key").dropDuplicates(["surface_key"])).persist()
+    canon.count()
+    tri = pipeline_triples(mentions, canon)
+    tri.count()
+    p = plan_of(tri)
+    n_arrow = len(re.findall(r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas", p))
+    results.append(check(
+        "pipeline: no Arrow re-exec", n_arrow == 0,
+        "(mentions cached; %d arrow ops in emit plan)" % n_arrow))
+    results.append(check(
+        "pipeline: broadcast canon join",
+        "BroadcastHashJoin" in p))
+    results.append(check(
+        "pipeline: no global dedup",
+        "obj_lang" not in " ".join(re.findall(r"Exchange hashpartitioning\([^)]*\)", p))))
+
+    # pricing summary: decimal agg inside codegen
+    from meresco_rdf_spark.entry_queries import q_pricing_summary
+
+    p = plan_of(q_pricing_summary(spark, sf_dir))
+    results.append(check(
+        "Q1 whole-stage codegen agg",
+        "WholeStageCodegen" in p and "HashAggregate" in p))
+
+    print("\n%d/%d checks pass" % (sum(results), len(results)))
+    spark.stop()
+    sys.exit(0 if all(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
