@@ -564,6 +564,38 @@ def q_kg_entity_labels(spark, sf_dir):
     return find_labels(run_pipeline(_synth_transcripts(spark)).triples)
 
 
+def q_kg_rdfxml_shards(spark, sf_dir):
+    """K1 distributed: serialize the pipeline's per-conversation triple
+    closures to RDF/XML shards (deterministic serializer, fixture-parity
+    rules); returns (shard, n_triples) + a parse-back triple count so the
+    driver's rows-only check still pins content."""
+    from .kg.extract import KG_CONVERSATION
+    from .kg.pipeline import run_pipeline
+    from .sinks.rdfxml_sink import serialize_shards
+
+    res = run_pipeline(_synth_transcripts(spark))
+    conv_triples = res.triples.filter(
+        F.col("subj").startswith("_:")
+        | F.col("subj").startswith("urn:conv:"))
+    # shard by conversation: bnodes never cross conversations, so each
+    # shard's subject closure is complete (SURVEY.md §3 E3).  Bnode labels
+    # don't carry the conv id — recover it via the kg:conversation edge
+    # (self-join on subject).
+    conv_of = (
+        conv_triples.filter(F.col("pred") == KG_CONVERSATION)
+        .select(F.col("subj").alias("b"), F.col("obj_value").alias("ctx")))
+    sharded = (
+        conv_triples.join(conv_of, conv_triples["subj"] == conv_of["b"], "left")
+        .withColumn("context", F.coalesce(
+            F.col("ctx"),
+            F.when(F.col("subj").startswith("urn:conv:"), F.col("subj"))))
+        .filter(F.col("context").isNotNull())
+        .drop("b", "ctx")
+    )
+    return serialize_shards(sharded, "context").select(
+        "shard", "n_triples").orderBy("shard")
+
+
 def q_similarity_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
@@ -600,6 +632,7 @@ QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_canonical_map": q_kg_canonical_map,
     "kg_entity_labels": q_kg_entity_labels,
+    "kg_rdfxml_shards": q_kg_rdfxml_shards,
     "similarity_lsh_topk": q_similarity_lsh_topk,
 }
 

@@ -37,6 +37,9 @@ DEFAULT_PREFIXES: dict[str, str] = {
     "schema": "http://schema.org/",
     "prov": "http://www.w3.org/ns/prov#",
     "xml": "http://www.w3.org/XML/1998/namespace",
+    # this engine's own KG vocabulary (kg/extract.py) — present so the
+    # serializer can emit pipeline triples as RDF/XML shards
+    "kg": "http://data.example.org/kg#",
 }
 
 

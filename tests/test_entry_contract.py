@@ -35,7 +35,8 @@ class TestDriverContract:
         assert set(oracles) <= set(queries)
         rows_only = set(queries) - set(oracles)
         assert rows_only == {"kg_mentions", "kg_triples", "kg_canonical_map",
-                             "kg_entity_labels", "similarity_lsh_topk"}
+                             "kg_entity_labels", "kg_rdfxml_shards",
+                             "similarity_lsh_topk"}
 
     @pytest.mark.parametrize("name", ["graph_find_labels", "dedup_exact",
                                       "pricing_summary"])

@@ -190,6 +190,24 @@ class TestMultimodal:
             decode_image(b"payload")
 
 
+class TestArrowFastPaths:
+    def test_arrow_shingles_match_native(self, spark, docs):
+        from meresco_rdf_spark.textops.dedup import word_shingles_arrow
+
+        both = docs.select(
+            F.array_sort(word_shingles(F.col("text"))).alias("a"),
+            F.array_sort(word_shingles_arrow(F.col("text"))).alias("b"))
+        assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+    def test_arrow_simhash_matches_native(self, spark, docs):
+        from meresco_rdf_spark.textops.dedup import simhash_bits, simhash_bits_arrow
+
+        both = docs.select(
+            simhash_bits(F.col("text")).alias("a"),
+            simhash_bits_arrow(F.col("text")).alias("b"))
+        assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
 class TestShingles:
     def test_word_shingles(self, spark):
         df = spark.range(1).select(

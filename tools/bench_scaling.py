@@ -88,7 +88,8 @@ def main() -> None:
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # raw last-run dump; the curated analysis lives in BENCH/BASELINE.md
+    path = os.path.join(REPO, "BENCH", "scaling_last_run.md")
     with open(path, "w") as f:
         f.write("""# BENCH baseline — measured on this sandbox
 
