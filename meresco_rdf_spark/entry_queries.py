@@ -163,6 +163,25 @@ def q_graph_bgp(spark, sf_dir):
     ])
 
 
+def q_graph_add_dedup(spark, sf_dir):
+    """O1/O2: set-semantics insert — adding every triple twice yields the
+    same relation (reference graph.py:45-55)."""
+    from .operators.graph_ops import add_triples
+
+    t = tpch_triples(spark, sf_dir)
+    return add_triples(t, t)
+
+
+def q_graph_remove(spark, sf_dir):
+    """O3: delete by full triple key = null-safe left-anti join
+    (reference graph.py:57-68)."""
+    from .operators.graph_ops import add_triples, remove_triples
+
+    t = tpch_triples(spark, sf_dir)
+    doomed = t.filter(F.col("pred") == REL_NATION)
+    return remove_triples(add_triples(t, t), doomed)
+
+
 def q_graph_in_degree(spark, sf_dir):
     """K1 support: distinct-referrer in-degree per object node."""
     return in_degrees(tpch_triples(spark, sf_dir))
@@ -215,6 +234,23 @@ JOIN triples t3 ON t3.subj = t2.obj_value AND t3.pred = '{skos_pref}'
 WHERE t1.pred = '{rel_nation}'
   AND t3.obj_value = 'EUROPE' AND t3.obj_kind = 'literal'
   AND t3.obj_lang IS NULL""",
+    "graph_add_dedup": """
+WITH {cte}
+SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang
+FROM (SELECT * FROM triples UNION ALL SELECT * FROM triples)""",
+    "graph_remove": """
+WITH {cte},
+added AS (SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang
+          FROM (SELECT * FROM triples UNION ALL SELECT * FROM triples)),
+doomed AS (SELECT * FROM triples WHERE pred = '{rel_nation}')
+SELECT a.* FROM added a
+WHERE NOT EXISTS (
+  SELECT 1 FROM doomed d
+  WHERE a.subj IS NOT DISTINCT FROM d.subj
+    AND a.pred IS NOT DISTINCT FROM d.pred
+    AND a.obj_value IS NOT DISTINCT FROM d.obj_value
+    AND a.obj_kind IS NOT DISTINCT FROM d.obj_kind
+    AND a.obj_lang IS NOT DISTINCT FROM d.obj_lang)""",
     "graph_in_degree": """
 WITH {cte}
 SELECT obj_value, obj_kind, count(DISTINCT subj) AS in_degree
@@ -348,19 +384,28 @@ FROM f""".format(toks=_TOKS, en=en)
 
 
 def _ngram_jaccard_sql(threshold: float = 0.6, cap: int = 50) -> str:
+    # mirrors the count-based set-similarity join in textops.dedup:
+    # candidates from the rare-shingle index, intersection counted over
+    # the full index, |A u B| = na + nb - inter
     return """
 WITH sh AS (SELECT doc_id AS id, {sh} AS shingles FROM documents),
 inv AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT id, count(*) AS n_sh FROM inv GROUP BY id),
 invf AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS n_docs FROM inv),
-flt AS (SELECT id, shingle FROM invf WHERE n_docs <= {cap}),
+rare AS (SELECT id, shingle FROM invf WHERE n_docs <= {cap}),
 cand AS (SELECT DISTINCT l.id AS a, r.id AS b
-         FROM flt l JOIN flt r ON l.shingle = r.shingle AND l.id < r.id),
+         FROM rare l JOIN rare r ON l.shingle = r.shingle AND l.id < r.id),
+shared AS (
+  SELECT cand.a, cand.b, count(*) AS inter
+  FROM cand
+  JOIN inv li ON li.id = cand.a
+  JOIN inv ri ON ri.id = cand.b AND ri.shingle = li.shingle
+  GROUP BY cand.a, cand.b),
 j AS (
-  SELECT cand.a, cand.b,
-    round(len(list_intersect(sa.shingles, sb.shingles))
-      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
-      4) AS jaccard
-  FROM cand JOIN sh sa ON sa.id = cand.a JOIN sh sb ON sb.id = cand.b)
+  SELECT shared.a, shared.b,
+    round(inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 4) AS jaccard
+  FROM shared JOIN sizes sa ON sa.id = shared.a
+              JOIN sizes sb ON sb.id = shared.b)
 SELECT a, b, jaccard FROM j WHERE jaccard >= {thr}""".format(
         sh=_SHINGLES, cap=cap, thr=threshold)
 
@@ -413,6 +458,59 @@ h AS (SELECT a, b,
 SELECT a, b, hamming FROM h WHERE hamming <= {mh}""".format(
         toks=_NORM_TOKS, bits=_simhash_bit_exprs(n_bits),
         block_rows=block_rows, n1=n_bits + 1, mh=max_hamming)
+
+
+def _lsh_topk_sql(k: int = 5, n_queries: int = 8, dim: int = 64,
+                  n_planes: int = 8, bands: int = 4) -> str:
+    """Sign-LSH top-k oracle: the ±1 hyperplane matrix is deterministic
+    (sha1-derived, textops.similarity.plane_signs), so it inlines into the
+    SQL as literal arrays — bit-identical bucketing both sides."""
+    from .textops.similarity import plane_signs
+
+    signs = plane_signs(n_planes, dim)
+    width = n_planes // bands
+
+    def sig_expr(vec: str) -> str:
+        bits = []
+        for p in range(n_planes):
+            arr = "[" + ", ".join("%.1f" % s for s in signs[p]) + "]::DOUBLE[]"
+            bits.append(
+                "CASE WHEN list_sum(list_transform(range(1, {d1}), "
+                "i -> {v}[i]::DOUBLE * ({arr})[i])) >= 0 "
+                "THEN '1' ELSE '0' END".format(d1=dim + 1, v=vec, arr=arr))
+        return "concat(%s)" % ", ".join(bits)
+
+    band_rows_q = " UNION ALL ".join(
+        "SELECT query_id, qv, %d AS band_id, substr(sig, %d, %d) AS band_bits FROM qsig"
+        % (b, b * width + 1, width) for b in range(bands))
+    band_rows_c = " UNION ALL ".join(
+        "SELECT neighbor_id, cv, %d AS band_id, substr(sig, %d, %d) AS band_bits FROM csig"
+        % (b, b * width + 1, width) for b in range(bands))
+    dot = ("list_sum(list_transform(range(1, {d1}), "
+           "i -> qv[i]::DOUBLE * cv[i]::DOUBLE))").format(d1=dim + 1)
+    nq = ("sqrt(list_sum(list_transform(range(1, {d1}), "
+          "i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))").format(d1=dim + 1)
+    nc = ("sqrt(list_sum(list_transform(range(1, {d1}), "
+          "i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))").format(d1=dim + 1)
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {nq_lim}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+qsig AS (SELECT query_id, qv, {qsig} AS sig FROM q),
+csig AS (SELECT neighbor_id, cv, {csig} AS sig FROM c),
+qb AS ({band_rows_q}),
+cb AS ({band_rows_c}),
+cand AS (SELECT DISTINCT qb.query_id, qb.qv, cb.neighbor_id, cb.cv
+         FROM qb JOIN cb USING (band_id, band_bits)
+         WHERE qb.query_id != cb.neighbor_id),
+scored AS (SELECT query_id, neighbor_id,
+                  round({dot} / ({nq} * {nc}), 6) AS cos FROM cand),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}""".format(
+        nq_lim=n_queries, qsig=sig_expr("qv"), csig=sig_expr("cv"),
+        band_rows_q=band_rows_q, band_rows_c=band_rows_c,
+        dot=dot, nq=nq, nc=nc, k=k)
 
 
 def _cosine_topk_sql(k: int = 5, n_queries: int = 8, dim: int = 64) -> str:
@@ -596,11 +694,38 @@ def q_kg_rdfxml_shards(spark, sf_dir):
         "shard", "n_triples").orderBy("shard")
 
 
+def q_stream_mention_rate(spark, sf_dir):
+    """Structured Streaming surface, drained in availableNow mode: file
+    stream of transcript drops -> incremental mention extraction ->
+    watermarked hourly mention rates.  Rows-only (streaming runtime has
+    no SQL-oracle equivalent); determinism comes from the synthesized
+    input."""
+    import tempfile
+
+    from .streaming.transcript_stream import (
+        mention_rate,
+        read_transcript_stream,
+        run_to_parquet,
+        stream_mentions,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    _synth_transcripts(spark).write.mode("overwrite").parquet(base + "/in")
+    q = run_to_parquet(
+        mention_rate(stream_mentions(read_transcript_stream(spark, base + "/in")),
+                     window="1 hour", watermark="0 seconds"),
+        base + "/out", base + "/ckpt")
+    q.awaitTermination(600)
+    return spark.read.parquet(base + "/out").orderBy(
+        "window_start", "surface_key")
+
+
 def q_similarity_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
         "vec_id", "query_id")
-    return lsh_topk(emb, queries, k=5, n_planes=8, dim=64, bands=4)
+    return lsh_topk(emb, queries, k=5, n_planes=8, dim=64, bands=4).withColumn(
+        "rank", F.col("rank").cast("long"))
 
 
 # ==========================================================================
@@ -612,6 +737,8 @@ QUERIES = {
     "graph_objects": q_graph_objects,
     "graph_find_labels": q_graph_find_labels,
     "graph_bgp": q_graph_bgp,
+    "graph_add_dedup": q_graph_add_dedup,
+    "graph_remove": q_graph_remove,
     "graph_in_degree": q_graph_in_degree,
     "graph_literal_values": q_graph_literal_values,
     "text_token_count": q_text_token_count,
@@ -633,6 +760,7 @@ QUERIES = {
     "kg_canonical_map": q_kg_canonical_map,
     "kg_entity_labels": q_kg_entity_labels,
     "kg_rdfxml_shards": q_kg_rdfxml_shards,
+    "stream_mention_rate": q_stream_mention_rate,
     "similarity_lsh_topk": q_similarity_lsh_topk,
 }
 
@@ -661,6 +789,7 @@ FROM f""" % _NORM,
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "embed_cosine_topk": _cosine_topk_sql(),
+    "similarity_lsh_topk": _lsh_topk_sql(),
     "events_sessions": _EVENTS_SESSIONS_SQL,
     "pricing_summary": _PRICING_SQL,
 }

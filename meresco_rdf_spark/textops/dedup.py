@@ -105,34 +105,55 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     this is the skew guard that keeps the self-join bounded at corpus
     scale.  Output: (a, b, jaccard) with a < b.
 
-    The shingle relation is persisted: it feeds both sides of the
-    candidate self-join plus the two verification joins — recomputing the
-    shingle chain 4x dominated the operator's cost before."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles_arrow(F.col(text_col), n).alias("shingles")).persist()
-    sh.count()  # eager: 4 plan branches read this — a lazily-populated
-    # cache makes them race and re-run the Arrow shingle UDF per branch
+    Count-based set-similarity join: the intersection size per candidate
+    pair is an AGGREGATION over the inverted index (group the shingle
+    equi-join by pair and count), and |A u B| = |A| + |B| - |A n B| from
+    per-doc shingle counts — shingle ARRAYS never travel through a
+    shuffle, so the operator's shuffle volume is O(pairs), not
+    O(pairs x shingles).  The frequency cap only gates which pairs become
+    CANDIDATES; the intersection count comes from the uncapped index, so
+    capping never changes a reported jaccard value, it only skips
+    boilerplate-only pairs."""
+    # (id, shingle) is already unique: word_shingles emits distinct
+    # shingles per doc, so no dedup shuffle is needed here
     inv = (
-        sh.select("id", F.explode("shingles").alias("shingle"))
-        .withColumn("n_docs", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("n_docs") <= max_bucket_size)
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles_arrow(F.col(text_col), n)).alias("shingle"))
+        .persist()
     )
+    inv.count()  # eager: both self-join sides + the size agg read this
+    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    freq = inv.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("shingle")))
+    rare = freq.filter(F.col("n_docs") <= max_bucket_size).select("id", "shingle")
+    # candidate pairs = docs sharing >= 1 RARE shingle (skew guard: a
+    # frequent shingle adds candidates quadratically but no precision)
     cand = (
-        inv.alias("l").join(
-            inv.alias("r"),
+        rare.alias("l").join(
+            rare.alias("r"),
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    sa = sh.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    # exact intersection per CANDIDATE pair, over ALL shingles (the cap
+    # gates candidacy, never the value): fan candidates out by a's
+    # shingles, equi-join against b's postings on (b, shingle), count.
+    # Intermediate is O(candidates x shingles-per-doc) — bounded.
+    shared = (
+        cand.join(inv.select(F.col("id").alias("a"),
+                             F.col("shingle").alias("s")), "a")
+        .join(inv.select(F.col("id").alias("b"), F.col("shingle").alias("s")),
+              ["b", "s"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"))
     return (
-        cand.join(sa, "a").join(sb, "b")
-        .withColumn("jaccard", inter / union)
+        shared.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -29,14 +29,14 @@ class TestDriverContract:
     def test_registry_consistency(self):
         queries = entry_mod.queries()
         oracles = entry_mod.oracle_sql()
-        assert len(queries) >= 20
+        assert len(queries) >= 25
         # every oracle belongs to a query; rows-only entries are the
         # documented non-SQL-expressible ones
         assert set(oracles) <= set(queries)
         rows_only = set(queries) - set(oracles)
         assert rows_only == {"kg_mentions", "kg_triples", "kg_canonical_map",
                              "kg_entity_labels", "kg_rdfxml_shards",
-                             "similarity_lsh_topk"}
+                             "stream_mention_rate"}
 
     @pytest.mark.parametrize("name", ["graph_find_labels", "dedup_exact",
                                       "pricing_summary"])
