@@ -53,7 +53,10 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     # --- KG pipeline (the north-star workload), sized by sf ---
-    n_convs = max(200, int(60_000 * sf))
+    # 600k turns at sf0.1: large enough that fixed costs (python worker
+    # spin-up, CC barrier stages) amortize and the number reflects
+    # steady-state throughput
+    n_convs = max(200, int(600_000 * sf))
     turns_per_conv = 10
     transcripts = synthesize_transcripts(spark, n_convs, turns_per_conv)
     n_turns = n_convs * turns_per_conv
