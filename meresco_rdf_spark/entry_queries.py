@@ -384,17 +384,23 @@ FROM f""".format(toks=_TOKS, en=en)
 
 
 def _ngram_jaccard_sql(threshold: float = 0.6, cap: int = 50) -> str:
-    # mirrors the count-based set-similarity join in textops.dedup:
-    # candidates from the rare-shingle index, intersection counted over
-    # the full index, |A u B| = na + nb - inter
+    # mirrors the count-based prefix-filtered set-similarity join in
+    # textops.dedup: candidates from each doc's rarest-prefix shingles
+    # (rank by global (n_docs, shingle); prefix = n_sh - floor(t*n_sh)+1;
+    # ::DOUBLE so the floor sees the same IEEE product Spark computes),
+    # intersection counted over the full index, |A u B| = na + nb - inter
     return """
 WITH sh AS (SELECT doc_id AS id, {sh} AS shingles FROM documents),
 inv AS (SELECT id, unnest(shingles) AS shingle FROM sh),
 sizes AS (SELECT id, count(*) AS n_sh FROM inv GROUP BY id),
 invf AS (SELECT *, count(*) OVER (PARTITION BY shingle) AS n_docs FROM inv),
-rare AS (SELECT id, shingle FROM invf WHERE n_docs <= {cap}),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY id
+             ORDER BY n_docs, shingle) AS rnk FROM invf),
+prefix AS (SELECT ranked.id, shingle FROM ranked JOIN sizes USING (id)
+           WHERE rnk <= n_sh - floor({thr}::DOUBLE * n_sh) + 1
+             AND n_docs <= {cap}),
 cand AS (SELECT DISTINCT l.id AS a, r.id AS b
-         FROM rare l JOIN rare r ON l.shingle = r.shingle AND l.id < r.id),
+         FROM prefix l JOIN prefix r ON l.shingle = r.shingle AND l.id < r.id),
 shared AS (
   SELECT cand.a, cand.b, count(*) AS inter
   FROM cand

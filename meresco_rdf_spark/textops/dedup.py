@@ -126,12 +126,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
     freq = inv.withColumn(
         "n_docs", F.count("*").over(Window.partitionBy("shingle")))
-    rare = freq.filter(F.col("n_docs") <= max_bucket_size).select("id", "shingle")
-    # candidate pairs = docs sharing >= 1 RARE shingle (skew guard: a
-    # frequent shingle adds candidates quadratically but no precision)
+    # PREFIX FILTERING (lossless): rank each doc's shingles rarest-first
+    # by the global order (n_docs, shingle); if J(A,B) >= t then A and B
+    # must share a shingle within their first n_sh - floor(t*n_sh) + 1
+    # shingles of that order, so only those prefixes are indexed for
+    # candidacy — candidate volume drops quadratically in the prefix
+    # fraction.  floor (not ceil) keeps the prefix a superset of the
+    # theoretical minimum under float rounding, preserving losslessness.
+    rank = F.row_number().over(
+        Window.partitionBy("id").orderBy("n_docs", "shingle"))
+    prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        freq.withColumn("rnk", rank)
+        .join(sizes, "id")
+        .filter(F.col("rnk") <= prefix_len)
+        # skew guard on top: boilerplate shingles add candidates
+        # quadratically but no precision
+        .filter(F.col("n_docs") <= max_bucket_size)
+        .select("id", "shingle")
+    )
     cand = (
-        rare.alias("l").join(
-            rare.alias("r"),
+        prefix.alias("l").join(
+            prefix.alias("r"),
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
