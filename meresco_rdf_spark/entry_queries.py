@@ -550,9 +550,13 @@ SESSION_GAP_US = 1800 * 1_000_000
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
+    # timestampdiff over TIMESTAMP_NTZ is session-timezone-independent
+    # (a plain unix_micros(cast) would shift with spark.sql.session.timeZone
+    # and diverge from DuckDB's epoch_us on non-UTC driver sessions)
     e = _read(spark, sf_dir, "events").select(
         "user_id", "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"))
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("tsu"))
     w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     flagged = e.withColumn(
         "new_s",
@@ -590,8 +594,9 @@ def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape; sums over decimal(18,2) casts so accumulation is
     exact and order-independent (bit-identical to the SQL oracle), doubles
     only at the very end."""
+    # NTZ literal: the cutoff must not shift with the session timezone
     li = _read(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
