@@ -590,6 +590,82 @@ SELECT user_id, session_idx, count(*) AS n_events,
 FROM sess GROUP BY user_id, session_idx""".format(gap=SESSION_GAP_US)
 
 
+_TSU = ("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+
+
+def _events_micros(spark, sf_dir):
+    return _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr(_TSU).alias("tsu"))
+
+
+def q_events_asof_signup(spark, sf_dir):
+    """As-of join: each purchase picks up the value of the user's most
+    recent signup at-or-before it (union-window implementation)."""
+    from .operators.analytics import as_of_join
+
+    e = _events_micros(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "tsu", "event_id", "value")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "tsu")
+        .agg(F.min_by("value", "event_id").alias("value"))
+    )
+    return as_of_join(purchases, signups, key="user_id", ts="tsu",
+                      value_cols=["value"])
+
+
+def q_events_range_hot_hours(spark, sf_dir):
+    """Range join: purchases falling inside hour intervals that saw >= 6
+    error events (broadcast strategy; bucketized twin tested in pytest)."""
+    from .operators.analytics import range_join_broadcast
+
+    e = _events_micros(spark, sf_dir)
+    hour = 3600 * 1_000_000
+    hot = (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("hstart", F.expr("(tsu div %d) * %d" % (hour, hour)))
+        .groupBy("hstart").agg(F.count("*").alias("n_errors"))
+        .filter(F.col("n_errors") >= 6)
+        .withColumn("hend", F.col("hstart") + hour)
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "tsu")
+    return range_join_broadcast(purchases, hot, "tsu", "hstart", "hend").select(
+        "event_id", "hstart", "n_errors")
+
+
+def q_pricing_pivot(spark, sf_dir):
+    """Pivot: sum(qty) by returnflag x linestatus (pinned columns)."""
+    from .operators.analytics import pivot_sum
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = pivot_sum(li, "l_returnflag", "l_linestatus", ["O", "F"],
+                    F.col("l_quantity").cast("decimal(18,2)"))
+    return out.select(
+        "l_returnflag",
+        F.col("O").cast("double").alias("qty_o"),
+        F.col("F").cast("double").alias("qty_f"))
+
+
+def q_pricing_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) with counts (NULL = rollup)."""
+    from .operators.analytics import cube_counts
+
+    return cube_counts(
+        _read(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact interpolated quartiles of value per event type."""
+    from .operators.analytics import group_quantiles
+
+    return group_quantiles(
+        _events_micros(spark, sf_dir), "event_type", "value",
+        [0.25, 0.5, 0.75])
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape; sums over decimal(18,2) casts so accumulation is
     exact and order-independent (bit-identical to the SQL oracle), doubles
@@ -763,7 +839,12 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "embed_cosine_topk": q_embed_cosine_topk,
     "events_sessions": q_events_sessions,
+    "events_asof_signup": q_events_asof_signup,
+    "events_range_hot_hours": q_events_range_hot_hours,
+    "events_quantiles": q_events_quantiles,
     "pricing_summary": q_pricing_summary,
+    "pricing_pivot": q_pricing_pivot,
+    "pricing_cube": q_pricing_cube,
     # rows-only (non-SQL-expressible: pandas-UDF extraction, iterative
     # connected components, xxhash64-seeded LSH planes)
     "kg_mentions": q_kg_mentions,
@@ -802,5 +883,41 @@ FROM f""" % _NORM,
     "embed_cosine_topk": _cosine_topk_sql(),
     "similarity_lsh_topk": _lsh_topk_sql(),
     "events_sessions": _EVENTS_SESSIONS_SQL,
+    "events_asof_signup": """
+WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu
+           FROM events),
+purchases AS (SELECT user_id, tsu, event_id, value FROM e
+              WHERE event_type = 'purchase'),
+signups AS (SELECT user_id, tsu, min_by(value, event_id) AS value
+            FROM e WHERE event_type = 'signup' GROUP BY user_id, tsu)
+SELECT p.user_id, p.tsu, p.event_id, p.value, s.value AS value_asof
+FROM purchases p ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.tsu >= s.tsu""",
+    "events_range_hot_hours": """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tsu FROM events),
+hot AS (SELECT (tsu // 3600000000) * 3600000000 AS hstart,
+               count(*) AS n_errors
+        FROM e WHERE event_type = 'error'
+        GROUP BY 1 HAVING count(*) >= 6),
+purchases AS (SELECT event_id, tsu FROM e WHERE event_type = 'purchase')
+SELECT p.event_id, h.hstart, h.n_errors
+FROM purchases p JOIN hot h
+  ON p.tsu >= h.hstart AND p.tsu < h.hstart + 3600000000""",
+    "events_quantiles": """
+WITH q AS (SELECT event_type,
+             quantile_cont(value, [0.25, 0.5, 0.75]) AS qs
+           FROM events GROUP BY event_type)
+SELECT event_type, p.prob::DOUBLE AS prob, round(qs[p.i], 6) AS quantile
+FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, prob)""",
     "pricing_summary": _PRICING_SQL,
+    "pricing_pivot": """
+SELECT l_returnflag,
+  sum(CASE WHEN l_linestatus = 'O'
+      THEN l_quantity::DECIMAL(18,2) END)::DOUBLE AS qty_o,
+  sum(CASE WHEN l_linestatus = 'F'
+      THEN l_quantity::DECIMAL(18,2) END)::DOUBLE AS qty_f
+FROM lineitem GROUP BY l_returnflag""",
+    "pricing_cube": """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 }

@@ -73,9 +73,10 @@ def main() -> None:
     turns = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     low_cpus = int(os.environ.get("SCALING_N", "8"))
     high_cpus = low_cpus * 4
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
 
-    low = run_level(low_cpus, n_convs, turns)
-    high = run_level(high_cpus, n_convs, turns)
+    low = run_level(low_cpus, n_convs, turns, repeats)
+    high = run_level(high_cpus, n_convs, turns, repeats)
     efficiency = round((low["wall"] / high["wall"]) / 4, 3)
     report = {
         "job": "kg_pipeline",
