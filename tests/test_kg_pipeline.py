@@ -222,6 +222,19 @@ class TestPipelineAndMaterialize:
         assert second["buckets_skipped"] == 4
         assert spark.read.parquet(os.path.join(out, "triples")).count() == n1
 
+    def test_run_metrics(self, spark):
+        from meresco_rdf_spark.kg.metrics import run_metrics
+
+        t = synthesize_transcripts(spark, 30, 6)
+        res = run_pipeline(t)
+        m = run_metrics(res, n_turns=30 * 6)
+        assert m["n_mentions"] == res.mentions.count()
+        assert m["n_entities"] <= m["n_surfaces"]
+        # every surface maps to one canonical: merged = surfaces - entities
+        assert m["n_merged"] == m["n_surfaces"] - m["n_entities"]
+        assert set(m["triples_by_kind"]) <= {"uri", "bnode", "literal"}
+        assert m["mentions_per_1k_turns"] > 0
+
     def test_checkpoint_reruns_changed_bucket(self, spark, tmp_path):
         t = synthesize_transcripts(spark, 30, 5)
         out = str(tmp_path / "kg")
