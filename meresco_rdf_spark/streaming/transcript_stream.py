@@ -125,6 +125,87 @@ def stream_triples(mentions: DataFrame) -> DataFrame:
         mentions.withColumn("score", F.lit(0.0)))
 
 
+STATEFUL_SCORE_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("start", IntegerType(), False),
+    StructField("surface", StringType(), False),
+    StructField("surface_key", StringType(), False),
+    StructField("score", StringType(), False),  # formatted like the batch path
+])
+
+# state = parallel arrays (key, support-count) per conversation
+STATE_SCHEMA = StructType([
+    StructField("keys", StringType(), False),    # \x1f-joined
+    StructField("counts", StringType(), False),  # \x1f-joined ints
+])
+
+
+def stateful_mention_scores(mentions: DataFrame,
+                            state_ttl_minutes: int = 60) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    entity-link scores with per-conversation support counts carried
+    ACROSS micro-batches.
+
+    Batch-path parity: score = len(surface_key) + number of previously
+    seen mentions of the same key in the conversation (kg/extract.py) —
+    here 'previously seen' includes earlier micro-batches, which the
+    stateless batch scorer cannot know.  State per key is two joined
+    strings (bounded by distinct surfaces per conversation); expired via
+    processing-time timeout so long-dead conversations don't accumulate
+    (the watermark analog for arbitrary state)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def score(key, pdfs, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            keys_s, counts_s = state.get
+            support = dict(zip(
+                keys_s.split("\x1f"),
+                (int(c) for c in counts_s.split("\x1f")))) if keys_s else {}
+        else:
+            support = {}
+        out = {k: [] for k in ("conv_id", "turn_idx", "start", "surface",
+                               "surface_key", "score")}
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf)
+        if rows:
+            batch = pd.concat(rows).sort_values(
+                ["turn_idx", "start"], kind="mergesort")
+            for turn_idx, start, surface, skey in zip(
+                    batch["turn_idx"], batch["start"], batch["surface"],
+                    batch["surface_key"]):
+                seen = support.get(skey, 0)
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(int(turn_idx))
+                out["start"].append(int(start))
+                out["surface"].append(surface)
+                out["surface_key"].append(skey)
+                out["score"].append("%.1f" % (float(len(skey)) + seen))
+                support[skey] = seen + 1
+        state.update((
+            "\x1f".join(support.keys()),
+            "\x1f".join(str(c) for c in support.values())))
+        state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(out)
+
+    return (
+        mentions.groupBy("conv_id")
+        .applyInPandasWithState(
+            score,
+            outputStructType=STATEFUL_SCORE_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
+    )
+
+
 def run_to_parquet(stream: DataFrame, out_path: str, checkpoint: str,
                    available_now: bool = True):
     """Materialize a stream to exactly-once parquet with checkpointing.

@@ -67,6 +67,37 @@ class TestTranscriptStream:
                                    "obj_lang"]
         assert triples.count() > 0
 
+    def test_stateful_scores_carry_support_across_microbatches(
+            self, spark, tmp_path):
+        from meresco_rdf_spark.streaming.transcript_stream import (
+            stateful_mention_scores,
+        )
+
+        path = str(tmp_path / "sin")
+        schema = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        # two files -> two micro-batches (maxFilesPerTrigger=1): the same
+        # conversation mentions the same entity in both
+        spark.createDataFrame(
+            [("c1", 0, "user", "Marie Curie wrote.", None, None)],
+            schema).coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [("c1", 1, "user", "Then Marie Curie spoke.", None, None)],
+            schema).coalesce(1).write.mode("append").parquet(path)
+        stream = read_transcript_stream(spark, path, max_files_per_trigger=1)
+        out = str(tmp_path / "scored")
+        q = run_to_parquet(
+            stateful_mention_scores(stream_mentions(stream)),
+            out, str(tmp_path / "ckpt_s"))
+        q.awaitTermination(180)
+        rows = {(r.turn_idx, r.score)
+                for r in spark.read.parquet(out).collect()}
+        base = float(len("marie curie"))
+        # one turn saw no prior support, the other saw exactly one —
+        # regardless of micro-batch arrival order
+        assert rows == {(0, "%.1f" % base), (1, "%.1f" % (base + 1))} or \
+            rows == {(0, "%.1f" % (base + 1)), (1, "%.1f" % base)}
+
     def test_incremental_second_batch_only_processes_new_files(
             self, spark, tmp_path):
         path = _write_input(spark, tmp_path, n_convs=10)
