@@ -79,7 +79,8 @@ def main() -> None:
         "graph_find_labels", "graph_bgp", "graph_in_degree",
         "dedup_minhash", "text_simhash", "dedup_ngram_jaccard",
         "embed_cosine_topk", "similarity_lsh_topk",
-        "events_sessions", "pricing_summary",
+        "events_sessions", "events_asof_signup", "events_quantiles",
+        "pricing_summary", "pricing_pivot", "pricing_cube",
     ]
     for name in heads:
         fn = eq.QUERIES[name]
