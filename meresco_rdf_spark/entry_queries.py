@@ -388,7 +388,9 @@ def _ngram_jaccard_sql(threshold: float = 0.6, cap: int = 50) -> str:
     # textops.dedup: candidates from each doc's rarest-prefix shingles
     # (rank by global (n_docs, shingle); prefix = n_sh - floor(t*n_sh)+1;
     # ::DOUBLE so the floor sees the same IEEE product Spark computes),
-    # intersection counted over the full index, |A u B| = na + nb - inter
+    # intersection counted over the full index, |A u B| = na + nb - inter.
+    # Threshold on the UNROUNDED jaccard, round only in the projection —
+    # same order of operations as the Spark operator.
     return """
 WITH sh AS (SELECT doc_id AS id, {sh} AS shingles FROM documents),
 inv AS (SELECT id, unnest(shingles) AS shingle FROM sh),
@@ -409,35 +411,48 @@ shared AS (
   GROUP BY cand.a, cand.b),
 j AS (
   SELECT shared.a, shared.b,
-    round(inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE, 4) AS jaccard
+    inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE AS jaccard
   FROM shared JOIN sizes sa ON sa.id = shared.a
               JOIN sizes sb ON sb.id = shared.b)
-SELECT a, b, jaccard FROM j WHERE jaccard >= {thr}""".format(
+SELECT a, b, round(jaccard, 4) AS jaccard FROM j
+WHERE jaccard >= {thr}""".format(
         sh=_SHINGLES, cap=cap, thr=threshold)
 
 
 def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.6) -> str:
+    # count-based verification (same formula as the Spark operator:
+    # inter from the inverted index, union = na + nb - inter) with the
+    # threshold on the UNROUNDED jaccard, rounding only in the projection
     rows = k // bands
     sig = ", ".join(
         "coalesce(list_min(list_transform(shingles, "
         "x -> substr(md5(x || '#%d'), 1, 16))), '~')" % i
         for i in range(k))
     band_rows = " UNION ALL ".join(
-        "SELECT id, shingles, %d AS band_id, %s AS band_key FROM sig"
+        "SELECT id, %d AS band_id, %s AS band_key FROM sig"
         % (b, " || '|' || ".join("s[%d]" % (b * rows + r + 1) for r in range(rows)))
         for b in range(bands))
     return """
 WITH sh AS (SELECT doc_id AS id, {sh} AS shingles FROM documents),
+inv AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT id, count(*) AS n_sh FROM inv GROUP BY id),
 sig AS (SELECT id, shingles, [{sig}] AS s FROM sh),
 banded AS ({band_rows}),
-cand AS (SELECT DISTINCT l.id AS a, r.id AS b, l.shingles AS sh_a, r.shingles AS sh_b
+cand AS (SELECT DISTINCT l.id AS a, r.id AS b
          FROM banded l JOIN banded r
            ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.id < r.id),
-j AS (SELECT a, b,
-        round(len(list_intersect(sh_a, sh_b))
-          / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE, 4) AS jaccard
-      FROM cand)
-SELECT a, b, jaccard FROM j WHERE jaccard >= {thr}""".format(
+shared AS (
+  SELECT cand.a, cand.b, count(*) AS inter
+  FROM cand
+  JOIN inv li ON li.id = cand.a
+  JOIN inv ri ON ri.id = cand.b AND ri.shingle = li.shingle
+  GROUP BY cand.a, cand.b),
+j AS (SELECT shared.a, shared.b,
+        inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE AS jaccard
+      FROM shared JOIN sizes sa ON sa.id = shared.a
+                  JOIN sizes sb ON sb.id = shared.b)
+SELECT a, b, round(jaccard, 4) AS jaccard FROM j
+WHERE jaccard >= {thr}""".format(
         sh=_SHINGLES, sig=sig, band_rows=band_rows, thr=threshold)
 
 

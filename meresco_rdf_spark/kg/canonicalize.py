@@ -91,21 +91,27 @@ def similar_surface_pairs(surfaces: DataFrame,
 
     ``surfaces`` needs one row per distinct ``key_col`` value.  Output is
     symmetric-free (a < b).  Plan shape: narrow signature computation ->
-    explode(bands) -> self-equi-join on (band_id, band_hash) ->
-    dropDuplicates(pair) -> Jaccard filter on the carried shingle arrays.
+    explode(bands) -> self-equi-join on (band_id, band_hash) carrying ONLY
+    (key, band) — shingle arrays never enter a shuffle -> count-based
+    exact-Jaccard verification against the exploded inverted index
+    (intersection = aggregation; |A u B| = |A| + |B| - |A n B|).
     """
     rows = k // bands
-    enriched = (
+    base = (
         surfaces.select(key_col)
         .dropDuplicates([key_col])
         .withColumn("shingles", char_shingles(F.col(key_col), n))
-        .withColumn("sig", minhash_signature(F.col("shingles"), k))
-        .withColumn("band", F.explode(lsh_bands("sig", bands, rows)))
-        .select(key_col, "shingles", "band.band_id", "band.band_hash")
     )
-    left = enriched.alias("l")
-    right = enriched.alias("r")
-    pairs = (
+    inv = base.select(key_col, F.explode("shingles").alias("shingle"))
+    sizes = inv.groupBy(key_col).agg(F.count("*").alias("n_sh"))
+    banded = (
+        base.withColumn("sig", minhash_signature(F.col("shingles"), k))
+        .withColumn("band", F.explode(lsh_bands("sig", bands, rows)))
+        .select(key_col, "band.band_id", "band.band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
         left.join(
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -115,15 +121,22 @@ def similar_surface_pairs(surfaces: DataFrame,
         .select(
             F.col("l.%s" % key_col).alias("a"),
             F.col("r.%s" % key_col).alias("b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["a", "b"])
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    shared = (
+        cand.join(inv.select(F.col(key_col).alias("a"),
+                             F.col("shingle").alias("s")), "a")
+        .join(inv.select(F.col(key_col).alias("b"),
+                         F.col("shingle").alias("s")), ["b", "s"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(key_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(key_col).alias("b"), F.col("n_sh").alias("nb"))
     return (
-        pairs.withColumn("jaccard", inter / union)
+        shared.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

@@ -107,38 +107,50 @@ def detect_mentions(transcripts: DataFrame,
     def find(pdfs):  # executes on executors; Arrow batches in/out
         import pandas as pd
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-            out = {k: [] for k in ("conv_id", "turn_idx", "start", "end",
-                                   "surface", "surface_key", "score")}
-            support: dict[tuple[str, str], int] = {}
-            for conv_id, turn_idx, text in zip(
-                    pdf["conv_id"].values, pdf["turn_idx"].values,
-                    pdf["text"].values):
-                if not text:
-                    continue
-                for m in matcher.finditer(text):
-                    surface = m.group(0)
-                    key = normalize_surface(surface)
-                    seen = support.get((conv_id, key), 0)
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(int(turn_idx))
-                    out["start"].append(m.start())
-                    out["end"].append(m.end())
-                    out["surface"].append(surface)
-                    out["surface_key"].append(key)
-                    out["score"].append(float(len(key)) + float(seen))
-                    support[(conv_id, key)] = seen + 1
-            yield pd.DataFrame(out)
+        # Buffer the WHOLE partition before scoring: a conversation's turns
+        # can span Arrow batch boundaries (arrow.maxRecordsPerBatch), and the
+        # support counter must see every earlier turn of the conversation —
+        # per-batch state would reset mid-conversation and make scores depend
+        # on batch layout.  Partition memory is bounded by the conv_id
+        # shuffle above (spark.sql.shuffle.partitions / AQE target size),
+        # and only (conv_id, turn_idx, text) is held.
+        batches = list(pdfs)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 \
+            else batches[0]
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        out = {k: [] for k in ("conv_id", "turn_idx", "start", "end",
+                               "surface", "surface_key", "score")}
+        support: dict[tuple[str, str], int] = {}
+        for conv_id, turn_idx, text in zip(
+                pdf["conv_id"].values, pdf["turn_idx"].values,
+                pdf["text"].values):
+            if not text:
+                continue
+            for m in matcher.finditer(text):
+                surface = m.group(0)
+                key = normalize_surface(surface)
+                seen = support.get((conv_id, key), 0)
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(int(turn_idx))
+                out["start"].append(m.start())
+                out["end"].append(m.end())
+                out["surface"].append(surface)
+                out["surface_key"].append(key)
+                out["score"].append(float(len(key)) + float(seen))
+                support[(conv_id, key)] = seen + 1
+        yield pd.DataFrame(out)
 
     # mapInPandas after an explicit conv_id repartition (not groupBy.apply):
     # mention detection needs no cross-conversation state, so a plain
-    # partition-local iterator avoids the per-group invocation overhead;
-    # the sort inside the batch restores stable turn order per conv.
-    parts = transcripts.sparkSession.sparkContext.defaultParallelism
+    # partition-local iterator avoids the per-group invocation overhead.
+    # No explicit partition count: repartition("conv_id") honors
+    # spark.sql.shuffle.partitions + AQE coalescing, so the stage scales
+    # with the input instead of pinning to the driver's core count.
     return (
         transcripts.select("conv_id", "turn_idx", "text")
-        .repartition(parts, "conv_id")
+        .repartition("conv_id")
         .mapInPandas(find, schema=MENTION_SCHEMA)
     )
 

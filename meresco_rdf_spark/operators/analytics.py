@@ -37,27 +37,35 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     dedupe first (ties among simultaneous right rows are otherwise
     window-order-dependent)."""
     carried = ["%s%s" % (c, suffix) for c in value_cols]
+    rtypes = dict(right.dtypes)
+    # Right payloads travel as ONE struct that is non-null exactly for
+    # right rows: last(_payload, ignorenulls) then carries "the latest
+    # right ROW at-or-before", even when that row's value columns are
+    # NULL — matching DuckDB ASOF semantics (latest matching row wins;
+    # per-column ignorenulls would instead resurrect an older non-NULL).
     l_tag = left.select(
         key, ts, *[F.col(c) for c in left.columns if c not in (key, ts)],
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(cc)
-          for c, cc in zip(value_cols, carried)])
+        F.lit(None).cast(
+            "struct<%s>" % ", ".join(
+                "%s: %s" % (c, rtypes[c]) for c in value_cols)
+        ).alias("_payload"))
     r_tag = right.select(
         key, ts,
         *[F.lit(None).cast(t).alias(c)
           for c, t in left.dtypes if c not in (key, ts)],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)])
+        F.struct(*[F.col(c) for c in value_cols]).alias("_payload"))
     unioned = l_tag.unionByName(r_tag)
     w = (Window.partitionBy(key).orderBy(ts, "_side")
          .rowsBetween(Window.unboundedPreceding, 0))
-    filled = unioned.select(
-        "*", *[F.last(cc, ignorenulls=True).over(w).alias("_f_%s" % cc)
-               for cc in carried])
+    filled = unioned.withColumn(
+        "_f", F.last("_payload", ignorenulls=True).over(w))
     return (
         filled.filter(F.col("_side") == 1)
         .select(*[F.col(c) for c in left.columns],
-                *[F.col("_f_%s" % cc).alias(cc) for cc in carried])
+                *[F.col("_f")[c].alias(cc)
+                  for c, cc in zip(value_cols, carried)])
     )
 
 

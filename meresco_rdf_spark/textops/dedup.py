@@ -124,8 +124,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     inv.count()  # eager: both self-join sides + the size agg read this
     sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
-    freq = inv.withColumn(
-        "n_docs", F.count("*").over(Window.partitionBy("shingle")))
+    # global shingle frequency as a partial-aggregatable groupBy + join —
+    # NOT a window: count(*) OVER (PARTITION BY shingle) forces a full
+    # sort of the inverted index per partition with no map-side combine,
+    # while groupBy collapses each shingle to one row before the join
+    shingle_freq = inv.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    freq = inv.join(shingle_freq, "shingle")
     # PREFIX FILTERING (lossless): rank each doc's shingles rarest-first
     # by the global order (n_docs, shingle); if J(A,B) >= t then A and B
     # must share a shingle within their first n_sh - floor(t*n_sh) + 1
@@ -193,12 +197,26 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         bands: int = 8, threshold: float = 0.7,
                         hash_fn: str = "xx") -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
-    ``hash_fn='md5'`` makes every value reproducible in ANSI SQL/DuckDB."""
+    ``hash_fn='md5'`` makes every value reproducible in ANSI SQL/DuckDB.
+
+    Shuffle discipline (the 100-TB contract): shingle ARRAYS never enter a
+    shuffle.  The banded exchange carries only (id, band_id, band_key) —
+    O(docs x bands x key-bytes) — and verification reuses the count-based
+    set-similarity join from :func:`ngram_jaccard_pairs`: intersection size
+    is an aggregation over the exploded inverted index, |A u B| =
+    |A| + |B| - |A n B| from per-doc shingle counts.  The former plan
+    duplicated each doc's full shingle array x bands through explode and
+    BOTH self-join sides — O(docs x bands x shingle-bytes) shuffle volume,
+    which is exactly what dies first at corpus scale."""
     perm = _perm_hash_md5 if hash_fn == "md5" else _perm_hash_xx
     rows = k // bands
     sh = df.select(
         F.col(id_col).alias("id"),
-        word_shingles_arrow(F.col(text_col), n).alias("shingles"))
+        word_shingles_arrow(F.col(text_col), n).alias("shingles")).persist()
+    sh.count()  # eager: feeds the signature path AND the inverted index;
+    # a lazy cache would re-run the Arrow shingler per consumer
+    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     def perm_min(i):
         # single-arg lambda: a two-arg lambda would receive (element, index)
@@ -209,7 +227,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 
     sig = sh.withColumn("sig", F.array(*[perm_min(i) for i in range(k)]))
     banded = sig.select(
-        "id", "shingles",
+        "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -217,24 +235,31 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                 .alias("band_key"))
             for b in range(bands)
         ])).alias("band"),
-    ).select("id", "shingles", "band.band_id", "band.band_key").persist()
+    ).select("id", "band.band_id", "band.band_key").persist()
     banded.count()  # eager: both self-join sides read it; lazy cache would
-    # re-run the shingle + k-permutation chain on each side
+    # re-run the k-permutation chain on each side
     cand = (
         banded.alias("l").join(
             banded.alias("r"),
             (F.col("l.band_id") == F.col("r.band_id"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.id") < F.col("r.id")))
-        .select(
-            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-            F.col("l.shingles").alias("sh_a"), F.col("r.shingles").alias("sh_b"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    shared = (
+        cand.join(inv.select(F.col("id").alias("a"),
+                             F.col("shingle").alias("s")), "a")
+        .join(inv.select(F.col("id").alias("b"), F.col("shingle").alias("s")),
+              ["b", "s"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        shared.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -29,6 +29,18 @@ class TestAsOfJoin:
         # its only signup -> NULL
         assert got == {("p1", 1.0), ("p2", 2.0), ("p3", None)}
 
+    def test_null_value_on_latest_right_row_is_preserved(self, spark):
+        # DuckDB ASOF semantics: the LATEST matching right row wins even
+        # when its payload is NULL — an older non-NULL row must not leak
+        # through (regression for per-column last(ignorenulls))
+        left = spark.createDataFrame(
+            [("u1", 300, "p1")], "k string, ts long, pid string")
+        right = spark.createDataFrame(
+            [("u1", 100, 1.0), ("u1", 200, None)],
+            "k string, ts long, v double")
+        row = as_of_join(left, right, "k", "ts", ["v"]).collect()[0]
+        assert row.v_asof is None
+
     def test_multiple_value_columns(self, spark):
         left = spark.createDataFrame([("k", 10, 1)], "k string, ts long, n int")
         right = spark.createDataFrame(

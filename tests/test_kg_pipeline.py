@@ -85,6 +85,27 @@ class TestDetectMentions:
         b = {tuple(r) for r in detect_mentions(t.repartition(7)).collect()}
         assert a == b and len(a) > 0
 
+    def test_support_counts_survive_arrow_batch_boundaries(self, spark):
+        # regression: with a tiny Arrow batch size, a conversation's turns
+        # arrive in multiple batches inside one partition — the support
+        # counter must keep counting across them (scores cumulative in
+        # turn order, not resetting per batch)
+        n_turns = 10
+        t = make_transcripts(spark, [
+            ("c1", i, "Marie Curie spoke on turn %d." % i)
+            for i in range(n_turns)
+        ])
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "3")
+            scores = {r.turn_idx: r.score
+                      for r in detect_mentions(t).collect()}
+        finally:
+            spark.conf.set(key, old)
+        base = float(len(normalize_surface("Marie Curie")))
+        assert scores == {i: base + i for i in range(n_turns)}
+
 
 class TestMentionTriples:
     def test_fanout_and_node_model(self, spark):

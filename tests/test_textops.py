@@ -207,6 +207,43 @@ class TestArrowFastPaths:
             simhash_bits_arrow(F.col("text")).alias("b"))
         assert both.filter(F.col("a") != F.col("b")).count() == 0
 
+    def test_arrow_hyperplane_signature_matches_expression(self, spark):
+        from meresco_rdf_spark.textops.similarity import (
+            hyperplane_signature,
+            hyperplane_signature_arrow,
+        )
+
+        vecs = spark.range(200).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: ((F.xxhash64(F.col("id"), i) % 100).cast("double")
+                           / 10.0)).alias("v"))
+        both = vecs.select(
+            hyperplane_signature(F.col("v"), 8, 64).alias("a"),
+            hyperplane_signature_arrow(F.col("v"), 8, 64).alias("b"))
+        assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+class TestSignatureDimRobust:
+    def test_production_dims_no_codegen_blowup(self, spark):
+        # dim=1024 x 16 planes: the plane matrix must enter the plan as
+        # ONE literal (no O(planes x dim) inlined constants); the query
+        # must run and produce 16-bit signatures for every row
+        from meresco_rdf_spark.textops.similarity import hyperplane_signature
+
+        vecs = spark.range(64).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1023)),
+                lambda i: (F.xxhash64(F.col("id"), i) % 100).cast("double")
+            ).alias("v"))
+        out = vecs.select(hyperplane_signature(F.col("v"), 16, 1024).alias("s"))
+        # ONE projection chain over one array<array<double>> literal — not
+        # 16 per-plane aggregate chains (the old codegen-blowup shape)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("zip_with") == 1
+        assert plan.count("array_join") == 1
+        assert out.filter(F.length("s") == 16).count() == 64
+
 
 class TestShingles:
     def test_word_shingles(self, spark):

@@ -106,6 +106,36 @@ def main() -> None:
         "pipeline: no global dedup",
         "obj_lang" not in " ".join(re.findall(r"Exchange hashpartitioning\([^)]*\)", p))))
 
+    # MinHash banding: no shingle ARRAY ever enters an exchange — the
+    # banded self-join carries (id, band_id, band_key) only and the
+    # verification shuffles the exploded inverted index (scalar rows)
+    from meresco_rdf_spark.textops.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(docs, k=16, bands=8, threshold=0.6)
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    s = pairs._jdf.queryExecution().explainString(fmt)
+    exchange_inputs = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", s)
+    bad = [inp for inp in exchange_inputs if "shingles#" in inp]
+    results.append(check(
+        "minhash: no arrays in exchanges", len(exchange_inputs) > 0 and not bad,
+        "(%d exchanges)" % len(exchange_inputs)))
+
+    # extraction partitioning follows spark.sql.shuffle.partitions / AQE,
+    # not the driver's core count (the 100-TB stage-width contract)
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try:
+        m13 = detect_mentions(synthesize_transcripts(spark, 50, 4))
+        p13 = optimized_of(m13)
+        results.append(check(
+            "extract: repartition honors conf",
+            re.search(r"RepartitionByExpression \[conv_id[^\]]*\](?:, 13)?", p13)
+            is not None and "RepartitionByExpression" in p13
+            and ", 8" not in p13.split("RepartitionByExpression")[1].split("\n")[0]))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
     # pricing summary: decimal agg inside codegen
     from meresco_rdf_spark.entry_queries import q_pricing_summary
 
