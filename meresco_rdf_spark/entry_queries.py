@@ -731,6 +731,83 @@ FROM agg"""
 
 
 # ==========================================================================
+# source/sink operator queries (SURVEY.md §2.2-2.3: S1-S4, K1, K3)
+# ==========================================================================
+
+def q_rdf_ingest_dir(spark, sf_dir):
+    """S2/S3: multi-source RDF/XML directory ingest (reference
+    ``GraphComponent``/``makeGraph``, graphcomponent.py:40-80) — fixture
+    docs parsed per-document inside mapInPandas; oracle = VALUES relation
+    of the hand-transcribed expected triples."""
+    from .sources.driver_fixtures import RDF_DOCS, write_fixture_dir
+    from .sources.rdf_source import read_rdfxml_triples
+
+    return read_rdfxml_triples(spark, write_fixture_dir(RDF_DOCS))
+
+
+def q_nt_ingest(spark, sf_dir):
+    """S1 (.nt branch): N-Triples line parse — the content-type path the
+    reference declares but leaves dead (graphcomponent.py:68-74)."""
+    from .sources.driver_fixtures import NT_DOCS, write_fixture_dir
+    from .sources.rdf_source import read_ntriples_triples
+
+    return read_ntriples_triples(spark, write_fixture_dir(NT_DOCS))
+
+
+def q_sparql_json_decode(spark, sf_dir):
+    """S4: SPARQL-JSON binding decode (reference ``fromDict``,
+    rdf/uri.py:35-36, rdf/literal.py:35-38, rdf/bnode.py:34-35) — binding
+    JSON built in-plan from the nation table, decoded via ``from_json``;
+    oracle rebuilds the decoded columns straight from nation."""
+    from .sources.sparql_json import decode_bindings
+
+    nation = _read(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("string")
+    shapes = F.array(
+        F.concat(F.lit('{"type": "uri", "value": "urn:nation:'), key,
+                 F.lit('"}')),
+        F.concat(F.lit('{"type": "literal", "value": "'), F.col("n_name"),
+                 F.lit('", "xml:lang": "en"}')),
+        F.concat(F.lit('{"type": "bnode", "value": "_:n'), key, F.lit('"}')),
+        F.concat(F.lit('{"type": "typed-literal", "value": "'), key,
+                 F.lit('"}')),
+    )
+    bindings = nation.select(
+        F.col("n_nationkey").alias("row_id"),
+        F.explode(shapes).alias("binding"))
+    return decode_bindings(bindings, "binding").select(
+        "row_id", "obj_value", "obj_kind", "obj_lang")
+
+
+def q_rdfxml_roundtrip(spark, sf_dir):
+    """K1+K3 distributed: serialize the TPC-H triples view into
+    per-entity-type RDF/XML shards (applyInPandas serializer), parse every
+    shard back (mapInPandas parser), and return the triple relation —
+    oracle is the original triples CTE, so the driver hash-checks the
+    full serialize->parse identity."""
+    from .sinks.rdfxml_sink import serialize_shards
+    from .sources.rdf_source import read_rdfxml_triples
+
+    t = tpch_triples(spark, sf_dir)
+    sharded = t.withColumn(
+        "context", F.regexp_extract("subj", "^urn:([a-z]+):", 1))
+    shards = serialize_shards(sharded, "context",
+                              extra_prefixes={"rel": "urn:rel:"})
+    docs = shards.select(F.col("shard").alias("context"), "xml")
+    return read_rdfxml_triples(docs).drop("context")
+
+
+def _driver_fixture_sql(kind: str) -> str:
+    from .sources.driver_fixtures import (
+        EXPECTED_NT_ROWS,
+        EXPECTED_RDF_ROWS,
+        values_cte,
+    )
+
+    return values_cte(EXPECTED_RDF_ROWS if kind == "rdf" else EXPECTED_NT_ROWS)
+
+
+# ==========================================================================
 # KG pipeline queries (not SQL-expressible -> rows-only driver check)
 # ==========================================================================
 
@@ -860,6 +937,10 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "pricing_pivot": q_pricing_pivot,
     "pricing_cube": q_pricing_cube,
+    "rdf_ingest_dir": q_rdf_ingest_dir,
+    "nt_ingest": q_nt_ingest,
+    "sparql_json_decode": q_sparql_json_decode,
+    "rdfxml_roundtrip": q_rdfxml_roundtrip,
     # rows-only (non-SQL-expressible: pandas-UDF extraction, iterative
     # connected components, xxhash64-seeded LSH planes)
     "kg_mentions": q_kg_mentions,
@@ -925,6 +1006,21 @@ WITH q AS (SELECT event_type,
 SELECT event_type, p.prob::DOUBLE AS prob, round(qs[p.i], 6) AS quantile
 FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, prob)""",
     "pricing_summary": _PRICING_SQL,
+    "rdf_ingest_dir": _driver_fixture_sql("rdf"),
+    "nt_ingest": _driver_fixture_sql("nt"),
+    "sparql_json_decode": """
+SELECT n_nationkey AS row_id, 'urn:nation:' || n_nationkey AS obj_value,
+       'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, 'literal', 'en' FROM nation
+UNION ALL
+SELECT n_nationkey, '_:n' || n_nationkey, 'bnode', NULL FROM nation
+UNION ALL
+SELECT n_nationkey, CAST(n_nationkey AS VARCHAR), 'literal', NULL
+FROM nation""",
+    "rdfxml_roundtrip": _fmt("""
+WITH {cte}
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
     "pricing_pivot": """
 SELECT l_returnflag,
   sum(CASE WHEN l_linestatus = 'O'

@@ -26,34 +26,47 @@ from pyspark.sql import DataFrame, functions as F
 SHARD_XML_SCHEMA = "shard string, xml string, n_triples long"
 
 
-def _serialize_group(pdf):
-    import pandas as pd
+def _serialize_group_fn(extra_prefixes: Optional[dict] = None):
+    def _serialize_group(pdf):
+        import pandas as pd
 
-    from ..graph import Graph
-    from ..model import row_to_node
-    from ..rdfxml.serializer import Triples2RdfXml, element_to_string
-    from ..namespaces import namespaces
+        from ..graph import Graph
+        from ..model import row_to_node
+        from ..rdfxml.serializer import Triples2RdfXml, element_to_string
+        from ..namespaces import namespaces
 
-    shard = pdf["shard"].iloc[0]
-    graph = Graph()
-    for subj, pred, value, kind, lang in zip(
-            pdf["subj"], pdf["pred"], pdf["obj_value"], pdf["obj_kind"],
-            pdf["obj_lang"]):
-        graph.addTriple(subj, pred, row_to_node(value, kind, lang))
-    serializer = Triples2RdfXml(namespaces=namespaces)
-    xml = element_to_string(serializer.as_rdfxml(graph), namespaces)
-    return pd.DataFrame({
-        "shard": [shard], "xml": [xml], "n_triples": [len(graph.triples())]})
+        ns = (namespaces.copy_update(extra_prefixes)
+              if extra_prefixes else namespaces)
+        shard = pdf["shard"].iloc[0]
+        graph = Graph()
+        for subj, pred, value, kind, lang in zip(
+                pdf["subj"], pdf["pred"], pdf["obj_value"], pdf["obj_kind"],
+                pdf["obj_lang"]):
+            graph.addTriple(subj, pred, row_to_node(value, kind, lang))
+        serializer = Triples2RdfXml(namespaces=ns)
+        xml = element_to_string(serializer.as_rdfxml(graph), ns)
+        return pd.DataFrame({
+            "shard": [shard], "xml": [xml],
+            "n_triples": [len(graph.triples())]})
+
+    return _serialize_group
+
+
+_serialize_group = _serialize_group_fn()  # default-namespace worker
 
 
 def serialize_shards(triples: DataFrame, shard_col: str = "context",
-                     num_partitions: Optional[int] = None) -> DataFrame:
-    """Triples (+ shard column) -> (shard, xml, n_triples) DataFrame."""
+                     num_partitions: Optional[int] = None,
+                     extra_prefixes: Optional[dict] = None) -> DataFrame:
+    """Triples (+ shard column) -> (shard, xml, n_triples) DataFrame.
+    ``extra_prefixes`` extends the namespace table for vocabularies the
+    default table doesn't carry (serializer needs a prefix per predicate
+    namespace)."""
     df = triples.withColumnRenamed(shard_col, "shard")
     if num_partitions:
         df = df.repartition(num_partitions, "shard")
     return df.groupBy("shard").applyInPandas(
-        _serialize_group, schema=SHARD_XML_SCHEMA)
+        _serialize_group_fn(extra_prefixes), schema=SHARD_XML_SCHEMA)
 
 
 def write_rdfxml_shards(triples: DataFrame, path: str,

@@ -1,3 +1,8 @@
-from .rdf_source import read_rdfxml_documents, read_rdfxml_triples  # noqa: F401
+from .rdf_source import (  # noqa: F401
+    read_ntriples_triples,
+    read_rdf_directory,
+    read_rdfxml_documents,
+    read_rdfxml_triples,
+)
 from .sparql_json import decode_bindings  # noqa: F401
 from .transcripts import TRANSCRIPT_SCHEMA, synthesize_transcripts  # noqa: F401

@@ -1,0 +1,140 @@
+"""Deterministic RDF fixture documents for the driver-contract queries.
+
+The EXPECTED_* tables below are HAND-TRANSCRIBED from the RDF/XML
+semantics the reference parser implements (the construct-per-construct
+transcription style of ``/root/reference/test/graph/rdfparsertest.py``:
+typed nodes from element tags, property attributes, ``xml:base`` +
+``rdf:ID``, ``rdf:nodeID``, empty-property ``Literal('')``, nested
+anonymous bnodes).  They are the independent anchor: the DuckDB oracle is
+a VALUES relation built from these rows, never from parser output.
+
+Bnode labels follow the documented rescoping of
+``sources.rdf_source._parse_documents``: per-document counter reset, then
+``'_:d' + sha1(context)[:12] + original_label[1:]`` — deterministic in
+the (context, document) pair alone, so the expected labels can be spelled
+out here without running the parser.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+DCTERMS = "http://purl.org/dc/terms/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+
+DOC1 = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+  xmlns:dcterms="http://purl.org/dc/terms/"
+  xmlns:foaf="http://xmlns.com/foaf/0.1/">
+  <foaf:Person rdf:about="urn:person:1" foaf:name="Alice">
+    <rdfs:label xml:lang="nl">Alice NL</rdfs:label>
+    <rdfs:label xml:lang="en">Alice EN</rdfs:label>
+    <rdfs:seeAlso rdf:resource="urn:person:2"/>
+    <dcterms:creator>
+      <rdf:Description>
+        <rdfs:label>Anon</rdfs:label>
+      </rdf:Description>
+    </dcterms:creator>
+  </foaf:Person>
+</rdf:RDF>"""
+
+DOC2 = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  xmlns:dcterms="http://purl.org/dc/terms/"
+  xml:base="http://example.org/base">
+  <rdf:Description rdf:ID="thing">
+    <dcterms:title>Based</dcterms:title>
+    <dcterms:relation rdf:nodeID="joe"/>
+    <dcterms:abstract></dcterms:abstract>
+  </rdf:Description>
+  <rdf:Description rdf:nodeID="joe">
+    <dcterms:title>Joe</dcterms:title>
+  </rdf:Description>
+</rdf:RDF>"""
+
+NT_DOC = "\n".join([
+    "# driver fixture: declared-content-type .nt path made real",
+    "<urn:nt:s1> <%stype> <%sDocument> ." % (RDF, FOAF),
+    '<urn:nt:s1> <%stitle> "Plain title" .' % DCTERMS,
+    '<urn:nt:s1> <%slabel> "Nederlands"@nl .' % RDFS,
+    '<urn:nt:s2> <%sseeAlso> <urn:nt:s1> .' % RDFS,
+    "_:anon <%stitle> \"From bnode\" ." % DCTERMS,
+    '<urn:nt:s2> <%stitle> "typed kept, datatype dropped"'
+    "^^<http://www.w3.org/2001/XMLSchema#string> ." % DCTERMS,
+    '<urn:nt:s2> <%sdescription> "esc\\nline" .' % DCTERMS,
+])
+
+RDF_DOCS = {"doc1.rdf": DOC1, "doc2.rdf": DOC2}
+NT_DOCS = {"fixture.nt": NT_DOC}
+
+
+def _scope(context: str) -> str:
+    return "_:d" + hashlib.sha1(context.encode("utf-8")).hexdigest()[:12]
+
+_B1 = _scope("file:doc1.rdf") + ":id0"   # doc1's anonymous creator bnode
+_JOE = _scope("file:doc2.rdf") + ":joe"  # doc2's rdf:nodeID bnode
+
+# (context, subj, pred, obj_value, obj_kind, obj_lang)
+EXPECTED_RDF_ROWS = [
+    ("file:doc1.rdf", "urn:person:1", RDF + "type", FOAF + "Person", "uri", None),
+    ("file:doc1.rdf", "urn:person:1", FOAF + "name", "Alice", "literal", None),
+    ("file:doc1.rdf", "urn:person:1", RDFS + "label", "Alice NL", "literal", "nl"),
+    ("file:doc1.rdf", "urn:person:1", RDFS + "label", "Alice EN", "literal", "en"),
+    ("file:doc1.rdf", "urn:person:1", RDFS + "seeAlso", "urn:person:2", "uri", None),
+    ("file:doc1.rdf", "urn:person:1", DCTERMS + "creator", _B1, "bnode", None),
+    ("file:doc1.rdf", _B1, RDFS + "label", "Anon", "literal", None),
+    ("file:doc2.rdf", "http://example.org/base#thing", DCTERMS + "title",
+     "Based", "literal", None),
+    ("file:doc2.rdf", "http://example.org/base#thing", DCTERMS + "relation",
+     _JOE, "bnode", None),
+    ("file:doc2.rdf", "http://example.org/base#thing", DCTERMS + "abstract",
+     "", "literal", None),
+    ("file:doc2.rdf", _JOE, DCTERMS + "title", "Joe", "literal", None),
+]
+
+# (context, subj, pred, obj_value, obj_kind, obj_lang) — N-Triples keeps
+# the author-chosen bnode labels verbatim (no per-document rescope: the
+# line parser is stateless, labels are already document-scoped by spec)
+EXPECTED_NT_ROWS = [
+    ("file:fixture.nt", "urn:nt:s1", RDF + "type", FOAF + "Document", "uri", None),
+    ("file:fixture.nt", "urn:nt:s1", DCTERMS + "title", "Plain title",
+     "literal", None),
+    ("file:fixture.nt", "urn:nt:s1", RDFS + "label", "Nederlands",
+     "literal", "nl"),
+    ("file:fixture.nt", "urn:nt:s2", RDFS + "seeAlso", "urn:nt:s1", "uri", None),
+    ("file:fixture.nt", "_:anon", DCTERMS + "title", "From bnode",
+     "literal", None),
+    ("file:fixture.nt", "urn:nt:s2", DCTERMS + "title",
+     "typed kept, datatype dropped", "literal", None),
+    ("file:fixture.nt", "urn:nt:s2", DCTERMS + "description", "esc\nline",
+     "literal", None),
+]
+
+
+def write_fixture_dir(docs: dict[str, str]) -> str:
+    """Materialize fixture docs into a fresh temp directory; returns it."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="rdf_fixtures_")
+    for name, content in docs.items():
+        with open(os.path.join(base, name), "w", encoding="utf-8") as fh:
+            fh.write(content)
+    return base
+
+
+def values_cte(rows) -> str:
+    """Rows -> a DuckDB VALUES relation with the triple column names.
+    Embedded newlines use chr(10) so the SQL stays single-escaping-free."""
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        parts = v.split("\n")
+        quoted = ["'%s'" % p.replace("'", "''") for p in parts]
+        return " || chr(10) || ".join(quoted)
+
+    tuples = ",\n  ".join(
+        "(%s)" % ", ".join(lit(v) for v in row) for row in rows)
+    return ("SELECT * FROM (VALUES\n  %s\n) AS t(context, subj, pred, "
+            "obj_value, obj_kind, obj_lang)" % tuples)

@@ -111,6 +111,114 @@ def read_rdfxml_triples(spark_or_df, path: str | None = None,
     return triples.filter(F.col("error").isNull()).drop("error")
 
 
+# Java-regex twin of rdfxml.ntriples._LINE_RE (numbered groups; Spark's
+# regexp_extract is Java-flavored, no (?P<>) syntax)
+_NT_LINE_JAVA = (
+    r'^\s*(<[^<>\s]*>|_:\S+)\s+(<[^<>\s]*>)\s+'
+    r'(<[^<>\s]*>|_:\S+|"(?:[^"\\]|\\.)*"'
+    r'(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^<>\s]*>)?)\s*\.\s*$')
+_NT_LITERAL_JAVA = (
+    r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*))?(?:\^\^<[^<>\s]*>)?$')
+
+
+def _parse_nt_lines_python(batches) -> Iterator:
+    """mapInPandas worker for lines that carry escape sequences: re-parse
+    each line with the exact pure-Python parser (rdfxml.ntriples)."""
+    import pandas as pd
+
+    from ..model import node_to_row
+    from ..rdfxml.ntriples import parse_ntriples_line
+
+    for batch in batches:
+        out = {k: [] for k in ("context", "subj", "pred", "obj_value",
+                               "obj_kind", "obj_lang", "error")}
+        for context, line in zip(batch["context"], batch["line"]):
+            try:
+                parsed = parse_ntriples_line(line)
+                if parsed is None:
+                    continue
+                subj, pred, value, kind, lang = node_to_row(*parsed)
+                row = (context, subj, pred, value, kind, lang, None)
+            except Exception as exc:
+                row = (context, None, None, None, "error", None,
+                       "%s: %s" % (type(exc).__name__, exc))
+            for key, cell in zip(out, row):
+                out[key].append(cell)
+        yield pd.DataFrame(out)
+
+
+def read_ntriples_triples(spark: SparkSession, path: str,
+                          keep_errors: bool = False) -> DataFrame:
+    """N-Triples files -> triples DataFrame (context = ``file:<basename>``,
+    mirroring the reference's declared ``.nt`` -> text/plain content-type
+    path, graphcomponent.py:68-74 — dead there, real here).
+
+    Scale shape: ``spark.read.text`` is line-splittable, so one huge
+    ``.nt`` file parallelizes across tasks (unlike the per-document XML
+    path).  Parsing is pure JVM regex (whole-stage codegen) for the
+    overwhelming majority of lines; only lines containing ``\\`` escape
+    sequences detour through an Arrow batch running the exact pure-Python
+    parser — a row-level hybrid, unioned back together, no shuffle."""
+    lines = (
+        spark.read.format("text")
+        .option("pathGlobFilter", "*.nt")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            F.concat(F.lit("file:"), F.col("_metadata.file_name"))
+            .alias("context"),
+            F.col("value").alias("line"))
+        .filter((F.trim("line") != "") & ~F.trim("line").startswith("#"))
+    )
+    clean = lines.filter(~F.col("line").contains("\\"))
+    dirty = lines.filter(F.col("line").contains("\\"))
+
+    subj_tok = F.regexp_extract("line", _NT_LINE_JAVA, 1)
+    pred_tok = F.regexp_extract("line", _NT_LINE_JAVA, 2)
+    obj_tok = F.regexp_extract("line", _NT_LINE_JAVA, 3)
+    lit_body = F.regexp_extract(obj_tok, _NT_LITERAL_JAVA, 1)
+    lit_lang = F.nullif(F.regexp_extract(obj_tok, _NT_LITERAL_JAVA, 2), F.lit(""))
+    strip_angle = lambda c: F.substring(c, 2, F.length(c) - 2)  # noqa: E731
+
+    parsed_clean = clean.select(
+        "context",
+        F.when(subj_tok == "", F.lit(None))
+        .when(subj_tok.startswith("<"), strip_angle(subj_tok))
+        .otherwise(subj_tok).alias("subj"),
+        F.when(pred_tok == "", F.lit(None))
+        .otherwise(strip_angle(pred_tok)).alias("pred"),
+        F.when(obj_tok == "", F.lit(None))
+        .when(obj_tok.startswith("<"), strip_angle(obj_tok))
+        .when(obj_tok.startswith("_:"), obj_tok)
+        .otherwise(lit_body).alias("obj_value"),
+        F.when(obj_tok == "", F.lit("error"))
+        .when(obj_tok.startswith("<"), F.lit("uri"))
+        .when(obj_tok.startswith("_:"), F.lit("bnode"))
+        .otherwise(F.lit("literal")).alias("obj_kind"),
+        F.when(obj_tok.startswith('"'), lit_lang)
+        .otherwise(F.lit(None).cast("string")).alias("obj_lang"),
+        F.when(subj_tok == "",
+               F.concat(F.lit("ValueError: malformed N-Triples line: "),
+                        F.trim("line"))).alias("error"),
+    )
+    parsed_dirty = dirty.mapInPandas(
+        _parse_nt_lines_python, schema=TRIPLE_WITH_CONTEXT_SCHEMA)
+    triples = parsed_clean.unionByName(parsed_dirty)
+    if keep_errors:
+        return triples
+    return triples.filter(F.col("error").isNull()).drop("error")
+
+
+def read_rdf_directory(spark: SparkSession, path: str,
+                       keep_errors: bool = False) -> DataFrame:
+    """Mixed-extension multi-source ingest (reference ``iterRdfSources``,
+    graphcomponent.py:58-80): ``.rdf`` documents through the XML parser,
+    ``.nt`` files through the line parser, one unified triples relation
+    with per-file provenance contexts."""
+    return read_rdfxml_triples(spark, path, keep_errors=keep_errors).unionByName(
+        read_ntriples_triples(spark, path, keep_errors=keep_errors))
+
+
 def file_sources(directory: str) -> list[tuple[str, str, str]]:
     """Local (non-Spark) directory walk mirroring the reference's
     ``iterRdfSources`` (graphcomponent.py:58-80): yields

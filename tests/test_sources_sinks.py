@@ -143,3 +143,81 @@ def test_serialize_shards_round_trip(spark):
     original = {tuple(r)[1:] for r in triples.collect()}
     round_tripped = {tuple(r)[1:] for r in reparsed.collect()}
     assert_isomorphic(original, round_tripped)
+
+
+NT_DOC = "\n".join([
+    "# a comment line",
+    "<urn:s1> <urn:p> <urn:o1> .",
+    "<urn:s1> <urn:p> \"plain literal\" .",
+    "<urn:s2> <urn:p> \"met taal\"@nl .",
+    "_:b1 <urn:p> <urn:s2> .",
+    "<urn:s2> <urn:q> _:b1 .",
+    "",
+    "<urn:s3> <urn:p> \"typed\"^^<http://www.w3.org/2001/XMLSchema#string> .",
+    "<urn:s3> <urn:esc> \"line\\nbreak \\\"quoted\\\" u\\u00eb\" .",
+])
+
+
+def test_parse_ntriples_pure():
+    from meresco_rdf_spark.rdfxml.ntriples import parse_ntriples
+
+    from meresco_rdf_spark.model import BNode, Literal, Uri
+
+    g = parse_ntriples(NT_DOC)
+    triples = {(s, p, o) for s, p, o in g.triples()}
+    assert ("urn:s1", "urn:p", Uri("urn:o1")) in triples
+    assert ("urn:s2", "urn:p", Literal("met taal", lang="nl")) in triples
+    assert ("_:b1", "urn:p", Uri("urn:s2")) in triples
+    assert ("urn:s2", "urn:q", BNode("_:b1")) in triples
+    # datatype accepted and dropped (reference literal model)
+    assert ("urn:s3", "urn:p", Literal("typed")) in triples
+    assert ("urn:s3", "urn:esc",
+            Literal('line\nbreak "quoted" uë')) in triples
+    assert len(triples) == 7
+
+
+def test_parse_ntriples_malformed_raises():
+    from meresco_rdf_spark.rdfxml.ntriples import parse_ntriples
+
+    with pytest.raises(ValueError):
+        parse_ntriples("<urn:s> nonsense .")
+
+
+def test_read_ntriples_matches_pure_parser(spark, tmp_path):
+    from meresco_rdf_spark.model import node_to_row
+    from meresco_rdf_spark.rdfxml.ntriples import iter_ntriples
+    from meresco_rdf_spark.sources import read_ntriples_triples
+
+    (tmp_path / "fixture.nt").write_text(NT_DOC, encoding="utf-8")
+    got = {tuple(r) for r in read_ntriples_triples(spark, str(tmp_path)).collect()}
+    expect = {("file:fixture.nt",) + node_to_row(s, p, o)
+              for s, p, o in iter_ntriples(NT_DOC)}
+    assert got == expect
+    # the escaped line went through the Arrow fallback, the rest JVM-side:
+    # both paths contribute and agree with the pure parser
+    assert any("\n" in v for _, _, _, v, *_ in got)
+
+
+def test_read_ntriples_quarantines_malformed(spark, tmp_path):
+    from meresco_rdf_spark.sources import read_ntriples_triples
+
+    (tmp_path / "bad.nt").write_text(
+        "<urn:s> <urn:p> <urn:o> .\njunk line here\n<urn:s> oops\\escape .\n",
+        encoding="utf-8")
+    df = read_ntriples_triples(spark, str(tmp_path), keep_errors=True)
+    rows = df.collect()
+    errors = [r for r in rows if r.error is not None]
+    ok = [r for r in rows if r.error is None]
+    assert len(ok) == 1 and len(errors) == 2  # one per malformed path (JVM + Arrow)
+
+
+def test_read_rdf_directory_mixed_extensions(spark, tmp_path):
+    from meresco_rdf_spark.sources import read_rdf_directory
+
+    (tmp_path / "a.rdf").write_text(DOC_A, encoding="utf-8")
+    (tmp_path / "b.nt").write_text("<urn:s1> <urn:p> <urn:o1> .\n",
+                                   encoding="utf-8")
+    rows = read_rdf_directory(spark, str(tmp_path)).collect()
+    contexts = {r.context for r in rows}
+    assert contexts == {"file:a.rdf", "file:b.nt"}
+    assert len(rows) == 4
