@@ -2,10 +2,12 @@
 
 ``entry(spark)`` runs the flagship KG-construction slice on sf0.001;
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 plus the training-data operators, with DuckDB oracles for
-all SQL-expressible ones (the KG pipeline and xxhash64-seeded LSH are
-rows-only by nature: pandas-UDF extraction, iterative connected
-components, engine-specific hash seeds).
+SURVEY.md §2 plus the training-data operators.  Every query carries an
+oracle: ANSI-SQL ones run directly against the parquet views; the
+non-SQL-expressible KG-pipeline/streaming queries are hash-compared to
+committed golden parquet produced by an independent pure-Python
+reference pipeline (tools/golden_ref.py, regenerated + cross-checked by
+tools/make_golden.py).
 """
 
 from __future__ import annotations

@@ -844,8 +844,10 @@ def q_kg_entity_labels(spark, sf_dir):
 def q_kg_rdfxml_shards(spark, sf_dir):
     """K1 distributed: serialize the pipeline's per-conversation triple
     closures to RDF/XML shards (deterministic serializer, fixture-parity
-    rules); returns (shard, n_triples) + a parse-back triple count so the
-    driver's rows-only check still pins content."""
+    rules), PARSE EACH SHARD BACK, and return (shard, n_triples, fp) where
+    fp is a bnode-bijection-safe content fingerprint of the parsed-back
+    triples — hash-compared against the committed pure-Python golden, so
+    the driver pins full round-trip content, not just counts."""
     from .kg.extract import KG_CONVERSATION
     from .kg.pipeline import run_pipeline
     from .sinks.rdfxml_sink import serialize_shards
@@ -869,34 +871,61 @@ def q_kg_rdfxml_shards(spark, sf_dir):
         .filter(F.col("context").isNotNull())
         .drop("b", "ctx")
     )
-    return serialize_shards(sharded, "context").select(
-        "shard", "n_triples").orderBy("shard")
+    shards = serialize_shards(sharded, "context")
+
+    def parse_back(batches):
+        import pandas as pd
+        import xml.etree.ElementTree as ET
+
+        from .graph import Graph
+        from .kg.fingerprint import triple_set_fingerprint
+        from .model import node_to_row
+        from .rdfxml.parser import RDFParser
+
+        for batch in batches:
+            out = {"shard": [], "n_triples": [], "fp": []}
+            for shard, xml in zip(batch["shard"], batch["xml"]):
+                g = RDFParser(sink=Graph()).parse(ET.fromstring(xml))
+                rows = [node_to_row(s, p, o) for s, p, o in g.triples()]
+                out["shard"].append(shard)
+                out["n_triples"].append(len(rows))
+                out["fp"].append(triple_set_fingerprint(rows))
+            yield pd.DataFrame(out)
+
+    return shards.mapInPandas(
+        parse_back, schema="shard string, n_triples long, fp string")
 
 
 def q_stream_mention_rate(spark, sf_dir):
-    """Structured Streaming surface, drained in availableNow mode: file
-    stream of transcript drops -> incremental mention extraction ->
-    watermarked hourly mention rates.  Rows-only (streaming runtime has
-    no SQL-oracle equivalent); determinism comes from the synthesized
-    input."""
+    """Structured Streaming surface, drained in COMPLETE mode via
+    foreachBatch: file stream of transcript drops -> incremental mention
+    extraction -> hourly windowed mention rates with exact distinct-conv
+    counts.  Complete-mode drain emits every window including the final
+    one (append + watermark would hold the tail window back forever on a
+    bounded input).  Hash-compared against the committed pure-Python
+    golden windows."""
     import tempfile
 
     from .streaming.transcript_stream import (
         mention_rate,
         read_transcript_stream,
-        run_to_parquet,
+        run_to_parquet_complete,
         stream_mentions,
     )
 
     base = tempfile.mkdtemp(prefix="stream_q_")
     _synth_transcripts(spark).write.mode("overwrite").parquet(base + "/in")
-    q = run_to_parquet(
+    q = run_to_parquet_complete(
         mention_rate(stream_mentions(read_transcript_stream(spark, base + "/in")),
                      window="1 hour", watermark="0 seconds"),
         base + "/out", base + "/ckpt")
     q.awaitTermination(600)
-    return spark.read.parquet(base + "/out").orderBy(
-        "window_start", "surface_key")
+    return spark.read.parquet(base + "/out").select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        F.unix_timestamp("window_end").alias("window_end"),
+        "surface_key",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_convs").cast("long").alias("n_convs"))
 
 
 def q_similarity_lsh_topk(spark, sf_dir):
@@ -941,8 +970,10 @@ QUERIES = {
     "nt_ingest": q_nt_ingest,
     "sparql_json_decode": q_sparql_json_decode,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
-    # rows-only (non-SQL-expressible: pandas-UDF extraction, iterative
-    # connected components, xxhash64-seeded LSH planes)
+    # not ANSI-SQL-expressible (pandas-UDF extraction, iterative connected
+    # components, streaming runtime) — oracled against committed golden
+    # parquet generated by the pure-Python reference pipeline
+    # (tools/golden_ref.py; cross-checked by tools/make_golden.py)
     "kg_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,
     "kg_canonical_map": q_kg_canonical_map,
@@ -1031,4 +1062,17 @@ FROM lineitem GROUP BY l_returnflag""",
     "pricing_cube": """
 SELECT l_returnflag, l_linestatus, count(*) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    # kg_*/stream golden oracles: committed parquet generated by the
+    # PURE-PYTHON reference pipeline (tools/golden_ref.py via
+    # tools/make_golden.py) over the same seeded synthetic input —
+    # independent of every Spark operator (exact all-pairs Jaccard +
+    # union-find canonicalization, reference-semantics Graph.findLabel,
+    # single-threaded scoring).  DuckDB reads them directly by path.
+    **{
+        name: "SELECT * FROM read_parquet('/root/repo/tests/golden/%s.parquet')"
+        % name
+        for name in ("kg_mentions", "kg_triples", "kg_canonical_map",
+                     "kg_entity_labels", "kg_rdfxml_shards",
+                     "stream_mention_rate")
+    },
 }

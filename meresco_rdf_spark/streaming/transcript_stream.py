@@ -100,14 +100,23 @@ def mention_rate(mentions: DataFrame, window: str = "5 minutes",
                  watermark: str = "10 minutes") -> DataFrame:
     """Watermarked event-time windowed mention counts per surface.
 
-    Late rows beyond the watermark are dropped (state stays bounded);
-    output mode append emits a window once the watermark passes it."""
+    Late rows beyond the watermark are dropped (state stays bounded).
+    ``n_convs`` is EXACT distinct conversations via ``collect_set`` state
+    (deterministic and oracle-reproducible; state is bounded by distinct
+    convs per window x surface — swap for ``approx_count_distinct`` when
+    that product outgrows executor memory).
+
+    Output-mode semantics: in append mode a window only emits once the
+    watermark passes its END, and the watermark never exceeds max event
+    time — so the final window of a bounded input never emits.  Drain
+    bounded inputs with :func:`run_to_parquet_complete` (foreachBatch
+    complete mode) when the tail window matters."""
     return (
         mentions
         .withWatermark("ts", watermark)
         .groupBy(F.window(F.col("ts"), window), F.col("surface_key"))
         .agg(F.count("*").alias("n_mentions"),
-             F.approx_count_distinct("conv_id").alias("n_convs"))
+             F.size(F.collect_set("conv_id")).alias("n_convs"))
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
@@ -203,6 +212,27 @@ def stateful_mention_scores(mentions: DataFrame,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
+    )
+
+
+def run_to_parquet_complete(stream: DataFrame, out_path: str,
+                            checkpoint: str):
+    """Drain an AGGREGATED stream to parquet in complete output mode via
+    ``foreachBatch`` (the parquet sink itself is append-only): every
+    trigger overwrites the output with the full current aggregation
+    state, so after an ``availableNow`` drain the output contains every
+    window INCLUDING the final one that append mode would hold back
+    behind the watermark."""
+    def write_batch(batch_df, _batch_id):
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    return (
+        stream.writeStream
+        .outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

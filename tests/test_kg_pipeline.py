@@ -266,3 +266,38 @@ class TestPipelineAndMaterialize:
                    F.lit("Now about Alan Turing.")).otherwise(F.col("text")))
         res = run_checkpointed(spark, changed, out, n_buckets=4, table_buckets=4)
         assert res["buckets_processed"] == 1
+
+
+class TestFingerprint:
+    def test_bnode_bijection_invariance(self):
+        from meresco_rdf_spark.kg.fingerprint import triple_set_fingerprint
+
+        a = [
+            ("_:x1", "urn:p", "v1", "literal", None),
+            ("_:x1", "urn:q", "urn:conv:c", "uri", None),
+            ("urn:conv:c", "urn:r", "_:x1", "bnode", None),
+            ("_:x2", "urn:p", "v2", "literal", "en"),
+        ]
+        # same structure, relabeled + reordered
+        b = [
+            ("_:zz", "urn:p", "v2", "literal", "en"),
+            ("urn:conv:c", "urn:r", "_:k", "bnode", None),
+            ("_:k", "urn:q", "urn:conv:c", "uri", None),
+            ("_:k", "urn:p", "v1", "literal", None),
+        ]
+        assert triple_set_fingerprint(a) == triple_set_fingerprint(b)
+        # content change -> different fingerprint
+        c = [row if row[2] != "v1" else (row[0], row[1], "CHANGED", row[3], row[4])
+             for row in a]
+        assert triple_set_fingerprint(a) != triple_set_fingerprint(c)
+
+    def test_golden_oracles_exist_for_every_kg_query(self):
+        import os
+
+        from meresco_rdf_spark.entry_queries import ORACLES, QUERIES
+
+        assert set(ORACLES) == set(QUERIES)  # every query is oracle-checked
+        for name, sql in ORACLES.items():
+            if "read_parquet" in sql:
+                path = sql.split("'")[1]
+                assert os.path.exists(path), path
