@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST_SCHEMA = (
     "bucket int, status string, n_turns long, n_mentions long, "
-    "n_triples long, input_fingerprint string, run_id string, ts double"
+    "n_triples long, input_fingerprint string, run_id string, ts double, "
+    "n_buckets int"
 )
 
 
@@ -56,16 +57,36 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
     return spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
 
 
+def check_bucket_scheme(spark: SparkSession, manifest_path: str,
+                        n_buckets: int) -> None:
+    """Refuse to resume against a manifest written with a different
+    ``n_buckets``: the bucket function changes, so every prior
+    bucket->conversation assignment (and every raw_triples subtree) is
+    invalid — silently mixing schemes resurrects or drops rows."""
+    manifest = read_manifest(spark, manifest_path)
+    schemes = [r.n_buckets for r in
+               manifest.select("n_buckets").dropDuplicates().collect()
+               if r.n_buckets is not None]
+    if any(s != n_buckets for s in schemes):
+        raise ValueError(
+            "manifest at %s was written with n_buckets=%s; resume with the "
+            "same value or clear the output directory" % (manifest_path, schemes))
+
+
 def pending_buckets(spark: SparkSession, transcripts: DataFrame,
                     manifest_path: str, n_buckets: int) -> list[int]:
     """Buckets not yet completed with an unchanged input fingerprint.
-    Driver-side result is a list of bucket ids (size n_buckets max)."""
+    Driver-side result is a list of bucket ids (size n_buckets max).
+    Per bucket, only the LATEST manifest row counts (re-runs append)."""
     fp = input_fingerprints(transcripts, n_buckets)
-    done = (
+    latest = (
         read_manifest(spark, manifest_path)
-        .filter(F.col("status") == "done")
-        .select("bucket", F.col("input_fingerprint").alias("done_fp"))
-        .dropDuplicates(["bucket"])
+        .groupBy("bucket")
+        .agg(F.max_by(F.struct("input_fingerprint", "status"), "ts").alias("m"))
+    )
+    done = (
+        latest.filter(F.col("m.status") == "done")
+        .select("bucket", F.col("m.input_fingerprint").alias("done_fp"))
     )
     pending = (
         fp.join(done, "bucket", "left")
@@ -79,8 +100,38 @@ def pending_buckets(spark: SparkSession, transcripts: DataFrame,
 
 def record_done(spark: SparkSession, manifest_path: str, bucket: int,
                 n_turns: int, n_mentions: int, n_triples: int,
-                input_fingerprint: str, run_id: str) -> None:
+                input_fingerprint: str, run_id: str,
+                n_buckets: int) -> None:
     row = [(bucket, "done", n_turns, n_mentions, n_triples,
-            input_fingerprint, run_id, time.time())]
+            input_fingerprint, run_id, time.time(), n_buckets)]
     spark.createDataFrame(row, MANIFEST_SCHEMA).write.mode("append").parquet(
         manifest_path)
+
+
+def drop_stale_buckets(spark: SparkSession, out_dir: str,
+                       manifest_path: str, live_buckets: set[int],
+                       run_id: str) -> list[int]:
+    """Delete raw_triples subtrees for buckets absent from the CURRENT
+    input (every conversation deleted, or never existed) and tombstone
+    them in the manifest.  Without this, a fully-deleted bucket's parquet
+    survives and its rows resurrect in the global phase — breaking the
+    'changed input invalidates the bucket' lineage contract."""
+    import shutil
+
+    raw_root = os.path.join(out_dir, "raw_triples")
+    if not os.path.isdir(raw_root):
+        return []
+    stale = []
+    for name in os.listdir(raw_root):
+        if not name.startswith("bucket="):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        if bucket not in live_buckets:
+            shutil.rmtree(os.path.join(raw_root, name))
+            stale.append(bucket)
+    if stale:
+        rows = [(b, "deleted", 0, 0, 0, "", run_id, time.time(), None)
+                for b in stale]
+        spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode(
+            "append").parquet(manifest_path)
+    return sorted(stale)

@@ -68,3 +68,78 @@ def write_adjacency_table(triples: DataFrame, path: str, buckets: int = 64,
         .partitionBy("subj_bucket")
         .parquet(path)
     )
+
+
+TRIPLE_COLS = ["subj", "pred", "obj_value", "obj_kind", "obj_lang"]
+
+
+def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
+                       deletes: DataFrame | None = None,
+                       buckets: int = 64) -> dict:
+    """Iceberg-``MERGE``-style read-modify-write against the bucketed
+    parquet triple table — the executable form of the O1/O3 scale story
+    (``Graph.addTriple`` append-with-set-semantics / ``removeTriple``
+    delete, reference graph.py:45-68).
+
+    Exactly what an Iceberg ``MERGE``/``DELETE`` plans over a
+    ``bucket(N, subj)`` table, emulated on plain parquet:
+
+    - the touched bucket set comes from the delta's own subj hashes (a
+      tiny driver-side list — O(buckets), never O(rows));
+    - ONLY touched buckets are read (partition pruning on the
+      ``subj_bucket`` directory column) and ONLY they are rewritten
+      (dynamic partition overwrite) — untouched buckets' files are never
+      opened;
+    - deletes are null-safe full-row anti-joins, adds deduplicate against
+      surviving rows (set semantics), both per-bucket-local because every
+      side is hashed by the same bucket function — the join never
+      shuffles across buckets.
+
+    Returns {"buckets_touched": [...], "rows_after": per-touched-bucket
+    count}.  Idempotent: re-running the same merge is a no-op."""
+    sets = []
+    if adds is not None:
+        sets.append(with_subj_bucket(adds.select(*TRIPLE_COLS), buckets))
+    if deletes is not None:
+        sets.append(with_subj_bucket(deletes.select(*TRIPLE_COLS), buckets))
+    if not sets:
+        return {"buckets_touched": [], "rows_after": 0}
+    delta_union = sets[0] if len(sets) == 1 else sets[0].unionByName(sets[1])
+    touched = sorted(
+        r.subj_bucket
+        for r in delta_union.select("subj_bucket").distinct().collect())
+    if not touched:
+        return {"buckets_touched": [], "rows_after": 0}
+
+    existing = spark.read.parquet(path).filter(
+        F.col("subj_bucket").isin(touched))
+    merged = existing
+    if deletes is not None:
+        dels = with_subj_bucket(deletes.select(*TRIPLE_COLS), buckets)
+        cond = F.lit(True)
+        for c in TRIPLE_COLS + ["subj_bucket"]:
+            cond = cond & merged[c].eqNullSafe(dels[c])
+        merged = merged.join(dels, cond, "left_anti")
+    if adds is not None:
+        merged = merged.unionByName(
+            with_subj_bucket(adds.select(*TRIPLE_COLS), buckets)
+            .filter(F.col("subj_bucket").isin(touched)))
+    merged = merged.dropDuplicates(TRIPLE_COLS)
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    try:
+        spark.conf.set(key, "dynamic")
+        (
+            merged.repartition(len(touched), "subj_bucket")
+            .sortWithinPartitions(*TRIPLE_SORT)
+            .write.mode("overwrite")
+            .partitionBy("subj_bucket")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, old)
+    rows_after = (
+        spark.read.parquet(path)
+        .filter(F.col("subj_bucket").isin(touched)).count())
+    return {"buckets_touched": touched, "rows_after": rows_after}

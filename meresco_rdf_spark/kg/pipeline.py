@@ -26,6 +26,8 @@ from .canonicalize import (
 )
 from .checkpoint import (
     bucket_of,
+    check_bucket_scheme,
+    drop_stale_buckets,
     input_fingerprints,
     pending_buckets,
     record_done,
@@ -87,11 +89,16 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
     """
     manifest_path = os.path.join(out_dir, "_manifest")
     run_id = uuid.uuid4().hex[:12]
+    check_bucket_scheme(spark, manifest_path, n_buckets)
     todo = pending_buckets(spark, transcripts, manifest_path, n_buckets)
     fps = {
         r.bucket: (r.n_turns, r.input_fingerprint)
         for r in input_fingerprints(transcripts, n_buckets).collect()
     }
+    # lineage contract: buckets with no surviving input rows must not
+    # leave parquet behind (deleted conversations would resurrect in the
+    # global phase); tombstoned in the manifest
+    stale = drop_stale_buckets(spark, out_dir, manifest_path, set(fps), run_id)
 
     with_bucket = transcripts.withColumn(
         "_bucket", bucket_of(F.col("conv_id"), n_buckets))
@@ -111,7 +118,7 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
         mentions.unpersist()
         n_turns, fingerprint = fps.get(bucket, (0, ""))
         record_done(spark, manifest_path, bucket, n_turns, n_mentions,
-                    n_triples, fingerprint, run_id)
+                    n_triples, fingerprint, run_id, n_buckets)
         processed += 1
 
     # global phase: canonicalize over all raw triples, materialize outputs
@@ -140,5 +147,6 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
         "run_id": run_id,
         "buckets_processed": processed,
         "buckets_skipped": n_buckets - processed,
+        "buckets_dropped": len(stale),
         "final_triples": n_final,
     }

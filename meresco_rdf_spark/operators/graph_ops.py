@@ -46,15 +46,18 @@ def triples_df(spark: SparkSession, triples: Iterable[tuple]) -> DataFrame:
 def add_triples(df: DataFrame, new: DataFrame) -> DataFrame:
     """Set-semantics insert (reference graph.py:45-55: adding an existing
     triple is a no-op).  Scale: one hash-partitioned dedup shuffle on all 5
-    columns; on an Iceberg table this becomes MERGE-on-key or an
-    append + compaction dedup instead."""
+    columns; against a MATERIALIZED bucketed table use
+    ``kg.materialize.merge_triple_table`` (the executable MERGE-emulation:
+    per-bucket read-modify-write, untouched buckets never opened)."""
     return df.unionByName(new).dropDuplicates(TRIPLE_COLS)
 
 
 def remove_triples(df: DataFrame, doomed: DataFrame) -> DataFrame:
     """Delete (reference graph.py:57-68) = left-anti join on all 5 columns
     (null-safe on the nullable ones).  Scale: broadcast the doomed side
-    when small; Iceberg MERGE ... WHEN MATCHED THEN DELETE otherwise."""
+    when small; against a materialized bucketed table,
+    ``kg.materialize.merge_triple_table(deletes=...)`` executes the
+    Iceberg ``MERGE ... WHEN MATCHED THEN DELETE`` shape per bucket."""
     cond = None
     for c in TRIPLE_COLS:
         clause = df[c].eqNullSafe(doomed[c])

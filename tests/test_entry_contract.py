@@ -30,13 +30,8 @@ class TestDriverContract:
         queries = entry_mod.queries()
         oracles = entry_mod.oracle_sql()
         assert len(queries) >= 25
-        # every oracle belongs to a query; rows-only entries are the
-        # documented non-SQL-expressible ones
-        assert set(oracles) <= set(queries)
-        rows_only = set(queries) - set(oracles)
-        assert rows_only == {"kg_mentions", "kg_triples", "kg_canonical_map",
-                             "kg_entity_labels", "kg_rdfxml_shards",
-                             "stream_mention_rate"}
+        # every query carries an oracle (SQL or committed-golden parquet)
+        assert set(oracles) == set(queries)
 
     @pytest.mark.parametrize("name", ["graph_find_labels", "dedup_exact",
                                       "pricing_summary"])

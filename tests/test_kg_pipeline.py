@@ -301,3 +301,110 @@ class TestFingerprint:
             if "read_parquet" in sql:
                 path = sql.split("'")[1]
                 assert os.path.exists(path), path
+
+
+class TestCheckpointLineage:
+    def test_fully_deleted_bucket_does_not_resurrect(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.checkpoint import bucket_of
+
+        t = synthesize_transcripts(spark, 30, 5)
+        out = str(tmp_path / "kg")
+        run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
+        # delete EVERY conversation in one bucket
+        victim = 2
+        surviving = t.withColumn(
+            "_b", bucket_of(F.col("conv_id"), 4)).filter(
+            F.col("_b") != victim).drop("_b")
+        gone_convs = {r.conv_id for r in t.withColumn(
+            "_b", bucket_of(F.col("conv_id"), 4)).filter(
+            F.col("_b") == victim).select("conv_id").distinct().collect()}
+        assert gone_convs
+        res = run_checkpointed(spark, surviving, out, n_buckets=4,
+                               table_buckets=4)
+        assert res["buckets_dropped"] == 1
+        final = spark.read.parquet(os.path.join(out, "triples"))
+        leaked = final.filter(
+            F.col("subj").isin(["urn:conv:%s" % c for c in gone_convs]))
+        assert leaked.count() == 0
+
+    def test_resume_refuses_n_buckets_change(self, spark, tmp_path):
+        t = synthesize_transcripts(spark, 10, 3)
+        out = str(tmp_path / "kg")
+        run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
+        with pytest.raises(ValueError, match="n_buckets"):
+            run_checkpointed(spark, t, out, n_buckets=8, table_buckets=4)
+
+
+class TestMergeTripleTable:
+    def _table(self, spark, tmp_path):
+        t = synthesize_transcripts(spark, 20, 5)
+        res = run_pipeline(t)
+        path = str(tmp_path / "triples")
+        write_triple_table(res.triples, path, buckets=8)
+        return path, res.triples
+
+    def test_merge_delete_and_add(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.materialize import merge_triple_table
+
+        path, triples = self._table(spark, tmp_path)
+        before = spark.read.parquet(path).drop("subj_bucket")
+        n_before = before.count()  # eager: the merge replaces the files
+        cols = "subj string, pred string, obj_value string, obj_kind string, obj_lang string"
+        doomed_rows = [tuple(r) for r in before.filter(
+            F.col("pred").endswith("#type")).limit(20).collect()]
+        doomed = spark.createDataFrame(doomed_rows, cols)
+        adds = spark.createDataFrame(
+            [("urn:new:1", "urn:p", "v", "literal", None)], cols)
+        res = merge_triple_table(spark, path, adds=adds, deletes=doomed,
+                                 buckets=8)
+        assert res["buckets_touched"]
+        after = spark.read.parquet(path).drop("subj_bucket")
+        assert after.count() == n_before - len(doomed_rows) + 1
+        # deleted rows gone, added row present
+        cond = F.lit(True)
+        for c in ["subj", "pred", "obj_value", "obj_kind", "obj_lang"]:
+            cond = cond & after[c].eqNullSafe(doomed[c])
+        assert after.join(doomed, cond, "left_semi").count() == 0
+        assert after.filter(F.col("subj") == "urn:new:1").count() == 1
+
+    def test_merge_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        import glob
+        import os as _os
+
+        from meresco_rdf_spark.kg.materialize import merge_triple_table
+
+        path, triples = self._table(spark, tmp_path)
+        adds = spark.createDataFrame(
+            [("urn:new:2", "urn:p", "v", "literal", None)],
+            "subj string, pred string, obj_value string, obj_kind string, obj_lang string")
+        res = merge_triple_table(spark, path, adds=adds, buckets=8)
+        assert len(res["buckets_touched"]) == 1
+        touched = res["buckets_touched"][0]
+        # untouched bucket directories keep their original files
+        mtimes = {}
+        for d in glob.glob(_os.path.join(path, "subj_bucket=*")):
+            b = int(d.rsplit("=", 1)[1])
+            mtimes[b] = max(_os.path.getmtime(f)
+                            for f in glob.glob(_os.path.join(d, "*.parquet")))
+        res2 = merge_triple_table(spark, path, adds=adds, buckets=8)  # no-op
+        assert res2["buckets_touched"] == [touched]
+        for d in glob.glob(_os.path.join(path, "subj_bucket=*")):
+            b = int(d.rsplit("=", 1)[1])
+            if b != touched:
+                assert max(_os.path.getmtime(f) for f in glob.glob(
+                    _os.path.join(d, "*.parquet"))) == mtimes[b]
+
+    def test_merge_idempotent(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.materialize import merge_triple_table
+
+        path, triples = self._table(spark, tmp_path)
+        doomed = spark.read.parquet(path).drop("subj_bucket").limit(5)
+        doomed_rows = [tuple(r) for r in doomed.collect()]
+        doomed = spark.createDataFrame(
+            doomed_rows,
+            "subj string, pred string, obj_value string, obj_kind string, obj_lang string")
+        merge_triple_table(spark, path, deletes=doomed, buckets=8)
+        n1 = spark.read.parquet(path).count()
+        # resume-after-delete: replaying the SAME merge changes nothing
+        merge_triple_table(spark, path, deletes=doomed, buckets=8)
+        assert spark.read.parquet(path).count() == n1
