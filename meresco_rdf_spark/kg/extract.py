@@ -145,12 +145,18 @@ def detect_mentions(transcripts: DataFrame,
     # mapInPandas after an explicit conv_id repartition (not groupBy.apply):
     # mention detection needs no cross-conversation state, so a plain
     # partition-local iterator avoids the per-group invocation overhead.
-    # No explicit partition count: repartition("conv_id") honors
-    # spark.sql.shuffle.partitions + AQE coalescing, so the stage scales
-    # with the input instead of pinning to the driver's core count.
+    # Partition count = spark.sql.shuffle.partitions, passed EXPLICITLY:
+    # a bare repartition("conv_id") lets AQE coalesce the exchange to its
+    # ~64MB byte target, which collapses this CPU-bound Python stage to a
+    # couple of partitions (measured 3x wall at local[32]); a count pinned
+    # to the driver's defaultParallelism would ignore cluster-level
+    # configuration.  The conf value is the operator's width knob and
+    # scales with the deployment.
+    spark = transcripts.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         transcripts.select("conv_id", "turn_idx", "text")
-        .repartition("conv_id")
+        .repartition(width, "conv_id")
         .mapInPandas(find, schema=MENTION_SCHEMA)
     )
 
