@@ -797,6 +797,32 @@ def q_rdfxml_roundtrip(spark, sf_dir):
     return read_rdfxml_triples(docs).drop("context")
 
 
+def q_nt_roundtrip(spark, sf_dir):
+    """K-side .nt egress + S-side ingest identity: the TPC-H triples view
+    written as N-Triples text (pure column expressions, splittable files)
+    and parsed back — oracle is the original triples CTE."""
+    import tempfile
+
+    from .sinks.nt_sink import write_ntriples
+    from .sources.rdf_source import read_ntriples_triples
+
+    base = tempfile.mkdtemp(prefix="nt_roundtrip_")
+    write_ntriples(tpch_triples(spark, sf_dir), base, num_files=8)
+    return read_ntriples_triples(spark, base, glob="*.txt").drop("context")
+
+
+def q_pricing_rollup(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): hierarchical subtotals in one
+    hash-agg pass (NULL = subtotal marker rows)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("double").alias("sum_qty"))
+    )
+
+
 def _driver_fixture_sql(kind: str) -> str:
     from .sources.driver_fixtures import (
         EXPECTED_NT_ROWS,
@@ -968,8 +994,10 @@ QUERIES = {
     "pricing_cube": q_pricing_cube,
     "rdf_ingest_dir": q_rdf_ingest_dir,
     "nt_ingest": q_nt_ingest,
+    "nt_roundtrip": q_nt_roundtrip,
     "sparql_json_decode": q_sparql_json_decode,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
+    "pricing_rollup": q_pricing_rollup,
     # not ANSI-SQL-expressible (pandas-UDF extraction, iterative connected
     # components, streaming runtime) — oracled against committed golden
     # parquet generated by the pure-Python reference pipeline
@@ -1052,6 +1080,13 @@ FROM nation""",
     "rdfxml_roundtrip": _fmt("""
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
+    "nt_roundtrip": _fmt("""
+WITH {cte}
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
+    "pricing_rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "pricing_pivot": """
 SELECT l_returnflag,
   sum(CASE WHEN l_linestatus = 'O'

@@ -1,1 +1,2 @@
+from .nt_sink import ntriples_lines, write_ntriples  # noqa: F401
 from .rdfxml_sink import serialize_shards, write_rdfxml_shards  # noqa: F401

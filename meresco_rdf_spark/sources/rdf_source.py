@@ -148,7 +148,8 @@ def _parse_nt_lines_python(batches) -> Iterator:
 
 
 def read_ntriples_triples(spark: SparkSession, path: str,
-                          keep_errors: bool = False) -> DataFrame:
+                          keep_errors: bool = False,
+                          glob: str = "*.nt") -> DataFrame:
     """N-Triples files -> triples DataFrame (context = ``file:<basename>``,
     mirroring the reference's declared ``.nt`` -> text/plain content-type
     path, graphcomponent.py:68-74 — dead there, real here).
@@ -161,7 +162,7 @@ def read_ntriples_triples(spark: SparkSession, path: str,
     parser — a row-level hybrid, unioned back together, no shuffle."""
     lines = (
         spark.read.format("text")
-        .option("pathGlobFilter", "*.nt")
+        .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
         .load(path)
         .select(

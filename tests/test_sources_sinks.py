@@ -221,3 +221,36 @@ def test_read_rdf_directory_mixed_extensions(spark, tmp_path):
     contexts = {r.context for r in rows}
     assert contexts == {"file:a.rdf", "file:b.nt"}
     assert len(rows) == 4
+
+
+def test_nt_sink_roundtrip_with_escapes(spark, tmp_path):
+    from meresco_rdf_spark.sinks import write_ntriples
+    from meresco_rdf_spark.sources import read_ntriples_triples
+
+    rows = [
+        ("urn:s", "urn:p", 'tricky "quoted" \\ back\nnewline\ttab', "literal", None),
+        ("urn:s", "urn:p", "taal", "literal", "nl"),
+        ("urn:s", "urn:q", "urn:o", "uri", None),
+        ("_:b0", "urn:p", "_:b1", "bnode", None),
+        ("urn:s", "urn:r", "unicode ë ≤ ok", "literal", None),
+    ]
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string, obj_lang string")
+    out = str(tmp_path / "nt")
+    write_ntriples(triples, out, num_files=2)
+    back = {tuple(r) for r in read_ntriples_triples(
+        spark, out, glob="*.txt").drop("context").collect()}
+    assert back == set(rows)
+
+
+def test_nt_lines_pure_jvm(spark):
+    from meresco_rdf_spark.sinks import ntriples_lines
+
+    triples = spark.createDataFrame(
+        [("urn:s", "urn:p", "v", "literal", "en")],
+        "subj string, pred string, obj_value string, obj_kind string, obj_lang string")
+    lines = ntriples_lines(triples)
+    assert lines.collect()[0].value == '<urn:s> <urn:p> "v"@en .'
+    # no Python in the plan: pure projection over the scan
+    plan = lines._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

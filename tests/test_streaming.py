@@ -116,3 +116,41 @@ class TestTranscriptStream:
         q2.awaitTermination(120)
         n2 = spark.read.parquet(out).count()
         assert n2 == 2 * n1  # same synthetic content, prefixed conv ids
+
+
+def test_complete_drain_includes_tail_window(spark, tmp_path):
+    """Append mode + watermark never emits the final window of a bounded
+    input (the watermark can't pass it); the complete-mode foreachBatch
+    drain must include it."""
+    from meresco_rdf_spark.streaming.transcript_stream import (
+        mention_rate,
+        read_transcript_stream,
+        run_to_parquet,
+        run_to_parquet_complete,
+        stream_mentions,
+    )
+
+    path = _write_input(spark, tmp_path, n_convs=6)
+    max_ts = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
+
+    def windows(out, ckpt, runner):
+        q = runner(
+            mention_rate(stream_mentions(read_transcript_stream(spark, path)),
+                         window="1 hour", watermark="0 seconds"),
+            str(tmp_path / out), str(tmp_path / ckpt))
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / out))
+
+    complete = windows("complete", "ckpt_c", run_to_parquet_complete)
+    appended = windows("append", "ckpt_a", run_to_parquet)
+    # the window containing the max event time only shows up in complete
+    assert complete.filter(
+        (F.col("window_start") <= max_ts) & (F.col("window_end") > max_ts)
+    ).count() > 0
+    assert appended.filter(
+        (F.col("window_start") <= max_ts) & (F.col("window_end") > max_ts)
+    ).count() == 0
+    # and complete is a superset of append
+    assert complete.count() > appended.count()
+    # n_convs is exact (collect_set), bounded by the input conversations
+    assert complete.agg(F.max("n_convs")).collect()[0][0] <= 6
