@@ -823,6 +823,90 @@ def q_pricing_rollup(spark, sf_dir):
     )
 
 
+def q_embed_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs on the SCALE path: sign-LSH bucketed
+    candidates (n_planes=8, bands=4), exact cosine verify >= 0.4 (the
+    synthetic embeddings top out near cos 0.51, so 0.4 yields a
+    non-trivial verified pair set)."""
+    from .textops.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=8)
+
+
+def _embed_dup_sql(threshold: float = 0.4, dim: int = 64,
+                   n_planes: int = 8, bands: int = 4) -> str:
+    from .textops.similarity import plane_signs
+
+    signs = plane_signs(n_planes, dim)
+    width = n_planes // bands
+
+    def sig_expr(vec: str) -> str:
+        bits = []
+        for p in range(n_planes):
+            arr = "[" + ", ".join("%.1f" % s for s in signs[p]) + "]::DOUBLE[]"
+            bits.append(
+                "CASE WHEN list_sum(list_transform(range(1, {d1}), "
+                "i -> {v}[i]::DOUBLE * ({arr})[i])) >= 0 "
+                "THEN '1' ELSE '0' END".format(d1=dim + 1, v=vec, arr=arr))
+        return "concat(%s)" % ", ".join(bits)
+
+    band_rows = " UNION ALL ".join(
+        "SELECT id, v, %d AS band_id, substr(sig, %d, %d) AS band_bits FROM sig"
+        % (b, b * width + 1, width) for b in range(bands))
+    dot = ("list_sum(list_transform(range(1, {d1}), "
+           "i -> l.v[i]::DOUBLE * r.v[i]::DOUBLE))").format(d1=dim + 1)
+    nl = ("sqrt(list_sum(list_transform(range(1, {d1}), "
+          "i -> l.v[i]::DOUBLE * l.v[i]::DOUBLE)))").format(d1=dim + 1)
+    nr = ("sqrt(list_sum(list_transform(range(1, {d1}), "
+          "i -> r.v[i]::DOUBLE * r.v[i]::DOUBLE)))").format(d1=dim + 1)
+    return """
+WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+sig AS (SELECT id, v, {sig} AS sig FROM e),
+banded AS ({band_rows}),
+cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+         FROM banded l JOIN banded r
+           ON l.band_id = r.band_id AND l.band_bits = r.band_bits
+              AND l.id < r.id),
+scored AS (SELECT cand.a, cand.b,
+             round({dot} / ({nl} * {nr}), 6) AS cos
+           FROM cand JOIN e l ON l.id = cand.a JOIN e r ON r.id = cand.b)
+SELECT a, b, cos FROM scored WHERE cos >= {thr}""".format(
+        sig=sig_expr("v"), band_rows=band_rows, dot=dot, nl=nl, nr=nr,
+        thr=threshold)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: deterministic synthetic media
+    table (binary payloads) -> Arrow ``mapInPandas`` feature extraction
+    -> exploded (media_id, kind, n_bytes, i, byte_val) rows.  byte_val
+    recovers the digest byte from the float feature (exact inverse of
+    /255), so the oracle re-derives every value in pure SQL."""
+    from .textops.multimodal import extract_features, synthesize_media
+
+    feats = extract_features(synthesize_media(spark, 64), dim=8)
+    return feats.select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("feature").alias("i", "f"),
+    ).select(
+        "media_id", "kind", "n_bytes", F.col("i").cast("long").alias("i"),
+        F.round(F.col("f").cast("double") * 255).cast("long").alias("byte_val"))
+
+
+_MULTIMODAL_SQL = """
+WITH ids AS (SELECT range AS id FROM range(0, 64)),
+m AS (SELECT 'm' || id AS media_id,
+        (['image','audio','video'])[CAST(id % 3 AS INT) + 1] AS kind,
+        sha256('media-42-' || id) AS payload_hex FROM ids),
+d AS (SELECT media_id, kind, sha256(payload_hex) AS digest FROM m),
+idx AS (SELECT range AS i FROM range(0, 8))
+SELECT media_id, kind, 32::BIGINT AS n_bytes, i::BIGINT AS i,
+  ((strpos('0123456789abcdef', substr(digest, CAST(2*i+1 AS INT), 1)) - 1) * 16
+   + strpos('0123456789abcdef', substr(digest, CAST(2*i+2 AS INT), 1)) - 1
+  )::BIGINT AS byte_val
+FROM d, idx"""
+
+
 def _driver_fixture_sql(kind: str) -> str:
     from .sources.driver_fixtures import (
         EXPECTED_NT_ROWS,
@@ -998,6 +1082,8 @@ QUERIES = {
     "sparql_json_decode": q_sparql_json_decode,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "pricing_rollup": q_pricing_rollup,
+    "multimodal_features": q_multimodal_features,
+    "embed_dup_pairs": q_embed_dup_pairs,
     # not ANSI-SQL-expressible (pandas-UDF extraction, iterative connected
     # components, streaming runtime) — oracled against committed golden
     # parquet generated by the pure-Python reference pipeline
@@ -1087,6 +1173,8 @@ SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
 SELECT l_returnflag, l_linestatus, count(*) AS n,
        sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "multimodal_features": _MULTIMODAL_SQL,
+    "embed_dup_pairs": _embed_dup_sql(),
     "pricing_pivot": """
 SELECT l_returnflag,
   sum(CASE WHEN l_linestatus = 'O'

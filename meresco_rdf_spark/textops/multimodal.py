@@ -55,11 +55,15 @@ def decode_image(payload: bytes):  # pragma: no cover - real-codec path
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in feature: sha1-derived floats in [0, 1).
-    Replaces the decode+embed kernel in tests; same signature and shape."""
+    """Deterministic stand-in feature: sha256-derived floats in [0, 1).
+    Replaces the decode+embed kernel in tests; same signature and shape.
+    Hashes the payload's LOWERCASE HEX (not the raw bytes): ANSI-SQL
+    oracles only ship VARCHAR hash functions, and this choice makes the
+    stub reproducible bit-for-bit in DuckDB (`sha256(hex)`) while staying
+    just as deterministic."""
     if payload is None:
         return [0.0] * dim
-    digest = hashlib.sha1(payload).digest()
+    digest = hashlib.sha256(payload.hex().encode("ascii")).digest()
     return [digest[i % len(digest)] / 255.0 for i in range(dim)]
 
 
