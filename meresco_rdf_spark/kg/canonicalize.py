@@ -146,17 +146,48 @@ def similar_surface_pairs(surfaces: DataFrame,
 # connected components (alternating large-star / small-star)
 # --------------------------------------------------------------------------
 
+def _local_components(edge_rows) -> dict:
+    """Driver-side union-find (path-halving) -> {node: min-label}."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = sorted((ru, rv))
+            parent[hi] = lo
+    return {node: find(node) for node in parent}
+
+
 def connected_components(edges: DataFrame,
                          src: str = "a", dst: str = "b",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         local_threshold: int = 1_000_000) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
-    Alternating large-star / small-star (Kiveris et al. 2014; PAPERS.md):
-    each round is two self-grouping aggregations; converges in
-    O(log^2 n) rounds on pathological graphs, 2-4 rounds on the
-    near-transitive similarity graphs this pipeline produces.  Lineage is
-    cut every round with ``localCheckpoint`` (SURVEY.md §4) — without it
-    the iterative plan grows exponentially and re-executes prior rounds.
+    Adaptive strategy (same answer either way, asserted in tests):
+
+    - **small graphs** (<= ``local_threshold`` symmetric edges, counted on
+      the already-checkpointed edge set): one collect + driver union-find.
+      The iterative path costs ~2 scheduled jobs per round regardless of
+      data size, which dominates wall time when the similarity graph is
+      tiny — and in this pipeline the node universe is DISTINCT SURFACES,
+      the same relation the canonical map broadcast already assumes to be
+      driver-sized.  This is the AQE move: pick the physical strategy
+      from the runtime statistic.
+    - **large graphs**: alternating large-star / small-star (Kiveris et
+      al. 2014; PAPERS.md): each round is two self-grouping aggregations;
+      converges in O(log^2 n) rounds on pathological graphs, 2-4 rounds
+      on the near-transitive similarity graphs this pipeline produces.
+      Lineage is cut every round with ``localCheckpoint`` (SURVEY.md §4)
+      — without it the iterative plan grows exponentially.  Pass
+      ``local_threshold=0`` to force this path (tests do).
 
     Returns ``(node, component)`` where component = min node label
     (string order) of the node's component.
@@ -168,45 +199,65 @@ def connected_components(edges: DataFrame,
     sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
 
+    if e.count() <= local_threshold:
+        comp = _local_components(
+            (r.u, r.v) for r in e.collect())
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            sorted(comp.items()), "node string, component string")
+
+    # Faithful ALTERNATING large-star / small-star (one operation per
+    # half-round, as the paper proves convergent — a fused both-at-once
+    # variant can reach a stable non-star-forest state that under-merges;
+    # caught by the local-path parity test on random graphs).
+    def _signature(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")).first()
+        return (row.n, row.h)
+
+    prev_sig = None
     for _ in range(max_iterations):
-        # large-star: every neighbor v > u links to min(N(u) + {u})
-        mins = e.groupBy("u").agg(F.min("v").alias("m"))
-        mins = mins.withColumn("m", F.least(F.col("m"), F.col("u")))
-        large = (
-            e.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        # LARGE-STAR: per node u over the SYMMETRIC neighbor view,
+        # m = min(N(u) + {u}); every strictly-larger neighbor links to m.
+        # Output edges are (bigger, smaller) by construction.
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u").agg(F.min("v").alias("m"))
+            .withColumn("m", F.least(F.col("m"), F.col("u")))
         )
-        # small-star: every neighbor v <= u links to the same min
-        small = (
-            e.filter(F.col("v") <= F.col("u"))
+        large = (
+            nbrs.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
-        )
-        new_e = (
-            large.unionByName(small)
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates(["u", "v"])
             .localCheckpoint(eager=True)
         )
-        # converged when the edge set is a stable star forest: compare a
-        # cheap order-insensitive signature (count + sum of row hashes) —
-        # two tiny aggregates over checkpointed data instead of two
-        # anti-join passes per round
-        sig = new_e.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")).first()
-        old_sig = e.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")).first()
-        e = new_e
-        if (sig.n, sig.h) == (old_sig.n, old_sig.h):
+        # SMALL-STAR: edges already oriented u > v; per node u,
+        # m = min of its (all-smaller) neighbors; every neighbor and u
+        # itself links to m.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=True)
+        )
+        e = small
+        # converged when the star forest is stable: one cheap
+        # order-insensitive signature (count + hash sum) per round
+        sig = _signature(e)
+        if sig == prev_sig:
             break
+        prev_sig = sig
 
+    # e is now a star forest of (node, root) edges with root < node
     comp = e.groupBy("u").agg(F.min("v").alias("component"))
-    comp = comp.withColumn("component", F.least(F.col("component"), F.col("u")))
-    # isolated star centers: nodes appearing only as v
+    # roots: nodes appearing only on the v side point to themselves
     centers = (
         e.select(F.col("v").alias("u"))
         .join(comp.select("u"), "u", "left_anti")

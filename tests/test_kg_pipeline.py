@@ -408,3 +408,30 @@ class TestMergeTripleTable:
         # resume-after-delete: replaying the SAME merge changes nothing
         merge_triple_table(spark, path, deletes=doomed, buckets=8)
         assert spark.read.parquet(path).count() == n1
+
+
+class TestAdaptiveCC:
+    # regression: the round-1 fused large+small star could reach a stable
+    # NON-star-forest state on random graphs and report split components;
+    # the alternating rewrite must match driver union-find ground truth
+    @pytest.mark.parametrize("seed", [7, 11, 99])
+    def test_local_and_distributed_paths_agree(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        edges = [("n%02d" % rng.randrange(40), "n%02d" % rng.randrange(40))
+                 for _ in range(60)]
+        df = spark.createDataFrame(edges, "a string, b string")
+        local = {(r.node, r.component)
+                 for r in connected_components(df).collect()}
+        dist = {(r.node, r.component)
+                for r in connected_components(
+                    df, local_threshold=0).collect()}
+        assert local == dist and len(local) > 0
+
+    def test_distributed_path_long_chain(self, spark):
+        chain = [("n%03d" % i, "n%03d" % (i + 1)) for i in range(50)]
+        df = spark.createDataFrame(chain, "a string, b string")
+        comp = {r.component for r in connected_components(
+            df, local_threshold=0).collect()}
+        assert comp == {"n000"}
