@@ -308,6 +308,47 @@ def q_text_quality(spark, sf_dir):
         F.col("quality_score").cast("long").alias("quality_score"))
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE-ish sub-word token counts (letter/digit-boundary splitting).
+    The Spark regex uses lookarounds (unsupported by DuckDB's RE2), so
+    the oracle counts the equivalent closed form: maximal alnum runs +
+    non-space punctuation characters."""
+    from .textops.textstats import bpe_ish_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe"))
+
+
+def q_graph_contains(spark, sf_dir):
+    """O8 batch existence: masked membership probes resolved in ONE scan
+    of the triples relation (probes broadcast; null = wildcard position),
+    reference ``__contains__`` graph.py:99-100."""
+    probes = spark.createDataFrame(
+        [(1, "urn:cust:1", FOAF_NAME, None),
+         (2, None, REL_NATION, None),
+         (3, "urn:nope:1", None, None),
+         (4, None, None, "EUROPE"),
+         (5, "urn:region:0", SKOS_PREFLABEL, "AFRICA")],
+        "probe_id int, p_subj string, p_pred string, p_obj string")
+    t = tpch_triples(spark, sf_dir)
+    cond = (
+        (F.col("p_subj").isNull() | (F.col("subj") == F.col("p_subj")))
+        & (F.col("p_pred").isNull() | (F.col("pred") == F.col("p_pred")))
+        & (F.col("p_obj").isNull() | (F.col("obj_value") == F.col("p_obj")))
+    )
+    found = (
+        t.join(F.broadcast(probes), cond)
+        .select("probe_id").dropDuplicates(["probe_id"])
+        .withColumn("found", F.lit(True))
+    )
+    return (
+        probes.join(found, "probe_id", "left")
+        .select("probe_id", F.coalesce(F.col("found"), F.lit(False)).alias("found"))
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         _read(spark, sf_dir, "documents"), threshold=0.6)
@@ -648,6 +689,29 @@ def q_events_range_hot_hours(spark, sf_dir):
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "tsu")
     return range_join_broadcast(purchases, hot, "tsu", "hstart", "hend").select(
+        "event_id", "hstart", "n_errors")
+
+
+def q_events_range_hot_hours_bucketized(spark, sf_dir):
+    """Range join, BUCKETIZED scale strategy (same semantics/oracle as
+    the broadcast twin: shuffle keyed on fixed-width time buckets, cost
+    O(rows-in-bucket x intervals-touching-bucket))."""
+    from .operators.analytics import range_join_bucketized
+
+    e = _events_micros(spark, sf_dir)
+    hour = 3600 * 1_000_000
+    hot = (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("hstart", F.expr("(tsu div %d) * %d" % (hour, hour)))
+        .groupBy("hstart").agg(F.count("*").alias("n_errors"))
+        .filter(F.col("n_errors") >= 6)
+        .withColumn("hend", F.col("hstart") + hour)
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "tsu")
+    return range_join_bucketized(
+        purchases, hot, "tsu", "hstart", "hend",
+        bucket_width=15 * 60 * 1_000_000).select(
         "event_id", "hstart", "n_errors")
 
 
@@ -1072,7 +1136,10 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof_signup": q_events_asof_signup,
     "events_range_hot_hours": q_events_range_hot_hours,
+    "events_range_hot_hours_bucketized": q_events_range_hot_hours_bucketized,
     "events_quantiles": q_events_quantiles,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "graph_contains": q_graph_contains,
     "pricing_summary": q_pricing_summary,
     "pricing_pivot": q_pricing_pivot,
     "pricing_cube": q_pricing_cube,
@@ -1175,6 +1242,25 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "multimodal_features": _MULTIMODAL_SQL,
     "embed_dup_pairs": _embed_dup_sql(),
+    "text_bpe_tokens": """
+SELECT doc_id,
+  (len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x != ''))
+   + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_bpe
+FROM documents""",
+    "graph_contains": _fmt("""
+WITH {cte},
+probes(probe_id, p_subj, p_pred, p_obj) AS (VALUES
+  (1, 'urn:cust:1', '{foaf}', CAST(NULL AS VARCHAR)),
+  (2, CAST(NULL AS VARCHAR), '{rel_nation}', CAST(NULL AS VARCHAR)),
+  (3, 'urn:nope:1', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  (4, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'EUROPE'),
+  (5, 'urn:region:0', '{skos_pref}', 'AFRICA'))
+SELECT probe_id, EXISTS (
+  SELECT 1 FROM triples t
+  WHERE (p_subj IS NULL OR t.subj = p_subj)
+    AND (p_pred IS NULL OR t.pred = p_pred)
+    AND (p_obj IS NULL OR t.obj_value = p_obj)) AS found
+FROM probes"""),
     "pricing_pivot": """
 SELECT l_returnflag,
   sum(CASE WHEN l_linestatus = 'O'
@@ -1199,3 +1285,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
                      "stream_mention_rate")
     },
 }
+
+# the bucketized range-join strategy must produce byte-identical results
+# to the broadcast twin — same oracle
+ORACLES["events_range_hot_hours_bucketized"] = ORACLES["events_range_hot_hours"]
