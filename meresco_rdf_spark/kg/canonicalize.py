@@ -290,7 +290,8 @@ def canonical_surface_map(surfaces: DataFrame,
 
 
 def rewrite_triples(triples: DataFrame, canon: DataFrame,
-                    broadcast_map: bool = True) -> DataFrame:
+                    broadcast_map: bool = True,
+                    dedup: bool = True) -> DataFrame:
     """Rewrite subj and uri-objects through the canonical map
     (surface_uri -> canonical_uri) and dedup (set semantics survive the
     merge).  ``canon`` columns: surface_key, canonical_uri.
@@ -298,7 +299,11 @@ def rewrite_triples(triples: DataFrame, canon: DataFrame,
     Scale: two left joins keyed on the uri string.  The map is distinct
     surfaces — broadcast by default; pass ``broadcast_map=False`` to let
     AQE choose (sort-merge with skew splitting) when the entity universe
-    outgrows the driver."""
+    outgrows the driver.  ``dedup=False`` skips the full-width
+    dropDuplicates shuffle for callers that dedup selectively (see
+    ``pipeline.run_checkpointed``: bnode-subject triples are unique by
+    construction, so only the tiny non-bnode fraction needs the set
+    semantics restored)."""
     uri_map = canon.select(
         F.concat(F.lit(SURFACE_URI_PREFIX),
                  F.replace(F.col("surface_key"), F.lit(" "), F.lit("-"))).alias("from_uri"),
@@ -323,6 +328,8 @@ def rewrite_triples(triples: DataFrame, canon: DataFrame,
         .withColumn("obj_value", F.coalesce(F.col("o_to"), F.col("obj_value")))
         .drop("o_from", "o_to")
     )
+    if not dedup:
+        return out
     return out.dropDuplicates(["subj", "pred", "obj_value", "obj_kind", "obj_lang"])
 
 

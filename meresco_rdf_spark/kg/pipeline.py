@@ -133,11 +133,23 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
         .dropDuplicates(["surface_key"])
     )
     canon = canonical_surface_map(surfaces, threshold=jaccard_threshold).persist()
-    final = (
-        rewrite_triples(raw_cols, canon)
+    # selective dedup: bnode-subject triples (the overwhelming majority —
+    # 6 rows per mention) are unique by construction (bnode ids are
+    # conv-scoped sha1s, convs never span buckets, one row per predicate),
+    # so only the non-bnode fraction (surface labels + conv edges +
+    # sameAs — repeated across buckets) pays the full-width dedup
+    # shuffle.  At corpus scale this shrinks the global exchange from
+    # O(all triples) to O(labels + edges).
+    rewritten = (
+        rewrite_triples(raw_cols, canon, dedup=False)
         .unionByName(sameas_triples(canon))
+    )
+    bnode_part = rewritten.filter(F.col("subj").startswith("_:"))
+    rest = (
+        rewritten.filter(~F.col("subj").startswith("_:"))
         .dropDuplicates(TRIPLE_COLS)
     )
+    final = bnode_part.unionByName(rest)
     write_triple_table(final, os.path.join(out_dir, "triples"),
                        buckets=table_buckets)
     write_adjacency_table(final, os.path.join(out_dir, "adjacency"),

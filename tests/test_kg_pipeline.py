@@ -435,3 +435,13 @@ class TestAdaptiveCC:
         comp = {r.component for r in connected_components(
             df, local_threshold=0).collect()}
         assert comp == {"n000"}
+
+
+def test_checkpointed_final_has_set_semantics(spark, tmp_path):
+    # the selective-dedup global phase must still produce a SET: no row
+    # may appear twice (bnode branch unique by construction, rest deduped)
+    t = synthesize_transcripts(spark, 25, 6)
+    out = str(tmp_path / "kg")
+    run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
+    final = spark.read.parquet(os.path.join(out, "triples")).drop("subj_bucket")
+    assert final.count() == final.dropDuplicates().count()
