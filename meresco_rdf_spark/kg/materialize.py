@@ -58,6 +58,34 @@ def adjacency(triples: DataFrame) -> DataFrame:
     )
 
 
+def adjacency_topk(triples: DataFrame, k: int = 128,
+                   salt_buckets: int = 16) -> DataFrame:
+    """Hot-subject-safe adjacency: top-``k`` edges per subject (sorted
+    (pred, obj) order) via an explicit TWO-STAGE SALTED AGGREGATION — the
+    north-star skew lever for hub entities.
+
+    ``collect_list`` has no useful partial reduction: a hub subject with
+    10^8 edges funnels every edge into one reducer and one giant row.
+    Stage 1 keys (subj, salt) — the hub's edges reduce in parallel into
+    ``salt_buckets`` arrays each truncated to k; stage 2 merges those
+    bounded arrays and truncates again.  Shuffle volume and output row
+    size are O(k x salt_buckets) per subject regardless of true degree;
+    ``degree`` still reports the exact edge count."""
+    edge = F.struct(
+        F.col("pred"), F.col("obj_value"), F.col("obj_kind"), F.col("obj_lang"))
+    salted = triples.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("pred"), F.col("obj_value")),
+               F.lit(salt_buckets)))
+    partial = salted.groupBy("subj", "_salt").agg(
+        F.slice(F.sort_array(F.collect_list(edge)), 1, k).alias("edges"),
+        F.count("*").alias("n"))
+    return partial.groupBy("subj").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("edges"))), 1, k)
+        .alias("edges"),
+        F.sum("n").alias("degree"))
+
+
 def write_adjacency_table(triples: DataFrame, path: str, buckets: int = 64,
                           mode: str = "overwrite") -> None:
     (

@@ -445,3 +445,19 @@ def test_checkpointed_final_has_set_semantics(spark, tmp_path):
     run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
     final = spark.read.parquet(os.path.join(out, "triples")).drop("subj_bucket")
     assert final.count() == final.dropDuplicates().count()
+
+
+def test_adjacency_topk_matches_plain_truncation(spark):
+    from meresco_rdf_spark.kg.materialize import adjacency, adjacency_topk
+
+    rows = ([("hub", "p%03d" % i, "o%03d" % i, "uri", None) for i in range(50)]
+            + [("tiny", "p", "o", "uri", None)])
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string, obj_lang string")
+    plain = {r.subj: (r.degree, [tuple(e) for e in r.edges[:7]])
+             for r in adjacency(triples).collect()}
+    salted = {r.subj: (r.degree, [tuple(e) for e in r.edges])
+              for r in adjacency_topk(triples, k=7, salt_buckets=4).collect()}
+    # same exact degrees, same sorted top-7 edge prefix, bounded rows
+    assert salted == plain
+    assert all(len(v[1]) <= 7 for v in salted.values())
