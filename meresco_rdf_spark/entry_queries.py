@@ -575,6 +575,60 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}""".format(
         dot=dot, nq=nq, nc=nc, k=k)
 
 
+def _ivf_topk_sql(k: int = 5, n_queries: int = 8, dim: int = 64,
+                  n_pivots: int = 8, probes: int = 2) -> str:
+    """IVF-flat oracle: the deterministic pivot matrix and its norms
+    inline as literals (repr precision -> bit-identical doubles), the
+    same sequential-fold arithmetic as the Spark side."""
+    import math
+
+    from .textops.similarity import ivf_pivots
+
+    pivots = ivf_pivots(n_pivots, dim)
+    norms = [math.sqrt(sum(x * x for x in p)) for p in pivots]
+    pv = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in pivots
+    ) + "]::DOUBLE[][]"
+    nm = "[" + ", ".join(repr(n) for n in norms) + "]::DOUBLE[]"
+
+    def scores(vec: str) -> str:
+        return (
+            "list_transform(range(1, {p1}), p -> "
+            "list_sum(list_transform(range(1, {d1}), "
+            "i -> {v}[i]::DOUBLE * ({pv})[p][i])) / ({nm})[p])"
+        ).format(p1=n_pivots + 1, d1=dim + 1, v=vec, pv=pv, nm=nm)
+
+    dot = ("list_sum(list_transform(range(1, {d1}), "
+           "i -> qv[i]::DOUBLE * cv[i]::DOUBLE))").format(d1=dim + 1)
+    nq = ("sqrt(list_sum(list_transform(range(1, {d1}), "
+          "i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))").format(d1=dim + 1)
+    nc = ("sqrt(list_sum(list_transform(range(1, {d1}), "
+          "i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))").format(d1=dim + 1)
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {nq_lim}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+cs AS (SELECT neighbor_id, cv, {cscores} AS scores FROM c),
+cb AS (SELECT neighbor_id, cv,
+         list_position(scores, list_max(scores)) AS bucket FROM cs),
+qs AS (SELECT query_id, qv, {qscores} AS scores FROM q),
+qb AS (SELECT query_id, qv, CAST(u.p AS INT) AS bucket, scores[u.p] AS score
+       FROM qs CROSS JOIN unnest(range(1, {p1})) AS u(p)),
+qbr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, bucket) AS rn FROM qb),
+probe AS (SELECT query_id, qv, bucket FROM qbr WHERE rn <= {probes}),
+cand AS (SELECT DISTINCT probe.query_id, probe.qv, cb.neighbor_id, cb.cv
+         FROM probe JOIN cb USING (bucket)
+         WHERE probe.query_id != cb.neighbor_id),
+scored AS (SELECT query_id, neighbor_id,
+             round({dot} / ({nq} * {nc}), 6) AS cos FROM cand),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}""".format(
+        nq_lim=n_queries, cscores=scores("cv"), qscores=scores("qv"),
+        p1=n_pivots + 1, probes=probes, dot=dot, nq=nq, nc=nc, k=k)
+
+
 def _cosine_topk_sql(k: int = 5, n_queries: int = 8, dim: int = 64) -> str:
     dot = ("list_sum(list_transform(range(1, {d1}), "
            "i -> qv[i]::DOUBLE * cv[i]::DOUBLE))").format(d1=dim + 1)
@@ -1110,6 +1164,19 @@ def q_similarity_lsh_topk(spark, sf_dir):
         "rank", F.col("rank").cast("long"))
 
 
+def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k (Voronoi coarse quantizer over
+    deterministic pivots, probe-2, exact cosine re-rank) — the
+    complementary ANN strategy to sign-LSH banding."""
+    from .textops.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    return ivf_topk(emb, queries, k=5, n_pivots=8, probes=2,
+                    dim=64).withColumn("rank", F.col("rank").cast("long"))
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1162,6 +1229,7 @@ QUERIES = {
     "kg_rdfxml_shards": q_kg_rdfxml_shards,
     "stream_mention_rate": q_stream_mention_rate,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
 }
 
 
@@ -1190,6 +1258,7 @@ FROM f""" % _NORM,
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "embed_cosine_topk": _cosine_topk_sql(),
     "similarity_lsh_topk": _lsh_topk_sql(),
+    "similarity_ivf_topk": _ivf_topk_sql(),
     "events_sessions": _EVENTS_SESSIONS_SQL,
     "events_asof_signup": """
 WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu

@@ -177,6 +177,93 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_pivots(n_pivots: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random pivot vectors in [-1, 1]^dim (sha1-
+    derived, data-independent — no training pass, reproducible on any
+    executor and in SQL oracles).  The pivots induce a Voronoi coarse
+    quantizer: IVF-flat bucketing without a stored model."""
+    import hashlib
+
+    return [
+        [hashlib.sha1(b"ivf|%d|%d|%d" % (p, d, seed)).digest()[0] / 127.5 - 1.0
+         for d in range(dim)]
+        for p in range(n_pivots)
+    ]
+
+
+def _pivot_scores(vec: Column, n_pivots: int, dim: int,
+                  seed: int = 42) -> Column:
+    """array<double> of cos-proportional scores dot(v, pivot)/|pivot|
+    (the |v| factor is constant per row, so argmax is unaffected)."""
+    import math
+
+    pivots = ivf_pivots(n_pivots, dim, seed)
+    norms = [math.sqrt(sum(x * x for x in p)) for p in pivots]
+    pivots_lit = F.lit(pivots)   # ONE nested-array literal (dim-robust)
+    norms_lit = F.lit(norms)
+    dots = F.transform(
+        pivots_lit,
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, v: acc + v))
+    return F.zip_with(dots, norms_lit, lambda d, n: d / n)
+
+
+def ivf_bucket(vec: Column, n_pivots: int, dim: int, seed: int = 42) -> Column:
+    """1-based index of the nearest pivot (first-max tie-break)."""
+    scores = _pivot_scores(vec, n_pivots, dim, seed)
+    return F.array_position(scores, F.array_max(scores)).cast("int")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_pivots: int = 8,
+             probes: int = 2, dim: int = 64, seed: int = 42) -> DataFrame:
+    """IVF-flat approximate top-k: Voronoi coarse quantization over
+    deterministic pivots; each corpus vector lands in ONE inverted list
+    (its nearest pivot), each query probes its ``probes`` nearest lists;
+    exact cosine re-ranks the candidates.
+
+    The complementary strategy to sign-LSH banding: candidates shrink to
+    ~probes/n_pivots of the corpus, the shuffle key is the bucket id, and
+    recall degrades gracefully with ``probes`` (probes = n_pivots ==
+    exact).  Scale shape: one narrow bucket-assignment pass per side,
+    one equi-join on bucket, top-k window per query."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        ivf_bucket(F.col(vec_col), n_pivots, dim, seed).alias("bucket"))
+    q_scores = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        _pivot_scores(F.col(vec_col), n_pivots, dim, seed).alias("scores"))
+    # top-`probes` pivot indices per query: explode scored (index, score)
+    # pairs and keep the best `probes` rows
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("bucket"))
+    q_buckets = (
+        q_scores.select(
+            "query_id", "q_vec",
+            F.posexplode("scores").alias("pos", "score"))
+        .withColumn("bucket", (F.col("pos") + 1).cast("int"))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= probes)
+        .select("query_id", "q_vec", "bucket")
+    )
+    cand = (
+        q_buckets.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", threshold: float = 0.95,
                  n_planes: int = 0, dim: int = 64, bands: int = 4) -> DataFrame:

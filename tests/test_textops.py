@@ -254,3 +254,37 @@ class TestShingles:
     def test_short_text_single_shingle(self, spark):
         df = spark.range(1).select(word_shingles(F.lit("a b"), 3).alias("s"))
         assert df.collect()[0].s == ["a b"]
+
+
+class TestIvf:
+    def test_ivf_topk_recovers_near_identical_vectors(self, spark):
+        from meresco_rdf_spark.textops.similarity import ivf_topk
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [1.0, 0.01, 0.0, 0.0]),
+        ]
+        v = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        q = v.withColumnRenamed("vec_id", "query_id")
+        approx = {(r.query_id, r.neighbor_id, r.rank)
+                  for r in ivf_topk(v, q, k=1, n_pivots=4, probes=2,
+                                    dim=4).collect()}
+        # near-parallel vectors quantize to the same Voronoi cell
+        assert (0, 4, 1) in approx
+
+    def test_ivf_full_probe_equals_exact(self, spark):
+        from meresco_rdf_spark.textops.similarity import cosine_topk, ivf_topk
+
+        rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(4)])
+                for i in range(12)]
+        v = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        q = v.filter("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+        exact = {(r.query_id, r.neighbor_id, r.rank)
+                 for r in cosine_topk(v, q, k=3).collect()}
+        full = {(r.query_id, r.neighbor_id, r.rank)
+                for r in ivf_topk(v, q, k=3, n_pivots=4, probes=4,
+                                  dim=4).collect()}
+        assert full == exact  # probes == n_pivots -> no pruning
