@@ -1156,6 +1156,52 @@ def q_stream_mention_rate(spark, sf_dir):
         F.col("n_convs").cast("long").alias("n_convs"))
 
 
+def q_stream_stateful_scores(spark, sf_dir):
+    """Custom stateful streaming operator (``applyInPandasWithState``)
+    under FORCED multi-micro-batch processing: the input is written as
+    four turn-slice files with strictly increasing mtimes and drained
+    with maxFilesPerTrigger=1, so every conversation's support state MUST
+    carry across micro-batches to produce the batch-path cumulative
+    scores.  Oracle: the golden kg_mentions scores reformatted — the
+    operator's contract is exact batch equivalence."""
+    import os
+    import tempfile
+    import time
+
+    from .streaming.transcript_stream import (
+        await_drain,
+        read_transcript_stream,
+        run_to_parquet,
+        stateful_mention_scores,
+        stream_mentions,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_state_q_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    t = _synth_transcripts(spark)
+    for i, (lo, hi) in enumerate([(0, 1), (2, 3), (4, 5), (6, 7)]):
+        part = os.path.join(base, "part%d" % i)
+        t.filter(F.col("turn_idx").between(lo, hi)).coalesce(1).write.mode(
+            "overwrite").parquet(part)
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, "slice_%d.parquet" % i)
+        os.rename(os.path.join(part, src), dst)
+        # file-source batch order follows modification time: pin it
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        time.sleep(0.01)
+    stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=1)
+    q = run_to_parquet(
+        stateful_mention_scores(stream_mentions(stream),
+                                state_ttl_minutes=None),
+        os.path.join(base, "out"), os.path.join(base, "ckpt"))
+    await_drain(q, timeout_sec=420)
+    return spark.read.parquet(os.path.join(base, "out")).select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("start").cast("long").alias("start"),
+        "surface", "surface_key", "score")
+
+
 def q_similarity_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
@@ -1230,6 +1276,7 @@ QUERIES = {
     "stream_mention_rate": q_stream_mention_rate,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "stream_stateful_scores": q_stream_stateful_scores,
 }
 
 
@@ -1358,3 +1405,11 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 # the bucketized range-join strategy must produce byte-identical results
 # to the broadcast twin — same oracle
 ORACLES["events_range_hot_hours_bucketized"] = ORACLES["events_range_hot_hours"]
+
+# the stateful streaming scorer's contract is batch equivalence: its
+# cross-micro-batch cumulative scores must equal the golden batch-path
+# mention scores (reformatted to the operator's string output)
+ORACLES["stream_stateful_scores"] = """
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, start::BIGINT AS start,
+       surface, surface_key, printf('%.1f', score) AS score
+FROM read_parquet('/root/repo/tests/golden/kg_mentions.parquet')"""

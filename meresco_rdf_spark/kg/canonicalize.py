@@ -101,7 +101,12 @@ def similar_surface_pairs(surfaces: DataFrame,
         surfaces.select(key_col)
         .dropDuplicates([key_col])
         .withColumn("shingles", char_shingles(F.col(key_col), n))
+        .persist()
     )
+    base.count()  # eager: the inverted index (read twice by the verify
+    # joins), the size agg, AND the banded signatures all consume this —
+    # without the cache each consumer re-runs the upstream distinct over
+    # the full mention stream (measured 13x wall on the canon phase)
     inv = base.select(key_col, F.explode("shingles").alias("shingle"))
     sizes = inv.groupBy(key_col).agg(F.count("*").alias("n_sh"))
     banded = (
@@ -273,7 +278,9 @@ def canonical_surface_map(surfaces: DataFrame,
                           threshold: float = 0.5) -> DataFrame:
     """(surface_key, canonical_key, canonical_uri) for every distinct
     surface — singletons map to themselves."""
-    distinct = surfaces.select(key_col).dropDuplicates([key_col])
+    distinct = surfaces.select(key_col).dropDuplicates([key_col]).persist()
+    distinct.count()  # eager: feeds pair generation and the final mapping
+    # join; un-cached it would re-aggregate the whole upstream per consumer
     edges = similar_surface_pairs(distinct, key_col=key_col, threshold=threshold)
     comps = connected_components(edges)
     mapped = (

@@ -150,8 +150,35 @@ STATE_SCHEMA = StructType([
 ])
 
 
+def await_drain(query, timeout_sec: int = 300, idle_triggers: int = 2,
+                poll_sec: float = 0.5) -> None:
+    """Drain-then-stop for stateful availableNow queries.
+
+    A query holding state with a PROCESSING-TIME timeout never
+    self-terminates under ``trigger(availableNow=True)``: the timeout
+    clock keeps scheduling micro-batches to check for expired state, so
+    ``awaitTermination`` blocks until its own deadline.  This helper
+    watches the progress feed and stops the query once ``idle_triggers``
+    consecutive triggers processed zero input rows — at that point the
+    backlog is fully drained and every output row is committed."""
+    import time as _time
+
+    deadline = _time.time() + timeout_sec
+    while _time.time() < deadline:
+        if not query.isActive:
+            return
+        progresses = query.recentProgress
+        if len(progresses) >= idle_triggers and all(
+                p["numInputRows"] == 0
+                for p in progresses[-idle_triggers:]):
+            break
+        _time.sleep(poll_sec)
+    query.stop()
+    query.awaitTermination(60)
+
+
 def stateful_mention_scores(mentions: DataFrame,
-                            state_ttl_minutes: int = 60) -> DataFrame:
+                            state_ttl_minutes: Optional[int] = 60) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     entity-link scores with per-conversation support counts carried
     ACROSS micro-batches.
@@ -162,14 +189,17 @@ def stateful_mention_scores(mentions: DataFrame,
     stateless batch scorer cannot know.  State per key is two joined
     strings (bounded by distinct surfaces per conversation); expired via
     processing-time timeout so long-dead conversations don't accumulate
-    (the watermark analog for arbitrary state)."""
+    (the watermark analog for arbitrary state).  ``state_ttl_minutes=None``
+    disables the timeout — required for clean self-termination under
+    ``availableNow`` drains (a live timeout clock keeps the query
+    triggering; see :func:`await_drain`)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def score(key, pdfs, state):
         conv_id = key[0]
-        if state.hasTimedOut:
+        if state_ttl_minutes is not None and state.hasTimedOut:
             state.remove()
             return
         if state.exists:
@@ -201,9 +231,13 @@ def stateful_mention_scores(mentions: DataFrame,
         state.update((
             "\x1f".join(support.keys()),
             "\x1f".join(str(c) for c in support.values())))
-        state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        if state_ttl_minutes is not None:
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
         yield pd.DataFrame(out)
 
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout if state_ttl_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout)
     return (
         mentions.groupBy("conv_id")
         .applyInPandasWithState(
@@ -211,7 +245,7 @@ def stateful_mention_scores(mentions: DataFrame,
             outputStructType=STATEFUL_SCORE_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
+            timeoutConf=timeout_conf)
     )
 
 

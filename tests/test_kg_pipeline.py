@@ -296,10 +296,11 @@ class TestFingerprint:
 
         from meresco_rdf_spark.entry_queries import ORACLES, QUERIES
 
+        import re
+
         assert set(ORACLES) == set(QUERIES)  # every query is oracle-checked
         for name, sql in ORACLES.items():
-            if "read_parquet" in sql:
-                path = sql.split("'")[1]
+            for path in re.findall(r"read_parquet\('([^']+)'\)", sql):
                 assert os.path.exists(path), path
 
 

@@ -86,10 +86,14 @@ class TestTranscriptStream:
             schema).coalesce(1).write.mode("append").parquet(path)
         stream = read_transcript_stream(spark, path, max_files_per_trigger=1)
         out = str(tmp_path / "scored")
+        from meresco_rdf_spark.streaming.transcript_stream import await_drain
+
         q = run_to_parquet(
             stateful_mention_scores(stream_mentions(stream)),
             out, str(tmp_path / "ckpt_s"))
-        q.awaitTermination(180)
+        # TTL mode never self-terminates under availableNow (the timeout
+        # clock keeps triggering) — drain until idle, then stop
+        await_drain(q, timeout_sec=150)
         rows = {(r.turn_idx, r.score)
                 for r in spark.read.parquet(out).collect()}
         base = float(len("marie curie"))
