@@ -133,6 +133,12 @@ def main() -> None:
             re.search(r"RepartitionByExpression \[conv_id[^\]]*\](?:, 13)?", p13)
             is not None and "RepartitionByExpression" in p13
             and ", 8" not in p13.split("RepartitionByExpression")[1].split("\n")[0]))
+        # turn ordering restored by a JVM Tungsten sort feeding the Arrow
+        # stage — never a pandas sort of buffered partitions
+        results.append(check(
+            "extract: JVM sort before Arrow stage",
+            re.search(r"Sort \[conv_id[^\]]*turn_idx", p13) is not None
+            and p13.index("MapInPandas") < p13.index("Sort [")))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
 
