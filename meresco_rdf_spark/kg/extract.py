@@ -86,7 +86,8 @@ def _compile_matcher(aliases: Iterable[str]) -> re.Pattern:
 
 
 def detect_mentions(transcripts: DataFrame,
-                    aliases: Optional[Iterable[str]] = None) -> DataFrame:
+                    aliases: Optional[Iterable[str]] = None,
+                    assume_conv_partitioned: bool = False) -> DataFrame:
     """Mentions per turn via grouped pandas UDF (one group per conv_id,
     turns stably sorted by ``turn_idx`` inside the group — the per-row
     invariant from ``BASELINE.json.input_hint``).
@@ -95,6 +96,14 @@ def detect_mentions(transcripts: DataFrame,
     within-conversation co-occurrence support (number of earlier turns in
     the same conversation that mention the same normalized surface) —
     deterministic, order-stable, and computed entirely inside the batch.
+
+    ``assume_conv_partitioned=True`` elides the conv_id exchange — THE
+    only O(input) shuffle in the pipeline (BENCH/BASELINE.md) — for
+    inputs whose storage already co-locates conversations (an Iceberg
+    table with ``bucket(N, conv_id)``, a bucketed Hive table, or any
+    upstream stage that hash-partitioned on conv_id).  The per-partition
+    turn sort stays (narrow, spillable); correctness only needs
+    conv-locality, which the caller asserts by passing the flag.
 
     Returns: ``conv_id, turn_idx, start, end, surface, surface_key, score``.
     """
@@ -153,12 +162,13 @@ def detect_mentions(transcripts: DataFrame,
     # to the driver's defaultParallelism would ignore cluster-level
     # configuration.  The conf value is the operator's width knob and
     # scales with the deployment.
-    spark = transcripts.sparkSession
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = transcripts.select("conv_id", "turn_idx", "text")
+    if not assume_conv_partitioned:
+        spark = transcripts.sparkSession
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        base = base.repartition(width, "conv_id")
     return (
-        transcripts.select("conv_id", "turn_idx", "text")
-        .repartition(width, "conv_id")
-        .sortWithinPartitions("conv_id", "turn_idx")
+        base.sortWithinPartitions("conv_id", "turn_idx")
         .mapInPandas(find, schema=MENTION_SCHEMA)
     )
 

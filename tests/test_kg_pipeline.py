@@ -462,3 +462,20 @@ def test_adjacency_topk_matches_plain_truncation(spark):
     # same exact degrees, same sorted top-7 edge prefix, bounded rows
     assert salted == plain
     assert all(len(v[1]) <= 7 for v in salted.values())
+
+
+def test_detect_mentions_elides_shuffle_on_partitioned_input(spark):
+    # conv-partitioned input + assume_conv_partitioned: identical results
+    # and NO exchange in the plan (the pipeline's only O(input) shuffle
+    # disappears on bucketed storage)
+    t = synthesize_transcripts(spark, 40, 6)
+    pre = t.repartition(4, "conv_id")
+    a = {tuple(r) for r in detect_mentions(t).collect()}
+    b = {tuple(r) for r in detect_mentions(
+        pre, assume_conv_partitioned=True).collect()}
+    assert a == b and len(a) > 0
+    plan = detect_mentions(
+        pre.localCheckpoint(), assume_conv_partitioned=True
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in plan
+    assert "Sort [conv_id" in plan  # the narrow turn sort stays

@@ -117,3 +117,50 @@ def test_bnode_roundtrip_with_nested_structure():
     assert_isomorphic(
         {node_to_row(s, p, o) for s, p, o in g.triples()},
         {node_to_row(s, p, o) for s, p, o in g2.triples()})
+
+
+# ---------------------------------------------------------------------------
+# N-Triples codec: line round-trip over adversarial strings
+# ---------------------------------------------------------------------------
+
+_nt_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+    min_size=0, max_size=40)
+_nt_uri = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"),
+        whitelist_characters=":/._-#?&%"),
+    min_size=1, max_size=30).map(lambda s: "urn:" + s)
+_nt_lang = st.one_of(st.none(), st.sampled_from(["en", "nl", "de", "pt-BR"]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(subj=_nt_uri, pred=_nt_uri, value=_nt_text, lang=_nt_lang)
+def test_ntriples_literal_line_roundtrip(subj, pred, value, lang):
+    """serialize(line) -> parse == original for arbitrary literal values
+    (quotes, backslashes, newlines, tabs, unicode)."""
+    from meresco_rdf_spark.model import Literal
+    from meresco_rdf_spark.rdfxml.ntriples import parse_ntriples_line
+
+    def esc(s):
+        return (s.replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("\n", "\\n").replace("\r", "\\r")
+                 .replace("\t", "\\t"))
+
+    line = '<%s> <%s> "%s"%s .' % (
+        esc(subj), esc(pred), esc(value), "@" + lang if lang else "")
+    parsed = parse_ntriples_line(line)
+    assert parsed == (subj, pred, Literal(value, lang=lang))
+
+
+@settings(max_examples=100, deadline=None)
+@given(value=_nt_text)
+def test_ntriples_unescape_inverts_sink_escaping(value):
+    """The pure unescape inverts exactly the escape set the Spark sink
+    emits (sinks/nt_sink.py nt_escape)."""
+    from meresco_rdf_spark.rdfxml.ntriples import unescape
+
+    escaped = (value.replace("\\", "\\\\").replace('"', '\\"')
+                    .replace("\n", "\\n").replace("\r", "\\r")
+                    .replace("\t", "\\t"))
+    assert unescape(escaped) == value
