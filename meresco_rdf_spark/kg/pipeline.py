@@ -46,7 +46,8 @@ class PipelineResult:
 
 
 def run_pipeline(transcripts: DataFrame, *, jaccard_threshold: float = 0.5,
-                 broadcast_canonical: bool = True) -> PipelineResult:
+                 broadcast_canonical: bool = True,
+                 assume_conv_partitioned: bool = False) -> PipelineResult:
     """Scale path: mentions are persisted (they feed the triple fan-out,
     the per-entity label aggregation, and canonicalization — without the
     persist the Arrow extraction UDF re-executes once per consumer), the
@@ -56,7 +57,8 @@ def run_pipeline(transcripts: DataFrame, *, jaccard_threshold: float = 0.5,
     born canonical via one broadcast join."""
     from .extract import pipeline_triples
 
-    mentions = detect_mentions(transcripts).persist()
+    mentions = detect_mentions(
+        transcripts, assume_conv_partitioned=assume_conv_partitioned).persist()
     # EAGER materialization: the triple-emission union consumes mentions in
     # four parallel branches inside one job; with a lazily-populated cache
     # those branches race and each recomputes the Arrow extraction (4x CPU,

@@ -7,6 +7,11 @@ no stage's shuffle volume scales with anything but the (tiny)
 surface/candidate relations.
 
 Usage: python tools/stage_metrics.py [n_convs] [turns_per_conv] [cpus]
+       [--partitioned]
+``--partitioned`` materializes the input pre-hashed by conv_id first
+(standing in for reading an Iceberg ``bucket(N, conv_id)`` table) and
+runs extraction with ``assume_conv_partitioned=True`` — demonstrating
+the elision of the pipeline's only O(input) exchange.
 Prints a markdown table + one JSON line.
 """
 
@@ -27,9 +32,11 @@ def fetch_stages(ui_url: str, app_id: str) -> list[dict]:
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    partitioned = "--partitioned" in sys.argv
+    n_convs = int(args[0]) if len(args) > 0 else 600_000
+    turns = int(args[1]) if len(args) > 1 else 10
+    cpus = int(args[2]) if len(args) > 2 else 8
 
     from meresco_rdf_spark.kg.pipeline import run_pipeline
     from meresco_rdf_spark.session import get_spark
@@ -41,6 +48,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
     t = synthesize_transcripts(spark, n_convs, turns, partitions=cpus * 2)
+    if partitioned:
+        # materialize conv-hashed parquet FIRST (= exactly the on-disk
+        # state of an Iceberg bucket(N, conv_id) table), then measure the
+        # pipeline reading it; the pre-hash shuffle happens at write
+        # time, the way a bucketed table write does
+        import tempfile
+
+        bucketed = tempfile.mkdtemp(prefix="bucketed_in_") + "/t"
+        t.repartition(cpus, "conv_id").write.parquet(bucketed)
+        t = spark.read.parquet(bucketed)
 
     # drive the pipeline phase-by-phase under labeled job groups so the
     # REST stages can be attributed (run_pipeline itself eagerly fills
@@ -51,7 +68,8 @@ def main() -> None:
 
     t0 = time.monotonic()
     sc.setJobGroup("extract", "mention detection (Arrow mapInPandas)")
-    mentions = detect_mentions(t).persist()
+    mentions = detect_mentions(
+        t, assume_conv_partitioned=partitioned).persist()
     mentions.count()
     sc.setJobGroup("canonicalize", "MinHash-LSH + connected components")
     canon = canonical_surface_map(
