@@ -994,6 +994,71 @@ SELECT a, b, cos FROM scored WHERE cos >= {thr}""".format(
         thr=threshold)
 
 
+def q_scalar_functions(spark, sf_dir):
+    """§2.5 scalar functions (bnode test, fragment extraction, nodeID
+    normalization, urijoin branch coverage, curie<->uri) evaluated over
+    deterministic strings derived from the nation table — every rule
+    re-derived independently in the DuckDB oracle.  (matches_iri stays
+    pytest-only: its condensed RFC-3987 grammar is a Java-regex feature
+    set RE2 cannot reproduce.)"""
+    from .functions.scalar_fns import (
+        curie_to_uri_col,
+        fragment,
+        is_bnode,
+        normalize_node_id,
+        uri_join,
+        uri_to_curie_col,
+    )
+
+    n = _read(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("string")
+    mixed = F.when(F.col("n_nationkey") % 2 == 0,
+                   F.concat(F.lit("_:b"), key)).otherwise(
+                   F.concat(F.lit("urn:x:"), key))
+    frag_in = F.concat(
+        F.lit("http://ex.org/doc"), key,
+        F.when(F.col("n_nationkey") % 2 == 0,
+               F.concat(F.lit("#frag"), key)).otherwise(F.lit("")))
+    node_in = F.when(F.col("n_nationkey") % 2 == 0,
+                     F.concat(F.lit("abc"), key)).otherwise(key)
+    base = F.concat(F.lit("http://ex.org/a/b/doc"), key, F.lit("#old"))
+    ref = (
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit("urn:abs:x"))
+        .when(F.col("n_nationkey") % 5 == 1, F.lit("#frag"))
+        .when(F.col("n_nationkey") % 5 == 2, F.lit("/rooted"))
+        .when(F.col("n_nationkey") % 5 == 3, F.lit(""))
+        .otherwise(F.lit("rel/path")))
+    curie_in = F.concat(F.lit("rdfs:label"), key)
+    uri_in = F.concat(
+        F.lit("http://www.w3.org/2004/02/skos/core#pref"), key)
+    return n.select(
+        F.col("n_nationkey").alias("row_id"),
+        is_bnode(mixed).alias("bnode_flag"),
+        fragment(frag_in).alias("frag"),
+        normalize_node_id(node_in).alias("node_id"),
+        uri_join(base, ref).alias("joined"),
+        curie_to_uri_col(curie_in).alias("curie_uri"),
+        uri_to_curie_col(uri_in).alias("uri_curie"))
+
+
+_SCALAR_FNS_SQL = """
+SELECT n_nationkey AS row_id,
+  (n_nationkey % 2 = 0) AS bnode_flag,
+  CASE WHEN n_nationkey % 2 = 0 THEN 'frag' || n_nationkey ELSE '' END AS frag,
+  CASE WHEN n_nationkey % 2 = 0 THEN '_:abc' || n_nationkey
+       ELSE '_:b' || n_nationkey END AS node_id,
+  CASE
+    WHEN n_nationkey % 5 = 0 THEN 'urn:abs:x'
+    WHEN n_nationkey % 5 = 1 THEN 'http://ex.org/a/b/doc' || n_nationkey || '#frag'
+    WHEN n_nationkey % 5 = 2 THEN 'http://ex.org/rooted'
+    WHEN n_nationkey % 5 = 3 THEN 'http://ex.org/a/b/doc' || n_nationkey
+    ELSE 'http://ex.org/a/b/rel/path'
+  END AS joined,
+  'http://www.w3.org/2000/01/rdf-schema#label' || n_nationkey AS curie_uri,
+  'skos:pref' || n_nationkey AS uri_curie
+FROM nation"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: deterministic synthetic media
     table (binary payloads) -> Arrow ``mapInPandas`` feature extraction
@@ -1264,6 +1329,7 @@ QUERIES = {
     "pricing_rollup": q_pricing_rollup,
     "multimodal_features": q_multimodal_features,
     "embed_dup_pairs": q_embed_dup_pairs,
+    "scalar_functions": q_scalar_functions,
     # not ANSI-SQL-expressible (pandas-UDF extraction, iterative connected
     # components, streaming runtime) — oracled against committed golden
     # parquet generated by the pure-Python reference pipeline
@@ -1358,6 +1424,7 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "multimodal_features": _MULTIMODAL_SQL,
     "embed_dup_pairs": _embed_dup_sql(),
+    "scalar_functions": _SCALAR_FNS_SQL,
     "text_bpe_tokens": """
 SELECT doc_id,
   (len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x != ''))
