@@ -1110,6 +1110,24 @@ def _synth_transcripts(spark):
     return synthesize_transcripts(spark, 120, 8)
 
 
+_PIPELINE_CACHE: dict = {}
+
+
+def _pipeline_result(spark):
+    """One pipeline execution shared by the kg_* driver queries (they
+    are read-only views over the same deterministic result; re-running
+    the whole pipeline per query would only re-prove determinism the
+    golden hashes already pin).  Keyed by application id so a fresh
+    session recomputes."""
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _PIPELINE_CACHE:
+        from .kg.pipeline import run_pipeline
+
+        _PIPELINE_CACHE.clear()  # never hold results of a dead session
+        _PIPELINE_CACHE[app_id] = run_pipeline(_synth_transcripts(spark))
+    return _PIPELINE_CACHE[app_id]
+
+
 def q_kg_mentions(spark, sf_dir):
     from .kg.extract import detect_mentions
 
@@ -1117,21 +1135,15 @@ def q_kg_mentions(spark, sf_dir):
 
 
 def q_kg_triples(spark, sf_dir):
-    from .kg.pipeline import run_pipeline
-
-    return run_pipeline(_synth_transcripts(spark)).triples
+    return _pipeline_result(spark).triples
 
 
 def q_kg_canonical_map(spark, sf_dir):
-    from .kg.pipeline import run_pipeline
-
-    return run_pipeline(_synth_transcripts(spark)).canonical_map
+    return _pipeline_result(spark).canonical_map
 
 
 def q_kg_entity_labels(spark, sf_dir):
-    from .kg.pipeline import run_pipeline
-
-    return find_labels(run_pipeline(_synth_transcripts(spark)).triples)
+    return find_labels(_pipeline_result(spark).triples)
 
 
 def q_kg_rdfxml_shards(spark, sf_dir):
@@ -1142,10 +1154,9 @@ def q_kg_rdfxml_shards(spark, sf_dir):
     triples — hash-compared against the committed pure-Python golden, so
     the driver pins full round-trip content, not just counts."""
     from .kg.extract import KG_CONVERSATION
-    from .kg.pipeline import run_pipeline
     from .sinks.rdfxml_sink import serialize_shards
 
-    res = run_pipeline(_synth_transcripts(spark))
+    res = _pipeline_result(spark)
     conv_triples = res.triples.filter(
         F.col("subj").startswith("_:")
         | F.col("subj").startswith("urn:conv:"))
