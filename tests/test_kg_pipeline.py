@@ -479,3 +479,19 @@ def test_detect_mentions_elides_shuffle_on_partitioned_input(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "RepartitionByExpression" not in plan
     assert "Sort [conv_id" in plan  # the narrow turn sort stays
+
+
+def test_similar_pairs_local_and_distributed_agree(spark):
+    surfaces = spark.createDataFrame(
+        [(k,) for k in ["apache spark", "apache spark engine", "spark engine",
+                        "marie curie", "curie marie", "alan turing",
+                        "a m turing", "den haag", "the hague"]],
+        "surface_key string")
+    local = {(r.a, r.b, round(r.jaccard, 6))
+             for r in similar_surface_pairs(surfaces).collect()}
+    dist = {(r.a, r.b, round(r.jaccard, 6))
+            for r in similar_surface_pairs(
+                surfaces, local_threshold=0).collect()}
+    # exact all-pairs >= LSH candidates; on this input they must be equal
+    assert dist <= local and len(local) > 0
+    assert local == dist
