@@ -32,7 +32,7 @@ adapter (``sinks.rdfxml_sink``) runs this per subject-closure shard inside
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Optional
 from xml.sax.saxutils import escape, quoteattr
 
 from ..graph import Graph

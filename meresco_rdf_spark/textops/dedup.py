@@ -21,8 +21,6 @@ by thousands of docs carries no information and only creates skew.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .textstats import fingerprint, normalized_text, tokens
