@@ -192,7 +192,18 @@ def q_graph_literal_values(spark, sf_dir):
     return literal_values(tpch_triples(spark, sf_dir))
 
 
+def q_graph_iterate(spark, sf_dir):
+    """O11: iterate the whole graph — the unmasked scan (reference
+    ``graph.py`` ``triples()`` with an all-None mask).  Same predicate-
+    free path as O4; at scale this is a straight columnar read of the
+    subject-bucketed triple table, no shuffle."""
+    return scan(tpch_triples(spark, sf_dir))
+
+
 _GRAPH_ORACLES = {
+    "graph_iterate": """
+WITH {cte}
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples""",
     "graph_scan_masked": """
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples
@@ -1305,6 +1316,7 @@ def q_similarity_ivf_topk(spark, sf_dir):
 
 QUERIES = {
     "graph_scan_masked": q_graph_scan_masked,
+    "graph_iterate": q_graph_iterate,
     "graph_objects": q_graph_objects,
     "graph_find_labels": q_graph_find_labels,
     "graph_bgp": q_graph_bgp,
