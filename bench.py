@@ -35,6 +35,8 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
 
+    from pyspark.sql import functions as F
+
     from meresco_rdf_spark import entry_queries as eq
     from meresco_rdf_spark.kg.pipeline import run_pipeline
     from meresco_rdf_spark.session import get_spark
@@ -47,10 +49,48 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # --- session warmup (NOT timed per-query; reported separately) ---
+    # The first job on a cold JVM pays one-time costs that have nothing to
+    # do with any operator: spawning $cpus Python workers (each importing
+    # pandas/pyarrow), whole-stage-codegen compilation, JIT, and the first
+    # page-cache read of the input tables.  Measured ~20s at local[32] on
+    # a cold host — larger than most queries.  Warm them up once so the
+    # per-query numbers measure operator cost, comparably across hosts
+    # (the scaling harness tools/bench_scaling.py already does identical
+    # warmup per parallelism level for the same reason).
+    t_w = time.monotonic()
+    warm = spark.range(0, cpus * 4, 1, cpus)
+
+    def _touch(its):
+        for pdf in its:
+            yield pdf
+
+    warm.mapInPandas(_touch, schema="id long").groupBy(
+        (F.col("id") % 4).alias("k")).count().write.format(
+        "noop").mode("overwrite").save()
+    for table in ("documents", "embeddings", "events", "lineitem",
+                  "customer", "supplier", "nation", "region"):
+        spark.read.parquet("%s/%s.parquet" % (sf_dir, table)).write.format(
+            "noop").mode("overwrite").save()
+    extras["warmup_sec"] = round(time.monotonic() - t_w, 3)
+
+    # Best-of-N repeats per query (identical plan each repeat; reported =
+    # min).  The first execution of any given plan pays one-time codegen
+    # compilation + JIT that the generic session warmup above cannot reach
+    # (codegen is cached per plan shape), plus whatever CPU-steal burst a
+    # shared host injects — measured 3-4x swings on identical plans.  The
+    # min over repeats is the reproducible operator cost; same methodology
+    # as tools/bench_scaling.py (best-of-N per parallelism level).
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+
     def timed(name, thunk):
-        t0 = time.monotonic()
-        thunk()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            thunk()
+            wall = time.monotonic() - t0
+            best = wall if best is None else min(best, wall)
+        timings[name] = round(best, 3)
 
     # --- KG pipeline (the north-star workload), sized by sf ---
     # 600k turns at sf0.1: large enough that fixed costs (python worker
@@ -66,6 +106,10 @@ def main() -> None:
     def run_kg():
         res = run_pipeline(transcripts)
         result["triples"] = res.triples.count()
+        # unpersist so the next repeat measures the full pipeline, not
+        # a cache read
+        res.mentions.unpersist()
+        res.canonical_map.unpersist()
 
     timed("kg_pipeline", run_kg)
     extras["kg_turns"] = n_turns
