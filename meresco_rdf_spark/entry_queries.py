@@ -200,10 +200,44 @@ def q_graph_iterate(spark, sf_dir):
     return scan(tpch_triples(spark, sf_dir))
 
 
+def q_graph_adjacency_topk(spark, sf_dir):
+    """Hot-subject-safe adjacency via explicit two-stage SALTED
+    aggregation (north rule: "salted aggregation for hot entities") —
+    ``kg/materialize.py::adjacency_topk``; k=1 so truncation is active
+    for every multi-edge subject.  Exploded back to rows so the oracle
+    can value-hash it (struct-array columns don't compare across
+    engines)."""
+    from .kg.materialize import adjacency_topk
+
+    adj = adjacency_topk(tpch_triples(spark, sf_dir), k=1, salt_buckets=4)
+    exploded = adj.select(
+        "subj", "degree", F.posexplode("edges").alias("rank0", "e"))
+    return exploded.select(
+        "subj",
+        (F.col("rank0") + 1).cast("int").alias("rnk"),
+        F.col("e.pred").alias("pred"),
+        F.col("e.obj_value").alias("obj_value"),
+        F.col("e.obj_kind").alias("obj_kind"),
+        F.col("e.obj_lang").alias("obj_lang"),
+        F.col("degree").cast("long").alias("degree"))
+
+
 _GRAPH_ORACLES = {
     "graph_iterate": """
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples""",
+    "graph_adjacency_topk": """
+WITH {cte},
+ranked AS (
+  SELECT subj, pred, obj_value, obj_kind, obj_lang,
+    row_number() OVER (PARTITION BY subj
+      ORDER BY pred, obj_value, obj_kind, obj_lang NULLS FIRST) AS rnk,
+    count(*) OVER (PARTITION BY subj) AS degree
+  FROM triples
+)
+SELECT subj, CAST(rnk AS INT) AS rnk, pred, obj_value, obj_kind, obj_lang,
+       CAST(degree AS BIGINT) AS degree
+FROM ranked WHERE rnk <= 1""",
     "graph_scan_masked": """
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples
@@ -1317,6 +1351,7 @@ def q_similarity_ivf_topk(spark, sf_dir):
 QUERIES = {
     "graph_scan_masked": q_graph_scan_masked,
     "graph_iterate": q_graph_iterate,
+    "graph_adjacency_topk": q_graph_adjacency_topk,
     "graph_objects": q_graph_objects,
     "graph_find_labels": q_graph_find_labels,
     "graph_bgp": q_graph_bgp,
