@@ -67,3 +67,43 @@ def test_every_fixture_parses_to_nonempty_graph() -> None:
         BNode.nextGenId = 0
         g = parse_rdfxml(load_fixture(name))
         assert len(g.triples()) > 0, name
+
+
+def test_pipeline_matches_independent_reference_on_fresh_input(spark) -> None:
+    """End-to-end P/R = 1.0 of the DISTRIBUTED pipeline against the
+    independent pure-Python reference pipeline (tools/golden_ref.py) on a
+    fresh input shape (200 convs x 6 turns) that the committed goldens
+    (120 x 8) never saw — guards against the golden files accidentally
+    encoding a shared bug reproduced only at the pinned input."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import golden_ref as ref
+
+    from meresco_rdf_spark.kg.pipeline import run_pipeline
+    from meresco_rdf_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, 200, 6)
+    rows = [(r.conv_id, r.turn_idx, r.text)
+            for r in t.select("conv_id", "turn_idx", "text").collect()]
+    mentions = ref.ref_mentions(rows)
+    canon = ref.ref_canonical_map({m["surface_key"] for m in mentions})
+    expected = set(ref.ref_triples(mentions, canon))
+
+    res = run_pipeline(t)
+    got = {(r.subj, r.pred, r.obj_value, r.obj_kind, r.obj_lang)
+           for r in res.triples.collect()}
+    res.mentions.unpersist()
+    res.canonical_map.unpersist()
+
+    tp = len(got & expected)
+    assert expected and got
+    precision = tp / len(got)
+    recall = tp / len(expected)
+    assert precision == 1.0 and recall == 1.0, {
+        "got": len(got), "expected": len(expected),
+        "spurious": sorted(got - expected)[:5],
+        "missing": sorted(expected - got)[:5],
+    }
