@@ -1039,6 +1039,44 @@ SELECT a, b, cos FROM scored WHERE cos >= {thr}""".format(
         thr=threshold)
 
 
+_IRI_CASES = [
+    # (candidate, expected) — expectations pinned from the reference's
+    # RFC-3987 behavior (graph/uri.py:35-44 via the rfc3987 package),
+    # validated construct-by-construct in tests/test_functions.py; the
+    # oracle repeats them as literals so a Spark-side regex divergence
+    # fails the hash compare.
+    ("http://example.org/path?q=1#f", True),
+    ("urn:isbn:0451450523", True),
+    ("not a uri", False),
+    ("http://example.org/<bad>", False),
+    ("ftp://user@host:21/dir", True),
+    ("relative/path", False),
+    ("http://example.org", True),
+    ("mailto:someone@example.org", True),
+    ("//nohost/path", False),
+    ("", False),
+    ("http://ex.org/éclair", True),
+    ("urn:", True),
+    ("http://example.org/a b", False),
+    ("_:b1", False),
+    ("https://example.org:8443/x?y=z&w=%20#frag", True),
+]
+
+
+def q_scalar_matches_iri(spark, sf_dir):
+    """§2.5 ``matches_iri`` (RFC-3987 syntax check as one anchored JVM
+    ``rlike``) over a pinned candidate list covering every grammar branch
+    the reference exercises.  The full grammar needs Java-regex features
+    RE2 lacks, so the oracle pins expected booleans as literals instead
+    of re-deriving them."""
+    from .functions.scalar_fns import matches_iri
+
+    df = spark.createDataFrame(
+        [(c,) for c, _ in _IRI_CASES], "candidate string")
+    return df.select(
+        "candidate", matches_iri(F.col("candidate")).alias("is_iri"))
+
+
 def q_scalar_functions(spark, sf_dir):
     """§2.5 scalar functions (bnode test, fragment extraction, nodeID
     normalization, urijoin branch coverage, curie<->uri) evaluated over
@@ -1388,6 +1426,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "embed_dup_pairs": q_embed_dup_pairs,
     "scalar_functions": q_scalar_functions,
+    "scalar_matches_iri": q_scalar_matches_iri,
     # not ANSI-SQL-expressible (pandas-UDF extraction, iterative connected
     # components, streaming runtime) — oracled against committed golden
     # parquet generated by the pure-Python reference pipeline
@@ -1483,6 +1522,9 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "multimodal_features": _MULTIMODAL_SQL,
     "embed_dup_pairs": _embed_dup_sql(),
     "scalar_functions": _SCALAR_FNS_SQL,
+    "scalar_matches_iri": "SELECT candidate, is_iri FROM (VALUES\n  %s) AS t(candidate, is_iri)" % ",\n  ".join(
+        "('%s', %s)" % (c.replace("'", "''"), "TRUE" if e else "FALSE")
+        for c, e in _IRI_CASES),
     "text_bpe_tokens": """
 SELECT doc_id,
   (len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x != ''))
