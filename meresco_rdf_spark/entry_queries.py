@@ -200,6 +200,24 @@ def q_graph_iterate(spark, sf_dir):
     return scan(tpch_triples(spark, sf_dir))
 
 
+def q_graph_connected_components(spark, sf_dir):
+    """The distributed alternating large-star/small-star connected
+    components (``kg/canonicalize.py::connected_components``) checked
+    directly against an independent ANSI-SQL oracle (DuckDB recursive-CTE
+    transitive closure + min-label) — the pipeline goldens exercise it
+    only end-to-end.  Edge set: the uri-typed relation edges of the
+    TPC-H-ish triples view (customer/supplier->nation->region), giving
+    five multi-thousand-node components at sf0.01.  ``local_threshold=0``
+    forces the distributed path."""
+    from .kg.canonicalize import connected_components
+
+    t = tpch_triples(spark, sf_dir)
+    edges = (
+        t.filter(F.col("pred").isin(REL_NATION, REL_REGION))
+        .select(F.col("subj").alias("a"), F.col("obj_value").alias("b")))
+    return connected_components(edges, local_threshold=0)
+
+
 def q_graph_adjacency_topk(spark, sf_dir):
     """Hot-subject-safe adjacency via explicit two-stage SALTED
     aggregation (north rule: "salted aggregation for hot entities") —
@@ -226,6 +244,25 @@ _GRAPH_ORACLES = {
     "graph_iterate": """
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples""",
+    "graph_connected_components": """
+WITH RECURSIVE {cte},
+edges AS (
+  SELECT subj AS a, obj_value AS b FROM triples
+  WHERE pred IN ('{rel_nation}', '{rel_region}')
+),
+sym AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT node, min(m) AS component FROM (
+  SELECT a AS node, b AS m FROM reach
+  UNION ALL
+  SELECT a AS node, a AS m FROM sym
+) GROUP BY node""",
     "graph_adjacency_topk": """
 WITH {cte},
 ranked AS (
@@ -1390,6 +1427,7 @@ QUERIES = {
     "graph_scan_masked": q_graph_scan_masked,
     "graph_iterate": q_graph_iterate,
     "graph_adjacency_topk": q_graph_adjacency_topk,
+    "graph_connected_components": q_graph_connected_components,
     "graph_objects": q_graph_objects,
     "graph_find_labels": q_graph_find_labels,
     "graph_bgp": q_graph_bgp,
