@@ -154,6 +154,18 @@ def main() -> None:
         p.count("HashAggregate") >= 2 and "partial_sum" in p
         and len(re.findall(r"Exchange hashpartitioning", p)) == 1))
 
+    # salted adjacency: the hub-subject skew lever must actually be two
+    # aggregation stages — stage 1 keyed (subj, _salt), stage 2 keyed
+    # subj — so no single reducer ever sees a hub's full edge list
+    from meresco_rdf_spark.kg.materialize import adjacency_topk
+
+    adj = adjacency_topk(tpch_triples(spark, sf_dir), k=4, salt_buckets=8)
+    p = optimized_of(adj)
+    results.append(check(
+        "adjacency_topk: 2-stage salted agg",
+        re.search(r"Aggregate \[subj#\d+\]", p) is not None
+        and re.search(r"Aggregate \[subj#\d+, _salt#\d+L?\]", p) is not None))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
