@@ -270,18 +270,28 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 def simhash_bits(col: Column, n_bits: int = 32) -> Column:
     """Weighted SimHash as an ``n_bits``-char '0'/'1' string.
 
-    Bit j's vote per token = +1 if the j-th hex nibble of md5(token) has
-    its high bit set, else -1; bit j of the fingerprint = 1 iff the vote
-    sum is >= 0.  A string (not a long) so ANSI SQL oracles reproduce it
-    exactly without 64-bit signed overflow games."""
+    Bit j's vote per token = +1 if nibble ``j % 32`` of
+    ``md5(token + block-salt)`` has its high bit set, else -1 (block =
+    ``j // 32``; block 0 is unsalted, so 32-bit fingerprints are
+    byte-identical to the original definition and the DuckDB oracle).
+    Bit j of the fingerprint = 1 iff the vote sum is >= 0.  A string
+    (not a long) so ANSI SQL oracles reproduce it exactly without
+    64-bit signed overflow games; the block salt (``|b<block>``) keeps
+    wider fingerprints (64/128 bits — measurably better precision at
+    corpus scale, see BENCH/BASELINE.md) equally reproducible:
+    ``md5(x || '|b1')`` in SQL."""
     toks = tokens(normalized_text(col))
     high = F.array(*[F.lit(h) for h in HEX_HIGH])
 
     def vote(j):
+        block = j // 32
+        def hashed(x):
+            return F.md5(x) if block == 0 else F.md5(
+                F.concat(x, F.lit("|b%d" % block)))
         return F.aggregate(
             toks, F.lit(0),
             lambda acc, x: acc + F.when(
-                F.array_contains(high, F.substring(F.md5(x), j + 1, 1)),
+                F.array_contains(high, F.substring(hashed(x), j % 32 + 1, 1)),
                 F.lit(1)).otherwise(F.lit(-1)))
 
     return F.concat(*[
@@ -300,6 +310,8 @@ def simhash_bits_arrow(col: Column, n_bits: int = 32) -> Column:
     import pandas as pd
     from pyspark.sql.types import StringType
 
+    n_blocks = (n_bits + 31) // 32
+
     @F.pandas_udf(StringType())
     def simhash(texts):  # pd.Series -> pd.Series
         rx = _re.compile(r"[^a-z0-9]+")
@@ -310,7 +322,14 @@ def simhash_bits_arrow(col: Column, n_bits: int = 32) -> Column:
                     if w]
             votes = [0] * n_bits
             for tok in toks:
-                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                # block 0 unsalted (original 32-bit definition); later
+                # blocks salt the token — same rule as simhash_bits
+                h = "".join(
+                    hashlib.md5(
+                        tok.encode("utf-8") if blk == 0
+                        else ("%s|b%d" % (tok, blk)).encode("utf-8")
+                    ).hexdigest()
+                    for blk in range(n_blocks))
                 for j in range(n_bits):
                     votes[j] += 1 if h[j] in high else -1
             out.append("".join("1" if v >= 0 else "0" for v in votes))

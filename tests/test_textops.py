@@ -288,3 +288,21 @@ class TestIvf:
                 for r in ivf_topk(v, q, k=3, n_pivots=4, probes=4,
                                   dim=4).collect()}
         assert full == exact  # probes == n_pivots -> no pruning
+
+
+def test_simhash_wide_fingerprints_jvm_arrow_parity(spark, docs):
+    """64/128-bit simhash (block-salted md5 nibbles beyond nibble 32)
+    must be identical between the JVM expression and the Arrow fast
+    path — and must not regress the unsalted 32-bit prefix."""
+    from meresco_rdf_spark.textops.dedup import simhash_bits, simhash_bits_arrow
+
+    sample = docs.limit(50)
+    both = sample.select(
+        simhash_bits(F.col("text"), 64).alias("jvm64"),
+        simhash_bits_arrow(F.col("text"), 64).alias("arrow64"),
+        simhash_bits_arrow(F.col("text"), 32).alias("arrow32"))
+    rows = both.collect()
+    assert all(r.jvm64 == r.arrow64 for r in rows)
+    assert all(len(r.jvm64) == 64 for r in rows)
+    # block 0 is unsalted: the 32-bit fingerprint is a strict prefix
+    assert all(r.jvm64[:32] == r.arrow32 for r in rows)
