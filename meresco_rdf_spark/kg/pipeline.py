@@ -124,7 +124,36 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
         processed += 1
 
     # global phase: canonicalize over all raw triples, materialize outputs
-    raw = spark.read.parquet(os.path.join(out_dir, "raw_triples"))
+    raw_root = os.path.join(out_dir, "raw_triples")
+    have_raw = os.path.isdir(raw_root) and any(
+        name.startswith("bucket=") for name in os.listdir(raw_root))
+    if not have_raw:
+        # empty corpus — a fresh empty input, or a resume after every
+        # conversation was deleted (drop_stale_buckets removed all
+        # subtrees).  Overwrite the materialized outputs with empty
+        # tables so previously-materialized rows don't outlive their
+        # deleted inputs (the lineage contract), and skip the global
+        # phase instead of crashing on a nonexistent parquet path.
+        # partitionBy on an empty DataFrame writes zero part files
+        # (readers would then fail schema inference), so the empty case
+        # writes one unpartitioned schema-carrying file instead — same
+        # columns, subj_bucket included.
+        from .materialize import adjacency, with_subj_bucket
+
+        empty = spark.createDataFrame(
+            [], ", ".join("%s string" % c for c in TRIPLE_COLS))
+        (with_subj_bucket(empty, table_buckets).coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "triples")))
+        (with_subj_bucket(adjacency(empty), table_buckets).coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "adjacency")))
+        return {
+            "run_id": run_id,
+            "buckets_processed": processed,
+            "buckets_skipped": n_buckets - processed,
+            "buckets_dropped": len(stale),
+            "final_triples": 0,
+        }
+    raw = spark.read.parquet(raw_root)
     raw_cols = raw.select(*TRIPLE_COLS)
     surfaces = (
         raw_cols.filter(F.col("subj").startswith("urn:surface:"))

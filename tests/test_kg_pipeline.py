@@ -29,7 +29,11 @@ from meresco_rdf_spark.kg.extract import (
     surface_label_triples,
 )
 from meresco_rdf_spark.kg.materialize import adjacency, write_triple_table
-from meresco_rdf_spark.kg.pipeline import run_checkpointed, run_pipeline
+from meresco_rdf_spark.kg.pipeline import (
+    TRIPLE_COLS,
+    run_checkpointed,
+    run_pipeline,
+)
 from meresco_rdf_spark.sources.transcripts import (
     GAZETTEER,
     synthesize_transcripts,
@@ -327,6 +331,41 @@ class TestCheckpointLineage:
         leaked = final.filter(
             F.col("subj").isin(["urn:conv:%s" % c for c in gone_convs]))
         assert leaked.count() == 0
+
+    def test_empty_input_materializes_empty_tables(self, spark, tmp_path):
+        from meresco_rdf_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+        empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+        out = str(tmp_path / "kg")
+        res = run_checkpointed(spark, empty, out, n_buckets=4, table_buckets=4)
+        assert res["final_triples"] == 0
+        assert res["buckets_processed"] == 0
+        # outputs must be readable (schema-carrying), not just present
+        tri = spark.read.parquet(os.path.join(out, "triples"))
+        assert tri.count() == 0
+        assert set(TRIPLE_COLS) <= set(tri.columns)
+        adj = spark.read.parquet(os.path.join(out, "adjacency"))
+        assert adj.count() == 0
+        assert {"subj", "edges", "degree"} <= set(adj.columns)
+
+    def test_resume_after_total_deletion_empties_outputs(self, spark, tmp_path):
+        from meresco_rdf_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+        t = synthesize_transcripts(spark, 12, 4)
+        out = str(tmp_path / "kg")
+        first = run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
+        assert first["final_triples"] > 0
+        empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+        res = run_checkpointed(spark, empty, out, n_buckets=4, table_buckets=4)
+        assert res["final_triples"] == 0
+        assert res["buckets_dropped"] == 4
+        # the previously materialized triples must not survive their
+        # deleted inputs: the table reads back as zero rows (and keeps a
+        # schema-carrying file, so downstream readers don't fail
+        # inference on an empty directory)
+        tri = spark.read.parquet(os.path.join(out, "triples"))
+        assert tri.count() == 0
+        assert spark.read.parquet(os.path.join(out, "adjacency")).count() == 0
 
     def test_resume_refuses_n_buckets_change(self, spark, tmp_path):
         t = synthesize_transcripts(spark, 10, 3)
