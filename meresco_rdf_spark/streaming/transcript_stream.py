@@ -226,7 +226,11 @@ def stateful_mention_scores(mentions: DataFrame,
                 out["start"].append(int(start))
                 out["surface"].append(surface)
                 out["surface_key"].append(skey)
-                out["score"].append("%.1f" % (float(len(skey)) + seen))
+                # format(",.1f") == Spark's format_number(x, 1): comma
+                # grouping at >=1000, so scores stay byte-identical to the
+                # batch path (kg/extract.py emits format_number) even for
+                # surfaces mentioned 1000+ times in one conversation
+                out["score"].append(format(float(len(skey)) + seen, ",.1f"))
                 support[skey] = seen + 1
         state.update((
             "\x1f".join(support.keys()),

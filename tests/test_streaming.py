@@ -102,6 +102,35 @@ class TestTranscriptStream:
         assert rows == {(0, "%.1f" % base), (1, "%.1f" % (base + 1))} or \
             rows == {(0, "%.1f" % (base + 1)), (1, "%.1f" % base)}
 
+    def test_stateful_scores_format_matches_batch_above_1000(
+            self, spark, tmp_path):
+        """format_number(x, 1) groups thousands ("1,001.0"); the stateful
+        streaming scorer must emit byte-identical strings once support
+        pushes a score past 1000."""
+        from meresco_rdf_spark.streaming.transcript_stream import (
+            await_drain,
+            stateful_mention_scores,
+        )
+
+        path = str(tmp_path / "bigin")
+        schema = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        text = " and ".join(["Marie Curie"] * 991)
+        spark.createDataFrame(
+            [("c1", 0, "user", text, None, None)],
+            schema).coalesce(1).write.parquet(path)
+        stream = read_transcript_stream(spark, path)
+        out = str(tmp_path / "bigscored")
+        q = run_to_parquet(
+            stateful_mention_scores(stream_mentions(stream)),
+            out, str(tmp_path / "ckpt_big"))
+        await_drain(q, timeout_sec=150)
+        scores = {r.score for r in spark.read.parquet(out).collect()}
+        base = len("marie curie")  # 11
+        assert format(float(base + 990), ",.1f") == "1,001.0"
+        assert "1,001.0" in scores  # comma-grouped like the batch path
+        assert "%.1f" % base in scores  # first mention unchanged
+
     def test_incremental_second_batch_only_processes_new_files(
             self, spark, tmp_path):
         path = _write_input(spark, tmp_path, n_convs=10)
