@@ -108,6 +108,11 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
     for bucket in todo:
         part = with_bucket.filter(F.col("_bucket") == bucket).drop("_bucket")
         mentions = detect_mentions(part).persist()
+        # eager cache fill BEFORE the write: the triple union consumes
+        # mentions in parallel branches inside one job, and a lazily
+        # populated cache lets those branches race and re-run the Arrow
+        # extraction (same race run_pipeline pre-empts with count())
+        n_mentions = mentions.count()
         triples = (
             mention_triples(mentions)
             .unionByName(surface_label_triples(mentions))
@@ -116,7 +121,6 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
         bucket_path = os.path.join(out_dir, "raw_triples", "bucket=%d" % bucket)
         triples.write.mode("overwrite").parquet(bucket_path)
         n_triples = spark.read.parquet(bucket_path).count()
-        n_mentions = mentions.count()
         mentions.unpersist()
         n_turns, fingerprint = fps.get(bucket, (0, ""))
         record_done(spark, manifest_path, bucket, n_turns, n_mentions,
