@@ -218,6 +218,60 @@ def q_graph_connected_components(spark, sf_dir):
     return connected_components(edges, local_threshold=0)
 
 
+def q_graph_merge(spark, sf_dir):
+    """O1/O3 at scale: the Iceberg-``MERGE``-style read-modify-write
+    against the bucketed parquet triple table
+    (``kg/materialize.py::merge_triple_table`` — the executable form of
+    ``Graph.addTriple``/``removeTriple``, reference graph.py:45-68).
+
+    Builds the base table from the triples view, then applies ONE merge:
+
+    - deletes: every nation->region edge, plus per-region rows that do
+      not exist in the table (no-op legs — delete must ignore them);
+    - adds: a lowercase ``skos:altLabel`` per region (genuinely new),
+      plus every region's existing ``skos:prefLabel`` row verbatim
+      (set-semantics leg — re-adding must not duplicate).
+
+    Returns the full post-merge table; only delta-touched buckets were
+    rewritten (partition pruning + dynamic partition overwrite), so the
+    untouched buckets' survival is part of what the oracle checks."""
+    import tempfile
+
+    from .kg.materialize import merge_triple_table, write_triple_table
+
+    base = tpch_triples(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="graph_merge_") + "/triples"
+    write_triple_table(base, path, buckets=8)
+
+    region = _read(spark, sf_dir, "region")
+    region_uri = F.concat(F.lit("urn:region:"),
+                          F.col("r_regionkey").cast("string"))
+    adds = region.select(
+        region_uri.alias("subj"),
+        F.lit(SKOS_ALTLABEL).alias("pred"),
+        F.lower(F.col("r_name")).alias("obj_value"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit("en").alias("obj_lang"),
+    ).unionByName(region.select(
+        region_uri.alias("subj"),
+        F.lit(SKOS_PREFLABEL).alias("pred"),
+        F.col("r_name").alias("obj_value"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    ))
+    deletes = base.filter(F.col("pred") == REL_REGION).unionByName(
+        region.select(
+            region_uri.alias("subj"),
+            F.lit(SKOS_PREFLABEL).alias("pred"),
+            F.concat(F.col("r_name"), F.lit("-GONE")).alias("obj_value"),
+            F.lit("literal").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        ))
+    merge_triple_table(spark, path, adds=adds, deletes=deletes, buckets=8)
+    return spark.read.parquet(path).select(
+        "subj", "pred", "obj_value", "obj_kind", "obj_lang")
+
+
 def q_graph_adjacency_topk(spark, sf_dir):
     """Hot-subject-safe adjacency via explicit two-stage SALTED
     aggregation (north rule: "salted aggregation for hot entities") —
@@ -275,6 +329,17 @@ ranked AS (
 SELECT subj, CAST(rnk AS INT) AS rnk, pred, obj_value, obj_kind, obj_lang,
        CAST(degree AS BIGINT) AS degree
 FROM ranked WHERE rnk <= 1""",
+    "graph_merge": """
+WITH {cte},
+dels AS (SELECT * FROM triples WHERE pred = '{rel_region}'),
+adds AS (SELECT 'urn:region:' || r_regionkey AS subj,
+                '{skos_alt}' AS pred, lower(r_name) AS obj_value,
+                'literal' AS obj_kind, 'en' AS obj_lang FROM region)
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM (
+  (SELECT * FROM triples EXCEPT SELECT * FROM dels)
+  UNION
+  SELECT * FROM adds
+)""",
     "graph_scan_masked": """
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples
@@ -1427,6 +1492,7 @@ QUERIES = {
     "graph_scan_masked": q_graph_scan_masked,
     "graph_iterate": q_graph_iterate,
     "graph_adjacency_topk": q_graph_adjacency_topk,
+    "graph_merge": q_graph_merge,
     "graph_connected_components": q_graph_connected_components,
     "graph_objects": q_graph_objects,
     "graph_find_labels": q_graph_find_labels,
