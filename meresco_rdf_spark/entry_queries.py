@@ -507,6 +507,19 @@ def q_dedup_minhash(spark, sf_dir):
         hash_fn="md5")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The per-document fuzzy-dedup DECISION: MinHash pairs -> connected
+    components -> min-id canonical per cluster, keep flag for every doc
+    (``textops/dedup.py::minhash_dedup_clusters``).  Oracle: the pair CTE
+    chain shared with ``dedup_minhash`` + a recursive-CTE transitive
+    closure — fully independent of the Spark components code."""
+    from .textops.dedup import minhash_dedup_clusters
+
+    return minhash_dedup_clusters(
+        _read(spark, sf_dir, "documents"), k=16, bands=8, threshold=0.6,
+        hash_fn="md5")
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     return simhash_dup_pairs(
         _read(spark, sf_dir, "documents"), max_hamming=3, bands=4,
@@ -607,10 +620,11 @@ WHERE jaccard >= {thr}""".format(
         sh=_SHINGLES, cap=cap, thr=threshold)
 
 
-def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.6) -> str:
+def _minhash_ctes(k: int = 16, bands: int = 8) -> str:
     # count-based verification (same formula as the Spark operator:
-    # inter from the inverted index, union = na + nb - inter) with the
-    # threshold on the UNROUNDED jaccard, rounding only in the projection
+    # inter from the inverted index, union = na + nb - inter); the final
+    # relation `j` carries the UNROUNDED jaccard so consumers threshold
+    # before rounding, mirroring the Spark order of operations
     rows = k // bands
     sig = ", ".join(
         "coalesce(list_min(list_transform(shingles, "
@@ -620,8 +634,7 @@ def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.6) -> str:
         "SELECT id, %d AS band_id, %s AS band_key FROM sig"
         % (b, " || '|' || ".join("s[%d]" % (b * rows + r + 1) for r in range(rows)))
         for b in range(bands))
-    return """
-WITH sh AS (SELECT doc_id AS id, {sh} AS shingles FROM documents),
+    return """sh AS (SELECT doc_id AS id, {sh} AS shingles FROM documents),
 inv AS (SELECT id, unnest(shingles) AS shingle FROM sh),
 sizes AS (SELECT id, count(*) AS n_sh FROM inv GROUP BY id),
 sig AS (SELECT id, shingles, [{sig}] AS s FROM sh),
@@ -638,10 +651,39 @@ shared AS (
 j AS (SELECT shared.a, shared.b,
         inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE AS jaccard
       FROM shared JOIN sizes sa ON sa.id = shared.a
-                  JOIN sizes sb ON sb.id = shared.b)
+                  JOIN sizes sb ON sb.id = shared.b)""".format(
+        sh=_SHINGLES, sig=sig, band_rows=band_rows)
+
+
+def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.6) -> str:
+    return """
+WITH {ctes}
 SELECT a, b, round(jaccard, 4) AS jaccard FROM j
-WHERE jaccard >= {thr}""".format(
-        sh=_SHINGLES, sig=sig, band_rows=band_rows, thr=threshold)
+WHERE jaccard >= {thr}""".format(ctes=_minhash_ctes(k, bands), thr=threshold)
+
+
+def _minhash_clusters_sql(k: int = 16, bands: int = 8,
+                          threshold: float = 0.6) -> str:
+    # pairs -> transitive closure (recursive CTE) -> min-id canonical;
+    # docs in no pair are their own canonical
+    return """
+WITH RECURSIVE {ctes},
+pairs AS (SELECT a, b FROM j WHERE jaccard >= {thr}),
+sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (
+  SELECT node, min(m) AS component FROM (
+    SELECT a AS node, b AS m FROM reach
+    UNION ALL
+    SELECT a AS node, a AS m FROM sym
+  ) GROUP BY node)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".format(
+        ctes=_minhash_ctes(k, bands), thr=threshold)
 
 
 def _simhash_pairs_sql(n_bits: int = 32, bands: int = 4,
@@ -1509,6 +1551,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "embed_cosine_topk": q_embed_cosine_topk,
     "events_sessions": q_events_sessions,
@@ -1569,6 +1612,7 @@ SELECT doc_id, fp, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
 FROM f""" % _NORM,
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_minhash": _minhash_sql(),
+    "dedup_clusters": _minhash_clusters_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "embed_cosine_topk": _cosine_topk_sql(),
     "similarity_lsh_topk": _lsh_topk_sql(),

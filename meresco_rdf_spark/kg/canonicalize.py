@@ -246,8 +246,16 @@ def connected_components(edges: DataFrame,
         comp = _local_components(
             (r.u, r.v) for r in e.collect())
         spark = edges.sparkSession
+        # preserve the caller's node type (surfaces are strings, doc ids
+        # are longs); min-label order then matches the distributed path's
+        # F.min over the same column type on both paths
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = e.schema["u"].dataType
         return spark.createDataFrame(
-            sorted(comp.items()), "node string, component string")
+            sorted(comp.items()),
+            StructType([StructField("node", node_type),
+                        StructField("component", node_type)]))
 
     # Faithful ALTERNATING large-star / small-star (one operation per
     # half-round, as the paper proves convergent — a fused both-at-once

@@ -391,6 +391,54 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 # --------------------------------------------------------------------------
+# cluster-level dedup decision (pairs -> components -> canonical doc)
+# --------------------------------------------------------------------------
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Turn near-dup PAIRS into the per-document KEEP/DROP decision a
+    training-data pipeline actually applies: group pairs into clusters
+    via connected components (near-duplicate similarity is not
+    transitive, so A~B, B~C must still collapse to ONE survivor even
+    when A~C was never a candidate pair), elect the min-id document of
+    each cluster as canonical, keep exactly the canonicals.
+
+    Returns ``(doc_id, canonical_id, keep)`` for EVERY input document
+    (singletons are their own canonical, keep=true).
+
+    Scale shape: the component graph holds only documents that appear in
+    some candidate pair — a small fraction of the corpus under any sane
+    threshold — so the components relation is far below the corpus size
+    and the join back to ``docs`` is an AQE broadcast of the small side;
+    the full corpus is never shuffled.  Components themselves run
+    large-star/small-star (or the driver union-find under the adaptive
+    threshold), see :func:`..kg.canonicalize.connected_components`."""
+    from ..kg.canonicalize import connected_components
+
+    comps = connected_components(
+        pairs.select("a", "b")).withColumnRenamed("node", id_col)
+    return (
+        docs.select(id_col)
+        .join(comps, id_col, "left")
+        .withColumn("canonical_id", F.coalesce("component", F.col(id_col)))
+        .withColumn("keep", F.col("canonical_id") == F.col(id_col))
+        .select(id_col, "canonical_id", "keep")
+    )
+
+
+def minhash_dedup_clusters(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3, k: int = 16,
+                           bands: int = 8, threshold: float = 0.7,
+                           hash_fn: str = "xx") -> DataFrame:
+    """MinHash-LSH fuzzy dedup, decided: :func:`minhash_dedup_pairs`
+    piped through :func:`dedup_clusters`."""
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, n=n, k=k, bands=bands,
+        threshold=threshold, hash_fn=hash_fn)
+    return dedup_clusters(df, pairs, id_col)
+
+
+# --------------------------------------------------------------------------
 # embedding near-dup
 # --------------------------------------------------------------------------
 

@@ -99,6 +99,43 @@ class TestDedup:
             assert (1, 2) in pairs
             assert not any({a, b} & {4, 5} for a, b in pairs)
 
+    def test_dedup_clusters_transitive_and_singletons(self, spark, docs):
+        # A~B (exact dup) and A~C (near dup) pair; even if B~C were never
+        # a candidate pair, all three must land in ONE cluster with the
+        # min id canonical; 4 and 5 stay their own keepers
+        from meresco_rdf_spark.textops.dedup import minhash_dedup_clusters
+
+        rows = {r.doc_id: (r.canonical_id, r.keep)
+                for r in minhash_dedup_clusters(
+                    docs, threshold=0.5, hash_fn="xx").collect()}
+        assert set(rows) == {1, 2, 3, 4, 5}
+        assert rows[1] == (1, True)
+        assert rows[2] == (1, False)
+        assert rows[3] == (1, False)
+        assert rows[4] == (4, True)
+        assert rows[5] == (5, True)
+
+    def test_dedup_clusters_chain_via_explicit_pairs(self, spark):
+        # pure chain a-b, b-c with int ids: connected components must
+        # collapse the chain; the untouched doc keeps itself; both the
+        # driver union-find and the distributed path agree
+        from meresco_rdf_spark.kg.canonicalize import connected_components
+        from meresco_rdf_spark.textops.dedup import dedup_clusters
+
+        docs = spark.createDataFrame(
+            [(i,) for i in (10, 20, 30, 40)], "doc_id long")
+        pairs = spark.createDataFrame([(20, 30), (10, 20)], "a long, b long")
+        expect = {10: (10, True), 20: (10, False),
+                  30: (10, False), 40: (40, True)}
+        got = {r.doc_id: (r.canonical_id, r.keep)
+               for r in dedup_clusters(docs, pairs).collect()}
+        assert got == expect
+        # distributed components path preserves the long node type too
+        comp = connected_components(pairs, local_threshold=0)
+        assert dict((r.node, r.component) for r in comp.collect()) == \
+            {10: 10, 20: 10, 30: 10}
+        assert comp.schema["node"].dataType.typeName() == "long"
+
     def test_simhash_identical_for_dups_and_hamming(self, spark, docs):
         fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
         assert fp[1] == fp[2]
