@@ -1141,6 +1141,41 @@ def q_embed_dup_pairs(spark, sf_dir):
         _read(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=8)
 
 
+def q_embed_dup_clusters(spark, sf_dir):
+    """The embedding-modality dedup DECISION: sign-LSH cosine pairs ->
+    connected components -> min-id canonical per cluster (the same
+    ``dedup_clusters`` machinery as the MinHash path — the decision
+    layer is modality-agnostic)."""
+    from .textops.dedup import dedup_clusters, embedding_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, threshold=0.4, n_planes=8)
+    return dedup_clusters(emb, pairs, id_col="vec_id")
+
+
+def _embed_clusters_sql(threshold: float = 0.4, dim: int = 64,
+                        n_planes: int = 8, bands: int = 4) -> str:
+    # the pair query (nested WITH) feeds a recursive-CTE closure;
+    # singleton vectors are their own canonical
+    return """
+WITH RECURSIVE pairs AS ({inner}),
+sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (
+  SELECT node, min(m) AS component FROM (
+    SELECT a AS node, b AS m FROM reach
+    UNION ALL
+    SELECT a AS node, a AS m FROM sym
+  ) GROUP BY node)
+SELECT d.vec_id, coalesce(c.component, d.vec_id) AS canonical_id,
+       coalesce(c.component, d.vec_id) = d.vec_id AS keep
+FROM embeddings d LEFT JOIN comp c ON c.node = d.vec_id""".format(
+        inner=_embed_dup_sql(threshold, dim, n_planes, bands))
+
+
 def _embed_dup_sql(threshold: float = 0.4, dim: int = 64,
                    n_planes: int = 8, bands: int = 4) -> str:
     from .textops.similarity import plane_signs
@@ -1572,6 +1607,7 @@ QUERIES = {
     "pricing_rollup": q_pricing_rollup,
     "multimodal_features": q_multimodal_features,
     "embed_dup_pairs": q_embed_dup_pairs,
+    "embed_dup_clusters": q_embed_dup_clusters,
     "scalar_functions": q_scalar_functions,
     "scalar_matches_iri": q_scalar_matches_iri,
     # not ANSI-SQL-expressible (pandas-UDF extraction, iterative connected
@@ -1669,6 +1705,7 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "multimodal_features": _MULTIMODAL_SQL,
     "embed_dup_pairs": _embed_dup_sql(),
+    "embed_dup_clusters": _embed_clusters_sql(),
     "scalar_functions": _SCALAR_FNS_SQL,
     "scalar_matches_iri": "SELECT candidate, is_iri FROM (VALUES\n  %s) AS t(candidate, is_iri)" % ",\n  ".join(
         "('%s', %s)" % (c.replace("'", "''"), "TRUE" if e else "FALSE")
