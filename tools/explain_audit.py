@@ -142,6 +142,23 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
 
+    # dedup decision: the components relation (docs-in-some-pair only,
+    # corpus-scale-small) must broadcast into the join back to the full
+    # corpus — the corpus itself is never shuffled for the keep/drop verdict
+    from meresco_rdf_spark.textops.dedup import minhash_dedup_clusters
+
+    clusters = minhash_dedup_clusters(docs, k=16, bands=8, threshold=0.6)
+    # collect() drives THIS DataFrame's own query execution, so the
+    # AdaptiveSparkPlan below is the finalized one (count() would plan a
+    # separate aggregate query and leave this plan un-adapted)
+    clusters.collect()
+    p = plan_of(clusters).split("== Initial Plan ==")[0]
+    results.append(check(
+        "dedup_clusters: broadcast join-back",
+        "isFinalPlan=true" in p and "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p,
+        ""))
+
     # pricing summary: decimal agg inside codegen
     from meresco_rdf_spark.entry_queries import q_pricing_summary
 
