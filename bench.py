@@ -121,7 +121,8 @@ def main() -> None:
     # --- operator headliners over the sf tables ---
     heads = [
         "graph_find_labels", "graph_bgp", "graph_in_degree",
-        "dedup_minhash", "text_simhash", "dedup_ngram_jaccard",
+        "dedup_minhash", "dedup_clusters", "text_simhash",
+        "dedup_ngram_jaccard",
         "embed_cosine_topk", "similarity_lsh_topk", "similarity_ivf_topk",
         "events_sessions", "events_asof_signup", "events_quantiles",
         "pricing_summary", "pricing_pivot", "pricing_cube",

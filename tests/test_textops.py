@@ -164,6 +164,41 @@ class TestDedup:
         assert got == expect
 
 
+class TestSynthDocs:
+    def test_deterministic_and_parallelism_independent(self, spark):
+        from meresco_rdf_spark.sources.synth_docs import synthesize_documents
+
+        a = {r.doc_id: r.text
+             for r in synthesize_documents(spark, 200, partitions=1).collect()}
+        b = {r.doc_id: r.text
+             for r in synthesize_documents(spark, 200, partitions=7).collect()}
+        assert a == b and len(a) == 200
+
+    def test_dup_lanes_match_head(self, spark):
+        from pyspark.sql import functions as F
+
+        from meresco_rdf_spark.sources.synth_docs import synthesize_documents
+
+        docs = synthesize_documents(spark, 2000)
+        lanes = docs.withColumn(
+            "lane", F.pmod(F.xxhash64("doc_id", F.lit("dup")), F.lit(10)))
+        rows = lanes.collect()
+        text = {r.doc_id: r.text for r in rows}
+        n_exact = n_near = 0
+        for r in rows:
+            head = (r.doc_id // 10) * 10
+            if r.doc_id % 10 == 0 or r.lane >= 3:
+                continue
+            if r.lane <= 1:
+                assert r.text == text[head]
+                n_exact += 1
+            else:
+                assert r.text.startswith(text[head] + " ")
+                assert len(r.text.split()) == len(text[head].split()) + 1
+                n_near += 1
+        assert n_exact > 100 and n_near > 50
+
+
 class TestSimilarity:
     def _vecs(self, spark):
         rows = [
