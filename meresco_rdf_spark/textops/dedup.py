@@ -111,17 +111,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     O(pairs x shingles).  The frequency cap only gates which pairs become
     CANDIDATES; the intersection count comes from the uncapped index, so
     capping never changes a reported jaccard value, it only skips
-    boilerplate-only pairs."""
+    boilerplate-only pairs.
+
+    Per-doc set sizes ride ALONG the existing exchanges instead of
+    joining a separate O(docs) sizes relation: ``n_sh`` is computed
+    narrowly (``F.size`` over the cached array column) and carried on
+    each posting row (+8 bytes) through the verify join into the pair
+    aggregate (``F.first`` — constant within a doc).  At corpus scale
+    the sizes relation is itself O(corpus) and NOT broadcastable, so
+    the former ``shared JOIN sizes JOIN sizes`` tail cost two extra
+    full-corpus shuffles; now the union size needs no join at all."""
     # (id, shingle) is already unique: word_shingles emits distinct
-    # shingles per doc, so no dedup shuffle is needed here
-    inv = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles_arrow(F.col(text_col), n)).alias("shingle"))
-        .persist()
-    )
-    inv.count()  # eager: both self-join sides + the size agg read this
-    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # shingles per doc, so no dedup shuffle is needed here.  Cache the
+    # ARRAY form: explode is narrow and recomputes cheaply per consumer,
+    # while n_sh derives from F.size with no groupBy shuffle.
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_arrow(F.col(text_col), n).alias("shingles")).persist()
+    sh.count()  # eager: the Arrow shingler feeds every consumer below;
+    # a lazy cache would re-run it per consumer
+    inv = sh.select(
+        "id", F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"))
     # global shingle frequency as a partial-aggregatable groupBy + join —
     # NOT a window: count(*) OVER (PARTITION BY shingle) forces a full
     # sort of the inverted index per partition with no map-side combine,
@@ -140,7 +151,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     prefix_len = F.col("n_sh") - F.floor(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = (
         freq.withColumn("rnk", rank)
-        .join(sizes, "id")
         .filter(F.col("rnk") <= prefix_len)
         # skew guard on top: boilerplate shingles add candidates
         # quadratically but no precision
@@ -161,15 +171,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # Intermediate is O(candidates x shingles-per-doc) — bounded.
     shared = (
         cand.join(inv.select(F.col("id").alias("a"),
+                             F.col("n_sh").alias("na"),
                              F.col("shingle").alias("s")), "a")
-        .join(inv.select(F.col("id").alias("b"), F.col("shingle").alias("s")),
+        .join(inv.select(F.col("id").alias("b"),
+                         F.col("n_sh").alias("nb"),
+                         F.col("shingle").alias("s")),
               ["b", "s"])
-        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+        .groupBy("a", "b").agg(F.count("*").alias("inter"),
+                               F.first("na").alias("na"),
+                               F.first("nb").alias("nb"))
     )
-    sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(sa, "a").join(sb, "b")
+        shared
         .withColumn("jaccard",
                     F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
@@ -214,8 +227,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
         word_shingles_arrow(F.col(text_col), n).alias("shingles")).persist()
     sh.count()  # eager: feeds the signature path AND the inverted index;
     # a lazy cache would re-run the Arrow shingler per consumer
-    inv = sh.select("id", F.explode("shingles").alias("shingle"))
-    sizes = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # n_sh rides on each posting row (F.size over the cached array — no
+    # groupBy shuffle) and flows through the verify join into the pair
+    # aggregate, so the union size |A|+|B|-|AnB| needs no join against a
+    # separate O(docs) sizes relation (not broadcastable at corpus scale)
+    inv = sh.select("id", F.size("shingles").alias("n_sh"),
+                    F.explode("shingles").alias("shingle"))
 
     def perm_min(i):
         # single-arg lambda: a two-arg lambda would receive (element, index)
@@ -270,16 +287,18 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
         inv_c = inv.join(ids, "id", "leftsemi")
     shared = (
         cand.join(inv_c.select(F.col("id").alias("a"),
+                               F.col("n_sh").alias("na"),
                                F.col("shingle").alias("s")), "a")
         .join(inv_c.select(F.col("id").alias("b"),
+                           F.col("n_sh").alias("nb"),
                            F.col("shingle").alias("s")),
               ["b", "s"])
-        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+        .groupBy("a", "b").agg(F.count("*").alias("inter"),
+                               F.first("na").alias("na"),
+                               F.first("nb").alias("nb"))
     )
-    sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(sa, "a").join(sb, "b")
+        shared
         .withColumn("jaccard",
                     F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
