@@ -122,6 +122,16 @@ def main() -> None:
         "minhash: no arrays in exchanges", len(exchange_inputs) > 0 and not bad,
         "(%d exchanges)" % len(exchange_inputs)))
 
+    # verify tail: the union size |A|+|B|-|AnB| comes from n_sh carried
+    # on posting rows, NOT from joining the pair aggregate against an
+    # O(corpus) sizes relation — exactly 3 joins (banded self-join + the
+    # two count-join legs), no join above the pair aggregate
+    opt = optimized_of(pairs)
+    n_joins = len(re.findall(r"^[\s:+-]*Join ", opt, re.MULTILINE))
+    results.append(check(
+        "minhash: sizes ride postings, 3 joins",
+        n_joins == 3, "(%d joins)" % n_joins))
+
     # extraction partitioning follows spark.sql.shuffle.partitions / AQE,
     # not the driver's core count (the 100-TB stage-width contract)
     spark.conf.set("spark.sql.shuffle.partitions", "13")
