@@ -41,6 +41,32 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized twin of :func:`cosine`: one numpy float64 batch
+    per Arrow chunk instead of an interpreted fold per row.  Same
+    float64 math; summation order differs (SIMD/pairwise vs sequential),
+    so agreement with the expression twin is to ~1e-12 relative — the
+    6-decimal rounding every caller applies absorbs that except exactly
+    at a rounding boundary.  Oracle-checked paths keep the expression
+    twin; bulk re-ranking uses this one."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def cos(va, vb):  # two pd.Series of list<float> -> pd.Series of double
+        if len(va) == 0:
+            return pd.Series([], dtype=float)
+        mat_a = np.array([np.asarray(v, dtype=np.float64) for v in va])
+        mat_b = np.array([np.asarray(v, dtype=np.float64) for v in vb])
+        num = (mat_a * mat_b).sum(axis=1)
+        den = np.sqrt((mat_a * mat_a).sum(axis=1)) \
+            * np.sqrt((mat_b * mat_b).sum(axis=1))
+        return pd.Series(num / den)
+
+    return cos(a, b)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:
@@ -141,10 +167,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Approximate top-k: sign-LSH banding for candidates, exact cosine
     re-rank.  Recall is tunable by bands/planes; candidates per query
     shrink ~2^(-planes/bands) of the corpus — the 100-TB-side win.
-    ``use_arrow`` switches signature computation to the numpy-matmul twin
-    (the production-dim path)."""
+    ``use_arrow`` switches signature computation AND the cosine re-rank
+    to the numpy-matmul twins (the production-dim path)."""
     width = n_planes // bands
     sig_fn = hyperplane_signature_arrow if use_arrow else hyperplane_signature
+    cosine_fn = cosine_arrow if use_arrow else cosine
 
     def banded(df, id_alias):
         sig = sig_fn(F.col(vec_col), n_planes, dim)
@@ -167,7 +194,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        "cos", F.round(cosine_fn(F.col("q_vec"), F.col("c_vec")), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -209,16 +236,67 @@ def _pivot_scores(vec: Column, n_pivots: int, dim: int,
     return F.zip_with(dots, norms_lit, lambda d, n: d / n)
 
 
+def _normed_pivot_matrix(n_pivots: int, dim: int, seed: int):
+    import numpy as np
+
+    mat = np.array(ivf_pivots(n_pivots, dim, seed), dtype=np.float64)
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _pivot_scores_arrow(vec: Column, n_pivots: int, dim: int,
+                        seed: int = 42) -> Column:
+    """Arrow-vectorized twin of :func:`_pivot_scores`: one numpy matmul
+    per batch against the (tiny, closure-captured) normalized pivot
+    matrix.  ~100x the interpreted per-pivot fold at production dims."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    pivots_t = _normed_pivot_matrix(n_pivots, dim, seed).T  # (dim, n_pivots)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def scores(vecs):  # pd.Series of list<float> -> pd.Series of list<double>
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(list(mat @ pivots_t))
+
+    return scores(vec)
+
+
 def ivf_bucket(vec: Column, n_pivots: int, dim: int, seed: int = 42) -> Column:
     """1-based index of the nearest pivot (first-max tie-break)."""
     scores = _pivot_scores(vec, n_pivots, dim, seed)
     return F.array_position(scores, F.array_max(scores)).cast("int")
 
 
+def ivf_bucket_arrow(vec: Column, n_pivots: int, dim: int,
+                     seed: int = 42) -> Column:
+    """Arrow-vectorized twin of :func:`ivf_bucket` (numpy argmax keeps
+    the same first-max tie-break).  Bucket-identical to the expression
+    twin unless two pivot scores tie within float summation-order noise
+    (~1e-12 relative) — asserted over the synthetic corpus in tests."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    pivots_t = _normed_pivot_matrix(n_pivots, dim, seed).T
+
+    @F.pandas_udf(IntegerType())
+    def bucket(vecs):  # pd.Series of list<float> -> pd.Series of int
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series((mat @ pivots_t).argmax(axis=1) + 1).astype("int32")
+
+    return bucket(vec)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_pivots: int = 8,
-             probes: int = 2, dim: int = 64, seed: int = 42) -> DataFrame:
+             probes: int = 2, dim: int = 64, seed: int = 42,
+             use_arrow: bool = False) -> DataFrame:
     """IVF-flat approximate top-k: Voronoi coarse quantization over
     deterministic pivots; each corpus vector lands in ONE inverted list
     (its nearest pivot), each query probes its ``probes`` nearest lists;
@@ -228,13 +306,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ~probes/n_pivots of the corpus, the shuffle key is the bucket id, and
     recall degrades gracefully with ``probes`` (probes = n_pivots ==
     exact).  Scale shape: one narrow bucket-assignment pass per side,
-    one equi-join on bucket, top-k window per query."""
+    one equi-join on bucket, top-k window per query.
+
+    ``use_arrow`` switches bucket assignment, probe scoring, AND the
+    cosine re-rank to the numpy-matmul twins — the corpus-scale path
+    (higher-order functions don't codegen; measured ~10x end-to-end,
+    BENCH/BASELINE.md).  The expression path stays the default because
+    it is bit-reproducible against sequential-fold SQL oracles."""
+    bucket_fn = ivf_bucket_arrow if use_arrow else ivf_bucket
+    scores_fn = _pivot_scores_arrow if use_arrow else _pivot_scores
+    cosine_fn = cosine_arrow if use_arrow else cosine
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        ivf_bucket(F.col(vec_col), n_pivots, dim, seed).alias("bucket"))
+        bucket_fn(F.col(vec_col), n_pivots, dim, seed).alias("bucket"))
     q_scores = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        _pivot_scores(F.col(vec_col), n_pivots, dim, seed).alias("scores"))
+        scores_fn(F.col(vec_col), n_pivots, dim, seed).alias("scores"))
     # top-`probes` pivot indices per query: explode scored (index, score)
     # pairs and keep the best `probes` rows
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -254,7 +341,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        "cos", F.round(cosine_fn(F.col("q_vec"), F.col("c_vec")), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
     return (
