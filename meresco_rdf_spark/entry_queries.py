@@ -1561,6 +1561,23 @@ def q_similarity_ivf_topk(spark, sf_dir):
                     dim=64).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_similarity_ivf_arrow(spark, sf_dir):
+    """The IVF scale path (`use_arrow=True`: numpy-matmul bucket
+    assignment, probe scoring, and cosine re-rank — measured ~3.7x the
+    expression twin, BENCH/BASELINE.md) against the SAME sequential-fold
+    SQL oracle: the 6-decimal rounding absorbs summation-order noise, so
+    the Arrow path is value-exact on this data (asserted here by the
+    driver's hash compare, and for top-k result sets in tests)."""
+    from .textops.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    return ivf_topk(emb, queries, k=5, n_pivots=8, probes=2, dim=64,
+                    use_arrow=True).withColumn(
+                        "rank", F.col("rank").cast("long"))
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1622,6 +1639,7 @@ QUERIES = {
     "stream_mention_rate": q_stream_mention_rate,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_ivf_arrow": q_similarity_ivf_arrow,
     "stream_stateful_scores": q_stream_stateful_scores,
 }
 
@@ -1653,6 +1671,7 @@ FROM f""" % _NORM,
     "embed_cosine_topk": _cosine_topk_sql(),
     "similarity_lsh_topk": _lsh_topk_sql(),
     "similarity_ivf_topk": _ivf_topk_sql(),
+    "similarity_ivf_arrow": _ivf_topk_sql(),
     "events_sessions": _EVENTS_SESSIONS_SQL,
     "events_asof_signup": """
 WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu
