@@ -124,6 +124,7 @@ def main() -> None:
         "dedup_minhash", "dedup_clusters", "text_simhash",
         "dedup_ngram_jaccard",
         "embed_cosine_topk", "similarity_lsh_topk", "similarity_ivf_topk",
+        "similarity_ivf_arrow",
         "events_sessions", "events_asof_signup", "events_quantiles",
         "pricing_summary", "pricing_pivot", "pricing_cube",
     ]
