@@ -1540,6 +1540,32 @@ def q_stream_stateful_scores(spark, sf_dir):
         "surface", "surface_key", "score")
 
 
+def q_stream_dedup_fps(spark, sf_dir):
+    """Streaming ingestion-time exact dedup under FORCED multi-micro-batch
+    processing (4 shards, maxFilesPerTrigger=1): the documents table
+    arrives as file drops, stateful ``dropDuplicates`` on the
+    normalized-text fingerprint keeps the first-seen doc per key ACROSS
+    batches.  The surviving doc per group is arrival-order-dependent, so
+    the oracle-stable projection is the surviving FINGERPRINT set —
+    which must equal DuckDB's ``SELECT DISTINCT md5(normalized)``."""
+    import os
+    import tempfile
+
+    from .streaming.doc_stream import read_document_stream, stream_exact_dedup
+    from .streaming.transcript_stream import run_to_parquet
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    in_dir = os.path.join(base, "in")
+    _read(spark, sf_dir, "documents").repartition(4, "doc_id") \
+        .write.parquet(in_dir)
+    q = run_to_parquet(
+        stream_exact_dedup(read_document_stream(
+            spark, in_dir, max_files_per_trigger=1)),
+        os.path.join(base, "out"), os.path.join(base, "ckpt"))
+    q.awaitTermination(600)
+    return spark.read.parquet(os.path.join(base, "out")).select("fp")
+
+
 def q_similarity_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
@@ -1641,6 +1667,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_ivf_arrow": q_similarity_ivf_arrow,
     "stream_stateful_scores": q_stream_stateful_scores,
+    "stream_dedup_fps": q_stream_dedup_fps,
 }
 
 
@@ -1784,3 +1811,9 @@ ORACLES["stream_stateful_scores"] = """
 SELECT conv_id, turn_idx::BIGINT AS turn_idx, start::BIGINT AS start,
        surface, surface_key, printf('%.1f', score) AS score
 FROM read_parquet('/root/repo/tests/golden/kg_mentions.parquet')"""
+
+# streaming first-seen dedup: WHICH doc survives a group is
+# arrival-order-dependent, but the surviving fingerprint set is exactly
+# the distinct fingerprints — a direct ANSI-SQL oracle
+ORACLES["stream_dedup_fps"] = \
+    "SELECT DISTINCT md5(%s) AS fp FROM documents" % _NORM

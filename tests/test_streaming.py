@@ -187,3 +187,42 @@ def test_complete_drain_includes_tail_window(spark, tmp_path):
     assert complete.count() > appended.count()
     # n_convs is exact (collect_set), bounded by the input conversations
     assert complete.agg(F.max("n_convs")).collect()[0][0] <= 6
+
+
+class TestDocStreamDedup:
+    def test_stream_exact_dedup_matches_batch_clusters(self, spark, tmp_path):
+        # forced multi-micro-batch (one input file per trigger): the
+        # surviving fingerprint SET must equal the batch operator's, and
+        # exactly one doc survives per fingerprint even when its
+        # duplicates arrive in different micro-batches
+        from meresco_rdf_spark.sources.synth_docs import synthesize_documents
+        from meresco_rdf_spark.streaming.doc_stream import (
+            read_document_stream,
+            stream_exact_dedup,
+        )
+        from meresco_rdf_spark.textops.dedup import exact_dedup
+
+        docs = synthesize_documents(spark, 400).withColumn(
+            "lang", F.lit("en")).withColumn("source", F.lit("synth")) \
+            .withColumn("n_chars", F.length("text"))
+        in_path = str(tmp_path / "docs_in")
+        # 4 shards written as separate files -> 4 micro-batches; dup
+        # groups span 10 consecutive ids, so shard boundaries split them
+        docs.repartition(4, "doc_id").write.parquet(in_path)
+        out = str(tmp_path / "docs_out")
+        q = run_to_parquet(
+            stream_exact_dedup(read_document_stream(
+                spark, in_path, max_files_per_trigger=1)),
+            out, str(tmp_path / "docs_ckpt"))
+        q.awaitTermination(300)
+
+        kept = spark.read.parquet(out)
+        batch = exact_dedup(docs).filter("keep")
+        # same surviving-fingerprint set as the batch decision
+        assert {r.fp for r in kept.select("fp").collect()} == \
+            {r.fp for r in batch.select("fp").collect()}
+        # exactly one survivor per fingerprint
+        assert kept.groupBy("fp").count().filter("count > 1").count() == 0
+        # every survivor's text really carries its fingerprint
+        from meresco_rdf_spark.textops.textstats import fingerprint as fp_fn
+        assert kept.filter(fp_fn(F.col("text")) != F.col("fp")).count() == 0
