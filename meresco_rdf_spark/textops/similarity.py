@@ -292,11 +292,46 @@ def ivf_bucket_arrow(vec: Column, n_pivots: int, dim: int,
     return bucket(vec)
 
 
+def _cosine_vs_captured_queries(qid_to_vec: dict) -> "callable":
+    """pandas_udf (query_id, c_vec) -> cosine, with the query vectors
+    captured in the closure instead of riding every candidate row.
+
+    The re-rank's Arrow volume is O(candidates x 2 x dim) when both
+    vectors travel per row — and the q_vec half is pure duplication
+    (|Q| distinct vectors copied candidates/|Q| times each).  Capturing
+    the query matrix halves the dominant pipe volume at corpus scale.
+    Same float64 elementwise-multiply + row-sum as :func:`cosine_arrow`,
+    so values are bit-identical."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    qids = list(qid_to_vec)
+    qmat = np.array([np.asarray(qid_to_vec[q], dtype=np.float64)
+                     for q in qids])
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    pos_of = {q: i for i, q in enumerate(qids)}
+
+    @F.pandas_udf(DoubleType())
+    def cos(qid, cvecs):  # (pd.Series, pd.Series of list<float>)
+        if len(qid) == 0:
+            return pd.Series([], dtype=float)
+        pos = qid.map(pos_of).to_numpy()
+        mat_q = qmat[pos]
+        mat_c = np.array([np.asarray(v, dtype=np.float64) for v in cvecs])
+        num = (mat_q * mat_c).sum(axis=1)
+        den = qnorm[pos] * np.sqrt((mat_c * mat_c).sum(axis=1))
+        return pd.Series(num / den)
+
+    return cos
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_pivots: int = 8,
              probes: int = 2, dim: int = 64, seed: int = 42,
-             use_arrow: bool = False) -> DataFrame:
+             use_arrow: bool = False,
+             broadcast_queries: bool = False) -> DataFrame:
     """IVF-flat approximate top-k: Voronoi coarse quantization over
     deterministic pivots; each corpus vector lands in ONE inverted list
     (its nearest pivot), each query probes its ``probes`` nearest lists;
@@ -312,13 +347,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cosine re-rank to the numpy-matmul twins — the corpus-scale path
     (higher-order functions don't codegen; measured ~10x end-to-end,
     BENCH/BASELINE.md).  The expression path stays the default because
-    it is bit-reproducible against sequential-fold SQL oracles."""
+    it is bit-reproducible against sequential-fold SQL oracles.
+
+    ``broadcast_queries`` (requires ``use_arrow``) additionally collects
+    the query set driver-side ONCE (same small-|Q| probe-shape
+    assumption under which :func:`cosine_topk` broadcasts it) and
+    captures the query matrix in the re-rank UDF's closure, so q_vec is
+    never duplicated onto candidate rows: the re-rank's Arrow transfer
+    halves and the candidate exchange carries only (query_id, bucket).
+    Values are bit-identical to the plain Arrow path (same numpy
+    elementwise-multiply + row-sum)."""
+    if broadcast_queries and not use_arrow:
+        raise ValueError("broadcast_queries requires use_arrow=True")
     bucket_fn = ivf_bucket_arrow if use_arrow else ivf_bucket
     scores_fn = _pivot_scores_arrow if use_arrow else _pivot_scores
     cosine_fn = cosine_arrow if use_arrow else cosine
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         bucket_fn(F.col(vec_col), n_pivots, dim, seed).alias("bucket"))
+    q_cols = ["query_id"] if broadcast_queries else ["query_id", "q_vec"]
     q_scores = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         scores_fn(F.col(vec_col), n_pivots, dim, seed).alias("scores"))
@@ -333,15 +380,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .withColumn("bucket", (F.col("pos") + 1).cast("int"))
         .withColumn("rnk", F.row_number().over(w_probe))
         .filter(F.col("rnk") <= probes)
-        .select("query_id", "q_vec", "bucket")
+        .select(*q_cols, "bucket")
     )
     cand = (
         q_buckets.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cos", F.round(cosine_fn(F.col("q_vec"), F.col("c_vec")), 6))
+    if broadcast_queries:
+        qid_to_vec = {
+            r[0]: r[1]
+            for r in queries.select(query_id_col, vec_col).collect()}
+        cos_fixed = _cosine_vs_captured_queries(qid_to_vec)
+        scored = cand.withColumn(
+            "cos", F.round(cos_fixed(F.col("query_id"), F.col("c_vec")), 6))
+    else:
+        scored = cand.withColumn(
+            "cos", F.round(cosine_fn(F.col("q_vec"), F.col("c_vec")), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
     return (

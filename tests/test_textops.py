@@ -387,6 +387,21 @@ class TestIvf:
                  for r in ivf_topk(vecs, q, k=5, n_pivots=16, probes=3,
                                    dim=32, use_arrow=True).collect()}
         assert arrow == expr
+        # broadcast_queries: closure-captured query matrix — values must
+        # stay bit-identical (same numpy multiply + row-sum), so the
+        # full (id, id, cos, rank) tuples match, not just the id sets
+        bq = {(r.query_id, r.neighbor_id, r.cos, r.rank)
+              for r in ivf_topk(vecs, q, k=5, n_pivots=16, probes=3,
+                                dim=32, use_arrow=True,
+                                broadcast_queries=True).collect()}
+        full_arrow = {(r.query_id, r.neighbor_id, r.cos, r.rank)
+                      for r in ivf_topk(vecs, q, k=5, n_pivots=16, probes=3,
+                                        dim=32, use_arrow=True).collect()}
+        assert bq == full_arrow
+        import pytest
+
+        with pytest.raises(ValueError):
+            ivf_topk(vecs, q, broadcast_queries=True)
 
     def test_lsh_topk_arrow_rerank_parity(self, spark):
         from meresco_rdf_spark.sources.synth_vecs import synthesize_embeddings

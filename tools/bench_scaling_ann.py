@@ -42,12 +42,13 @@ queries = (synthesize_embeddings(spark, {n_queries})
            .withColumnRenamed("vec_id", "query_id"))
 # identical warmup both levels: steady-state compute, not JIT/codegen
 ivf_topk(synthesize_embeddings(spark, 20000, partitions=cpus), queries,
-         k=10, n_pivots=64, probes=4, use_arrow=True).count()
+         k=10, n_pivots=64, probes=4, use_arrow=True,
+         broadcast_queries=True).count()
 walls, rows = [], 0
 for _ in range({repeats}):
     t0 = time.monotonic()
     rows = ivf_topk(corpus, queries, k=10, n_pivots=64, probes=4,
-                    use_arrow=True).count()
+                    use_arrow=True, broadcast_queries=True).count()
     walls.append(time.monotonic() - t0)
 wall = min(walls)  # best-of-N: local-mode scheduling noise is one-sided
 print(json.dumps({{"cpus": cpus, "wall": round(wall, 2),
