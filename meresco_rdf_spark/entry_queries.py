@@ -1494,27 +1494,14 @@ def q_stream_mention_rate(spark, sf_dir):
         F.col("n_convs").cast("long").alias("n_convs"))
 
 
-def q_stream_stateful_scores(spark, sf_dir):
-    """Custom stateful streaming operator (``applyInPandasWithState``)
-    under FORCED multi-micro-batch processing: the input is written as
-    four turn-slice files with strictly increasing mtimes and drained
-    with maxFilesPerTrigger=1, so every conversation's support state MUST
-    carry across micro-batches to produce the batch-path cumulative
-    scores.  Oracle: the golden kg_mentions scores reformatted — the
-    operator's contract is exact batch equivalence."""
+def _write_turn_slices(spark, base: str) -> str:
+    """Write the seeded transcripts as four turn-slice parquet files with
+    strictly increasing mtimes (file-source batch order follows
+    modification time) — the forced-multi-micro-batch input shared by the
+    streaming driver queries.  Returns the input directory."""
     import os
-    import tempfile
     import time
 
-    from .streaming.transcript_stream import (
-        await_drain,
-        read_transcript_stream,
-        run_to_parquet,
-        stateful_mention_scores,
-        stream_mentions,
-    )
-
-    base = tempfile.mkdtemp(prefix="stream_state_q_")
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     t = _synth_transcripts(spark)
@@ -1525,9 +1512,32 @@ def q_stream_stateful_scores(spark, sf_dir):
         src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
         dst = os.path.join(in_dir, "slice_%d.parquet" % i)
         os.rename(os.path.join(part, src), dst)
-        # file-source batch order follows modification time: pin it
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         time.sleep(0.01)
+    return in_dir
+
+
+def q_stream_stateful_scores(spark, sf_dir):
+    """Custom stateful streaming operator (``applyInPandasWithState``)
+    under FORCED multi-micro-batch processing: the input is written as
+    four turn-slice files with strictly increasing mtimes and drained
+    with maxFilesPerTrigger=1, so every conversation's support state MUST
+    carry across micro-batches to produce the batch-path cumulative
+    scores.  Oracle: the golden kg_mentions scores reformatted — the
+    operator's contract is exact batch equivalence."""
+    import os
+    import tempfile
+
+    from .streaming.transcript_stream import (
+        await_drain,
+        read_transcript_stream,
+        run_to_parquet,
+        stateful_mention_scores,
+        stream_mentions,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_state_q_")
+    in_dir = _write_turn_slices(spark, base)
     stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=1)
     q = run_to_parquet(
         stateful_mention_scores(stream_mentions(stream),
@@ -1564,6 +1574,38 @@ def q_stream_dedup_fps(spark, sf_dir):
         os.path.join(base, "out"), os.path.join(base, "ckpt"))
     q.awaitTermination(600)
     return spark.read.parquet(os.path.join(base, "out")).select("fp")
+
+
+def q_stream_merge_triples(spark, sf_dir):
+    """Incremental KG maintenance end-to-end: transcript file drops ->
+    incremental mention extraction -> stateless triple fan-out -> per-
+    micro-batch MERGE (set semantics, bucket-pruned read-modify-write)
+    into the subject-bucketed materialized triple table.  Forced
+    multi-micro-batch (4 turn-slice files, maxFilesPerTrigger=1) so the
+    table is built by 4 successive merges, each deduplicating against the
+    rows the earlier ones committed.  Oracle: the pure-Python golden of
+    the stateless fan-out over all mentions — the table the merges must
+    converge to regardless of batch slicing."""
+    import os
+    import tempfile
+
+    from .streaming.transcript_stream import (
+        read_transcript_stream,
+        run_merge_to_triple_table,
+        stream_mentions,
+        stream_triples,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_merge_q_")
+    in_dir = _write_turn_slices(spark, base)
+    stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=1)
+    table = os.path.join(base, "triple_table")
+    q = run_merge_to_triple_table(
+        stream_triples(stream_mentions(stream)), table,
+        os.path.join(base, "ckpt"), buckets=8)
+    q.awaitTermination(600)
+    return spark.read.parquet(table).select(
+        "subj", "pred", "obj_value", "obj_kind", "obj_lang")
 
 
 def q_similarity_lsh_topk(spark, sf_dir):
@@ -1668,6 +1710,7 @@ QUERIES = {
     "similarity_ivf_arrow": q_similarity_ivf_arrow,
     "stream_stateful_scores": q_stream_stateful_scores,
     "stream_dedup_fps": q_stream_dedup_fps,
+    "stream_merge_triples": q_stream_merge_triples,
 }
 
 
@@ -1796,7 +1839,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
         % name
         for name in ("kg_mentions", "kg_triples", "kg_canonical_map",
                      "kg_entity_labels", "kg_rdfxml_shards",
-                     "stream_mention_rate")
+                     "stream_mention_rate", "stream_merge_triples")
     },
 }
 

@@ -274,6 +274,68 @@ def run_to_parquet_complete(stream: DataFrame, out_path: str,
     )
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API so the sink
+    works on any supported filesystem (local, HDFS, object stores with
+    an HCFS connector), not just the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def run_merge_to_triple_table(triples_stream: DataFrame, table_path: str,
+                              checkpoint: str, buckets: int = 16,
+                              available_now: bool = True):
+    """Incremental KG maintenance: each micro-batch of streamed triples is
+    MERGEd (set semantics) into the subject-bucketed materialized triple
+    table — the streaming form of ``Graph.addTriples`` against the O1
+    scale layout (``kg/materialize.py``).
+
+    Delivery semantics, stated precisely: ``foreachBatch`` is
+    at-least-once under failure/restart (a batch whose sink completed but
+    whose commit-log write didn't is re-run), and
+    ``merge_triple_table``'s set-semantics dedup against surviving rows
+    makes a replayed batch a no-op — so the TABLE state is exactly-once
+    even though the sink callback is not.  No transactional sink is
+    required for convergence; an Iceberg catalog would additionally make
+    each merge atomic against concurrent readers.
+
+    Scale shape: a micro-batch touches only the ``subj_bucket``
+    partitions its own delta hashes into — the merge prunes the read to
+    those directories and dynamic-partition-overwrites only them, so a
+    trickle of updates against a 100-TB table costs O(delta buckets), not
+    O(table).  The first batch creates the table with the same bucket
+    scheme (``buckets`` must stay constant across the table's lifetime,
+    as with an Iceberg ``bucket(N, subj)`` partition spec)."""
+    from ..kg.materialize import (
+        TRIPLE_COLS,
+        merge_triple_table,
+        write_triple_table,
+    )
+
+    def merge_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = batch_df.select(*TRIPLE_COLS)
+        if _hadoop_path_exists(spark, table_path):
+            merge_triple_table(spark, table_path, adds=delta,
+                               buckets=buckets)
+        else:
+            write_triple_table(delta.dropDuplicates(TRIPLE_COLS),
+                               table_path, buckets=buckets)
+
+    writer = (
+        triples_stream.writeStream
+        .outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_parquet(stream: DataFrame, out_path: str, checkpoint: str,
                    available_now: bool = True):
     """Materialize a stream to exactly-once parquet with checkpointing.

@@ -226,3 +226,85 @@ class TestDocStreamDedup:
         # every survivor's text really carries its fingerprint
         from meresco_rdf_spark.textops.textstats import fingerprint as fp_fn
         assert kept.filter(fp_fn(F.col("text")) != F.col("fp")).count() == 0
+
+
+class TestStreamMergeTripleTable:
+    """Incremental KG maintenance: micro-batches MERGEd into the bucketed
+    triple table (streaming Graph.addTriples against the O1 scale layout,
+    reference graph.py:45-51 set semantics)."""
+
+    def _slices(self, spark, tmp_path, n_convs=12, n_turns=6):
+        # one file per turn pair -> forced multi-micro-batch under
+        # maxFilesPerTrigger=1
+        import os
+
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+        t = synthesize_transcripts(spark, n_convs, n_turns)
+        for i in range(0, n_turns, 2):
+            part = str(tmp_path / ("part%d" % i))
+            t.filter(F.col("turn_idx").between(i, i + 1)) \
+                .coalesce(1).write.parquet(part)
+            src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(in_dir, "slice_%d.parquet" % i)
+            os.rename(os.path.join(part, src), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        return t, in_dir
+
+    def test_merged_table_equals_batch_fanout(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.extract import detect_mentions, mention_triples
+        from meresco_rdf_spark.kg.materialize import TRIPLE_COLS
+        from meresco_rdf_spark.streaming.transcript_stream import (
+            run_merge_to_triple_table,
+        )
+
+        t, in_dir = self._slices(spark, tmp_path)
+        table = str(tmp_path / "table")
+        q = run_merge_to_triple_table(
+            stream_triples(stream_mentions(
+                read_transcript_stream(spark, in_dir,
+                                       max_files_per_trigger=1))),
+            table, str(tmp_path / "ckpt"), buckets=4)
+        q.awaitTermination(300)
+
+        got = {tuple(r) for r in spark.read.parquet(table)
+               .select(*TRIPLE_COLS).collect()}
+        # batch twin: stateless fan-out (score pinned like stream_triples),
+        # set semantics
+        batch = mention_triples(
+            detect_mentions(t).withColumn("score", F.lit(0.0))
+        ).dropDuplicates(TRIPLE_COLS)
+        want = {tuple(r) for r in batch.select(*TRIPLE_COLS).collect()}
+        assert got == want
+        # bucketed layout on disk (Iceberg bucket(N, subj) physical design)
+        import os
+
+        assert sorted(
+            d for d in os.listdir(table) if d.startswith("subj_bucket=")
+        ), "expected subj_bucket partition directories"
+
+    def test_replayed_stream_is_noop(self, spark, tmp_path):
+        # at-least-once foreachBatch + idempotent set-semantics MERGE =
+        # exactly-once table state: re-running the WHOLE stream with a
+        # fresh checkpoint (max-scale replay) leaves the table unchanged
+        from meresco_rdf_spark.kg.materialize import TRIPLE_COLS
+        from meresco_rdf_spark.streaming.transcript_stream import (
+            run_merge_to_triple_table,
+        )
+
+        _, in_dir = self._slices(spark, tmp_path, n_convs=6, n_turns=4)
+        table = str(tmp_path / "table")
+
+        def run(ckpt):
+            q = run_merge_to_triple_table(
+                stream_triples(stream_mentions(
+                    read_transcript_stream(spark, in_dir,
+                                           max_files_per_trigger=1))),
+                table, str(tmp_path / ckpt), buckets=4)
+            q.awaitTermination(300)
+            return {tuple(r) for r in spark.read.parquet(table)
+                    .select(*TRIPLE_COLS).collect()}
+
+        first = run("ckpt1")
+        second = run("ckpt2")  # fresh checkpoint: every batch replays
+        assert second == first

@@ -218,6 +218,29 @@ def ref_shards(triples):
     ]
 
 
+def ref_stream_triples(mentions):
+    """Triple set the STREAMING emission path converges to (list of
+    5-tuples): the stateless ``mention_triples`` fan-out — raw surface
+    URIs (no canonical map exists mid-stream) and score pinned to 0.0 —
+    deduplicated with set semantics, exactly what the incremental MERGE
+    sink accumulates regardless of micro-batch slicing."""
+    triples = set()
+    for m in mentions:
+        b = _bnode_of(m["conv_id"], m["turn_idx"], m["start"])
+        conv = CONV_URI_PREFIX + m["conv_id"]
+        surf = SURFACE_URI_PREFIX + m["surface_key"].replace(" ", "-")
+        triples.update([
+            (b, RDF_TYPE, OA_ANNOTATION, "uri", None),
+            (b, KG_SURFACE, m["surface"], "literal", None),
+            (b, KG_TURN, str(m["turn_idx"]), "literal", None),
+            (b, KG_SCORE, "0.0", "literal", None),
+            (b, KG_CONVERSATION, conv, "uri", None),
+            (b, KG_CANDIDATE, surf, "uri", None),
+            (conv, KG_MENTIONS, surf, "uri", None),
+        ])
+    return sorted(triples)
+
+
 # --------------------------------------------------------------------------
 # streaming mention-rate windows (exact)
 # --------------------------------------------------------------------------

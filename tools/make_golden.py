@@ -61,6 +61,7 @@ def main() -> None:
     labels = ref.ref_entity_labels(triples)
     shards = ref.ref_shards(triples)
     rates = ref.ref_mention_rate(input_rows)
+    stream_triples = ref.ref_stream_triples(mentions)
 
     write("kg_mentions", pa.table({
         "conv_id": pa.array([m["conv_id"] for m in mentions], pa.string()),
@@ -89,6 +90,10 @@ def main() -> None:
         "n_triples": pa.array([s["n_triples"] for s in shards], pa.int64()),
         "fp": pa.array([s["fp"] for s in shards], pa.string()),
     }))
+    write("stream_merge_triples", pa.Table.from_arrays(
+        [pa.array([t[i] for t in stream_triples], pa.string())
+         for i in range(5)],
+        schema=TRIPLE_SCHEMA))
     write("stream_mention_rate", pa.table({
         "window_start": pa.array([r["window_start"] for r in rates], pa.int64()),
         "window_end": pa.array([r["window_end"] for r in rates], pa.int64()),
@@ -110,7 +115,7 @@ def main() -> None:
     failures = []
     for name in ("kg_mentions", "kg_triples", "kg_canonical_map",
                  "kg_entity_labels", "kg_rdfxml_shards",
-                 "stream_mention_rate"):
+                 "stream_mention_rate", "stream_merge_triples"):
         sdf = QUERIES[name](spark, "/root/testdata/sf0.01")
         s_cols = sorted(sdf.columns)
         s_rows = sorted(
