@@ -141,27 +141,53 @@ def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
 
     existing = spark.read.parquet(path).filter(
         F.col("subj_bucket").isin(touched))
-    merged = existing
+    survivors = existing
     if deletes is not None:
         dels = with_subj_bucket(deletes.select(*TRIPLE_COLS), buckets)
         cond = F.lit(True)
         for c in TRIPLE_COLS + ["subj_bucket"]:
-            cond = cond & merged[c].eqNullSafe(dels[c])
-        merged = merged.join(dels, cond, "left_anti")
+            cond = cond & survivors[c].eqNullSafe(dels[c])
+        survivors = survivors.join(dels, cond, "left_anti")
+    merged = survivors
     if adds is not None:
-        merged = merged.unionByName(
+        merged = survivors.unionByName(
             with_subj_bucket(adds.select(*TRIPLE_COLS), buckets)
             .filter(F.col("subj_bucket").isin(touched)))
-    merged = merged.dropDuplicates(TRIPLE_COLS)
 
+    # Set-semantics dedup FUSED into the write layout, one exchange total:
+    # the bucketed write already hash-partitions on subj_bucket and sorts
+    # by the triple columns, and subj_bucket is a function of subj — so
+    # after that (mandatory) exchange + sort, duplicate rows are adjacent
+    # within a partition, and a lag over the SAME partitioning/ordering
+    # dedups without any exchange of its own (Catalyst elides both the
+    # window's exchange and the pre-write sort).  A dropDuplicates here
+    # would instead add a second full-width shuffle of every surviving
+    # row keyed on the 5 triple columns — 2x the merge's exchange volume
+    # for rows that are already unique by table invariant.
+    from pyspark.sql import Window
+
+    dedup_key = F.concat_ws(
+        "\x00", *[F.coalesce(F.col(c), F.lit("\x00<null>"))
+                  for c in TRIPLE_COLS])
+    w = Window.partitionBy("subj_bucket").orderBy(*TRIPLE_SORT)
+    deduped = (
+        merged.repartition(len(touched), "subj_bucket")
+        .withColumn("_prev", F.lag(dedup_key).over(w))
+        .filter(~dedup_key.eqNullSafe(F.col("_prev")))
+        .drop("_prev")
+    )
+
+    # No explicit pre-write sort: the window's (subj_bucket, *TRIPLE_SORT)
+    # ordering survives the filter, satisfies the dynamic-partition
+    # writer's clustering-by-partition-column requirement, and leaves
+    # rows TRIPLE_SORT-ordered within each bucket file — the same
+    # row-group-stats-friendly layout write_triple_table produces.
     key = "spark.sql.sources.partitionOverwriteMode"
     old = spark.conf.get(key, "static")
     try:
         spark.conf.set(key, "dynamic")
         (
-            merged.repartition(len(touched), "subj_bucket")
-            .sortWithinPartitions(*TRIPLE_SORT)
-            .write.mode("overwrite")
+            deduped.write.mode("overwrite")
             .partitionBy("subj_bucket")
             .parquet(path)
         )
