@@ -1408,6 +1408,15 @@ def q_kg_entity_labels(spark, sf_dir):
     return find_labels(_pipeline_result(spark).triples)
 
 
+def q_kg_structure_triples(spark, sf_dir):
+    """Transcript-structure triples (conv->tool provenance edges +
+    per-conversation turn counts) from the input_hint's non-text columns
+    — pure JVM aggregations, unique by construction."""
+    from .kg.extract import structure_triples
+
+    return structure_triples(_synth_transcripts(spark))
+
+
 def q_kg_rdfxml_shards(spark, sf_dir):
     """K1 distributed: serialize the pipeline's per-conversation triple
     closures to RDF/XML shards (deterministic serializer, fixture-parity
@@ -1703,6 +1712,7 @@ QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_canonical_map": q_kg_canonical_map,
     "kg_entity_labels": q_kg_entity_labels,
+    "kg_structure_triples": q_kg_structure_triples,
     "kg_rdfxml_shards": q_kg_rdfxml_shards,
     "stream_mention_rate": q_stream_mention_rate,
     "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -1839,7 +1849,8 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
         % name
         for name in ("kg_mentions", "kg_triples", "kg_canonical_map",
                      "kg_entity_labels", "kg_rdfxml_shards",
-                     "stream_mention_rate", "stream_merge_triples")
+                     "stream_mention_rate", "stream_merge_triples",
+                     "kg_structure_triples")
     },
 }
 

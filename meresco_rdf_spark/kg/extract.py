@@ -304,6 +304,50 @@ def pipeline_triples(mentions: DataFrame, canon: DataFrame) -> DataFrame:
     )
 
 
+KG_USED_TOOL = KG + "usedTool"    # conversation -> Uri(tool)
+KG_TURN_COUNT = KG + "turnCount"  # conversation -> Literal(n turns)
+TOOL_URI_PREFIX = "urn:tool:"
+
+
+def structure_triples(transcripts: DataFrame) -> DataFrame:
+    """Transcript-STRUCTURE triples from the non-text columns of the
+    input_hint schema (``role``/``tool``): which tools a conversation
+    invoked and how many turns it has — the provenance edges an
+    agent-transcript KG needs alongside the text-derived mentions.
+
+    Per conversation:
+      - ``kg:usedTool  Uri(urn:tool:<tool>)`` for each distinct tool of
+        its tool-role turns;
+      - ``kg:turnCount Literal(n)``.
+
+    Pure column expressions, unique by construction (one distinct + one
+    count aggregation, both keyed conv_id and partial-aggregatable — a
+    hub conversation reduces map-side).  NOT unioned into
+    ``pipeline_triples`` by default so the mention-graph goldens stay
+    pinned; callers union it when materializing
+    (``triples.unionByName(structure_triples(transcripts))``)."""
+    tool_edges = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "tool").distinct()
+        .select(
+            F.concat(F.lit(CONV_URI_PREFIX), F.col("conv_id")).alias("subj"),
+            F.lit(KG_USED_TOOL).alias("pred"),
+            F.concat(F.lit(TOOL_URI_PREFIX), F.col("tool")).alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+    )
+    turn_counts = (
+        transcripts.groupBy("conv_id").agg(F.count("*").alias("n"))
+        .select(
+            F.concat(F.lit(CONV_URI_PREFIX), F.col("conv_id")).alias("subj"),
+            F.lit(KG_TURN_COUNT).alias("pred"),
+            F.col("n").cast("string").alias("obj_value"),
+            F.lit("literal").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+    )
+    return tool_edges.unionByName(turn_counts)
+
+
 def surface_label_triples(mentions: DataFrame) -> DataFrame:
     """Surface-entity label triples: the most frequent raw surface per
     normalized key becomes ``foaf:name`` (the reference's top label

@@ -534,3 +534,31 @@ def test_similar_pairs_local_and_distributed_agree(spark):
     # exact all-pairs >= LSH candidates; on this input they must be equal
     assert dist <= local and len(local) > 0
     assert local == dist
+
+
+class TestStructureTriples:
+    def test_tool_edges_and_turn_counts(self, spark):
+        from meresco_rdf_spark.kg.extract import (
+            KG_TURN_COUNT,
+            KG_USED_TOOL,
+            structure_triples,
+        )
+        from meresco_rdf_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+        t = spark.createDataFrame([
+            ("c1", 0, "user", "hi", None, None),
+            ("c1", 1, "tool", "result", "search", None),
+            ("c1", 2, "tool", "result", "search", None),   # dup tool
+            ("c1", 3, "tool", "result", "linker", None),
+            ("c2", 0, "assistant", "hello", None, None),
+        ], TRANSCRIPT_SCHEMA)
+        triples = {(r.subj, r.pred, r.obj_value, r.obj_kind, r.obj_lang)
+                   for r in structure_triples(t).collect()}
+        assert triples == {
+            ("urn:conv:c1", KG_USED_TOOL, "urn:tool:search", "uri", None),
+            ("urn:conv:c1", KG_USED_TOOL, "urn:tool:linker", "uri", None),
+            ("urn:conv:c1", KG_TURN_COUNT, "4", "literal", None),
+            ("urn:conv:c2", KG_TURN_COUNT, "1", "literal", None),
+        }
+        # set semantics by construction: no dup rows even with dup input
+        assert structure_triples(t).count() == 4

@@ -241,6 +241,31 @@ def ref_stream_triples(mentions):
     return sorted(triples)
 
 
+def ref_structure_triples(rows):
+    """rows: (conv_id, turn_idx, role, tool) — transcript-structure
+    triples: distinct conv->tool edges + per-conversation turn counts."""
+    from meresco_rdf_spark.kg.extract import (
+        KG_TURN_COUNT,
+        KG_USED_TOOL,
+        TOOL_URI_PREFIX,
+    )
+
+    tools = set()
+    counts = defaultdict(int)
+    for conv_id, _turn_idx, _role, tool in rows:
+        counts[conv_id] += 1
+        if tool is not None:
+            tools.add((conv_id, tool))
+    triples = {
+        (CONV_URI_PREFIX + c, KG_USED_TOOL, TOOL_URI_PREFIX + t, "uri", None)
+        for c, t in tools
+    } | {
+        (CONV_URI_PREFIX + c, KG_TURN_COUNT, str(n), "literal", None)
+        for c, n in counts.items()
+    }
+    return sorted(triples)
+
+
 # --------------------------------------------------------------------------
 # streaming mention-rate windows (exact)
 # --------------------------------------------------------------------------

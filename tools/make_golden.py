@@ -53,6 +53,10 @@ def main() -> None:
         (r.conv_id, r.turn_idx, r.text, int(r.ts.timestamp()))
         for r in synthesize_transcripts(spark, 120, 8).collect()
     ]
+    structure_rows = [
+        (r.conv_id, r.turn_idx, r.role, r.tool)
+        for r in synthesize_transcripts(spark, 120, 8).collect()
+    ]
 
     # ---- pure-Python reference pipeline -------------------------------
     mentions = ref.ref_mentions([(c, t, x) for c, t, x, _ in input_rows])
@@ -62,6 +66,7 @@ def main() -> None:
     shards = ref.ref_shards(triples)
     rates = ref.ref_mention_rate(input_rows)
     stream_triples = ref.ref_stream_triples(mentions)
+    structure = ref.ref_structure_triples(structure_rows)
 
     write("kg_mentions", pa.table({
         "conv_id": pa.array([m["conv_id"] for m in mentions], pa.string()),
@@ -94,6 +99,10 @@ def main() -> None:
         [pa.array([t[i] for t in stream_triples], pa.string())
          for i in range(5)],
         schema=TRIPLE_SCHEMA))
+    write("kg_structure_triples", pa.Table.from_arrays(
+        [pa.array([t[i] for t in structure], pa.string())
+         for i in range(5)],
+        schema=TRIPLE_SCHEMA))
     write("stream_mention_rate", pa.table({
         "window_start": pa.array([r["window_start"] for r in rates], pa.int64()),
         "window_end": pa.array([r["window_end"] for r in rates], pa.int64()),
@@ -115,7 +124,8 @@ def main() -> None:
     failures = []
     for name in ("kg_mentions", "kg_triples", "kg_canonical_map",
                  "kg_entity_labels", "kg_rdfxml_shards",
-                 "stream_mention_rate", "stream_merge_triples"):
+                 "stream_mention_rate", "stream_merge_triples",
+                 "kg_structure_triples"):
         sdf = QUERIES[name](spark, "/root/testdata/sf0.01")
         s_cols = sorted(sdf.columns)
         s_rows = sorted(
