@@ -562,3 +562,46 @@ class TestStructureTriples:
         }
         # set semantics by construction: no dup rows even with dup input
         assert structure_triples(t).count() == 4
+
+
+class TestMergeModelEquivalence:
+    def test_random_merge_sequence_matches_set_model(self, spark, tmp_path):
+        """Model-based check: a seeded random sequence of MERGE(adds,
+        deletes) calls must leave the table equal to a plain Python
+        set-semantics model ((state - deletes) | adds per step)."""
+        import random
+
+        from meresco_rdf_spark.kg.materialize import (
+            TRIPLE_COLS,
+            merge_triple_table,
+            write_triple_table,
+        )
+
+        rng = random.Random(42)
+        universe = [
+            ("s%d" % rng.randrange(30), "p%d" % rng.randrange(4),
+             "v%d" % i, "literal", None if i % 3 else "en")
+            for i in range(300)
+        ]
+        schema = ("subj string, pred string, obj_value string, "
+                  "obj_kind string, obj_lang string")
+        init = universe[:120]
+        path = str(tmp_path / "t")
+        write_triple_table(spark.createDataFrame(init, schema), path,
+                           buckets=8)
+        model = set(init)
+
+        for step in range(4):
+            adds = rng.sample(universe, rng.randrange(5, 40))
+            dels = rng.sample(universe, rng.randrange(5, 40))
+            merge_triple_table(
+                spark, path,
+                adds=spark.createDataFrame(adds, schema),
+                deletes=spark.createDataFrame(dels, schema),
+                buckets=8)
+            # merge order: deletes are anti-joined from existing FIRST,
+            # adds unioned after — a row in both adds and deletes survives
+            model = (model - set(dels)) | set(adds)
+            got = {tuple(r) for r in spark.read.parquet(path)
+                   .select(*TRIPLE_COLS).collect()}
+            assert got == model, "diverged at step %d" % step
