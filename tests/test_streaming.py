@@ -308,3 +308,58 @@ class TestStreamMergeTripleTable:
         first = run("ckpt1")
         second = run("ckpt2")  # fresh checkpoint: every batch replays
         assert second == first
+
+    def test_restart_same_checkpoint_processes_only_new_files(
+            self, spark, tmp_path):
+        # deployment shape: drain, new transcript files arrive, restart
+        # with the SAME checkpoint — the file source skips committed
+        # files, the merge folds only the new ones in, and the table
+        # equals the batch fan-out over everything seen so far
+        import os
+
+        from meresco_rdf_spark.kg.extract import detect_mentions, mention_triples
+        from meresco_rdf_spark.kg.materialize import TRIPLE_COLS
+        from meresco_rdf_spark.streaming.transcript_stream import (
+            run_merge_to_triple_table,
+        )
+
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+        t1 = synthesize_transcripts(spark, 6, 4)
+        t1.coalesce(1).write.parquet(str(tmp_path / "p1"))
+        src = [f for f in os.listdir(str(tmp_path / "p1"))
+               if f.endswith(".parquet")][0]
+        os.rename(os.path.join(str(tmp_path / "p1"), src),
+                  os.path.join(in_dir, "drop_1.parquet"))
+
+        table = str(tmp_path / "table")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            q = run_merge_to_triple_table(
+                stream_triples(stream_mentions(
+                    read_transcript_stream(spark, in_dir))),
+                table, ckpt, buckets=4)
+            q.awaitTermination(300)
+
+        drain()
+        n1 = spark.read.parquet(table).count()
+
+        # second drop: same synthetic content under prefixed conv ids
+        t2 = synthesize_transcripts(spark, 6, 4).withColumn(
+            "conv_id", F.concat(F.lit("x-"), F.col("conv_id")))
+        t2.coalesce(1).write.parquet(str(tmp_path / "p2"))
+        src = [f for f in os.listdir(str(tmp_path / "p2"))
+               if f.endswith(".parquet")][0]
+        os.rename(os.path.join(str(tmp_path / "p2"), src),
+                  os.path.join(in_dir, "drop_2.parquet"))
+
+        drain()  # restart from the same checkpoint
+        got = {tuple(r) for r in spark.read.parquet(table)
+               .select(*TRIPLE_COLS).collect()}
+        batch = mention_triples(
+            detect_mentions(t1.unionByName(t2)).withColumn(
+                "score", F.lit(0.0))).dropDuplicates(TRIPLE_COLS)
+        want = {tuple(r) for r in batch.select(*TRIPLE_COLS).collect()}
+        assert got == want
+        assert len(got) > n1
