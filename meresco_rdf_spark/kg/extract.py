@@ -173,6 +173,43 @@ def detect_mentions(transcripts: DataFrame,
     )
 
 
+def _mention_bnode():
+    """Deterministic document-scoped bnode label per mention:
+    ``_:b<sha1(conv, turn, start)[:20]>`` (SURVEY.md §1.4) — idempotent
+    re-execution of any partition emits identical subjects."""
+    return F.concat(
+        F.lit("_:b"),
+        F.substring(F.sha1(F.concat_ws(
+            "\x00", F.col("conv_id"), F.col("turn_idx"), F.col("start"))), 1, 20))
+
+
+def _conv_uri():
+    return F.concat(F.lit(CONV_URI_PREFIX), F.col("conv_id"))
+
+
+def _triple(subj, pred, obj_value, kind, lang=None):
+    """One five-column triple as a struct (for explode fan-outs)."""
+    return F.struct(
+        subj.alias("subj"), F.lit(pred).alias("pred"),
+        obj_value.cast("string").alias("obj_value"),
+        F.lit(kind).alias("obj_kind"),
+        (F.lit(None).cast("string") if lang is None else F.lit(lang)).alias("obj_lang"))
+
+
+def _mention_fanout(bnode, conv_uri, candidate_uri):
+    """The six bnode-subject triples every mention emits (type, surface,
+    turn, score, conversation, candidate) — shared by the raw and the
+    canonical emission paths, which differ only in the candidate URI."""
+    return [
+        _triple(bnode, RDF_TYPE, F.lit(OA_ANNOTATION), "uri"),
+        _triple(bnode, KG_SURFACE, F.col("surface"), "literal"),
+        _triple(bnode, KG_TURN, F.col("turn_idx"), "literal"),
+        _triple(bnode, KG_SCORE, F.format_number(F.col("score"), 1), "literal"),
+        _triple(bnode, KG_CONVERSATION, conv_uri, "uri"),
+        _triple(bnode, KG_CANDIDATE, candidate_uri, "uri"),
+    ]
+
+
 def mention_triples(mentions: DataFrame) -> DataFrame:
     """Mention rows -> triples (SURVEY.md §1.4 five-column schema), pure
     column expressions (whole-stage codegen; no Python).
@@ -188,29 +225,13 @@ def mention_triples(mentions: DataFrame) -> DataFrame:
     Dedup is deferred to the caller (set semantics, reference
     graph.py:45-51): one hash shuffle at the end of the stage.
     """
-    bnode = F.concat(
-        F.lit("_:b"),
-        F.substring(F.sha1(F.concat_ws(
-            "\x00", F.col("conv_id"), F.col("turn_idx"), F.col("start"))), 1, 20))
-    conv_uri = F.concat(F.lit(CONV_URI_PREFIX), F.col("conv_id"))
+    bnode = _mention_bnode()
+    conv_uri = _conv_uri()
     surf_uri = F.concat(
         F.lit(SURFACE_URI_PREFIX), F.replace(F.col("surface_key"), F.lit(" "), F.lit("-")))
-
-    def t(subj, pred, obj_value, kind, lang=None):
-        return F.struct(
-            subj.alias("subj"), F.lit(pred).alias("pred"),
-            obj_value.cast("string").alias("obj_value"),
-            F.lit(kind).alias("obj_kind"),
-            (F.lit(None).cast("string") if lang is None else F.lit(lang)).alias("obj_lang"))
-
     fanout = F.array(
-        t(bnode, RDF_TYPE, F.lit(OA_ANNOTATION), "uri"),
-        t(bnode, KG_SURFACE, F.col("surface"), "literal"),
-        t(bnode, KG_TURN, F.col("turn_idx"), "literal"),
-        t(bnode, KG_SCORE, F.format_number(F.col("score"), 1), "literal"),
-        t(bnode, KG_CONVERSATION, conv_uri, "uri"),
-        t(bnode, KG_CANDIDATE, surf_uri, "uri"),
-        t(conv_uri, KG_MENTIONS, surf_uri, "uri"),
+        *_mention_fanout(bnode, conv_uri, surf_uri),
+        _triple(conv_uri, KG_MENTIONS, surf_uri, "uri"),
     )
     return mentions.select(F.explode(fanout).alias("t")).select("t.*")
 
@@ -242,27 +263,9 @@ def pipeline_triples(mentions: DataFrame, canon: DataFrame) -> DataFrame:
     canon_b = F.broadcast(canon.select("surface_key", "canonical_uri"))
     m = mentions.join(canon_b, "surface_key")
 
-    bnode = F.concat(
-        F.lit("_:b"),
-        F.substring(F.sha1(F.concat_ws(
-            "\x00", F.col("conv_id"), F.col("turn_idx"), F.col("start"))), 1, 20))
-    conv_uri = F.concat(F.lit(CONV_URI_PREFIX), F.col("conv_id"))
-
-    def t(subj, pred, obj_value, kind, lang=None):
-        return F.struct(
-            subj.alias("subj"), F.lit(pred).alias("pred"),
-            obj_value.cast("string").alias("obj_value"),
-            F.lit(kind).alias("obj_kind"),
-            (F.lit(None).cast("string") if lang is None else F.lit(lang)).alias("obj_lang"))
-
-    fanout = F.array(
-        t(bnode, RDF_TYPE, F.lit(OA_ANNOTATION), "uri"),
-        t(bnode, KG_SURFACE, F.col("surface"), "literal"),
-        t(bnode, KG_TURN, F.col("turn_idx"), "literal"),
-        t(bnode, KG_SCORE, F.format_number(F.col("score"), 1), "literal"),
-        t(bnode, KG_CONVERSATION, conv_uri, "uri"),
-        t(bnode, KG_CANDIDATE, F.col("canonical_uri"), "uri"),
-    )
+    conv_uri = _conv_uri()
+    fanout = F.array(*_mention_fanout(
+        _mention_bnode(), conv_uri, F.col("canonical_uri")))
     bnode_triples = m.select(F.explode(fanout).alias("t")).select("t.*")
 
     conv_edges = (
