@@ -319,7 +319,12 @@ def run_merge_to_triple_table(triples_stream: DataFrame, table_path: str,
             return
         spark = batch_df.sparkSession
         delta = batch_df.select(*TRIPLE_COLS)
-        if _hadoop_path_exists(spark, table_path):
+        # A table exists only once its creating write COMMITTED (_SUCCESS
+        # at the table root).  A crash mid-create leaves files without
+        # the marker; merging against that torn state would freeze the
+        # partial rows in — re-running the overwrite create instead makes
+        # the first batch as replay-safe as the merges.
+        if _hadoop_path_exists(spark, table_path + "/_SUCCESS"):
             merge_triple_table(spark, table_path, adds=delta,
                                buckets=buckets)
         else:

@@ -363,3 +363,40 @@ class TestStreamMergeTripleTable:
         want = {tuple(r) for r in batch.select(*TRIPLE_COLS).collect()}
         assert got == want
         assert len(got) > n1
+
+    def test_torn_first_create_is_overwritten_on_replay(
+            self, spark, tmp_path):
+        # a crash mid-create leaves parquet files WITHOUT the _SUCCESS
+        # commit marker; the sink must treat that as "no table" and
+        # re-create with overwrite instead of merging the torn rows in
+        import os
+
+        from meresco_rdf_spark.kg.extract import detect_mentions, mention_triples
+        from meresco_rdf_spark.kg.materialize import TRIPLE_COLS
+        from meresco_rdf_spark.streaming.transcript_stream import (
+            run_merge_to_triple_table,
+        )
+
+        t, in_dir = self._slices(spark, tmp_path, n_convs=6, n_turns=4)
+        table = str(tmp_path / "table")
+        # simulate the torn state: committed-looking files, no _SUCCESS
+        junk = spark.createDataFrame(
+            [("torn", "torn", "torn", "literal", None, 0)],
+            "subj string, pred string, obj_value string, obj_kind string,"
+            " obj_lang string, subj_bucket int")
+        junk.write.partitionBy("subj_bucket").parquet(table)
+        os.remove(os.path.join(table, "_SUCCESS"))
+
+        q = run_merge_to_triple_table(
+            stream_triples(stream_mentions(
+                read_transcript_stream(spark, in_dir,
+                                       max_files_per_trigger=1))),
+            table, str(tmp_path / "ckpt"), buckets=4)
+        q.awaitTermination(300)
+        got = {tuple(r) for r in spark.read.parquet(table)
+               .select(*TRIPLE_COLS).collect()}
+        assert ("torn", "torn", "torn", "literal", None) not in got
+        batch = mention_triples(
+            detect_mentions(t).withColumn("score", F.lit(0.0))
+        ).dropDuplicates(TRIPLE_COLS)
+        assert got == {tuple(r) for r in batch.select(*TRIPLE_COLS).collect()}
