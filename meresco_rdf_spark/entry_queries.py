@@ -182,6 +182,19 @@ def q_graph_remove(spark, sf_dir):
     return remove_triples(add_triples(t, t), doomed)
 
 
+def q_graph_diff(spark, sf_dir):
+    """Snapshot change detection: diff the graph against a revision where
+    every nation edge was re-predicated — added rows tagged '+', removed
+    tagged '-' (null-safe anti-joins both ways)."""
+    from .operators.graph_ops import diff_triples, remove_triples
+
+    t = tpch_triples(spark, sf_dir)
+    removed = t.filter(F.col("pred") == REL_NATION)
+    added = removed.withColumn("pred", F.concat(F.col("pred"), F.lit("-v2")))
+    after = remove_triples(t, removed).unionByName(added)
+    return diff_triples(t, after)
+
+
 def q_graph_in_degree(spark, sf_dir):
     """K1 support: distinct-referrer in-degree per object node."""
     return in_degrees(tpch_triples(spark, sf_dir))
@@ -398,6 +411,30 @@ WHERE NOT EXISTS (
     AND a.obj_value IS NOT DISTINCT FROM d.obj_value
     AND a.obj_kind IS NOT DISTINCT FROM d.obj_kind
     AND a.obj_lang IS NOT DISTINCT FROM d.obj_lang)""",
+    "graph_diff": """
+WITH {cte},
+after_t AS (
+  SELECT * FROM triples WHERE pred <> '{rel_nation}'
+  UNION ALL
+  SELECT subj, pred || '-v2' AS pred, obj_value, obj_kind, obj_lang
+  FROM triples WHERE pred = '{rel_nation}')
+SELECT a.*, '+' AS op FROM after_t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM triples b
+  WHERE a.subj IS NOT DISTINCT FROM b.subj
+    AND a.pred IS NOT DISTINCT FROM b.pred
+    AND a.obj_value IS NOT DISTINCT FROM b.obj_value
+    AND a.obj_kind IS NOT DISTINCT FROM b.obj_kind
+    AND a.obj_lang IS NOT DISTINCT FROM b.obj_lang)
+UNION ALL
+SELECT b.*, '-' AS op FROM triples b
+WHERE NOT EXISTS (
+  SELECT 1 FROM after_t a
+  WHERE a.subj IS NOT DISTINCT FROM b.subj
+    AND a.pred IS NOT DISTINCT FROM b.pred
+    AND a.obj_value IS NOT DISTINCT FROM b.obj_value
+    AND a.obj_kind IS NOT DISTINCT FROM b.obj_kind
+    AND a.obj_lang IS NOT DISTINCT FROM b.obj_lang)""",
     "graph_in_degree": """
 WITH {cte}
 SELECT obj_value, obj_kind, count(DISTINCT subj) AS in_degree
@@ -1670,6 +1707,7 @@ QUERIES = {
     "graph_bgp": q_graph_bgp,
     "graph_add_dedup": q_graph_add_dedup,
     "graph_remove": q_graph_remove,
+    "graph_diff": q_graph_diff,
     "graph_in_degree": q_graph_in_degree,
     "graph_literal_values": q_graph_literal_values,
     "text_token_count": q_text_token_count,

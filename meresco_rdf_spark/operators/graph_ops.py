@@ -52,17 +52,41 @@ def add_triples(df: DataFrame, new: DataFrame) -> DataFrame:
     return df.unionByName(new).dropDuplicates(TRIPLE_COLS)
 
 
+def _full_key_condition(left: DataFrame, right: DataFrame) -> Column:
+    """Null-safe equality on the full 5-column triple key."""
+    cond = None
+    for c in TRIPLE_COLS:
+        clause = left[c].eqNullSafe(right[c])
+        cond = clause if cond is None else (cond & clause)
+    return cond
+
+
 def remove_triples(df: DataFrame, doomed: DataFrame) -> DataFrame:
     """Delete (reference graph.py:57-68) = left-anti join on all 5 columns
     (null-safe on the nullable ones).  Scale: broadcast the doomed side
     when small; against a materialized bucketed table,
     ``kg.materialize.merge_triple_table(deletes=...)`` executes the
     Iceberg ``MERGE ... WHEN MATCHED THEN DELETE`` shape per bucket."""
-    cond = None
-    for c in TRIPLE_COLS:
-        clause = df[c].eqNullSafe(doomed[c])
-        cond = clause if cond is None else (cond & clause)
-    return df.join(doomed, cond, "left_anti")
+    return df.join(doomed, _full_key_condition(df, doomed), "left_anti")
+
+
+def diff_triples(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Snapshot change detection: rows only in ``after`` tagged ``op='+'``,
+    rows only in ``before`` tagged ``op='-'`` — the audit/compaction
+    complement to ``merge_triple_table`` (what changed between two
+    materialized graph versions).
+
+    Two null-safe anti-joins on the full triple key.  Scale: both
+    snapshots of one table share the ``bucket(N, subj)`` layout, so the
+    joins co-locate per bucket (no cross-bucket shuffle); across unrelated
+    inputs they shuffle on the key like any equi-join."""
+    added = after.join(
+        before, _full_key_condition(after, before), "left_anti"
+    ).withColumn("op", F.lit("+"))
+    removed = before.join(
+        after, _full_key_condition(before, after), "left_anti"
+    ).withColumn("op", F.lit("-"))
+    return added.unionByName(removed)
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,31 @@ def test_remove_triples(spark, base_df):
     assert scan(remaining, "x", "y").count() == 1
 
 
+def test_diff_triples_tags_changes_both_ways(spark):
+    from meresco_rdf_spark.operators.graph_ops import diff_triples
+
+    before = triples_df(spark, [
+        ("a", "p", Literal("v")),
+        ("b", "p", Literal("w", lang="en")),
+        ("c", "p", Uri("u:kept")),
+    ])
+    after = triples_df(spark, [
+        ("b", "p", Literal("w", lang="en")),   # unchanged (lang-tagged)
+        ("c", "p", Uri("u:kept")),             # unchanged
+        ("d", "p", Literal("new")),            # added
+    ])
+    got = {(r.subj, r.pred, r.obj_value, r.obj_kind, r.obj_lang, r.op)
+           for r in diff_triples(before, after).collect()}
+    assert got == {
+        ("d", "p", "new", "literal", None, "+"),
+        ("a", "p", "v", "literal", None, "-"),
+    }
+    # identical snapshots -> empty diff (null-safe on obj_lang)
+    assert diff_triples(before, before).count() == 0
+
+
+
+
 def test_objects_projection(spark, base_df):
     got = sorted(r.obj_value for r in objects(base_df, subject="x", predicate="y").collect())
     assert got == ["3", "z"]
