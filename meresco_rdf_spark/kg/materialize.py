@@ -101,6 +101,34 @@ def write_adjacency_table(triples: DataFrame, path: str, buckets: int = 64,
 TRIPLE_COLS = ["subj", "pred", "obj_value", "obj_kind", "obj_lang"]
 
 
+def fused_bucket_dedup(merged: DataFrame, n_parts: int) -> DataFrame:
+    """Set-semantics dedup FUSED into the bucketed-write layout, one
+    exchange total: the write already hash-partitions on ``subj_bucket``
+    and sorts by the triple columns, and subj_bucket is a function of
+    subj — so after that (mandatory) exchange + sort, duplicate rows are
+    adjacent within a partition, and a lag over the SAME partitioning/
+    ordering dedups with no exchange of its own (Catalyst elides both
+    the window's exchange and the pre-write sort).  A ``dropDuplicates``
+    would instead add a second full-width shuffle of every surviving row
+    (measured 1.82x wall, BENCH/BASELINE.md).  The lag key is the raw
+    5-column STRUCT compared with ``eqNullSafe`` — injective by
+    construction (no string-encoding of NULLs that a hostile obj_value
+    could collide with).
+
+    Shared by ``merge_triple_table`` and the plan audit
+    (``tools/explain_audit.py``) so the asserted plan IS the shipped one."""
+    from pyspark.sql import Window
+
+    key = F.struct(*[F.col(c) for c in TRIPLE_COLS])
+    w = Window.partitionBy("subj_bucket").orderBy(*TRIPLE_SORT)
+    return (
+        merged.repartition(n_parts, "subj_bucket")
+        .withColumn("_prev", F.lag(key).over(w))
+        .filter(~key.eqNullSafe(F.col("_prev")))
+        .drop("_prev")
+    )
+
+
 def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
                        deletes: DataFrame | None = None,
                        buckets: int = 64) -> dict:
@@ -115,13 +143,21 @@ def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
     - the touched bucket set comes from the delta's own subj hashes (a
       tiny driver-side list — O(buckets), never O(rows));
     - ONLY touched buckets are read (partition pruning on the
-      ``subj_bucket`` directory column) and ONLY they are rewritten
-      (dynamic partition overwrite) — untouched buckets' files are never
-      opened;
+      ``subj_bucket`` directory column) and ONLY they are rewritten —
+      untouched buckets' files are never opened;
     - deletes are null-safe full-row anti-joins, adds deduplicate against
       surviving rows (set semantics), both per-bucket-local because every
       side is hashed by the same bucket function — the join never
-      shuffles across buckets.
+      shuffles across buckets;
+    - the rewrite is a STAGE-AND-SWAP: the merged touched buckets are
+      written to a dot-prefixed staging dir inside the table (invisible
+      to parquet readers), then each touched bucket directory is swapped
+      (delete + rename) — so a bucket whose rows were ALL deleted is
+      genuinely removed (a dynamic partition overwrite would silently
+      keep its old files: partitions absent from the output are never
+      rewritten).  The non-atomic window is the per-bucket swap loop; an
+      Iceberg catalog would make the whole merge one atomic snapshot —
+      that, not this emulation, is the concurrent-reader story at scale.
 
     Returns {"buckets_touched": [...], "rows_after": per-touched-bucket
     count}.  Idempotent: re-running the same merge is a no-op."""
@@ -154,46 +190,39 @@ def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
             with_subj_bucket(adds.select(*TRIPLE_COLS), buckets)
             .filter(F.col("subj_bucket").isin(touched)))
 
-    # Set-semantics dedup FUSED into the write layout, one exchange total:
-    # the bucketed write already hash-partitions on subj_bucket and sorts
-    # by the triple columns, and subj_bucket is a function of subj — so
-    # after that (mandatory) exchange + sort, duplicate rows are adjacent
-    # within a partition, and a lag over the SAME partitioning/ordering
-    # dedups without any exchange of its own (Catalyst elides both the
-    # window's exchange and the pre-write sort).  A dropDuplicates here
-    # would instead add a second full-width shuffle of every surviving
-    # row keyed on the 5 triple columns — 2x the merge's exchange volume
-    # for rows that are already unique by table invariant.
-    from pyspark.sql import Window
+    deduped = fused_bucket_dedup(merged, len(touched))
 
-    dedup_key = F.concat_ws(
-        "\x00", *[F.coalesce(F.col(c), F.lit("\x00<null>"))
-                  for c in TRIPLE_COLS])
-    w = Window.partitionBy("subj_bucket").orderBy(*TRIPLE_SORT)
-    deduped = (
-        merged.repartition(len(touched), "subj_bucket")
-        .withColumn("_prev", F.lag(dedup_key).over(w))
-        .filter(~dedup_key.eqNullSafe(F.col("_prev")))
-        .drop("_prev")
-    )
+    # Stage-and-swap: write the merged touched buckets under a
+    # dot-prefixed dir inside the table (parquet readers skip '.'/'_'
+    # entries, so a crashed merge never corrupts reads), then swap each
+    # touched bucket directory.  The swap DELETES buckets with no
+    # surviving rows — the case a dynamic partition overwrite silently
+    # gets wrong (it only rewrites partitions present in the output).
+    # No explicit pre-write sort: the dedup window's ordering survives
+    # the filter, satisfies the writer's clustering-by-partition-column
+    # requirement, and leaves rows TRIPLE_SORT-ordered within each
+    # bucket file — write_triple_table's row-group-stats layout.
+    staging = path + "/.merge-staging"
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hadoop_path(staging), True)  # leftovers of a crashed merge
+    deduped.write.mode("overwrite").partitionBy("subj_bucket").parquet(staging)
+    for b in touched:
+        dst = hadoop_path("%s/subj_bucket=%d" % (path, b))
+        src = hadoop_path("%s/subj_bucket=%d" % (staging, b))
+        fs.delete(dst, True)
+        if fs.exists(src):
+            fs.rename(src, dst)
+    fs.delete(hadoop_path(staging), True)
 
-    # No explicit pre-write sort: the window's (subj_bucket, *TRIPLE_SORT)
-    # ordering survives the filter, satisfies the dynamic-partition
-    # writer's clustering-by-partition-column requirement, and leaves
-    # rows TRIPLE_SORT-ordered within each bucket file — the same
-    # row-group-stats-friendly layout write_triple_table produces.
-    key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(key, "static")
-    try:
-        spark.conf.set(key, "dynamic")
-        (
-            deduped.write.mode("overwrite")
-            .partitionBy("subj_bucket")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set(key, old)
+    # an emptied table has no part files left; reading it would fail on
+    # schema inference, so count only when a bucket dir survives
+    has_buckets = any(
+        s.getPath().getName().startswith("subj_bucket=")
+        for s in fs.listStatus(hadoop_path(path)))
     rows_after = (
         spark.read.parquet(path)
-        .filter(F.col("subj_bucket").isin(touched)).count())
+        .filter(F.col("subj_bucket").isin(touched)).count()
+        if has_buckets else 0)
     return {"buckets_touched": touched, "rows_after": rows_after}

@@ -605,3 +605,47 @@ class TestMergeModelEquivalence:
             got = {tuple(r) for r in spark.read.parquet(path)
                    .select(*TRIPLE_COLS).collect()}
             assert got == model, "diverged at step %d" % step
+
+
+class TestMergeEmptiedBuckets:
+    def test_deletes_that_empty_a_bucket_remove_it_from_disk(
+            self, spark, tmp_path):
+        """Regression: a bucket whose rows are ALL deleted (and gets no
+        adds) must disappear — a dynamic partition overwrite would keep
+        its old files (partitions absent from the output are never
+        rewritten) and the deleted rows would resurrect."""
+        import os
+
+        from meresco_rdf_spark.kg.materialize import (
+            TRIPLE_COLS,
+            merge_triple_table,
+            with_subj_bucket,
+            write_triple_table,
+        )
+
+        schema = ("subj string, pred string, obj_value string, "
+                  "obj_kind string, obj_lang string")
+        rows = [("s%d" % i, "p", "v%d" % i, "literal", None)
+                for i in range(40)]
+        df = spark.createDataFrame(rows, schema)
+        path = str(tmp_path / "t")
+        write_triple_table(df, path, buckets=4)
+
+        # every row of ONE bucket, nothing else
+        victim = int(with_subj_bucket(df, 4).select("subj_bucket")
+                     .first().subj_bucket)
+        dels = with_subj_bucket(df, 4).filter(
+            F.col("subj_bucket") == victim).drop("subj_bucket")
+        n_dels = dels.count()
+        assert n_dels > 0
+        res = merge_triple_table(spark, path, deletes=dels, buckets=4)
+
+        assert not os.path.exists(
+            os.path.join(path, "subj_bucket=%d" % victim))
+        got = {tuple(r) for r in spark.read.parquet(path)
+               .select(*TRIPLE_COLS).collect()}
+        doomed = {tuple(r) for r in dels.collect()}
+        assert got == set(rows) - doomed
+        assert res["rows_after"] == 0  # touched buckets all emptied
+        # no staging leftovers
+        assert not os.path.exists(os.path.join(path, ".merge-staging"))

@@ -203,7 +203,6 @@ def main() -> None:
     import tempfile
 
     from meresco_rdf_spark.kg.materialize import (
-        TRIPLE_COLS,
         merge_triple_table,
         write_triple_table,
     )
@@ -212,24 +211,19 @@ def main() -> None:
     mpath = os.path.join(tempfile.mkdtemp(prefix="audit_merge_"), "t")
     write_triple_table(tri, mpath, buckets=8)
     merge_triple_table(spark, mpath, adds=tri.limit(200), buckets=8)
-    # re-derive the pre-write plan the merge built (same code path,
-    # captured via the physical plan of the final read-back write input
-    # is not retained, so assert on a fresh identical construction)
-    from pyspark.sql import Window
-
-    from meresco_rdf_spark.kg.materialize import TRIPLE_SORT, with_subj_bucket
+    # assert the pre-write plan through the SAME helper the merge calls
+    # (fused_bucket_dedup) so the audited plan is the shipped one
+    from meresco_rdf_spark.kg.materialize import (
+        fused_bucket_dedup,
+        with_subj_bucket,
+    )
 
     existing = spark.read.parquet(mpath).filter(
         F.col("subj_bucket").isin(list(range(8))))
     merged = existing.unionByName(
         with_subj_bucket(tri, 8).filter(F.col("subj_bucket").isin(
             list(range(8)))))
-    dkey = F.concat_ws("\x00", *[
-        F.coalesce(F.col(c), F.lit("\x00<null>")) for c in TRIPLE_COLS])
-    wspec = Window.partitionBy("subj_bucket").orderBy(*TRIPLE_SORT)
-    deduped = (merged.repartition(8, "subj_bucket")
-               .withColumn("_prev", F.lag(dkey).over(wspec))
-               .filter(~dkey.eqNullSafe(F.col("_prev"))).drop("_prev"))
+    deduped = fused_bucket_dedup(merged, 8)
     p = plan_of(deduped)
     results.append(check(
         "merge: 1 exchange, window dedup fused",
