@@ -129,6 +129,23 @@ def fused_bucket_dedup(merged: DataFrame, n_parts: int) -> DataFrame:
     )
 
 
+def _roll_forward_pending_swap(fs, hadoop_path, path: str,
+                               staging: str) -> None:
+    """Complete the bucket swaps of a merge that crashed mid-commit:
+    every ``subj_bucket=*`` dir still in staging is the full post-merge
+    content of its bucket, so swap it in; then clear staging."""
+    stg = hadoop_path(staging)
+    if not fs.exists(stg):
+        return
+    for status in fs.listStatus(stg):
+        name = status.getPath().getName()
+        if name.startswith("subj_bucket="):
+            dst = hadoop_path(path + "/" + name)
+            fs.delete(dst, True)
+            fs.rename(status.getPath(), dst)
+    fs.delete(stg, True)
+
+
 def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
                        deletes: DataFrame | None = None,
                        buckets: int = 64) -> dict:
@@ -155,9 +172,12 @@ def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
       (delete + rename) — so a bucket whose rows were ALL deleted is
       genuinely removed (a dynamic partition overwrite would silently
       keep its old files: partitions absent from the output are never
-      rewritten).  The non-atomic window is the per-bucket swap loop; an
-      Iceberg catalog would make the whole merge one atomic snapshot —
-      that, not this emulation, is the concurrent-reader story at scale.
+      rewritten).  A crash mid-swap is ROLLED FORWARD by the next merge
+      (staged dirs are complete post-merge bucket content — see
+      ``_roll_forward_pending_swap``), so writer crash-recovery is
+      covered; what this emulation does NOT give is snapshot isolation
+      for concurrent readers during the swap — that is what an Iceberg
+      catalog's atomic commits add at scale.
 
     Returns {"buckets_touched": [...], "rows_after": per-touched-bucket
     count}.  Idempotent: re-running the same merge is a no-op."""
@@ -206,7 +226,13 @@ def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
     jvm = spark._jvm
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hadoop_path(staging), True)  # leftovers of a crashed merge
+    # ROLL FORWARD a crashed predecessor before reading `existing`: a
+    # staged bucket dir is the COMPLETE post-merge content of that bucket
+    # (rename removes it from staging on success), so leftovers are
+    # exactly the swaps that didn't complete — finishing them restores
+    # any bucket the crash caught between delete and rename.  Discarding
+    # leftovers instead would lose that bucket's rows for good.
+    _roll_forward_pending_swap(fs, hadoop_path, path, staging)
     deduped.write.mode("overwrite").partitionBy("subj_bucket").parquet(staging)
     for b in touched:
         dst = hadoop_path("%s/subj_bucket=%d" % (path, b))

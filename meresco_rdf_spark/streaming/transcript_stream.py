@@ -297,9 +297,11 @@ def run_merge_to_triple_table(triples_stream: DataFrame, table_path: str,
     whose commit-log write didn't is re-run), and
     ``merge_triple_table``'s set-semantics dedup against surviving rows
     makes a replayed batch a no-op — so the TABLE state is exactly-once
-    even though the sink callback is not.  No transactional sink is
-    required for convergence; an Iceberg catalog would additionally make
-    each merge atomic against concurrent readers.
+    even though the sink callback is not.  A crash INSIDE a merge's
+    bucket-swap loop is rolled forward by the replayed batch's merge
+    (staged bucket dirs are complete post-merge content); what remains
+    non-transactional is reader isolation during a swap — an Iceberg
+    catalog's atomic commits add that at scale.
 
     Scale shape: a micro-batch touches only the ``subj_bucket``
     partitions its own delta hashes into — the merge prunes the read to

@@ -649,3 +649,60 @@ class TestMergeEmptiedBuckets:
         assert res["rows_after"] == 0  # touched buckets all emptied
         # no staging leftovers
         assert not os.path.exists(os.path.join(path, ".merge-staging"))
+
+    def test_crash_mid_swap_rolls_forward_on_next_merge(
+            self, spark, tmp_path):
+        """Simulate a merge that crashed between deleting a bucket dir
+        and renaming its staged replacement: the staged dir holds the
+        complete post-merge bucket content, and the NEXT merge must swap
+        it in (roll-forward) instead of discarding it."""
+        import os
+        import shutil
+
+        from meresco_rdf_spark.kg.materialize import (
+            TRIPLE_COLS,
+            merge_triple_table,
+            with_subj_bucket,
+            write_triple_table,
+        )
+
+        schema = ("subj string, pred string, obj_value string, "
+                  "obj_kind string, obj_lang string")
+        rows = [("s%d" % i, "p", "v%d" % i, "literal", None)
+                for i in range(40)]
+        df = spark.createDataFrame(rows, schema)
+        path = str(tmp_path / "t")
+        write_triple_table(df, path, buckets=4)
+
+        # pick a victim bucket; its post-merge content = old rows + one add
+        victim = int(with_subj_bucket(df, 4).select("subj_bucket")
+                     .first().subj_bucket)
+        vict_rows = [r for r in rows
+                     if int(with_subj_bucket(
+                         spark.createDataFrame([r], schema), 4)
+                         .first().subj_bucket) == victim]
+        new_row = ("s0_new", "p", "added", "literal", None)
+        staged_rows = vict_rows + ([new_row] if int(
+            with_subj_bucket(spark.createDataFrame([new_row], schema), 4)
+            .first().subj_bucket) == victim else [])
+        # construct the crash state: staging holds the bucket's complete
+        # post-merge dir; the live bucket dir is already deleted
+        staging = os.path.join(path, ".merge-staging")
+        spark.createDataFrame(staged_rows, schema) \
+            .withColumn("subj_bucket", F.lit(victim)) \
+            .coalesce(1).write.partitionBy("subj_bucket").parquet(staging)
+        shutil.rmtree(os.path.join(path, "subj_bucket=%d" % victim))
+
+        # reads now MISS the victim bucket (the crash is visible)...
+        assert spark.read.parquet(path).count() == len(rows) - len(vict_rows)
+
+        # ...until the next merge rolls the pending swap forward
+        other = spark.createDataFrame([("zz", "p", "zz", "literal", None)],
+                                      schema)
+        merge_triple_table(spark, path, adds=other, buckets=4)
+        got = {tuple(r) for r in spark.read.parquet(path)
+               .select(*TRIPLE_COLS).collect()}
+        assert got == (set(rows) | set(staged_rows)
+                       | {("zz", "p", "zz", "literal", None)})
+        assert set(staged_rows) <= got
+        assert not os.path.exists(staging)
