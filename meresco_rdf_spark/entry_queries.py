@@ -1546,7 +1546,6 @@ def _write_turn_slices(spark, base: str) -> str:
     modification time) — the forced-multi-micro-batch input shared by the
     streaming driver queries.  Returns the input directory."""
     import os
-    import time
 
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
@@ -1558,8 +1557,8 @@ def _write_turn_slices(spark, base: str) -> str:
         src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
         dst = os.path.join(in_dir, "slice_%d.parquet" % i)
         os.rename(os.path.join(part, src), dst)
+        # the explicit mtimes fully determine file-source batch order
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        time.sleep(0.01)
     return in_dir
 
 

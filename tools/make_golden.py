@@ -49,13 +49,13 @@ def main() -> None:
 
     # the seeded input of the kg_*/stream driver queries (entry_queries.
     # _synth_transcripts): 120 conversations x 8 turns
+    collected = synthesize_transcripts(spark, 120, 8).collect()
     input_rows = [
         (r.conv_id, r.turn_idx, r.text, int(r.ts.timestamp()))
-        for r in synthesize_transcripts(spark, 120, 8).collect()
+        for r in collected
     ]
     structure_rows = [
-        (r.conv_id, r.turn_idx, r.role, r.tool)
-        for r in synthesize_transcripts(spark, 120, 8).collect()
+        (r.conv_id, r.turn_idx, r.role, r.tool) for r in collected
     ]
 
     # ---- pure-Python reference pipeline -------------------------------
