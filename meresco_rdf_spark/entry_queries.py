@@ -307,6 +307,124 @@ def q_graph_adjacency_topk(spark, sf_dir):
         F.col("degree").cast("long").alias("degree"))
 
 
+# ==========================================================================
+# SPARQL front-end (sparql/ package) over the same triples view
+# ==========================================================================
+
+_SPARQL_BGP = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT DISTINCT ?c ?cname ?nname WHERE {{
+        ?c <{rel_nation}> ?n .
+        ?n <{rel_region}> ?r .
+        ?r skos:prefLabel "EUROPE" .
+        ?c foaf:name ?cname .
+        ?n rdfs:label ?nname .
+        FILTER (regex(?cname, "1$"))
+    }}
+""".format(rel_nation=REL_NATION, rel_region=REL_REGION)
+
+
+def q_sparql_select_bgp(spark, sf_dir):
+    """Parsed SPARQL SELECT: 5-pattern BGP + regex FILTER, compiled to a
+    pure DataFrame join plan (constant terms pushed to the scans,
+    Catalyst/AQE picks the physical join order)."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), _SPARQL_BGP)
+
+
+def q_sparql_select_bgp_stats(spark, sf_dir):
+    """Same query compiled with predicate-count statistics: the BGP is
+    greedily reordered most-selective-first (connected patterns only — no
+    Cartesian steps) BEFORE Catalyst sees it, the classic RDF-store CBO
+    heuristic.  Must produce bit-identical results to the unordered
+    compile."""
+    from .operators.graph_ops import predicate_stats
+    from .sparql import sparql_select
+
+    t = tpch_triples(spark, sf_dir)
+    return sparql_select(t, _SPARQL_BGP, pattern_stats=predicate_stats(t))
+
+
+def q_sparql_optional(spark, sf_dir):
+    """OPTIONAL = left outer join on the shared variables: every nation
+    with its label, plus its region binding ONLY when that region is
+    EUROPE (the unmatched rows keep NULL ?r)."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT DISTINCT ?n ?nname ?r WHERE {{
+            ?n rdfs:label ?nname .
+            OPTIONAL {{ ?n <{rel_region}> ?r . ?r skos:prefLabel "EUROPE" }}
+        }}
+    """.format(rel_region=REL_REGION))
+
+
+def q_sparql_union(spark, sf_dir):
+    """UNION of two predicate paths with shared variables (multiset union
+    + DISTINCT -> one exchange; absent variables are NULL-padded)."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT DISTINCT ?s ?v WHERE {
+            { ?s foaf:name ?v } UNION { ?s skos:prefLabel ?v }
+        }
+    """)
+
+
+_SPARQL_BGP_ORACLE = """
+WITH {cte}
+SELECT DISTINCT
+  t1.subj AS c, 'uri' AS c_kind, CAST(NULL AS VARCHAR) AS c_lang,
+  t4.obj_value AS cname, t4.obj_kind AS cname_kind, t4.obj_lang AS cname_lang,
+  t5.obj_value AS nname, t5.obj_kind AS nname_kind, t5.obj_lang AS nname_lang
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{rel_region}'
+JOIN triples t3 ON t3.subj = t2.obj_value AND t3.pred = '{skos_pref}'
+  AND t3.obj_value = 'EUROPE' AND t3.obj_kind = 'literal'
+  AND t3.obj_lang IS NULL
+JOIN triples t4 ON t4.subj = t1.subj AND t4.pred = '{foaf}'
+JOIN triples t5 ON t5.subj = t1.obj_value AND t5.pred = '{rdfs}'
+WHERE t1.pred = '{rel_nation}' AND regexp_matches(t4.obj_value, '1$')"""
+
+_SPARQL_ORACLES = {
+    "sparql_select_bgp": _SPARQL_BGP_ORACLE,
+    "sparql_select_bgp_stats": _SPARQL_BGP_ORACLE,
+    "sparql_optional": """
+WITH {cte},
+nations AS (
+  SELECT subj AS n, obj_value AS nname, obj_kind AS nname_kind,
+         obj_lang AS nname_lang
+  FROM triples WHERE pred = '{rdfs}'
+),
+eur AS (
+  SELECT t1.subj AS n, t1.obj_value AS r
+  FROM triples t1
+  JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{skos_pref}'
+    AND t2.obj_value = 'EUROPE' AND t2.obj_kind = 'literal'
+    AND t2.obj_lang IS NULL
+  WHERE t1.pred = '{rel_region}'
+)
+SELECT DISTINCT nations.n, 'uri' AS n_kind, CAST(NULL AS VARCHAR) AS n_lang,
+  nname, nname_kind, nname_lang,
+  eur.r AS r,
+  CASE WHEN eur.r IS NULL THEN NULL ELSE 'uri' END AS r_kind,
+  CAST(NULL AS VARCHAR) AS r_lang
+FROM nations LEFT JOIN eur ON eur.n = nations.n""",
+    "sparql_union": """
+WITH {cte}
+SELECT DISTINCT subj AS s, 'uri' AS s_kind, CAST(NULL AS VARCHAR) AS s_lang,
+  obj_value AS v, obj_kind AS v_kind, obj_lang AS v_lang
+FROM triples WHERE pred IN ('{foaf}', '{skos_pref}')""",
+}
+
+
 _GRAPH_ORACLES = {
     "graph_iterate": """
 WITH {cte}
@@ -1709,6 +1827,10 @@ QUERIES = {
     "graph_diff": q_graph_diff,
     "graph_in_degree": q_graph_in_degree,
     "graph_literal_values": q_graph_literal_values,
+    "sparql_select_bgp": q_sparql_select_bgp,
+    "sparql_select_bgp_stats": q_sparql_select_bgp_stats,
+    "sparql_optional": q_sparql_optional,
+    "sparql_union": q_sparql_union,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "text_simhash": q_text_simhash,
@@ -1770,6 +1892,7 @@ def _fmt(sql: str) -> str:
 
 ORACLES = {
     **{name: _fmt(sql) for name, sql in _GRAPH_ORACLES.items()},
+    **{name: _fmt(sql) for name, sql in _SPARQL_ORACLES.items()},
     "text_token_count":
         "SELECT doc_id, len(%s)::BIGINT AS n_tokens FROM documents" % _TOKS,
     "text_fingerprint":

@@ -351,6 +351,23 @@ def match_patterns(df: DataFrame, patterns: Sequence[tuple]) -> DataFrame:
     return result.select(*out_cols).dropDuplicates()
 
 
+def predicate_stats(df: DataFrame) -> dict:
+    """Per-predicate row counts + total, as a tiny driver-side dict — the
+    control-plane statistics for selectivity-ordered BGP joins
+    (``sparql.compiler``, ``match_patterns(reorder=...)``).
+
+    Scale: one partial-aggregatable groupBy over the predicate column
+    (column-pruned scan — only ``pred`` is read); the result is
+    |distinct predicates| rows, which for real RDF vocabularies is
+    O(100-10k) — safe to collect, like any catalog statistic.  Compute it
+    once per materialized table version and cache alongside the manifest,
+    not per query."""
+    rows = df.groupBy("pred").count().collect()
+    stats = {r["pred"]: r["count"] for r in rows}
+    stats["__total__"] = sum(stats.values())
+    return stats
+
+
 def _object_constant(term) -> tuple:
     """Normalize an object-position constant to (value, kind, lang)."""
     if hasattr(term, "isLiteral"):

@@ -1,0 +1,416 @@
+"""Compile the parsed SPARQL subset to a DataFrame plan.
+
+Each solution mapping is a row; every variable ``?v`` occupies three
+columns — ``v`` (lexical value), ``v_kind`` (uri/bnode/literal),
+``v_lang`` — mirroring the engine's triple encoding (SURVEY.md §1.4) and
+the output convention of ``operators.graph_ops.match_patterns``.
+
+Plan shape (the one you'd hand-write):
+- every triple pattern is an aliased scan of the SAME triples relation
+  with its constant terms pushed as filters (they reach the parquet scan
+  as ``PushedFilters``);
+- shared variables become equi-join conditions on full term identity
+  (value + kind + lang, null-safe on lang) — hash joins that AQE
+  broadcast-converts when a selective pattern shrinks one side;
+- OPTIONAL is a left outer join of the group's sub-plan on the shared
+  variables; UNION is ``unionByName`` with absent variables padded to
+  typed NULLs; FILTER compiles to a Column predicate applied at the
+  group boundary (nulls propagate to false, matching SPARQL
+  error-elimination for the supported functions).
+
+No collect, no Python row loops: the full query — parse → compile →
+execute — is a single Catalyst plan over the (bucketed, at scale)
+triples table.
+
+Join ORDER within a BGP is left syntactic by default; pass
+``pattern_stats`` (see ``operators.graph_ops.predicate_stats``) to
+greedily reorder patterns most-selective-first — the classic RDF-store
+heuristic, applied BEFORE Catalyst so the logical join tree starts from
+the small relations even when CBO statistics are absent.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional as Opt, Sequence, Set, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .parser import (
+    BNodeRef,
+    BoolOp,
+    Cmp,
+    Filter,
+    FuncCall,
+    GroupPattern,
+    Iri,
+    Lit,
+    NotExpr,
+    Num,
+    OptionalPattern,
+    SelectQuery,
+    TriplesBlock,
+    UnionPattern,
+    Var,
+    parse_query,
+)
+
+
+class SparqlCompileError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# frames: (DataFrame, set-of-variable-names); each var = 3 columns
+# ---------------------------------------------------------------------------
+
+def _var_cols(v: str) -> Tuple[str, str, str]:
+    return v, "%s_kind" % v, "%s_lang" % v
+
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _pattern_vars(pattern) -> Set[str]:
+    return {t.name for t in pattern if isinstance(t, Var)}
+
+
+def _compile_pattern(triples: DataFrame, pattern) -> Tuple[DataFrame, Set[str]]:
+    """One triple pattern -> (bindings frame, vars). Constant terms become
+    pushed filters; variable terms become the binding columns."""
+    s, p, o = pattern
+    df = triples
+
+    # constant filters (pushdown-eligible)
+    if isinstance(s, Iri):
+        df = df.filter(F.col("subj") == s.uri)
+    elif isinstance(s, BNodeRef):
+        df = df.filter(F.col("subj") == s.label)
+    if isinstance(p, Iri):
+        df = df.filter(F.col("pred") == p.uri)
+    elif not isinstance(p, Var):
+        raise SparqlCompileError("predicate must be IRI or variable")
+    if isinstance(o, Iri):
+        df = (df.filter(F.col("obj_value") == o.uri)
+                .filter(F.col("obj_kind") == "uri"))
+    elif isinstance(o, BNodeRef):
+        df = (df.filter(F.col("obj_value") == o.label)
+                .filter(F.col("obj_kind") == "bnode"))
+    elif isinstance(o, Lit):
+        df = (df.filter(F.col("obj_value") == o.value)
+                .filter(F.col("obj_kind") == "literal")
+                .filter(F.col("obj_lang").eqNullSafe(
+                    F.lit(o.lang).cast("string"))))
+
+    cols: List[Column] = []
+    seen: Dict[str, int] = {}
+    same_var_conds: List[Column] = []
+
+    def bind(var: str, value: Column, kind: Column, lang: Column, pos: int):
+        if var in seen:
+            # repeated var inside one pattern (?x ?p ?x): value equality
+            same_var_conds.append(value == F.col(var))
+            return
+        seen[var] = pos
+        v, k, lg = _var_cols(var)
+        cols.extend([value.alias(v), kind.alias(k), lang.alias(lg)])
+
+    if isinstance(s, Var):
+        bind(s.name, F.col("subj"),
+             F.when(F.col("subj").startswith("_:"), F.lit("bnode"))
+              .otherwise(F.lit("uri")), _null_str(), 0)
+    if isinstance(p, Var):
+        bind(p.name, F.col("pred"), F.lit("uri"), _null_str(), 1)
+    if isinstance(o, Var):
+        if o.name in seen:
+            # ?x in s/p and again in o: term equality against the earlier
+            # binding — non-literal kinds only (subject/predicate space)
+            df = df.filter(F.col("obj_kind") != "literal")
+            df = df.filter(F.col("obj_value") == (
+                F.col("subj") if seen[o.name] == 0 else F.col("pred")))
+            df = df.filter(F.col("obj_lang").isNull())
+        else:
+            bind(o.name, F.col("obj_value"), F.col("obj_kind"),
+                 F.col("obj_lang"), 2)
+
+    if not cols:
+        # fully ground pattern: existence check contributes a row iff present
+        frame = df.limit(1).select(F.lit(1).alias("_ground"))
+        return frame, set()
+    frame = df.select(*cols)
+    for cond in same_var_conds:
+        frame = frame.filter(cond)
+    return frame, set(seen)
+
+
+def _join_frames(left: Tuple[DataFrame, Set[str]],
+                 right: Tuple[DataFrame, Set[str]],
+                 how: str = "inner") -> Tuple[DataFrame, Set[str]]:
+    ldf, lvars = left
+    rdf, rvars = right
+    shared = sorted(lvars & rvars)
+    l, r = ldf.alias("l"), rdf.alias("r")
+    if shared:
+        cond = None
+        for v in shared:
+            val, kind, lang = _var_cols(v)
+            c = ((F.col("l.%s" % val) == F.col("r.%s" % val))
+                 & (F.col("l.%s" % kind) == F.col("r.%s" % kind))
+                 & F.col("l.%s" % lang).eqNullSafe(F.col("r.%s" % lang)))
+            cond = c if cond is None else (cond & c)
+        joined = l.join(r, cond, how)
+    else:
+        if how == "left":
+            # OPTIONAL with no shared vars: every left row pairs with every
+            # right solution (or nulls when the right side is empty)
+            joined = l.join(r, F.lit(True), "left")
+        else:
+            joined = l.crossJoin(r)
+    out: List[Column] = []
+    for v in sorted(lvars):
+        for c in _var_cols(v):
+            out.append(F.col("l.%s" % c).alias(c))
+    for v in sorted(rvars - lvars):
+        for c in _var_cols(v):
+            out.append(F.col("r.%s" % c).alias(c))
+    carry = [c for c in ldf.columns if c == "_ground"]
+    if carry and not lvars:
+        out.append(F.col("l._ground"))
+    return joined.select(*out) if out else joined, lvars | rvars
+
+
+# ---------------------------------------------------------------------------
+# BGP join ordering
+# ---------------------------------------------------------------------------
+
+def _pattern_weight(pattern, stats: Opt[Dict[str, int]],
+                    total: Opt[int]) -> float:
+    """Estimated cardinality: predicate-bound patterns cost their predicate
+    count (from stats); extra constant terms shrink the estimate; an
+    all-variable pattern costs the whole relation."""
+    s, p, o = pattern
+    if stats is not None and isinstance(p, Iri):
+        base = float(stats.get(p.uri, 0))
+    else:
+        base = float(total if total is not None else 1 << 40)
+    if not isinstance(s, Var):
+        base /= 1000.0
+    if not isinstance(o, Var):
+        base /= 1000.0
+    return base
+
+
+def _order_patterns(patterns: Sequence, stats: Opt[Dict[str, int]],
+                    total: Opt[int]) -> List:
+    """Greedy selectivity ordering: start from the cheapest pattern, then
+    repeatedly take the cheapest pattern CONNECTED to the bound variables
+    (avoiding Cartesian steps), falling back to the global cheapest."""
+    if stats is None:
+        return list(patterns)
+    remaining = list(patterns)
+    ordered: List = []
+    bound: Set[str] = set()
+    while remaining:
+        connected = [pt for pt in remaining if _pattern_vars(pt) & bound] \
+            if bound else remaining
+        pool = connected or remaining
+        best = min(pool, key=lambda pt: _pattern_weight(pt, stats, total))
+        remaining.remove(best)
+        ordered.append(best)
+        bound |= _pattern_vars(best)
+    return ordered
+
+
+# ---------------------------------------------------------------------------
+# filter expressions
+# ---------------------------------------------------------------------------
+
+def _term_cols(e, frame_vars: Set[str]) -> Tuple[Column, Column, Column]:
+    """(value, kind, lang) columns for an expression term."""
+    if isinstance(e, Var):
+        if e.name not in frame_vars:
+            # unbound var: all-NULL term (comparisons eliminate the row)
+            return _null_str(), _null_str(), _null_str()
+        v, k, lg = _var_cols(e.name)
+        return F.col(v), F.col(k), F.col(lg)
+    if isinstance(e, Lit):
+        return (F.lit(e.value), F.lit("literal"),
+                F.lit(e.lang).cast("string"))
+    if isinstance(e, Num):
+        return F.lit(e.text), F.lit("literal"), _null_str()
+    if isinstance(e, FuncCall) and e.name in ("str", "lang"):
+        inner_v, inner_k, inner_lg = _term_cols(e.args[0], frame_vars)
+        if e.name == "str":
+            return inner_v, F.lit("literal"), _null_str()
+        return (F.coalesce(inner_lg, F.lit("")), F.lit("literal"),
+                _null_str())
+    raise SparqlCompileError("unsupported term in expression: %r" % (e,))
+
+
+def _is_numeric(e) -> bool:
+    return isinstance(e, Num)
+
+
+def _compile_expr(e, frame_vars: Set[str]) -> Column:
+    if isinstance(e, BoolOp):
+        parts = [_compile_expr(p, frame_vars) for p in e.parts]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if e.op == "and" else (out | p)
+        return out
+    if isinstance(e, NotExpr):
+        return ~_compile_expr(e.inner, frame_vars)
+    if isinstance(e, Cmp):
+        lv, lk, llg = _term_cols(e.left, frame_vars)
+        rv, rk, rlg = _term_cols(e.right, frame_vars)
+        numeric = _is_numeric(e.left) or _is_numeric(e.right)
+        if numeric:
+            lhs, rhs = lv.cast("double"), rv.cast("double")
+        else:
+            lhs, rhs = lv, rv
+        if e.op == "=":
+            base = lhs == rhs
+            if not numeric:
+                base = base & (lk == rk) & llg.eqNullSafe(rlg)
+            return base
+        if e.op == "!=":
+            base = (lhs == rhs)
+            if not numeric:
+                base = base & (lk == rk) & llg.eqNullSafe(rlg)
+            # SPARQL != is an error (row eliminated) when either side is
+            # unbound — propagate null, don't resurrect via negation
+            return F.when(lhs.isNull() | rhs.isNull(),
+                          F.lit(None).cast("boolean")).otherwise(~base)
+        op_map = {"<": lhs < rhs, ">": lhs > rhs,
+                  "<=": lhs <= rhs, ">=": lhs >= rhs}
+        return op_map[e.op]
+    if isinstance(e, FuncCall):
+        if e.name == "bound":
+            arg = e.args[0]
+            if not isinstance(arg, Var):
+                raise SparqlCompileError("bound() takes a variable")
+            if arg.name not in frame_vars:
+                return F.lit(False)
+            return F.col(arg.name).isNotNull()
+        if e.name == "regex":
+            if len(e.args) not in (2, 3):
+                raise SparqlCompileError("regex(text, pattern [, flags])")
+            val, _, _ = _term_cols(e.args[0], frame_vars)
+            pat = e.args[1]
+            if not isinstance(pat, Lit):
+                raise SparqlCompileError("regex pattern must be a literal")
+            pattern = pat.value
+            if len(e.args) == 3 and isinstance(e.args[2], Lit) \
+                    and "i" in e.args[2].value:
+                pattern = "(?i)" + pattern
+            return val.rlike(pattern)
+    raise SparqlCompileError("unsupported filter expression: %r" % (e,))
+
+
+# ---------------------------------------------------------------------------
+# group patterns
+# ---------------------------------------------------------------------------
+
+def _compile_group(triples: DataFrame, group: GroupPattern,
+                   stats: Opt[Dict[str, int]],
+                   total: Opt[int]) -> Tuple[DataFrame, Set[str]]:
+    frame: Opt[Tuple[DataFrame, Set[str]]] = None
+    filters: List = []
+    for part in group.parts:
+        if isinstance(part, TriplesBlock):
+            for pattern in _order_patterns(part.patterns, stats, total):
+                piece = _compile_pattern(triples, pattern)
+                frame = piece if frame is None else _join_frames(frame, piece)
+        elif isinstance(part, OptionalPattern):
+            sub = _compile_group(triples, part.group, stats, total)
+            if frame is None:
+                raise SparqlCompileError("OPTIONAL requires a preceding pattern")
+            frame = _join_frames(frame, sub, how="left")
+        elif isinstance(part, UnionPattern):
+            branches = [_compile_group(triples, g, stats, total)
+                        for g in part.groups]
+            all_vars: Set[str] = set()
+            for _, vs in branches:
+                all_vars |= vs
+            aligned: List[DataFrame] = []
+            for df, vs in branches:
+                cols: List[Column] = []
+                for v in sorted(all_vars):
+                    val, kind, lang = _var_cols(v)
+                    if v in vs:
+                        cols.extend([F.col(val), F.col(kind), F.col(lang)])
+                    else:
+                        cols.extend([_null_str().alias(val),
+                                     _null_str().alias(kind),
+                                     _null_str().alias(lang)])
+                aligned.append(df.select(*cols))
+            union = aligned[0]
+            for df in aligned[1:]:
+                union = union.unionByName(df)
+            piece = (union, all_vars)
+            frame = piece if frame is None else _join_frames(frame, piece)
+        elif isinstance(part, Filter):
+            filters.append(part.expr)
+        else:  # pragma: no cover
+            raise SparqlCompileError("unknown group part %r" % (part,))
+    if frame is None:
+        raise SparqlCompileError("empty group pattern")
+    df, vars_ = frame
+    for expr in filters:
+        cond = _compile_expr(expr, vars_)
+        df = df.filter(cond)
+    return df, vars_
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+def sparql_select(triples: DataFrame, query: str,
+                  pattern_stats: Opt[Dict[str, int]] = None,
+                  total_triples: Opt[int] = None) -> DataFrame:
+    """Execute a SPARQL SELECT (supported subset) over the triples relation.
+
+    Returns a DataFrame with columns ``v, v_kind, v_lang`` per projected
+    variable.  ``pattern_stats`` (predicate -> row count, from
+    ``operators.graph_ops.predicate_stats``) enables selectivity-ordered
+    BGP joins; without it, syntactic order is kept and Catalyst/AQE still
+    reorders physically where it can.
+    """
+    ast = parse_query(query)
+    if pattern_stats is not None and total_triples is None:
+        total_triples = pattern_stats.get("__total__")
+    df, vars_ = _compile_group(triples, ast.where, pattern_stats,
+                               total_triples)
+
+    if ast.variables == "*":
+        proj = sorted(vars_)
+    else:
+        proj = list(ast.variables)
+        missing = [v for v in proj if v not in vars_]
+        if missing:
+            raise SparqlCompileError(
+                "projected variables not bound in WHERE: %s"
+                % ", ".join("?" + v for v in missing))
+    cols: List[Column] = []
+    for v in proj:
+        for c in _var_cols(v):
+            cols.append(F.col(c))
+    out = df.select(*cols)
+
+    if ast.distinct:
+        out = out.dropDuplicates()
+    if ast.order_by:
+        order_cols = []
+        for var, asc in ast.order_by:
+            if var not in vars_:
+                raise SparqlCompileError("ORDER BY unbound variable ?%s" % var)
+            col = F.col(var)
+            order_cols.append(col.asc_nulls_first() if asc
+                              else col.desc_nulls_last())
+        out = out.orderBy(*order_cols)
+    if ast.offset:
+        out = out.offset(ast.offset)
+    if ast.limit is not None:
+        out = out.limit(ast.limit)
+    return out

@@ -1,0 +1,486 @@
+"""Recursive-descent parser for the supported SPARQL SELECT subset.
+
+Grammar (case-insensitive keywords):
+
+    Query        := Prefix* Select Where Modifiers
+    Prefix       := 'PREFIX' PNAME_NS IRIREF
+    Select       := 'SELECT' 'DISTINCT'? ( Var+ | '*' )
+    Where        := 'WHERE'? GroupGraphPattern
+    GroupGraphPattern := '{' ( TriplesBlock | Filter | Optional | Group
+                               ('UNION' Group)* )* '}'
+    Filter       := 'FILTER' '(' Expr ')'
+    Optional     := 'OPTIONAL' GroupGraphPattern
+    Modifiers    := ('ORDER' 'BY' OrderCond+)? ('LIMIT' INT)? ('OFFSET' INT)?
+    OrderCond    := Var | ('ASC'|'DESC') '(' Var ')'
+    Expr         := OrExpr;  standard precedence  ! > comparison > && > ||
+    Primary      := Var | Literal | NumericLiteral | IRI
+                  | 'regex' '(' Expr ',' STRING ')'
+                  | 'lang' '(' Var ')' | 'str' '(' Var ')'
+                  | 'bound' '(' Var ')' | '(' Expr ')'
+
+Triple terms: IRIREF ``<uri>``, prefixed name ``foaf:name``, the ``a``
+keyword (rdf:type), ``?var``, literals ``"s"``, ``"s"@lang``,
+``"s"^^<dtype>``, blank-node labels ``_:b``.  Predicate-object lists
+(``;``) and object lists (``,``) are expanded.
+
+This is a deliberately scoped subset (no property paths, GROUP BY,
+CONSTRUCT, subqueries); unsupported syntax raises ``SparqlSyntaxError``
+with position info rather than mis-parsing.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional as Opt, Sequence, Tuple, Union
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    uri: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: str
+    lang: Opt[str] = None
+    dtype: Opt[str] = None
+
+
+@dataclass(frozen=True)
+class BNodeRef:
+    label: str
+
+
+Term = Union[Var, Iri, Lit, BNodeRef]
+TriplePattern = Tuple[Term, Term, Term]
+
+
+@dataclass(frozen=True)
+class Cmp:
+    op: str  # = != < > <= >=
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class BoolOp:
+    op: str  # and / or
+    parts: Tuple["Expr", ...]
+
+
+@dataclass(frozen=True)
+class NotExpr:
+    inner: "Expr"
+
+
+@dataclass(frozen=True)
+class FuncCall:
+    name: str  # regex / lang / str / bound
+    args: Tuple["Expr", ...]
+
+
+@dataclass(frozen=True)
+class Num:
+    value: float
+    text: str
+
+
+Expr = Union[Cmp, BoolOp, NotExpr, FuncCall, Var, Lit, Num]
+
+
+@dataclass
+class TriplesBlock:
+    patterns: List[TriplePattern] = field(default_factory=list)
+
+
+@dataclass
+class Filter:
+    expr: Expr
+
+
+@dataclass
+class OptionalPattern:
+    group: "GroupPattern"
+
+
+@dataclass
+class UnionPattern:
+    groups: List["GroupPattern"]
+
+
+@dataclass
+class GroupPattern:
+    parts: List[Union[TriplesBlock, Filter, OptionalPattern, UnionPattern]] \
+        = field(default_factory=list)
+
+
+@dataclass
+class SelectQuery:
+    variables: Union[str, List[str]]  # '*' or var names (no '?')
+    distinct: bool
+    where: GroupPattern
+    order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    limit: Opt[int] = None
+    offset: Opt[int] = None
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<DTYPE>\^\^)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<BNODE>_:[A-Za-z0-9_]+)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*?:[A-Za-z0-9_.-]*|[A-Za-z_][A-Za-z0-9_-]*:)
+  | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*])
+""", re.VERBOSE)
+
+
+def _tokenize(text: str) -> List[Tuple[str, str, int]]:
+    tokens = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlSyntaxError(
+                "unrecognized syntax at offset %d: %r" % (pos, text[pos:pos + 20]))
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        tokens.append((kind, m.group(), m.start()))
+    tokens.append(("EOF", "", len(text)))
+    return tokens
+
+
+_UNESCAPE = {
+    "\\n": "\n", "\\t": "\t", "\\r": "\r", "\\\\": "\\",
+    "\\\"": '"', "\\'": "'",
+}
+
+
+def _unquote(raw: str) -> str:
+    body = raw[1:-1]
+    return re.sub(r"\\.", lambda m: _UNESCAPE.get(m.group(), m.group()[1]), body)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, text: str):
+        self.tokens = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers --
+    def peek(self) -> Tuple[str, str, int]:
+        return self.tokens[self.i]
+
+    def next(self) -> Tuple[str, str, int]:
+        tok = self.tokens[self.i]
+        self.i += 1
+        return tok
+
+    def at_kw(self, word: str) -> bool:
+        kind, val, _ = self.peek()
+        return kind == "NAME" and val.upper() == word
+
+    def eat_kw(self, word: str) -> None:
+        if not self.at_kw(word):
+            self.fail("expected %s" % word)
+        self.next()
+
+    def at_op(self, op: str) -> bool:
+        kind, val, _ = self.peek()
+        return kind == "OP" and val == op
+
+    def eat_op(self, op: str) -> None:
+        if not self.at_op(op):
+            self.fail("expected %r" % op)
+        self.next()
+
+    def fail(self, msg: str):
+        kind, val, pos = self.peek()
+        raise SparqlSyntaxError("%s at offset %d (got %s %r)"
+                                % (msg, pos, kind, val))
+
+    # -- grammar --
+    def parse(self) -> SelectQuery:
+        while self.at_kw("PREFIX"):
+            self.next()
+            kind, val, _ = self.next()
+            if kind != "PNAME" or not val.endswith(":"):
+                self.fail("expected prefix name")
+            ns = val[:-1]
+            kind2, iri, _ = self.next()
+            if kind2 != "IRIREF":
+                self.fail("expected IRI for prefix %s" % ns)
+            self.prefixes[ns] = iri[1:-1]
+
+        self.eat_kw("SELECT")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        variables: Union[str, List[str]]
+        if self.at_op("*"):
+            self.next()
+            variables = "*"
+        else:
+            names: List[str] = []
+            while self.peek()[0] == "VAR":
+                names.append(self.next()[1][1:])
+            if not names:
+                self.fail("expected projection variables or *")
+            variables = names
+
+        if self.at_kw("WHERE"):
+            self.next()
+        where = self.group_graph_pattern()
+
+        order_by: List[Tuple[str, bool]] = []
+        if self.at_kw("ORDER"):
+            self.next()
+            self.eat_kw("BY")
+            while True:
+                if self.at_kw("ASC") or self.at_kw("DESC"):
+                    asc = self.next()[1].upper() == "ASC"
+                    self.eat_op("(")
+                    var = self._expect_var()
+                    self.eat_op(")")
+                    order_by.append((var, asc))
+                elif self.peek()[0] == "VAR":
+                    order_by.append((self.next()[1][1:], True))
+                else:
+                    break
+            if not order_by:
+                self.fail("expected order condition")
+
+        limit = offset = None
+        # LIMIT/OFFSET accepted in either order (SPARQL 1.1 allows both)
+        for _ in range(2):
+            if self.at_kw("LIMIT"):
+                self.next()
+                limit = self._expect_int()
+            elif self.at_kw("OFFSET"):
+                self.next()
+                offset = self._expect_int()
+        if self.peek()[0] != "EOF":
+            self.fail("unexpected trailing syntax")
+        return SelectQuery(variables=variables, distinct=distinct,
+                           where=where, order_by=order_by,
+                           limit=limit, offset=offset)
+
+    def _expect_var(self) -> str:
+        kind, val, _ = self.next()
+        if kind != "VAR":
+            self.fail("expected variable")
+        return val[1:]
+
+    def _expect_int(self) -> int:
+        kind, val, _ = self.next()
+        if kind != "NUMBER" or not re.fullmatch(r"\d+", val):
+            self.fail("expected non-negative integer")
+        return int(val)
+
+    def group_graph_pattern(self) -> GroupPattern:
+        self.eat_op("{")
+        group = GroupPattern()
+        while not self.at_op("}"):
+            if self.at_kw("FILTER"):
+                self.next()
+                self.eat_op("(")
+                expr = self.expr()
+                self.eat_op(")")
+                group.parts.append(Filter(expr))
+            elif self.at_kw("OPTIONAL"):
+                self.next()
+                group.parts.append(OptionalPattern(self.group_graph_pattern()))
+            elif self.at_op("{"):
+                branches = [self.group_graph_pattern()]
+                while self.at_kw("UNION"):
+                    self.next()
+                    branches.append(self.group_graph_pattern())
+                if len(branches) == 1:
+                    group.parts.append(UnionPattern(branches))  # nested group
+                else:
+                    group.parts.append(UnionPattern(branches))
+            else:
+                group.parts.append(self.triples_block())
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        return group
+
+    def triples_block(self) -> TriplesBlock:
+        block = TriplesBlock()
+        while True:
+            subj = self.term(position="subject")
+            self._predicate_object_list(block, subj)
+            if self.at_op("."):
+                self.next()
+                kind, val, _ = self.peek()
+                if kind in ("VAR", "IRIREF", "PNAME", "BNODE") or \
+                        (kind == "NAME" and val == "a"):
+                    continue
+            break
+        return block
+
+    def _predicate_object_list(self, block: TriplesBlock, subj: Term) -> None:
+        while True:
+            pred = self.term(position="predicate")
+            while True:
+                obj = self.term(position="object")
+                block.patterns.append((subj, pred, obj))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                # allow trailing ';' before '.' or '}'
+                kind, val, _ = self.peek()
+                if kind in ("VAR", "IRIREF", "PNAME") or \
+                        (kind == "NAME" and val == "a"):
+                    continue
+            break
+
+    def term(self, position: str) -> Term:
+        kind, val, pos = self.next()
+        if kind == "VAR":
+            return Var(val[1:])
+        if kind == "IRIREF":
+            return Iri(val[1:-1])
+        if kind == "PNAME":
+            ns, _, local = val.partition(":")
+            if ns not in self.prefixes:
+                raise SparqlSyntaxError(
+                    "undeclared prefix %r at offset %d" % (ns, pos))
+            return Iri(self.prefixes[ns] + local)
+        if kind == "NAME" and val == "a" and position == "predicate":
+            return Iri(RDF_TYPE)
+        if kind == "BNODE" and position != "predicate":
+            return BNodeRef(val)
+        if kind == "STRING" and position == "object":
+            text = _unquote(val)
+            nkind, nval, _ = self.peek()
+            if nkind == "LANGTAG":
+                self.next()
+                return Lit(text, lang=nval[1:].lower())
+            if nkind == "DTYPE":
+                self.next()
+                dkind, dval, _ = self.next()
+                if dkind == "IRIREF":
+                    return Lit(text, dtype=dval[1:-1])
+                if dkind == "PNAME":
+                    ns, _, local = dval.partition(":")
+                    if ns not in self.prefixes:
+                        self.fail("undeclared prefix %r" % ns)
+                    return Lit(text, dtype=self.prefixes[ns] + local)
+                self.fail("expected datatype IRI")
+            return Lit(text)
+        if kind == "NUMBER" and position == "object":
+            return Lit(val, dtype="http://www.w3.org/2001/XMLSchema#decimal"
+                       if "." in val else
+                       "http://www.w3.org/2001/XMLSchema#integer")
+        raise SparqlSyntaxError(
+            "expected %s term at offset %d (got %s %r)"
+            % (position, pos, kind, val))
+
+    # -- expressions --
+    def expr(self) -> Expr:
+        return self._or_expr()
+
+    def _or_expr(self) -> Expr:
+        parts = [self._and_expr()]
+        while self.at_op("||"):
+            self.next()
+            parts.append(self._and_expr())
+        return parts[0] if len(parts) == 1 else BoolOp("or", tuple(parts))
+
+    def _and_expr(self) -> Expr:
+        parts = [self._cmp_expr()]
+        while self.at_op("&&"):
+            self.next()
+            parts.append(self._cmp_expr())
+        return parts[0] if len(parts) == 1 else BoolOp("and", tuple(parts))
+
+    def _cmp_expr(self) -> Expr:
+        left = self._unary_expr()
+        for op in ("=", "!=", "<=", ">=", "<", ">"):
+            if self.at_op(op):
+                self.next()
+                right = self._unary_expr()
+                return Cmp(op, left, right)
+        return left
+
+    def _unary_expr(self) -> Expr:
+        if self.at_op("!"):
+            self.next()
+            return NotExpr(self._unary_expr())
+        return self._primary()
+
+    def _primary(self) -> Expr:
+        kind, val, pos = self.peek()
+        if kind == "OP" and val == "(":
+            self.next()
+            e = self.expr()
+            self.eat_op(")")
+            return e
+        if kind == "VAR":
+            self.next()
+            return Var(val[1:])
+        if kind == "STRING":
+            self.next()
+            text = _unquote(val)
+            nkind, nval, _ = self.peek()
+            if nkind == "LANGTAG":
+                self.next()
+                return Lit(text, lang=nval[1:].lower())
+            return Lit(text)
+        if kind == "NUMBER":
+            self.next()
+            return Num(float(val), val)
+        if kind == "NAME" and val.lower() in ("regex", "lang", "str", "bound"):
+            fname = val.lower()
+            self.next()
+            self.eat_op("(")
+            args = [self.expr()]
+            while self.at_op(","):
+                self.next()
+                args.append(self.expr())
+            self.eat_op(")")
+            return FuncCall(fname, tuple(args))
+        raise SparqlSyntaxError(
+            "expected expression at offset %d (got %s %r)" % (pos, kind, val))
+
+
+def parse_query(text: str) -> SelectQuery:
+    """Parse a SPARQL SELECT string into the AST consumed by
+    ``compiler.sparql_select``."""
+    return _Parser(text).parse()

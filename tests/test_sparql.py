@@ -1,0 +1,289 @@
+"""SPARQL-subset front-end: parser + compiler semantics.
+
+Ground truth is computed by hand on small graphs; the sf-scale driver
+queries (`sparql_bgp_filter`, `sparql_optional_label`,
+`sparql_union_paths`) get independent DuckDB oracles via the driver
+contract.
+"""
+
+import pytest
+
+from meresco_rdf_spark.operators.graph_ops import predicate_stats, triples_df
+from meresco_rdf_spark.sparql import parse_query, sparql_select
+from meresco_rdf_spark.sparql.compiler import SparqlCompileError, _order_patterns
+from meresco_rdf_spark.sparql.parser import (
+    Iri,
+    Lit,
+    SparqlSyntaxError,
+    TriplesBlock,
+    Var,
+)
+from meresco_rdf_spark.model import Literal, Uri
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def test_parse_prefixes_and_bgp():
+    q = parse_query("""
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        SELECT ?s ?name WHERE {
+            ?s foaf:name ?name .
+            ?s a <urn:type:Person> .
+        }
+    """)
+    assert q.variables == ["s", "name"]
+    block = q.where.parts[0]
+    assert isinstance(block, TriplesBlock)
+    assert block.patterns[0] == (
+        Var("s"), Iri("http://xmlns.com/foaf/0.1/name"), Var("name"))
+    # 'a' expands to rdf:type
+    assert block.patterns[1][1].uri.endswith("#type")
+
+
+def test_parse_predicate_object_lists():
+    q = parse_query("""
+        SELECT * WHERE {
+            <urn:a> <urn:p> "x", "y" ; <urn:q> ?z .
+        }
+    """)
+    pats = q.where.parts[0].patterns
+    assert len(pats) == 3
+    assert pats[0][2] == Lit("x")
+    assert pats[1][2] == Lit("y")
+    assert pats[2][1] == Iri("urn:q")
+
+
+def test_parse_literals_lang_and_dtype():
+    q = parse_query("""SELECT * WHERE {
+        ?s <urn:p> "hi"@EN .
+        ?s <urn:q> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+    }""")
+    pats = q.where.parts[0].patterns
+    assert pats[0][2] == Lit("hi", lang="en")   # lang tags normalize lower
+    assert pats[1][2].dtype.endswith("integer")
+
+
+def test_parse_modifiers():
+    q = parse_query("""SELECT DISTINCT ?s WHERE { ?s ?p ?o }
+                       ORDER BY DESC(?s) LIMIT 10 OFFSET 5""")
+    assert q.distinct and q.limit == 10 and q.offset == 5
+    assert q.order_by == [("s", False)]
+
+
+def test_parse_errors_have_positions():
+    with pytest.raises(SparqlSyntaxError, match="offset"):
+        parse_query("SELECT ?s WHERE { ?s <urn:p> }")
+    with pytest.raises(SparqlSyntaxError, match="undeclared prefix"):
+        parse_query("SELECT ?s WHERE { ?s foaf:name ?n }")
+
+
+# ---------------------------------------------------------------------------
+# compiler semantics on a small graph
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def small_graph(spark):
+    return triples_df(spark, [
+        ("urn:alice", "urn:p:knows", Uri("urn:bob")),
+        ("urn:alice", "urn:p:name", Literal("Alice", lang="en")),
+        ("urn:alice", "urn:p:age", Literal("34")),
+        ("urn:bob", "urn:p:name", Literal("Bob", lang="en")),
+        ("urn:bob", "urn:p:name", Literal("Bobby")),
+        ("urn:bob", "urn:p:knows", Uri("urn:carol")),
+        ("urn:carol", "urn:p:age", Literal("29")),
+        ("_:b1", "urn:p:name", Literal("Anon")),
+    ]).cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bgp_join(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?a ?b WHERE {
+            ?a <urn:p:knows> ?b .
+            ?b <urn:p:name> ?n .
+        }
+    """)
+    assert set(out.columns) == {"a", "a_kind", "a_lang",
+                                "b", "b_kind", "b_lang"}
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    # carol has no name -> (bob, carol) only matches via bob
+    assert got == {("urn:alice", "urn:bob")}
+
+
+def test_constant_object_literal_with_lang(small_graph):
+    out = sparql_select(small_graph,
+                        'SELECT ?s WHERE { ?s <urn:p:name> "Bob"@en }')
+    assert [r["s"] for r in out.collect()] == ["urn:bob"]
+    # without the lang tag: no match (term identity includes lang)
+    out2 = sparql_select(small_graph,
+                         'SELECT ?s WHERE { ?s <urn:p:name> "Bob" }')
+    assert out2.count() == 0
+
+
+def test_filter_numeric_and_regex(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s ?v WHERE {
+            ?s <urn:p:age> ?v . FILTER (?v > 30)
+        }
+    """)
+    assert [(r["s"], r["v"]) for r in out.collect()] == [("urn:alice", "34")]
+
+    out2 = sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:name> ?n . FILTER (regex(?n, "^Bob")) }
+    """)
+    assert sorted(r["s"] for r in out2.collect()) == ["urn:bob", "urn:bob"]
+
+
+def test_filter_lang_and_bound(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s ?n WHERE { ?s <urn:p:name> ?n . FILTER (lang(?n) = "en") }
+    """)
+    assert sorted(r["n"] for r in out.collect()) == ["Alice", "Bob"]
+
+
+def test_optional_left_join(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s ?age WHERE {
+            ?s <urn:p:name> ?n .
+            OPTIONAL { ?s <urn:p:age> ?age }
+        }
+    """)
+    got = {(r["s"], r["age"]) for r in out.collect()}
+    assert ("urn:alice", "34") in got
+    assert ("urn:bob", None) in got          # OPTIONAL miss -> NULL
+    assert ("_:b1", None) in got
+
+
+def test_optional_then_negation_filter(small_graph):
+    # the classic "not exists" idiom: OPTIONAL + !bound
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?s WHERE {
+            ?s <urn:p:name> ?n .
+            OPTIONAL { ?s <urn:p:age> ?age }
+            FILTER (!bound(?age))
+        }
+    """)
+    assert sorted(r["s"] for r in out.collect()) == ["_:b1", "urn:bob"]
+
+
+def test_union(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?s WHERE {
+            { ?s <urn:p:age> ?v } UNION { ?s <urn:p:knows> ?o }
+        }
+    """)
+    assert sorted(r["s"] for r in out.collect()) == [
+        "urn:alice", "urn:bob", "urn:carol"]
+
+
+def test_union_pads_missing_vars(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?v ?o WHERE {
+            { ?s <urn:p:age> ?v } UNION { ?s <urn:p:knows> ?o }
+        }
+    """)
+    rows = {(r["v"], r["o"]) for r in out.collect()}
+    assert ("34", None) in rows and (None, "urn:bob") in rows
+
+
+def test_distinct_order_limit_offset(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?s WHERE { ?s ?p ?o } ORDER BY ?s LIMIT 2 OFFSET 1
+    """)
+    assert [r["s"] for r in out.collect()] == ["urn:alice", "urn:bob"]
+
+
+def test_subject_bnode_kind(small_graph):
+    out = sparql_select(small_graph, "SELECT ?s WHERE { ?s <urn:p:name> ?n }")
+    kinds = {r["s"]: r["s_kind"] for r in out.collect()}
+    assert kinds["_:b1"] == "bnode"
+    assert kinds["urn:alice"] == "uri"
+
+
+def test_shared_var_subject_object(small_graph):
+    # ?b bound as object then reused as subject: joins on term identity
+    out = sparql_select(small_graph, """
+        SELECT ?b WHERE {
+            <urn:alice> <urn:p:knows> ?b .
+            ?b <urn:p:knows> ?c .
+        }
+    """)
+    assert [r["b"] for r in out.collect()] == ["urn:bob"]
+
+
+def test_projection_unbound_raises(small_graph):
+    with pytest.raises(SparqlCompileError, match="not bound"):
+        sparql_select(small_graph, "SELECT ?zzz WHERE { ?s ?p ?o }")
+
+
+def test_filter_str_eq(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:name> ?n . FILTER (str(?n) = "Bobby") }
+    """)
+    assert [r["s"] for r in out.collect()] == ["urn:bob"]
+
+
+def test_ground_pattern_existence(small_graph):
+    # fully ground pattern acts as an existence gate on the group
+    out = sparql_select(small_graph, """
+        SELECT ?s WHERE {
+            <urn:alice> <urn:p:knows> <urn:bob> .
+            ?s <urn:p:age> ?v .
+        }
+    """)
+    assert sorted(r["s"] for r in out.collect()) == ["urn:alice", "urn:carol"]
+    out2 = sparql_select(small_graph, """
+        SELECT ?s WHERE {
+            <urn:alice> <urn:p:knows> <urn:carol> .
+            ?s <urn:p:age> ?v .
+        }
+    """)
+    assert out2.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# stats-guided join ordering
+# ---------------------------------------------------------------------------
+
+def test_order_patterns_most_selective_first_connected():
+    stats = {"urn:p:common": 1_000_000, "urn:p:rare": 10, "__total__": 1_000_010}
+    pats = [
+        (Var("a"), Iri("urn:p:common"), Var("b")),
+        (Var("b"), Iri("urn:p:common"), Var("c")),
+        (Var("c"), Iri("urn:p:rare"), Var("d")),
+    ]
+    ordered = _order_patterns(pats, stats, stats["__total__"])
+    # rare pattern first; then only patterns connected to bound vars
+    assert ordered[0][1].uri == "urn:p:rare"
+    assert ordered[1] == pats[1]  # shares ?c via ?b->?c chain? no: shares ?c
+    assert ordered[2] == pats[0]
+
+
+def test_stats_reorder_same_result(small_graph):
+    q = """
+        SELECT ?a ?c WHERE {
+            ?a <urn:p:knows> ?b .
+            ?b <urn:p:knows> ?c .
+        }
+    """
+    base = _rows(sparql_select(small_graph, q))
+    stats = predicate_stats(small_graph)
+    assert stats["__total__"] == 8
+    reordered = _rows(sparql_select(small_graph, q, pattern_stats=stats))
+    assert base == reordered == [("urn:alice", "uri", None,
+                                  "urn:carol", "uri", None)]
+
+
+def test_plan_constant_filters_reach_scan(spark, small_graph, tmp_path):
+    # constant terms must appear as pushed data filters on the parquet scan
+    path = str(tmp_path / "t.parquet")
+    small_graph.write.parquet(path)
+    t = spark.read.parquet(path)
+    out = sparql_select(t, 'SELECT ?s WHERE { ?s <urn:p:age> ?v }')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "urn:p:age" in plan
