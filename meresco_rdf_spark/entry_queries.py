@@ -308,6 +308,95 @@ def q_graph_adjacency_topk(spark, sf_dir):
 
 
 # ==========================================================================
+# graph algorithms (operators/graph_algos.py) over the uri-edge relation
+# ==========================================================================
+
+def _uri_edges(spark, sf_dir):
+    t = tpch_triples(spark, sf_dir)
+    return (t.filter(F.col("pred").isin(REL_NATION, REL_REGION))
+            .select(F.col("subj").alias("src"),
+                    F.col("obj_value").alias("dst")))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (3 iterations, d=0.85) over the
+    cust/supp->nation->region edge relation.  Integer arithmetic makes the
+    ranks bit-identical across engines, so the oracle is an exact
+    value-hash, not a tolerance check."""
+    from .operators.graph_algos import pagerank
+
+    return pagerank(_uri_edges(spark, sf_dir), iterations=3)
+
+
+def q_graph_khop(spark, sf_dir):
+    """2-hop reverse-BFS from every region node: hop 1 = nations, hop 2 =
+    customers/suppliers; min-hop semantics exercised by the multi-parent
+    fan-in."""
+    from .operators.graph_algos import k_hop
+
+    t = tpch_triples(spark, sf_dir)
+    seeds = (t.filter(F.col("pred") == SKOS_PREFLABEL)
+             .select(F.col("subj").alias("node")).distinct())
+    return k_hop(_uri_edges(spark, sf_dir), seeds, k=2, direction="in")
+
+
+_PAGERANK_ORACLE = """
+WITH {cte},
+edges AS (
+  SELECT subj AS src, obj_value AS dst FROM triples
+  WHERE pred IN ('{rel_nation}', '{rel_region}')
+),
+outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+c1 AS (
+  SELECT e.dst, SUM((r.rank * 85) // (100 * o.outdeg)) AS inflow
+  FROM edges e JOIN outd o ON o.src = e.src JOIN r0 r ON r.node = e.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node, CAST(150000000 + COALESCE(c1.inflow, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c1 ON c1.dst = n.node
+),
+c2 AS (
+  SELECT e.dst, SUM((r.rank * 85) // (100 * o.outdeg)) AS inflow
+  FROM edges e JOIN outd o ON o.src = e.src JOIN r1 r ON r.node = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node, CAST(150000000 + COALESCE(c2.inflow, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c2 ON c2.dst = n.node
+),
+c3 AS (
+  SELECT e.dst, SUM((r.rank * 85) // (100 * o.outdeg)) AS inflow
+  FROM edges e JOIN outd o ON o.src = e.src JOIN r2 r ON r.node = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.node, CAST(150000000 + COALESCE(c3.inflow, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c3 ON c3.dst = n.node
+)
+SELECT node, rank FROM r3"""
+
+_KHOP_ORACLE = """
+WITH RECURSIVE {cte},
+edges AS (
+  SELECT subj AS src, obj_value AS dst FROM triples
+  WHERE pred IN ('{rel_nation}', '{rel_region}')
+),
+seeds AS (
+  SELECT DISTINCT subj AS node FROM triples WHERE pred = '{skos_pref}'
+),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.src, w.hops + 1 FROM walk w JOIN edges e ON e.dst = w.node
+  WHERE w.hops < 2
+)
+SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node"""
+
+
+# ==========================================================================
 # SPARQL front-end (sparql/ package) over the same triples view
 # ==========================================================================
 
@@ -392,6 +481,11 @@ JOIN triples t3 ON t3.subj = t2.obj_value AND t3.pred = '{skos_pref}'
 JOIN triples t4 ON t4.subj = t1.subj AND t4.pred = '{foaf}'
 JOIN triples t5 ON t5.subj = t1.obj_value AND t5.pred = '{rdfs}'
 WHERE t1.pred = '{rel_nation}' AND regexp_matches(t4.obj_value, '1$')"""
+
+_GRAPH_ALGO_ORACLES = {
+    "graph_pagerank": _PAGERANK_ORACLE,
+    "graph_khop": _KHOP_ORACLE,
+}
 
 _SPARQL_ORACLES = {
     "sparql_select_bgp": _SPARQL_BGP_ORACLE,
@@ -1827,6 +1921,8 @@ QUERIES = {
     "graph_diff": q_graph_diff,
     "graph_in_degree": q_graph_in_degree,
     "graph_literal_values": q_graph_literal_values,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_khop": q_graph_khop,
     "sparql_select_bgp": q_sparql_select_bgp,
     "sparql_select_bgp_stats": q_sparql_select_bgp_stats,
     "sparql_optional": q_sparql_optional,
@@ -1893,6 +1989,7 @@ def _fmt(sql: str) -> str:
 ORACLES = {
     **{name: _fmt(sql) for name, sql in _GRAPH_ORACLES.items()},
     **{name: _fmt(sql) for name, sql in _SPARQL_ORACLES.items()},
+    **{name: _fmt(sql) for name, sql in _GRAPH_ALGO_ORACLES.items()},
     "text_token_count":
         "SELECT doc_id, len(%s)::BIGINT AS n_tokens FROM documents" % _TOKS,
     "text_fingerprint":

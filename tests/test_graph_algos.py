@@ -1,0 +1,104 @@
+"""Fixed-point PageRank + bounded k-hop BFS (operators/graph_algos.py).
+
+PageRank ground truth is an independent pure-Python integer model run in
+the test itself; the sf-scale driver queries get unrolled DuckDB CTE
+oracles.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meresco_rdf_spark.operators.graph_algos import SCALE, k_hop, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _model_pagerank(pairs, iterations, damping_pct=85):
+    """Reference model: same fixed-point integer recurrence, plain dicts."""
+    out = {}
+    for s, _ in pairs:
+        out[s] = out.get(s, 0) + 1
+    nodes = {n for e in pairs for n in e}
+    rank = {n: SCALE for n in nodes}
+    base = (100 - damping_pct) * SCALE // 100
+    for _ in range(iterations):
+        inflow = {n: 0 for n in nodes}
+        for s, d in pairs:
+            inflow[d] += (rank[s] * damping_pct) // (100 * out[s])
+        rank = {n: base + inflow[n] for n in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("iterations", [1, 3, 5])
+def test_pagerank_matches_integer_model(spark, iterations):
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c")]  # d is a source-only node; no one links to d
+    got = {r["node"]: r["rank"]
+           for r in pagerank(_edges(spark, pairs),
+                             iterations=iterations).collect()}
+    assert got == _model_pagerank(pairs, iterations)
+
+
+def test_pagerank_dangling_node_keeps_base_rank(spark):
+    # b has no out-edges (dangling): it receives but never sends
+    pairs = [("a", "b")]
+    got = {r["node"]: r["rank"]
+           for r in pagerank(_edges(spark, pairs), iterations=2).collect()}
+    assert got == _model_pagerank(pairs, 2)
+    # a receives nothing -> floor rank
+    assert got["a"] == 15 * SCALE // 100
+
+
+def test_pagerank_checkpoint_interval_is_transparent(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")]
+    r1 = {r["node"]: r["rank"]
+          for r in pagerank(_edges(spark, pairs), iterations=6,
+                            checkpoint_every=2).collect()}
+    r2 = {r["node"]: r["rank"]
+          for r in pagerank(_edges(spark, pairs), iterations=6,
+                            checkpoint_every=100).collect()}
+    assert r1 == r2 == _model_pagerank(pairs, 6)
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark, [("a", "b")]), damping_pct=0)
+
+
+def test_khop_chain_min_hops(spark):
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"),
+                           ("a", "c")])  # shortcut a->c
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hops"] for r in k_hop(edges, seeds, k=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # min hops via shortcut
+
+
+def test_khop_direction_in_and_both(spark):
+    edges = _edges(spark, [("a", "b"), ("c", "b")])
+    seeds = spark.createDataFrame([("b",)], "node string")
+    got_in = {r["node"]: r["hops"]
+              for r in k_hop(edges, seeds, k=1, direction="in").collect()}
+    assert got_in == {"b": 0, "a": 1, "c": 1}
+    got_out = {r["node"]: r["hops"]
+               for r in k_hop(edges, seeds, k=1, direction="out").collect()}
+    assert got_out == {"b": 0}
+    got_both = {r["node"]: r["hops"]
+                for r in k_hop(edges, seeds, k=3, direction="both").collect()}
+    assert got_both == {"b": 0, "a": 1, "c": 1}
+
+
+def test_khop_stops_early_when_frontier_drains(spark):
+    edges = _edges(spark, [("a", "b")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    # k far larger than the graph diameter: loop must drain, not spin
+    got = {r["node"]: r["hops"] for r in k_hop(edges, seeds, k=50).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_khop_bad_direction(spark):
+    with pytest.raises(ValueError):
+        k_hop(_edges(spark, [("a", "b")]),
+              spark.createDataFrame([("a",)], "node string"), k=1,
+              direction="sideways")
