@@ -1907,6 +1907,71 @@ def q_similarity_ivf_arrow(spark, sf_dir):
 # registry
 # ==========================================================================
 
+# ==========================================================================
+# dataset assembly: deterministic splits / sampling / sequence packing,
+# repetition-based quality stats, whole-graph triangle analytics
+# ==========================================================================
+
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment keyed on md5(id):
+    shuffle-free, order-independent, stable under incremental ingestion
+    (a document can never migrate between splits as the corpus grows)."""
+    from .textops.sampling import assign_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id").select("doc_id", "split")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: the 20 smallest-md5 documents per
+    language — a uniform per-stratum sample every engine reproduces."""
+    from .textops.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 20).select(
+        "doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 512-token windows: per-doc
+    (bucket, pack_id, pack_offset) metadata, embarrassingly parallel
+    across md5-prefix buckets."""
+    from .textops.sampling import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", max_len=512).select(
+        "doc_id", "bucket", "n_tokens", "pack_id", "pack_offset")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition statistics (top-token / top-bigram
+    concentration) via explode + two-level partial-aggregatable counts."""
+    from .textops.textstats import repetition_features
+
+    return repetition_features(_read(spark, sf_dir, "documents"))
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle participation over a deterministic circulant
+    graph C_n(1,2) on the nation nodes (each i linked to i+1 and i+2 mod
+    n — every node sits in exactly 3 triangles, so the answer is fully
+    checkable).  The .count() is control-plane (25-row dimension)."""
+    from .operators.graph_algos import triangle_participation
+
+    nation = _read(spark, sf_dir, "nation")
+    n = nation.count()
+    uri = F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string"))
+    edges = None
+    for step in (1, 2):
+        e = nation.select(
+            uri.alias("src"),
+            F.concat(F.lit("urn:nation:"),
+                     ((F.col("n_nationkey") + step) % n).cast("string"))
+            .alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    return triangle_participation(edges)
+
+
 QUERIES = {
     "graph_scan_masked": q_graph_scan_masked,
     "graph_iterate": q_graph_iterate,
@@ -1976,6 +2041,11 @@ QUERIES = {
     "stream_stateful_scores": q_stream_stateful_scores,
     "stream_dedup_fps": q_stream_dedup_fps,
     "stream_merge_triples": q_stream_merge_triples,
+    "sample_hash_split": q_sample_hash_split,
+    "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
+    "text_repetition": q_text_repetition,
+    "graph_triangles": q_graph_triangles,
 }
 
 
@@ -2128,3 +2198,92 @@ FROM read_parquet('/root/repo/tests/golden/kg_mentions.parquet')"""
 # the distinct fingerprints — a direct ANSI-SQL oracle
 ORACLES["stream_dedup_fps"] = \
     "SELECT DISTINCT md5(%s) AS fp FROM documents" % _NORM
+
+# dataset-assembly oracles: every decision is keyed on md5(id), so DuckDB
+# reproduces the identical assignment from the same literals
+def _hash_split_sql() -> str:
+    from .textops.sampling import split_thresholds
+
+    cases = []
+    for name, bound in split_thresholds([("train", 80), ("val", 10),
+                                         ("test", 10)]):
+        cases.append(
+            "ELSE '%s'" % name if bound is None else
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '%s' THEN '%s'"
+            % (bound, name))
+    return ("SELECT doc_id, CASE %s END AS split FROM documents"
+            % " ".join(cases))
+
+
+ORACLES["sample_hash_split"] = _hash_split_sql()
+
+ORACLES["sample_stratified"] = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents)
+SELECT doc_id, lang FROM ranked WHERE rn <= 20"""
+
+ORACLES["pack_sequences"] = """
+WITH toks AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS h, len({toks})::BIGINT AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM toks)
+SELECT doc_id, bucket, n_tokens,
+  CAST(start // 512 AS BIGINT) AS pack_id,
+  CAST(start % 512 AS BIGINT) AS pack_offset
+FROM packed""".format(toks=_TOKS)
+
+ORACLES["text_repetition"] = """
+WITH base AS (
+  SELECT doc_id, {toks} AS l FROM documents),
+sized AS (
+  SELECT doc_id, l, len(l)::BIGINT AS n_tokens,
+    CASE WHEN len(l) < 2 THEN [] ELSE
+      list_transform(l[:len(l) - 1], (x, i) -> x || ' ' || l[i + 1])
+    END AS bg
+  FROM base),
+unitop AS (
+  SELECT doc_id, max(c) AS mt FROM (
+    SELECT doc_id, t, count(*) AS c FROM (
+      SELECT doc_id, unnest(l) AS t FROM sized)
+    GROUP BY doc_id, t) GROUP BY doc_id),
+bigtop AS (
+  SELECT doc_id, max(c) AS mt FROM (
+    SELECT doc_id, t, count(*) AS c FROM (
+      SELECT doc_id, unnest(bg) AS t FROM sized)
+    GROUP BY doc_id, t) GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens,
+  coalesce(u.mt, 0)::BIGINT AS top_token_count,
+  greatest(len(s.l) - 1, 0)::BIGINT AS n_bigrams,
+  coalesce(b.mt, 0)::BIGINT AS top_bigram_count
+FROM sized s
+LEFT JOIN unitop u USING (doc_id)
+LEFT JOIN bigtop b USING (doc_id)""".format(toks=_TOKS)
+
+ORACLES["graph_triangles"] = """
+WITH nk AS (SELECT n_nationkey AS k, (SELECT count(*) FROM nation) AS n
+            FROM nation),
+edges_raw AS (
+  SELECT 'urn:nation:' || k AS src, 'urn:nation:' || ((k + 1) % n) AS dst
+  FROM nk
+  UNION ALL
+  SELECT 'urn:nation:' || k, 'urn:nation:' || ((k + 2) % n) FROM nk),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src != dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+nodes AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node, count(*)::BIGINT AS n_triangles FROM nodes GROUP BY node"""

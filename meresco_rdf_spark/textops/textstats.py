@@ -78,6 +78,54 @@ def lang_id(col: Column) -> Column:
     return best_lang
 
 
+def repetition_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition statistics per document: how much of the
+    text is one token or one bigram repeated.  High top-token / top-bigram
+    concentration is the classic boilerplate/spam signal used to filter
+    LLM pretraining corpora (Rae et al. 2021 §A1.1).
+
+    Columns out (all BIGINT, exact — oracle-hashable):
+    ``id_col, n_tokens, top_token_count, n_bigrams, top_bigram_count``.
+
+    Plan shape: the tokens/bigram arrays are built row-local (codegen),
+    then ONE explode + two-level hash aggregation per granularity — the
+    mode-of-a-group computed as ``groupBy(doc, term).count`` followed by
+    ``max`` per doc.  Both aggregations are partial-aggregatable (map-side
+    combine collapses each partition's duplicate (doc, term) pairs before
+    the exchange), and the shuffle key (doc_id, term) is near-unique so
+    there is no skew: this survives documents of any size and corpora of
+    any row count.  Empty documents keep a row via the left join
+    (counts coalesced to 0).
+    """
+    toks = tokens(F.col(text_col))
+    base = (df.select(id_col, toks.alias("_toks"))
+            .withColumn("n_tokens", F.size("_toks").cast("long")))
+    # successor-pairing: token i concatenated with token i+1 (element_at is
+    # 1-based, the transform index 0-based -> i + 2)
+    bigrams = F.transform(
+        F.slice(F.col("_toks"), 1,
+                F.greatest(F.size("_toks") - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "),
+                              F.element_at(F.col("_toks"), i + F.lit(2))))
+    base = (base.withColumn("_bigrams", bigrams)
+            .withColumn("n_bigrams", F.size("_bigrams").cast("long")))
+
+    def top_count(col: str, alias: str) -> DataFrame:
+        return (base.select(id_col, F.explode(col).alias("_t"))
+                .groupBy(id_col, "_t").count()
+                .groupBy(id_col).agg(F.max("count").alias(alias)))
+
+    out = (base.select(id_col, "n_tokens", "n_bigrams")
+           .join(top_count("_toks", "top_token_count"), id_col, "left")
+           .join(top_count("_bigrams", "top_bigram_count"), id_col, "left"))
+    return out.select(
+        id_col, "n_tokens",
+        F.coalesce("top_token_count", F.lit(0)).alias("top_token_count"),
+        "n_bigrams",
+        F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Integer quality features + aggregate score (0-5).  Components:
 

@@ -1,0 +1,186 @@
+"""Dataset-assembly operators (textops/sampling.py + the repetition and
+triangle additions): deterministic splits, stratified sampling, sequence
+packing, repetition stats, triangle participation.
+
+Ground truth is computed independently in the test (hashlib md5 / plain
+Python models), never by re-running the operator's own expressions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from meresco_rdf_spark.operators.graph_algos import triangle_participation
+from meresco_rdf_spark.textops.sampling import (
+    assign_split,
+    pack_sequences,
+    split_thresholds,
+    stratified_sample,
+)
+from meresco_rdf_spark.textops.textstats import repetition_features
+
+
+def _md5(s) -> str:
+    return hashlib.md5(str(s).encode()).hexdigest()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+# ---------------------------------------------------------------- splits
+
+def test_split_thresholds_literals():
+    assert split_thresholds([("train", 80), ("val", 10), ("test", 10)]) == [
+        ("train", "cccc"), ("val", "e666"), ("test", None)]
+    assert split_thresholds([("all", 100)]) == [("all", None)]
+    with pytest.raises(ValueError):
+        split_thresholds([("a", 50), ("b", 40)])
+    with pytest.raises(ValueError):
+        split_thresholds([])
+
+
+def test_assign_split_matches_independent_md5_model(spark):
+    rows = [(i, "en", "x") for i in range(400)]
+    got = {r["doc_id"]: r["split"]
+           for r in assign_split(_docs(spark, rows), "doc_id").collect()}
+
+    def expect(i):
+        p = _md5(i)[:4]
+        return "train" if p < "cccc" else ("val" if p < "e666" else "test")
+
+    assert got == {i: expect(i) for i, _, _ in rows}
+    # rough proportions at n=400
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 280 <= n_train <= 360
+
+
+def test_assign_split_stable_under_corpus_growth(spark):
+    """A document's split never changes as the corpus grows — the property
+    that keeps eval sets uncontaminated under incremental ingestion."""
+    small = assign_split(_docs(spark, [(i, "en", "x") for i in range(50)]),
+                         "doc_id").collect()
+    big = assign_split(_docs(spark, [(i, "en", "x") for i in range(500)]),
+                       "doc_id").collect()
+    big_map = {r["doc_id"]: r["split"] for r in big}
+    for r in small:
+        assert big_map[r["doc_id"]] == r["split"]
+
+
+def test_assign_split_custom_weights(spark):
+    rows = [(i, "en", "x") for i in range(200)]
+    got = assign_split(_docs(spark, rows), "doc_id",
+                       [("fit", 50), ("holdout", 50)]).collect()
+    assert {r["split"] for r in got} == {"fit", "holdout"}
+    for r in got:
+        expected = "fit" if _md5(r["doc_id"])[:4] < "8000" else "holdout"
+        assert r["split"] == expected
+
+
+# ------------------------------------------------------------- stratified
+
+def test_stratified_sample_exact_selection(spark):
+    rows = [(i, "en" if i % 2 else "de", "x") for i in range(100)]
+    got = stratified_sample(_docs(spark, rows), "lang", "doc_id", 7).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang in ("en", "de"):
+        ids = [i for i, l, _ in rows if l == lang]
+        expect = set(sorted(ids, key=_md5)[:7])
+        assert by_lang[lang] == expect
+
+
+def test_stratified_sample_small_stratum_keeps_all(spark):
+    rows = [(1, "en", "x"), (2, "en", "x"), (3, "fr", "x")]
+    got = stratified_sample(_docs(spark, rows), "lang", "doc_id", 10).collect()
+    assert len(got) == 3
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_sequences_reconstructs_concat_and_chunk(spark):
+    rows = [(i, "en", " ".join(["w"] * (5 + 13 * i % 97))) for i in range(60)]
+    out = pack_sequences(_docs(spark, rows), "doc_id", max_len=64).collect()
+    # independent model: per bucket, md5-order concat + chunk every 64
+    toks = {i: len(t.split()) for i, _, t in rows}
+    by_bucket = {}
+    for i in toks:
+        by_bucket.setdefault(_md5(i)[:1], []).append(i)
+    expect = {}
+    for bucket, ids in by_bucket.items():
+        cum = 0
+        for i in sorted(ids, key=_md5):
+            expect[i] = (bucket, cum // 64, cum % 64)
+            cum += toks[i]
+    got = {r["doc_id"]: (r["bucket"], r["pack_id"], r["pack_offset"])
+           for r in out}
+    assert got == expect
+    for r in out:
+        assert 0 <= r["pack_offset"] < 64
+        assert r["n_tokens"] == toks[r["doc_id"]]
+
+
+def test_pack_sequences_precounted_tokens_and_validation(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n_tok int")
+    out = pack_sequences(df, "doc_id", max_len=16,
+                         token_count_col="n_tok").collect()
+    assert {r["doc_id"]: r["n_tokens"] for r in out} == {1: 10, 2: 20}
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", max_len=0, token_count_col="n_tok")
+
+
+# -------------------------------------------------------------- repetition
+
+def test_repetition_features_hand_computed(spark):
+    rows = [
+        (1, "en", "a a a b"),          # top token a=3; bigrams: a a (x2), a b
+        (2, "en", "x y x y x"),        # top token x=3; bigram x y (x2)
+        (3, "en", "unique words only"),
+        (4, "en", "solo"),             # 1 token, 0 bigrams
+        (5, "en", "   "),              # empty after tokenization
+    ]
+    got = {r["doc_id"]: r for r in
+           repetition_features(_docs(spark, rows)).collect()}
+    assert len(got) == 5
+    assert (got[1]["n_tokens"], got[1]["top_token_count"],
+            got[1]["n_bigrams"], got[1]["top_bigram_count"]) == (4, 3, 3, 2)
+    assert (got[2]["top_token_count"], got[2]["top_bigram_count"]) == (3, 2)
+    assert (got[3]["top_token_count"], got[3]["top_bigram_count"]) == (1, 1)
+    assert (got[4]["n_tokens"], got[4]["n_bigrams"],
+            got[4]["top_bigram_count"]) == (1, 0, 0)
+    assert (got[5]["n_tokens"], got[5]["top_token_count"]) == (0, 0)
+
+
+# --------------------------------------------------------------- triangles
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_triangle_participation_basic(spark):
+    # one triangle a-b-c plus a pendant edge c-d
+    got = {r["node"]: r["n_triangles"] for r in triangle_participation(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    ).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_participation_ignores_direction_dups_loops(spark):
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+             ("c", "a"), ("a", "a")]
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_participation(_edges(spark, pairs)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_participation_k4(spark):
+    # K4: every node sits in C(3,2) = 3 triangles, 4 triangles total
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(x, y) for x in nodes for y in nodes if x < y]
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_participation(_edges(spark, pairs)).collect()}
+    assert got == {n: 3 for n in nodes}
