@@ -467,6 +467,60 @@ def q_sparql_union(spark, sf_dir):
     """)
 
 
+def q_sparql_aggregate(spark, sf_dir):
+    """SPARQL 1.1 aggregation: GROUP BY + COUNT compiled to one
+    partial+final hash aggregation over the BGP join."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?nname (COUNT(?m) AS ?n_members) WHERE {{
+            ?m <{rel_nation}> ?n .
+            ?n rdfs:label ?nname .
+        }} GROUP BY ?nname ORDER BY ?nname
+    """.format(rel_nation=REL_NATION))
+
+
+def q_sparql_path_seq(spark, sf_dir):
+    """Property path sequence: member -> nation -> region -> label in ONE
+    path expression, desugared to chained joins over fresh variables."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT DISTINCT ?c ?rname WHERE {{
+            ?c <{rel_nation}>/<{rel_region}>/skos:prefLabel ?rname .
+        }}
+    """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
+
+
+def q_sparql_path_alt_plus(spark, sf_dir):
+    """One-or-more path over an alternation of predicates: the full
+    reachability relation of the nation/region hierarchy, computed by the
+    compiler's semi-naive frontier closure."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        SELECT DISTINCT ?x ?y WHERE {{
+            ?x (<{rel_nation}>|<{rel_region}>)+ ?y .
+        }}
+    """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
+
+
+def q_sparql_path_inverse(spark, sf_dir):
+    """Inverse path: the members of one nation found by traversing
+    ^rel:nation from the nation node."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT DISTINCT ?n ?c WHERE {{
+            ?n ^<{rel_nation}> ?c .
+            ?n rdfs:label "NATION_7"@en .
+        }}
+    """.format(rel_nation=REL_NATION))
+
+
 _SPARQL_BGP_ORACLE = """
 WITH {cte}
 SELECT DISTINCT
@@ -516,6 +570,49 @@ WITH {cte}
 SELECT DISTINCT subj AS s, 'uri' AS s_kind, CAST(NULL AS VARCHAR) AS s_lang,
   obj_value AS v, obj_kind AS v_kind, obj_lang AS v_lang
 FROM triples WHERE pred IN ('{foaf}', '{skos_pref}')""",
+    "sparql_aggregate": """
+WITH {cte}
+SELECT t2.obj_value AS nname, t2.obj_kind AS nname_kind,
+  t2.obj_lang AS nname_lang, count(t1.subj)::BIGINT AS n_members
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{rdfs}'
+WHERE t1.pred = '{rel_nation}'
+GROUP BY 1, 2, 3""",
+    "sparql_path_seq": """
+WITH {cte}
+SELECT DISTINCT t1.subj AS c, 'uri' AS c_kind, CAST(NULL AS VARCHAR) AS c_lang,
+  t3.obj_value AS rname, t3.obj_kind AS rname_kind, t3.obj_lang AS rname_lang
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{rel_region}'
+JOIN triples t3 ON t3.subj = t2.obj_value AND t3.pred = '{skos_pref}'
+WHERE t1.pred = '{rel_nation}'""",
+    "sparql_path_alt_plus": """
+WITH RECURSIVE {cte},
+edges AS (
+  SELECT DISTINCT subj AS src, obj_value AS dst, obj_kind AS dst_kind,
+         obj_lang AS dst_lang
+  FROM triples WHERE pred IN ('{rel_nation}', '{rel_region}')
+),
+walk(src, dst, dst_kind, dst_lang) AS (
+  SELECT src, dst, dst_kind, dst_lang FROM edges
+  UNION
+  SELECT w.src, e.dst, e.dst_kind, e.dst_lang
+  FROM walk w JOIN edges e ON e.src = w.dst AND w.dst_kind != 'literal'
+)
+SELECT DISTINCT src AS x,
+  CASE WHEN src LIKE '\\_:%' ESCAPE '\\' THEN 'bnode' ELSE 'uri' END AS x_kind,
+  CAST(NULL AS VARCHAR) AS x_lang,
+  dst AS y, dst_kind AS y_kind, dst_lang AS y_lang
+FROM walk""",
+    "sparql_path_inverse": """
+WITH {cte}
+SELECT DISTINCT t1.obj_value AS n, t1.obj_kind AS n_kind,
+  t1.obj_lang AS n_lang, t1.subj AS c, 'uri' AS c_kind,
+  CAST(NULL AS VARCHAR) AS c_lang
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{rdfs}'
+  AND t2.obj_value = 'NATION_7' AND t2.obj_lang = 'en'
+WHERE t1.pred = '{rel_nation}'""",
 }
 
 
@@ -1992,6 +2089,10 @@ QUERIES = {
     "sparql_select_bgp_stats": q_sparql_select_bgp_stats,
     "sparql_optional": q_sparql_optional,
     "sparql_union": q_sparql_union,
+    "sparql_aggregate": q_sparql_aggregate,
+    "sparql_path_seq": q_sparql_path_seq,
+    "sparql_path_alt_plus": q_sparql_path_alt_plus,
+    "sparql_path_inverse": q_sparql_path_inverse,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "text_simhash": q_text_simhash,

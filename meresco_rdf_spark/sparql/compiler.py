@@ -47,6 +47,7 @@ from .parser import (
     NotExpr,
     Num,
     OptionalPattern,
+    PathPlus,
     SelectQuery,
     TriplesBlock,
     UnionPattern,
@@ -75,10 +76,117 @@ def _pattern_vars(pattern) -> Set[str]:
     return {t.name for t in pattern if isinstance(t, Var)}
 
 
+def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
+                     seed: Opt[str] = None) -> DataFrame:
+    """Transitive closure of the edge set {(subj, obj) : pred ∈ preds} —
+    the runtime of a SPARQL ``p+`` path.  Returns
+    ``(src, dst, dst_kind, dst_lang)`` for every path of length ≥ 1.
+
+    Semi-naive frontier iteration: each round extends only the NEWLY
+    reached pairs by one base edge and anti-joins the accumulated closure,
+    so per-round work tracks the frontier, not the closure; lineage is cut
+    with ``localCheckpoint`` per round and the loop is bounded by the
+    longest simple path.  When the subject is a constant (``seed``) the
+    closure is seeded from that node only — reachability, not the full
+    closure.  Traversal continues through uri/bnode objects only (a
+    literal can terminate a path but never extends one).
+    """
+    base = (triples.filter(F.col("pred").isin(list(preds)))
+            .select(F.col("subj").alias("src"),
+                    F.col("obj_value").alias("dst"),
+                    F.col("obj_kind").alias("dst_kind"),
+                    F.col("obj_lang").alias("dst_lang"))
+            .distinct())
+    start = base.filter(F.col("src") == seed) if seed is not None else base
+    # Spark 4.1 quirk: localCheckpoint of a union whose lineage carries an
+    # equality constraint (the seed filter) dies in the checkpoint's
+    # constraint rewrite ("key not found" in AttributeMap) — constraint
+    # propagation is suspended for the loop's checkpoints and restored
+    # after.  The closure plan gains nothing from inferred filters anyway:
+    # every round is already materialized.
+    spark = triples.sparkSession
+    saved = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        closure = start.localCheckpoint(eager=True)
+        frontier = closure
+        while True:
+            ext = (frontier.filter(F.col("dst_kind") != "literal").alias("f")
+                   .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
+                   .select(F.col("f.src").alias("src"),
+                           F.col("b.dst").alias("dst"),
+                           F.col("b.dst_kind").alias("dst_kind"),
+                           F.col("b.dst_lang").alias("dst_lang")))
+            c = closure.alias("c")
+            e = ext.distinct().alias("e")
+            new = (e.join(
+                c,
+                (F.col("e.src") == F.col("c.src"))
+                & (F.col("e.dst") == F.col("c.dst"))
+                & (F.col("e.dst_kind") == F.col("c.dst_kind"))
+                & F.col("e.dst_lang").eqNullSafe(F.col("c.dst_lang")),
+                "left_anti")
+                .localCheckpoint(eager=True))
+            if new.isEmpty():
+                return closure
+            closure = closure.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", saved)
+
+
+def _compile_path_plus(triples: DataFrame, s, p: PathPlus,
+                       o) -> Tuple[DataFrame, Set[str]]:
+    """(s, p+, o) -> bindings frame over the closure relation."""
+    seed = None
+    if isinstance(s, Iri):
+        seed = s.uri
+    elif isinstance(s, BNodeRef):
+        seed = s.label
+    df = _path_plus_edges(triples, p.preds, seed=seed)
+    if isinstance(o, Iri):
+        df = (df.filter(F.col("dst") == o.uri)
+              .filter(F.col("dst_kind") == "uri"))
+    elif isinstance(o, BNodeRef):
+        df = (df.filter(F.col("dst") == o.label)
+              .filter(F.col("dst_kind") == "bnode"))
+    elif isinstance(o, Lit):
+        df = (df.filter(F.col("dst") == o.value)
+              .filter(F.col("dst_kind") == "literal")
+              .filter(F.col("dst_lang").eqNullSafe(
+                  F.lit(o.lang).cast("string"))))
+    cols: List[Column] = []
+    vars_: Set[str] = set()
+    if isinstance(s, Var):
+        v, k, lg = _var_cols(s.name)
+        cols.extend([
+            F.col("src").alias(v),
+            F.when(F.col("src").startswith("_:"), F.lit("bnode"))
+             .otherwise(F.lit("uri")).alias(k),
+            _null_str().alias(lg)])
+        vars_.add(s.name)
+    if isinstance(o, Var):
+        if isinstance(s, Var) and o.name == s.name:
+            # cyclic reachability ?x p+ ?x: non-literal by construction
+            df = (df.filter(F.col("dst_kind") != "literal")
+                  .filter(F.col("dst") == F.col("src")))
+        else:
+            v, k, lg = _var_cols(o.name)
+            cols.extend([F.col("dst").alias(v),
+                         F.col("dst_kind").alias(k),
+                         F.col("dst_lang").alias(lg)])
+            vars_.add(o.name)
+    if not cols:
+        return df.limit(1).select(F.lit(1).alias("_ground")), set()
+    return df.select(*cols), vars_
+
+
 def _compile_pattern(triples: DataFrame, pattern) -> Tuple[DataFrame, Set[str]]:
     """One triple pattern -> (bindings frame, vars). Constant terms become
     pushed filters; variable terms become the binding columns."""
     s, p, o = pattern
+    if isinstance(p, PathPlus):
+        return _compile_path_plus(triples, s, p, o)
     df = triples
 
     # constant filters (pushdown-eligible)
@@ -383,8 +491,44 @@ def sparql_select(triples: DataFrame, query: str,
     df, vars_ = _compile_group(triples, ast.where, pattern_stats,
                                total_triples)
 
+    agg_aliases: List[str] = []
+    if ast.aggregates:
+        # one hash aggregation: group on the GROUP BY variables' full term
+        # identity (value/kind/lang), partial+final (map-side combined)
+        group_cols: List[str] = []
+        for v in ast.group_by:
+            if v not in vars_:
+                raise SparqlCompileError(
+                    "GROUP BY unbound variable ?%s" % v)
+            group_cols.extend(_var_cols(v))
+        aggs: List[Column] = []
+        for a in ast.aggregates:
+            if a.var is None:  # COUNT(*)
+                e = F.count(F.lit(1))
+            else:
+                if a.var not in vars_:
+                    raise SparqlCompileError(
+                        "aggregate over unbound variable ?%s" % a.var)
+                val, kind, lang = _var_cols(a.var)
+                if a.func == "count":
+                    e = (F.countDistinct(
+                            F.when(F.col(val).isNotNull(),
+                                   F.struct(val, kind, lang)))
+                         if a.distinct else F.count(F.col(val)))
+                elif a.func in ("sum", "avg"):
+                    e = getattr(F, a.func)(F.col(val).cast("double"))
+                else:  # min / max: lexical order over the value space
+                    e = getattr(F, a.func)(F.col(val))
+            aggs.append(e.alias(a.alias))
+            agg_aliases.append(a.alias)
+        df = (df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+              if group_cols else df.agg(*aggs))
+        vars_ = set(ast.group_by)
+
     if ast.variables == "*":
-        proj = sorted(vars_)
+        # internal ?_pathN join variables from path desugaring are not
+        # user-visible bindings
+        proj = sorted(v for v in vars_ if not v.startswith("_path"))
     else:
         proj = list(ast.variables)
         missing = [v for v in proj if v not in vars_]
@@ -396,6 +540,8 @@ def sparql_select(triples: DataFrame, query: str,
     for v in proj:
         for c in _var_cols(v):
             cols.append(F.col(c))
+    for alias in agg_aliases:
+        cols.append(F.col(alias))
     out = df.select(*cols)
 
     if ast.distinct:
@@ -403,7 +549,7 @@ def sparql_select(triples: DataFrame, query: str,
     if ast.order_by:
         order_cols = []
         for var, asc in ast.order_by:
-            if var not in vars_:
+            if var not in vars_ and var not in agg_aliases:
                 raise SparqlCompileError("ORDER BY unbound variable ?%s" % var)
             col = F.col(var)
             order_cols.append(col.asc_nulls_first() if asc

@@ -23,9 +23,22 @@ keyword (rdf:type), ``?var``, literals ``"s"``, ``"s"@lang``,
 ``"s"^^<dtype>``, blank-node labels ``_:b``.  Predicate-object lists
 (``;``) and object lists (``,``) are expanded.
 
-This is a deliberately scoped subset (no property paths, GROUP BY,
-CONSTRUCT, subqueries); unsupported syntax raises ``SparqlSyntaxError``
-with position info rather than mis-parsing.
+Property paths (predicate position): sequence ``p1/p2`` (desugared into
+chained patterns over fresh internal variables), inverse ``^p`` (subject/
+object swap), alternation ``p1|p2`` (desugared to UNION branches), and
+one-or-more ``p+`` over an IRI or an alternation of IRIs (kept in the AST
+as ``PathPlus`` — the compiler runs an iterative closure).  ``p*`` and
+nested ``+`` are rejected with a clear error (zero-length-path semantics
+bind every node in the graph — unbounded at scale by design, not
+oversight).
+
+Aggregates: ``SELECT ?g (COUNT(?v) AS ?n) ... GROUP BY ?g`` with
+COUNT (incl. ``*`` and DISTINCT) / SUM / AVG / MIN / MAX, parsed into
+``AggSelect`` entries compiled to one hash aggregation.
+
+This is a deliberately scoped subset (no CONSTRUCT, subqueries, HAVING);
+unsupported syntax raises ``SparqlSyntaxError`` with position info rather
+than mis-parsing.
 """
 
 from __future__ import annotations
@@ -67,8 +80,16 @@ class BNodeRef:
     label: str
 
 
+@dataclass(frozen=True)
+class PathPlus:
+    """One-or-more path over one predicate IRI or an alternation of IRIs:
+    the compiler materializes the transitive closure of the edge set."""
+    preds: Tuple[str, ...]
+
+
 Term = Union[Var, Iri, Lit, BNodeRef]
-TriplePattern = Tuple[Term, Term, Term]
+Pred = Union[Term, PathPlus]
+TriplePattern = Tuple[Term, Pred, Term]
 
 
 @dataclass(frozen=True)
@@ -104,9 +125,20 @@ class Num:
 Expr = Union[Cmp, BoolOp, NotExpr, FuncCall, Var, Lit, Num]
 
 
+@dataclass(frozen=True)
+class AggSelect:
+    func: str            # count / sum / avg / min / max
+    var: Opt[str]        # None for COUNT(*)
+    distinct: bool
+    alias: str
+
+
 @dataclass
 class TriplesBlock:
     patterns: List[TriplePattern] = field(default_factory=list)
+    # property-path alternations: each entry is a list of branches, each
+    # branch a pattern list — the group parser lifts these into UNIONs
+    alts: List[List[List[TriplePattern]]] = field(default_factory=list)
 
 
 @dataclass
@@ -138,6 +170,8 @@ class SelectQuery:
     order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: Opt[int] = None
     offset: Opt[int] = None
+    aggregates: List[AggSelect] = field(default_factory=list)
+    group_by: List[str] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -155,7 +189,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*?:[A-Za-z0-9_.-]*|[A-Za-z_][A-Za-z0-9_-]*:)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*/^|+])
 """, re.VERBOSE)
 
 
@@ -196,6 +230,7 @@ class _Parser:
         self.tokens = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._fresh = 0  # counter for internal path-join variables
 
     # -- token helpers --
     def peek(self) -> Tuple[str, str, int]:
@@ -248,20 +283,44 @@ class _Parser:
             self.next()
             distinct = True
         variables: Union[str, List[str]]
+        aggregates: List[AggSelect] = []
         if self.at_op("*"):
             self.next()
             variables = "*"
         else:
             names: List[str] = []
-            while self.peek()[0] == "VAR":
-                names.append(self.next()[1][1:])
-            if not names:
-                self.fail("expected projection variables or *")
+            while True:
+                if self.peek()[0] == "VAR":
+                    names.append(self.next()[1][1:])
+                elif self.at_op("("):
+                    aggregates.append(self._agg_select())
+                else:
+                    break
+            if not names and not aggregates:
+                self.fail("expected projection variables, aggregates, or *")
             variables = names
 
         if self.at_kw("WHERE"):
             self.next()
         where = self.group_graph_pattern()
+
+        group_by: List[str] = []
+        if self.at_kw("GROUP"):
+            self.next()
+            self.eat_kw("BY")
+            while self.peek()[0] == "VAR":
+                group_by.append(self.next()[1][1:])
+            if not group_by:
+                self.fail("expected GROUP BY variables")
+        if aggregates and variables != "*":
+            loose = [v for v in variables if v not in group_by]
+            if loose:
+                self.fail("projected variables not in GROUP BY: %s"
+                          % ", ".join("?" + v for v in loose))
+        if aggregates and variables == "*":
+            self.fail("SELECT * cannot be combined with aggregates")
+        if group_by and not aggregates:
+            self.fail("GROUP BY requires at least one aggregate")
 
         order_by: List[Tuple[str, bool]] = []
         if self.at_kw("ORDER"):
@@ -294,7 +353,36 @@ class _Parser:
             self.fail("unexpected trailing syntax")
         return SelectQuery(variables=variables, distinct=distinct,
                            where=where, order_by=order_by,
-                           limit=limit, offset=offset)
+                           limit=limit, offset=offset,
+                           aggregates=aggregates, group_by=group_by)
+
+    _AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+    def _agg_select(self) -> AggSelect:
+        """'(' AGG '(' 'DISTINCT'? (Var | '*') ')' 'AS' Var ')'"""
+        self.eat_op("(")
+        kind, val, _ = self.next()
+        if kind != "NAME" or val.upper() not in self._AGG_FUNCS:
+            self.fail("expected aggregate function (COUNT/SUM/AVG/MIN/MAX)")
+        func = val.lower()
+        self.eat_op("(")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        var: Opt[str]
+        if self.at_op("*"):
+            if func != "count":
+                self.fail("* argument is only valid in COUNT")
+            self.next()
+            var = None
+        else:
+            var = self._expect_var()
+        self.eat_op(")")
+        self.eat_kw("AS")
+        alias = self._expect_var()
+        self.eat_op(")")
+        return AggSelect(func=func, var=var, distinct=distinct, alias=alias)
 
     def _expect_var(self) -> str:
         kind, val, _ = self.next()
@@ -331,7 +419,14 @@ class _Parser:
                 else:
                     group.parts.append(UnionPattern(branches))
             else:
-                group.parts.append(self.triples_block())
+                block = self.triples_block()
+                group.parts.append(block)
+                # property-path alternations become UNION parts joined to
+                # the rest of the group on their shared variables
+                for branches in block.alts:
+                    group.parts.append(UnionPattern(
+                        [GroupPattern([TriplesBlock(b)]) for b in branches]))
+                block.alts = []
             if self.at_op("."):
                 self.next()
         self.eat_op("}")
@@ -353,10 +448,22 @@ class _Parser:
 
     def _predicate_object_list(self, block: TriplesBlock, subj: Term) -> None:
         while True:
-            pred = self.term(position="predicate")
+            if self.peek()[0] == "VAR":
+                branches = [[("fwd", Iri(""))]]  # placeholder, replaced below
+                pred_var: Opt[Term] = Var(self.next()[1][1:])
+            else:
+                pred_var = None
+                branches = self.parse_path()
             while True:
                 obj = self.term(position="object")
-                block.patterns.append((subj, pred, obj))
+                if pred_var is not None:
+                    block.patterns.append((subj, pred_var, obj))
+                elif len(branches) == 1:
+                    block.patterns.extend(
+                        self._expand_steps(subj, branches[0], obj))
+                else:
+                    block.alts.append(
+                        [self._expand_steps(subj, b, obj) for b in branches])
                 if self.at_op(","):
                     self.next()
                     continue
@@ -366,9 +473,127 @@ class _Parser:
                 # allow trailing ';' before '.' or '}'
                 kind, val, _ = self.peek()
                 if kind in ("VAR", "IRIREF", "PNAME") or \
-                        (kind == "NAME" and val == "a"):
+                        (kind == "NAME" and val == "a") or self.at_op("^"):
                     continue
             break
+
+    # -- property paths --
+    def parse_path(self) -> List[List[tuple]]:
+        """Path := Seq ('|' Seq)*; returns DNF branches, each a step list.
+        A step is ('fwd', Iri) / ('inv', Iri) / ('plus', (uri, ...));
+        parenthesized groups (('alt', branches) placeholders from
+        ``_path_elt``) are distributed over the sequence — cross-product
+        expansion, so ``a/(b|c)/d`` becomes two branches."""
+        branches = [self._path_seq()]
+        while self.at_op("|"):
+            self.next()
+            branches.append(self._path_seq())
+        out: List[List[tuple]] = []
+        for br in branches:
+            out.extend(self._path_dnf(br))
+        return out
+
+    def _path_dnf(self, steps: List[tuple]) -> List[List[tuple]]:
+        acc: List[List[tuple]] = [[]]
+        for step in steps:
+            if step[0] == "alt":
+                acc = [prefix + expansion
+                       for prefix in acc
+                       for sub in step[1]
+                       for expansion in self._path_dnf(sub)]
+            else:
+                acc = [prefix + [step] for prefix in acc]
+        return acc
+
+    def _path_seq(self) -> List[tuple]:
+        steps = [self._path_elt()]
+        while self.at_op("/"):
+            self.next()
+            steps.append(self._path_elt())
+        return steps
+
+    def _path_elt(self) -> tuple:
+        if self.at_op("*"):
+            self.fail("zero-or-more path (*) is not supported")
+        inverse = False
+        if self.at_op("^"):
+            self.next()
+            inverse = True
+        if self.at_op("("):
+            self.next()
+            inner = self.parse_path()
+            self.eat_op(")")
+            if self.at_op("+"):
+                self.next()
+                if inverse:
+                    self.fail("inverse of a + path is not supported")
+                preds = []
+                for br in inner:
+                    if len(br) != 1 or br[0][0] != "fwd":
+                        self.fail("+ applies to an IRI or an alternation "
+                                  "of IRIs only")
+                    preds.append(br[0][1].uri)
+                return ("plus", tuple(preds))
+            if self.at_op("*"):
+                self.fail("zero-or-more path (*) is not supported")
+            if len(inner) == 1 and len(inner[0]) == 1:
+                step = inner[0][0]
+                if inverse:
+                    if step[0] != "fwd":
+                        self.fail("cannot invert this path element")
+                    return ("inv", step[1])
+                return step
+            if inverse:
+                self.fail("inverse of a parenthesized path group is not "
+                          "supported")
+            # bare group: expanded into DNF branches by parse_path
+            return ("alt", inner)
+        iri = self._path_iri()
+        if self.at_op("+"):
+            self.next()
+            if inverse:
+                self.fail("inverse of a + path is not supported")
+            return ("plus", (iri.uri,))
+        if self.at_op("*"):
+            self.fail("zero-or-more path (*) is not supported")
+        return ("inv", iri) if inverse else ("fwd", iri)
+
+    def _path_iri(self) -> Iri:
+        kind, val, pos = self.next()
+        if kind == "IRIREF":
+            return Iri(val[1:-1])
+        if kind == "PNAME":
+            ns, _, local = val.partition(":")
+            if ns not in self.prefixes:
+                raise SparqlSyntaxError(
+                    "undeclared prefix %r at offset %d" % (ns, pos))
+            return Iri(self.prefixes[ns] + local)
+        if kind == "NAME" and val == "a":
+            return Iri(RDF_TYPE)
+        raise SparqlSyntaxError(
+            "expected path IRI at offset %d (got %s %r)" % (pos, kind, val))
+
+    def _expand_steps(self, subj: Term, steps: List[tuple],
+                      obj: Term) -> List[TriplePattern]:
+        """Desugar a step sequence into chained patterns over fresh
+        internal variables (?_pathN — excluded from SELECT *)."""
+        pats: List[TriplePattern] = []
+        cur = subj
+        for idx, step in enumerate(steps):
+            if idx == len(steps) - 1:
+                nxt: Term = obj
+            else:
+                nxt = Var("_path%d" % self._fresh)
+                self._fresh += 1
+            tag = step[0]
+            if tag == "fwd":
+                pats.append((cur, step[1], nxt))
+            elif tag == "inv":
+                pats.append((nxt, step[1], cur))
+            else:  # plus
+                pats.append((cur, PathPlus(step[1]), nxt))
+            cur = nxt
+        return pats
 
     def term(self, position: str) -> Term:
         kind, val, pos = self.next()

@@ -287,3 +287,189 @@ def test_plan_constant_filters_reach_scan(spark, small_graph, tmp_path):
     out = sparql_select(t, 'SELECT ?s WHERE { ?s <urn:p:age> ?v }')
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "urn:p:age" in plan
+
+
+# ---------------------------------------------------------------------------
+# property paths
+# ---------------------------------------------------------------------------
+
+def test_parse_path_sequence_desugars_to_fresh_vars():
+    q = parse_query("""SELECT ?s ?o WHERE {
+        ?s <urn:p:a>/<urn:p:b> ?o .
+    }""")
+    pats = q.where.parts[0].patterns
+    assert len(pats) == 2
+    assert pats[0][1] == Iri("urn:p:a") and pats[1][1] == Iri("urn:p:b")
+    mid = pats[0][2]
+    assert isinstance(mid, Var) and mid.name.startswith("_path")
+    assert pats[1][0] == mid
+
+
+def test_parse_path_inverse_swaps_subject_object():
+    q = parse_query("SELECT * WHERE { ?o ^<urn:p:a> ?s }")
+    pats = q.where.parts[0].patterns
+    assert pats == [(Var("s"), Iri("urn:p:a"), Var("o"))]
+
+
+def test_parse_path_star_rejected():
+    with pytest.raises(SparqlSyntaxError, match="zero-or-more"):
+        parse_query("SELECT * WHERE { ?s <urn:p:a>* ?o }")
+
+
+def test_path_sequence_semantics(small_graph):
+    # knows/name: alice->bob->{"Bob"@en,"Bobby"}, bob->carol (no name)
+    out = sparql_select(small_graph, """
+        SELECT ?s ?n WHERE { ?s <urn:p:knows>/<urn:p:name> ?n }
+    """)
+    got = {(r["s"], r["n"]) for r in out.collect()}
+    assert got == {("urn:alice", "Bob"), ("urn:alice", "Bobby")}
+    # fresh join variables never leak into SELECT *
+    star = sparql_select(small_graph,
+                         "SELECT * WHERE { ?s <urn:p:knows>/<urn:p:name> ?n }")
+    assert not any(c.startswith("_path") for c in star.columns)
+
+
+def test_path_inverse_semantics(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?who WHERE { <urn:bob> ^<urn:p:knows> ?who }
+    """)
+    assert {r["who"] for r in out.collect()} == {"urn:alice"}
+
+
+def test_path_alternation_union(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?v WHERE { <urn:alice> (<urn:p:name>|<urn:p:age>) ?v }
+    """)
+    assert {r["v"] for r in out.collect()} == {"Alice", "34"}
+
+
+def test_path_alternation_distributes_over_sequence(small_graph):
+    # knows/(name|age): alice->bob has name x2; bob->carol has age
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?s ?v WHERE {
+            ?s <urn:p:knows>/(<urn:p:name>|<urn:p:age>) ?v .
+        }
+    """)
+    got = {(r["s"], r["v"]) for r in out.collect()}
+    assert got == {("urn:alice", "Bob"), ("urn:alice", "Bobby"),
+                   ("urn:bob", "29")}
+
+
+def test_path_plus_transitive_closure(spark):
+    chain = triples_df(spark, [
+        ("urn:1", "urn:p:next", Uri("urn:2")),
+        ("urn:2", "urn:p:next", Uri("urn:3")),
+        ("urn:3", "urn:p:next", Uri("urn:4")),
+        ("urn:9", "urn:p:other", Uri("urn:1")),
+    ])
+    out = sparql_select(chain, """
+        SELECT ?x ?y WHERE { ?x <urn:p:next>+ ?y }
+    """)
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("urn:1", "urn:2"), ("urn:1", "urn:3"), ("urn:1", "urn:4"),
+                   ("urn:2", "urn:3"), ("urn:2", "urn:4"),
+                   ("urn:3", "urn:4")}
+
+
+def test_path_plus_cycle_terminates(spark):
+    cyc = triples_df(spark, [
+        ("urn:a", "urn:p:n", Uri("urn:b")),
+        ("urn:b", "urn:p:n", Uri("urn:a")),
+    ])
+    out = sparql_select(cyc, "SELECT ?x ?y WHERE { ?x <urn:p:n>+ ?y }")
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("urn:a", "urn:b"), ("urn:b", "urn:a"),
+                   ("urn:a", "urn:a"), ("urn:b", "urn:b")}
+
+
+def test_path_plus_seeded_from_constant_subject(spark):
+    chain = triples_df(spark, [
+        ("urn:1", "urn:p:next", Uri("urn:2")),
+        ("urn:2", "urn:p:next", Uri("urn:3")),
+        ("urn:5", "urn:p:next", Uri("urn:6")),
+    ])
+    out = sparql_select(chain,
+                        "SELECT ?y WHERE { <urn:1> <urn:p:next>+ ?y }")
+    assert {r["y"] for r in out.collect()} == {"urn:2", "urn:3"}
+
+
+def test_path_plus_literal_terminates_but_does_not_extend(spark):
+    g = triples_df(spark, [
+        ("urn:1", "urn:p:n", Uri("urn:2")),
+        ("urn:2", "urn:p:n", Literal("leaf")),
+    ])
+    out = sparql_select(g, "SELECT ?x ?y WHERE { ?x <urn:p:n>+ ?y }")
+    got = {(r["x"], r["y"], r["y_kind"]) for r in out.collect()}
+    assert got == {("urn:1", "urn:2", "uri"),
+                   ("urn:1", "leaf", "literal"),
+                   ("urn:2", "leaf", "literal")}
+
+
+def test_path_plus_in_sequence(small_graph):
+    # knows+/name from alice reaches bob and carol; carol has no name
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?n WHERE { <urn:alice> <urn:p:knows>+/<urn:p:name> ?n }
+    """)
+    assert {r["n"] for r in out.collect()} == {"Bob", "Bobby"}
+
+
+# ---------------------------------------------------------------------------
+# aggregates
+# ---------------------------------------------------------------------------
+
+def test_parse_aggregates():
+    q = parse_query("""
+        SELECT ?g (COUNT(?v) AS ?n) (SUM(?v) AS ?total) WHERE {
+            ?g <urn:p> ?v .
+        } GROUP BY ?g
+    """)
+    assert q.group_by == ["g"]
+    assert [(a.func, a.var, a.distinct, a.alias) for a in q.aggregates] == [
+        ("count", "v", False, "n"), ("sum", "v", False, "total")]
+
+
+def test_parse_aggregate_errors():
+    with pytest.raises(SparqlSyntaxError, match="not in GROUP BY"):
+        parse_query("SELECT ?a (COUNT(?v) AS ?n) WHERE { ?a <urn:p> ?v }")
+    with pytest.raises(SparqlSyntaxError, match="only valid in COUNT"):
+        parse_query("SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?v }")
+    with pytest.raises(SparqlSyntaxError, match="requires at least one"):
+        parse_query("SELECT ?s WHERE { ?s ?p ?v } GROUP BY ?s")
+
+
+def test_aggregate_count_group_by(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s (COUNT(?n) AS ?c) WHERE { ?s <urn:p:name> ?n }
+        GROUP BY ?s ORDER BY ?s
+    """)
+    got = [(r["s"], r["c"]) for r in out.collect()]
+    assert got == [("_:b1", 1), ("urn:alice", 1), ("urn:bob", 2)]
+
+
+def test_aggregate_count_star_and_distinct(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT (COUNT(*) AS ?all) (COUNT(DISTINCT ?p) AS ?preds) WHERE {
+            ?s ?p ?o .
+        }
+    """)
+    row = out.collect()[0]
+    assert row["all"] == 8 and row["preds"] == 3
+
+
+def test_aggregate_numeric_sum_avg(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT (SUM(?a) AS ?total) (AVG(?a) AS ?mean)
+               (MIN(?a) AS ?lo) (MAX(?a) AS ?hi)
+        WHERE { ?s <urn:p:age> ?a }
+    """)
+    row = out.collect()[0]
+    assert row["total"] == 63.0 and row["mean"] == 31.5
+    assert row["lo"] == "29" and row["hi"] == "34"
+
+
+def test_aggregate_order_by_alias(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s (COUNT(?n) AS ?c) WHERE { ?s <urn:p:name> ?n }
+        GROUP BY ?s ORDER BY DESC(?c) LIMIT 1
+    """)
+    assert [(r["s"], r["c"]) for r in out.collect()] == [("urn:bob", 2)]
