@@ -521,6 +521,89 @@ def q_sparql_path_inverse(spark, sf_dir):
     """.format(rel_nation=REL_NATION))
 
 
+def q_sparql_not_exists(spark, sf_dir):
+    """FILTER NOT EXISTS = left-anti join on the shared variable: members
+    whose name ends in 0/5 and whose nation is NOT in EUROPE.  The anti
+    side is a 2-pattern sub-plan AQE broadcasts (regions are tiny)."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT DISTINCT ?s ?sname WHERE {{
+            ?s foaf:name ?sname .
+            ?s <{rel_nation}> ?n .
+            FILTER NOT EXISTS {{
+                ?n <{rel_region}> ?r . ?r skos:prefLabel "EUROPE"
+            }}
+            FILTER (regex(?sname, "[05]$"))
+        }}
+    """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
+
+
+def q_sparql_minus(spark, sf_dir):
+    """SPARQL 1.1 MINUS (§8.3 compatibility semantics): all labelled
+    nations minus those whose region is EUROPE — one left-anti join with
+    the at-least-one-shared-binding guard."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT DISTINCT ?n ?nname WHERE {{
+            ?n rdfs:label ?nname .
+            MINUS {{ ?n <{rel_region}> ?r . ?r skos:prefLabel "EUROPE" }}
+        }}
+    """.format(rel_region=REL_REGION))
+
+
+def q_sparql_values_bind(spark, sf_dir):
+    """VALUES inline data (driver-literal frame, broadcast join) + BIND
+    computed binding: regions constrained to two names, each tagged."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?r ?rname ?tag ?ruri WHERE {
+            ?r skos:prefLabel ?rname .
+            VALUES (?rname ?tag) { ("EUROPE" "eu") ("ASIA" "as") }
+            BIND (str(?r) AS ?ruri)
+        }
+    """)
+
+
+def q_sparql_having(spark, sf_dir):
+    """GROUP BY + HAVING over the aggregate alias: nations with more
+    members than the sf-independent floor — the HAVING predicate runs in
+    the same hash-aggregation stage (no extra exchange)."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?nname (COUNT(?m) AS ?n_members) WHERE {{
+            ?m <{rel_nation}> ?n .
+            ?n rdfs:label ?nname .
+        }} GROUP BY ?nname HAVING (?n_members >= 64)
+    """.format(rel_nation=REL_NATION))
+
+
+def q_sparql_construct(spark, sf_dir):
+    """CONSTRUCT: derive a NEW graph (member -> region shortcut edges plus
+    region type declarations) as a standard 5-column triples relation —
+    one WHERE plan, two template projections unioned, set-deduplicated."""
+    from .sparql import sparql_construct
+
+    return sparql_construct(tpch_triples(spark, sf_dir), """
+        CONSTRUCT {{
+            ?c <urn:rel:inRegion> ?r .
+            ?r a <urn:type:Region> .
+        }} WHERE {{
+            ?c <{rel_nation}> ?n .
+            ?n <{rel_region}> ?r .
+        }}
+    """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
+
+
 _SPARQL_BGP_ORACLE = """
 WITH {cte}
 SELECT DISTINCT
@@ -613,6 +696,67 @@ FROM triples t1
 JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{rdfs}'
   AND t2.obj_value = 'NATION_7' AND t2.obj_lang = 'en'
 WHERE t1.pred = '{rel_nation}'""",
+    "sparql_not_exists": """
+WITH {cte}
+SELECT DISTINCT t1.subj AS s, 'uri' AS s_kind, CAST(NULL AS VARCHAR) AS s_lang,
+  t1.obj_value AS sname, t1.obj_kind AS sname_kind, t1.obj_lang AS sname_lang
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.pred = '{rel_nation}'
+WHERE t1.pred = '{foaf}' AND regexp_matches(t1.obj_value, '[05]$')
+  AND NOT EXISTS (
+    SELECT 1 FROM triples t3
+    JOIN triples t4 ON t4.subj = t3.obj_value AND t4.pred = '{skos_pref}'
+      AND t4.obj_value = 'EUROPE' AND t4.obj_kind = 'literal'
+      AND t4.obj_lang IS NULL
+    WHERE t3.pred = '{rel_region}' AND t3.subj = t2.obj_value)""",
+    "sparql_minus": """
+WITH {cte}
+SELECT DISTINCT t1.subj AS n, 'uri' AS n_kind, CAST(NULL AS VARCHAR) AS n_lang,
+  t1.obj_value AS nname, t1.obj_kind AS nname_kind, t1.obj_lang AS nname_lang
+FROM triples t1
+WHERE t1.pred = '{rdfs}'
+  AND NOT EXISTS (
+    SELECT 1 FROM triples t2
+    JOIN triples t3 ON t3.subj = t2.obj_value AND t3.pred = '{skos_pref}'
+      AND t3.obj_value = 'EUROPE' AND t3.obj_kind = 'literal'
+      AND t3.obj_lang IS NULL
+    WHERE t2.pred = '{rel_region}' AND t2.subj = t1.subj)""",
+    "sparql_values_bind": """
+WITH {cte},
+vals(rname, tag) AS (VALUES ('EUROPE', 'eu'), ('ASIA', 'as'))
+SELECT t.subj AS r, 'uri' AS r_kind, CAST(NULL AS VARCHAR) AS r_lang,
+  t.obj_value AS rname, 'literal' AS rname_kind,
+  CAST(NULL AS VARCHAR) AS rname_lang,
+  v.tag AS tag, 'literal' AS tag_kind, CAST(NULL AS VARCHAR) AS tag_lang,
+  t.subj AS ruri, 'literal' AS ruri_kind, CAST(NULL AS VARCHAR) AS ruri_lang
+FROM triples t
+JOIN vals v ON v.rname = t.obj_value
+WHERE t.pred = '{skos_pref}' AND t.obj_kind = 'literal'
+  AND t.obj_lang IS NULL""",
+    "sparql_having": """
+WITH {cte}
+SELECT t2.obj_value AS nname, t2.obj_kind AS nname_kind,
+  t2.obj_lang AS nname_lang, count(t1.subj)::BIGINT AS n_members
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{rdfs}'
+WHERE t1.pred = '{rel_nation}'
+GROUP BY 1, 2, 3
+HAVING count(t1.subj) >= 64""",
+    "sparql_construct": """
+WITH {cte},
+pairs AS (
+  SELECT t1.subj AS c, t2.obj_value AS r
+  FROM triples t1
+  JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{rel_region}'
+  WHERE t1.pred = '{rel_nation}'
+)
+SELECT DISTINCT * FROM (
+  SELECT c AS subj, 'urn:rel:inRegion' AS pred, r AS obj_value,
+         'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang FROM pairs
+  UNION ALL
+  SELECT r, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'urn:type:Region', 'uri', CAST(NULL AS VARCHAR) FROM pairs
+)""",
 }
 
 
@@ -2093,6 +2237,11 @@ QUERIES = {
     "sparql_path_seq": q_sparql_path_seq,
     "sparql_path_alt_plus": q_sparql_path_alt_plus,
     "sparql_path_inverse": q_sparql_path_inverse,
+    "sparql_not_exists": q_sparql_not_exists,
+    "sparql_minus": q_sparql_minus,
+    "sparql_values_bind": q_sparql_values_bind,
+    "sparql_having": q_sparql_having,
+    "sparql_construct": q_sparql_construct,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "text_simhash": q_text_simhash,

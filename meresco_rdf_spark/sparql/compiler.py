@@ -36,14 +36,17 @@ from typing import Dict, List, Optional as Opt, Sequence, Set, Tuple
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .parser import (
+    BindPattern,
     BNodeRef,
     BoolOp,
     Cmp,
+    ExistsPattern,
     Filter,
     FuncCall,
     GroupPattern,
     Iri,
     Lit,
+    MinusPattern,
     NotExpr,
     Num,
     OptionalPattern,
@@ -51,6 +54,7 @@ from .parser import (
     SelectQuery,
     TriplesBlock,
     UnionPattern,
+    ValuesPattern,
     Var,
     parse_query,
 )
@@ -251,6 +255,19 @@ def _compile_pattern(triples: DataFrame, pattern) -> Tuple[DataFrame, Set[str]]:
     return frame, set(seen)
 
 
+def _strict_cond(shared: Sequence[str]) -> Column:
+    """Full-term-identity equi-join condition (value + kind, null-safe
+    lang) between frames aliased ``l`` and ``r``."""
+    cond = None
+    for v in shared:
+        val, kind, lang = _var_cols(v)
+        c = ((F.col("l.%s" % val) == F.col("r.%s" % val))
+             & (F.col("l.%s" % kind) == F.col("r.%s" % kind))
+             & F.col("l.%s" % lang).eqNullSafe(F.col("r.%s" % lang)))
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 def _join_frames(left: Tuple[DataFrame, Set[str]],
                  right: Tuple[DataFrame, Set[str]],
                  how: str = "inner") -> Tuple[DataFrame, Set[str]]:
@@ -259,14 +276,7 @@ def _join_frames(left: Tuple[DataFrame, Set[str]],
     shared = sorted(lvars & rvars)
     l, r = ldf.alias("l"), rdf.alias("r")
     if shared:
-        cond = None
-        for v in shared:
-            val, kind, lang = _var_cols(v)
-            c = ((F.col("l.%s" % val) == F.col("r.%s" % val))
-                 & (F.col("l.%s" % kind) == F.col("r.%s" % kind))
-                 & F.col("l.%s" % lang).eqNullSafe(F.col("r.%s" % lang)))
-            cond = c if cond is None else (cond & c)
-        joined = l.join(r, cond, how)
+        joined = l.join(r, _strict_cond(shared), how)
     else:
         if how == "left":
             # OPTIONAL with no shared vars: every left row pairs with every
@@ -285,6 +295,124 @@ def _join_frames(left: Tuple[DataFrame, Set[str]],
     if carry and not lvars:
         out.append(F.col("l._ground"))
     return joined.select(*out) if out else joined, lvars | rvars
+
+
+def _apply_exists(frame: Tuple[DataFrame, Set[str]],
+                  sub: Tuple[DataFrame, Set[str]],
+                  positive: bool) -> Tuple[DataFrame, Set[str]]:
+    """FILTER (NOT) EXISTS = left-semi (left-anti) join on the shared
+    variables' full term identity — Catalyst plans the semi/anti side as
+    a broadcast when the sub-group is selective.  With no shared
+    variables the sub-group is an uncorrelated existence test: all rows
+    survive (positive) / are dropped (negative) iff it has a solution."""
+    ldf, lvars = frame
+    rdf, rvars = sub
+    shared = sorted(lvars & rvars)
+    how = "left_semi" if positive else "left_anti"
+    l, r = ldf.alias("l"), rdf.alias("r")
+    cond = _strict_cond(shared) if shared else F.lit(True)
+    return l.join(r, cond, how), lvars
+
+
+def _apply_minus(frame: Tuple[DataFrame, Set[str]],
+                 sub: Tuple[DataFrame, Set[str]]) -> Tuple[DataFrame,
+                                                           Set[str]]:
+    """SPARQL 1.1 §8.3 MINUS: drop a solution iff some sub-group solution
+    is compatible on every shared variable AND at least one shared
+    variable is bound on BOTH sides (disjoint domains remove nothing).
+    An unbound side (NULL kind, e.g. from OPTIONAL) is compatible with
+    anything.  One left-anti join; no Python in the data path."""
+    ldf, lvars = frame
+    rdf, rvars = sub
+    shared = sorted(lvars & rvars)
+    if not shared:
+        return frame
+    l, r = ldf.alias("l"), rdf.alias("r")
+    compat: Opt[Column] = None
+    any_both: Opt[Column] = None
+    for v in shared:
+        val, kind, lang = _var_cols(v)
+        lb = F.col("l.%s" % kind).isNotNull()
+        rb = F.col("r.%s" % kind).isNotNull()
+        eq = ((F.col("l.%s" % val) == F.col("r.%s" % val))
+              & (F.col("l.%s" % kind) == F.col("r.%s" % kind))
+              & F.col("l.%s" % lang).eqNullSafe(F.col("r.%s" % lang)))
+        c = (~lb) | (~rb) | eq
+        compat = c if compat is None else (compat & c)
+        b = lb & rb
+        any_both = b if any_both is None else (any_both | b)
+    return l.join(r, compat & any_both, "left_anti"), lvars
+
+
+def _values_term_tuple(term) -> Tuple[Opt[str], Opt[str], Opt[str]]:
+    if term is None:  # UNDEF
+        return None, None, None
+    if isinstance(term, Iri):
+        return term.uri, "uri", None
+    if isinstance(term, BNodeRef):
+        return term.label, "bnode", None
+    if isinstance(term, Lit):
+        return term.value, "literal", term.lang
+    if isinstance(term, Num):
+        return term.text, "literal", None
+    raise SparqlCompileError("unsupported VALUES term %r" % (term,))
+
+
+def _compile_values(spark, part: ValuesPattern) -> Tuple[DataFrame, Set[str]]:
+    """Inline solution sequence -> a small local frame (always broadcast
+    at the join: it is driver-literal data, never larger than the query
+    text)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fields = [StructField(c, StringType(), True)
+              for v in part.variables for c in _var_cols(v)]
+    rows = []
+    for row in part.rows:
+        flat: List[Opt[str]] = []
+        for term in row:
+            flat.extend(_values_term_tuple(term))
+        rows.append(tuple(flat))
+    df = spark.createDataFrame(rows, StructType(fields))
+    return df, set(part.variables)
+
+
+def _join_values(frame: Tuple[DataFrame, Set[str]],
+                 vpiece: Tuple[DataFrame, Set[str]]) -> Tuple[DataFrame,
+                                                              Set[str]]:
+    """Join the current solutions with a VALUES block.  Compatibility per
+    shared variable: VALUES row has UNDEF, solution is unbound, or the
+    terms are identical; the merged binding prefers the bound side."""
+    ldf, lvars = frame
+    rdf, rvars = vpiece
+    shared = sorted(lvars & rvars)
+    l, r = ldf.alias("l"), F.broadcast(rdf).alias("r")
+    if shared:
+        cond: Opt[Column] = None
+        for v in shared:
+            val, kind, lang = _var_cols(v)
+            undef = F.col("r.%s" % kind).isNull()
+            lunb = F.col("l.%s" % kind).isNull()
+            eq = ((F.col("l.%s" % val) == F.col("r.%s" % val))
+                  & (F.col("l.%s" % kind) == F.col("r.%s" % kind))
+                  & F.col("l.%s" % lang).eqNullSafe(F.col("r.%s" % lang)))
+            c = undef | lunb | eq
+            cond = c if cond is None else (cond & c)
+        joined = l.join(r, cond, "inner")
+    else:
+        joined = l.crossJoin(r)
+    out: List[Column] = []
+    for v in sorted(lvars | rvars):
+        _, kind, _ = _var_cols(v)
+        for c in _var_cols(v):
+            if v in lvars and v in rvars:
+                out.append(F.when(F.col("l.%s" % kind).isNotNull(),
+                                  F.col("l.%s" % c))
+                           .otherwise(F.col("r.%s" % c)).alias(c))
+            elif v in lvars:
+                out.append(F.col("l.%s" % c).alias(c))
+            else:
+                out.append(F.col("r.%s" % c).alias(c))
+    return joined.select(*out), lvars | rvars
 
 
 # ---------------------------------------------------------------------------
@@ -333,9 +461,16 @@ def _order_patterns(patterns: Sequence, stats: Opt[Dict[str, int]],
 # filter expressions
 # ---------------------------------------------------------------------------
 
-def _term_cols(e, frame_vars: Set[str]) -> Tuple[Column, Column, Column]:
-    """(value, kind, lang) columns for an expression term."""
+def _term_cols(e, frame_vars: Set[str],
+               scalar_vars: Set[str] = frozenset()) -> Tuple[Column, Column,
+                                                             Column]:
+    """(value, kind, lang) columns for an expression term.
+    ``scalar_vars`` names single-column (aggregate-alias) bindings —
+    the HAVING namespace — read as plain literals."""
     if isinstance(e, Var):
+        if e.name in scalar_vars:
+            return (F.col(e.name).cast("string"), F.lit("literal"),
+                    _null_str())
         if e.name not in frame_vars:
             # unbound var: all-NULL term (comparisons eliminate the row)
             return _null_str(), _null_str(), _null_str()
@@ -347,7 +482,8 @@ def _term_cols(e, frame_vars: Set[str]) -> Tuple[Column, Column, Column]:
     if isinstance(e, Num):
         return F.lit(e.text), F.lit("literal"), _null_str()
     if isinstance(e, FuncCall) and e.name in ("str", "lang"):
-        inner_v, inner_k, inner_lg = _term_cols(e.args[0], frame_vars)
+        inner_v, inner_k, inner_lg = _term_cols(e.args[0], frame_vars,
+                                                scalar_vars)
         if e.name == "str":
             return inner_v, F.lit("literal"), _null_str()
         return (F.coalesce(inner_lg, F.lit("")), F.lit("literal"),
@@ -355,23 +491,26 @@ def _term_cols(e, frame_vars: Set[str]) -> Tuple[Column, Column, Column]:
     raise SparqlCompileError("unsupported term in expression: %r" % (e,))
 
 
-def _is_numeric(e) -> bool:
-    return isinstance(e, Num)
+def _is_numeric(e, scalar_vars: Set[str] = frozenset()) -> bool:
+    return isinstance(e, Num) or (
+        isinstance(e, Var) and e.name in scalar_vars)
 
 
-def _compile_expr(e, frame_vars: Set[str]) -> Column:
+def _compile_expr(e, frame_vars: Set[str],
+                  scalar_vars: Set[str] = frozenset()) -> Column:
     if isinstance(e, BoolOp):
-        parts = [_compile_expr(p, frame_vars) for p in e.parts]
+        parts = [_compile_expr(p, frame_vars, scalar_vars) for p in e.parts]
         out = parts[0]
         for p in parts[1:]:
             out = (out & p) if e.op == "and" else (out | p)
         return out
     if isinstance(e, NotExpr):
-        return ~_compile_expr(e.inner, frame_vars)
+        return ~_compile_expr(e.inner, frame_vars, scalar_vars)
     if isinstance(e, Cmp):
-        lv, lk, llg = _term_cols(e.left, frame_vars)
-        rv, rk, rlg = _term_cols(e.right, frame_vars)
-        numeric = _is_numeric(e.left) or _is_numeric(e.right)
+        lv, lk, llg = _term_cols(e.left, frame_vars, scalar_vars)
+        rv, rk, rlg = _term_cols(e.right, frame_vars, scalar_vars)
+        numeric = _is_numeric(e.left, scalar_vars) \
+            or _is_numeric(e.right, scalar_vars)
         if numeric:
             lhs, rhs = lv.cast("double"), rv.cast("double")
         else:
@@ -403,7 +542,7 @@ def _compile_expr(e, frame_vars: Set[str]) -> Column:
         if e.name == "regex":
             if len(e.args) not in (2, 3):
                 raise SparqlCompileError("regex(text, pattern [, flags])")
-            val, _, _ = _term_cols(e.args[0], frame_vars)
+            val, _, _ = _term_cols(e.args[0], frame_vars, scalar_vars)
             pat = e.args[1]
             if not isinstance(pat, Lit):
                 raise SparqlCompileError("regex pattern must be a literal")
@@ -424,6 +563,7 @@ def _compile_group(triples: DataFrame, group: GroupPattern,
                    total: Opt[int]) -> Tuple[DataFrame, Set[str]]:
     frame: Opt[Tuple[DataFrame, Set[str]]] = None
     filters: List = []
+    exists_parts: List[ExistsPattern] = []
     for part in group.parts:
         if isinstance(part, TriplesBlock):
             for pattern in _order_patterns(part.patterns, stats, total):
@@ -459,10 +599,48 @@ def _compile_group(triples: DataFrame, group: GroupPattern,
             frame = piece if frame is None else _join_frames(frame, piece)
         elif isinstance(part, Filter):
             filters.append(part.expr)
+        elif isinstance(part, ExistsPattern):
+            # FILTER (NOT) EXISTS is a filter: applies to the whole
+            # group's solutions, after the other parts have joined
+            exists_parts.append(part)
+        elif isinstance(part, MinusPattern):
+            if frame is None:
+                raise SparqlCompileError("MINUS requires a preceding pattern")
+            sub = _compile_group(triples, part.group, stats, total)
+            frame = _apply_minus(frame, sub)
+        elif isinstance(part, ValuesPattern):
+            vpiece = _compile_values(triples.sparkSession, part)
+            frame = vpiece if frame is None else _join_values(frame, vpiece)
+        elif isinstance(part, BindPattern):
+            if frame is None:
+                raise SparqlCompileError("BIND requires a preceding pattern")
+            df, vars_ = frame
+            if part.alias in vars_:
+                raise SparqlCompileError(
+                    "BIND alias ?%s is already bound" % part.alias)
+            try:
+                bv, bk, blg = _term_cols(part.expr, vars_)
+            except SparqlCompileError:
+                # boolean-valued expression: xsd:boolean lexical forms;
+                # an error (NULL) leaves the variable unbound, row kept
+                cond = _compile_expr(part.expr, vars_)
+                bv = (F.when(cond, F.lit("true"))
+                      .when(~cond, F.lit("false")))
+                bk, blg = F.when(bv.isNotNull(), F.lit("literal")), \
+                    _null_str()
+            # kind must be NULL exactly when the value is (unbound marker)
+            bk = F.when(bv.isNotNull(), bk)
+            a_val, a_kind, a_lang = _var_cols(part.alias)
+            frame = (df.select("*", bv.alias(a_val), bk.alias(a_kind),
+                               blg.alias(a_lang)),
+                     vars_ | {part.alias})
         else:  # pragma: no cover
             raise SparqlCompileError("unknown group part %r" % (part,))
     if frame is None:
         raise SparqlCompileError("empty group pattern")
+    for part in exists_parts:
+        sub = _compile_group(triples, part.group, stats, total)
+        frame = _apply_exists(frame, sub, part.positive)
     df, vars_ = frame
     for expr in filters:
         cond = _compile_expr(expr, vars_)
@@ -486,6 +664,10 @@ def sparql_select(triples: DataFrame, query: str,
     reorders physically where it can.
     """
     ast = parse_query(query)
+    if ast.construct_template is not None:
+        raise SparqlCompileError(
+            "CONSTRUCT query: use sparql_construct(), which returns a "
+            "triples relation, not a solution table")
     if pattern_stats is not None and total_triples is None:
         total_triples = pattern_stats.get("__total__")
     df, vars_ = _compile_group(triples, ast.where, pattern_stats,
@@ -524,6 +706,12 @@ def sparql_select(triples: DataFrame, query: str,
         df = (df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
               if group_cols else df.agg(*aggs))
         vars_ = set(ast.group_by)
+        # HAVING: post-aggregation filter over the aggregate aliases
+        # (scalar columns) and the grouping variables — same hash-agg
+        # stage, no extra exchange
+        for expr in ast.having:
+            df = df.filter(_compile_expr(expr, vars_,
+                                         scalar_vars=set(agg_aliases)))
 
     if ast.variables == "*":
         # internal ?_pathN join variables from path desugaring are not
@@ -560,3 +748,111 @@ def sparql_select(triples: DataFrame, query: str,
     if ast.limit is not None:
         out = out.limit(ast.limit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT
+# ---------------------------------------------------------------------------
+
+def sparql_construct(triples: DataFrame, query: str,
+                     pattern_stats: Opt[Dict[str, int]] = None,
+                     total_triples: Opt[int] = None) -> DataFrame:
+    """Execute a SPARQL CONSTRUCT: instantiate the template once per
+    (distinct) WHERE solution and return the resulting GRAPH as a
+    5-column triples relation (``subj, pred, obj_value, obj_kind,
+    obj_lang``) — composable with every other operator in the engine.
+
+    Plan shape: one compiled WHERE plan, then one narrow projection per
+    template triple unioned together and deduplicated (RDF graphs are
+    sets).  Template blank nodes are FRESH per solution (SPARQL 1.1
+    §16.2.1): their ids are a sha1 of the solution's full binding vector,
+    so the output is deterministic and identical solutions map to the
+    same node — exactly the set semantics the dedup enforces.  Invalid
+    instantiations are dropped, not errors: unbound template variables,
+    literal subjects, non-IRI predicates (§16.2: "those triples are not
+    included in the output graph")."""
+    ast = parse_query(query)
+    if ast.construct_template is None:
+        raise SparqlCompileError("not a CONSTRUCT query; use sparql_select")
+    if pattern_stats is not None and total_triples is None:
+        total_triples = pattern_stats.get("__total__")
+    df, vars_ = _compile_group(triples, ast.where, pattern_stats,
+                               total_triples)
+    if ast.offset:
+        df = df.offset(ast.offset)
+    if ast.limit is not None:
+        df = df.limit(ast.limit)
+
+    user_vars = sorted(v for v in vars_ if not v.startswith("_path"))
+    sol_cols = [c for v in user_vars for c in _var_cols(v)]
+    sol_hash = F.sha1(F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c), F.lit("\x00")) for c in sol_cols]))
+
+    def bnode_col(label: str) -> Column:
+        return F.concat(F.lit("_:c%s_" % label), sol_hash)
+
+    pieces: List[DataFrame] = []
+    for s, p, o in ast.construct_template:
+        conds: List[Column] = []
+        # subject: IRI or blank node only
+        if isinstance(s, Var):
+            if s.name not in vars_:
+                raise SparqlCompileError(
+                    "CONSTRUCT template variable ?%s not bound in WHERE"
+                    % s.name)
+            sv, sk, _ = _var_cols(s.name)
+            subj = F.col(sv)
+            conds.append(F.col(sk).isin("uri", "bnode"))
+        elif isinstance(s, Iri):
+            subj = F.lit(s.uri)
+        elif isinstance(s, BNodeRef):
+            subj = bnode_col(s.label)
+        else:
+            raise SparqlCompileError("invalid CONSTRUCT subject %r" % (s,))
+        # predicate: IRI only
+        if isinstance(p, Var):
+            if p.name not in vars_:
+                raise SparqlCompileError(
+                    "CONSTRUCT template variable ?%s not bound in WHERE"
+                    % p.name)
+            pv, pk, _ = _var_cols(p.name)
+            pred = F.col(pv)
+            conds.append(F.col(pk) == "uri")
+        elif isinstance(p, Iri):
+            pred = F.lit(p.uri)
+        else:
+            raise SparqlCompileError("invalid CONSTRUCT predicate %r" % (p,))
+        # object: any term
+        if isinstance(o, Var):
+            if o.name not in vars_:
+                raise SparqlCompileError(
+                    "CONSTRUCT template variable ?%s not bound in WHERE"
+                    % o.name)
+            ov_, ok_, olg_ = _var_cols(o.name)
+            ov, ok, olg = F.col(ov_), F.col(ok_), F.col(olg_)
+        elif isinstance(o, Iri):
+            ov, ok, olg = F.lit(o.uri), F.lit("uri"), _null_str()
+        elif isinstance(o, BNodeRef):
+            ov, ok, olg = bnode_col(o.label), F.lit("bnode"), _null_str()
+        elif isinstance(o, Lit):
+            ov, ok, olg = (F.lit(o.value), F.lit("literal"),
+                           F.lit(o.lang).cast("string"))
+        elif isinstance(o, Num):
+            ov, ok, olg = F.lit(o.text), F.lit("literal"), _null_str()
+        else:
+            raise SparqlCompileError("invalid CONSTRUCT object %r" % (o,))
+        src = df
+        for c in conds:  # kind guards reference solution columns: pre-select
+            src = src.filter(c)
+        piece = (src.select(subj.alias("subj"), pred.alias("pred"),
+                            ov.alias("obj_value"), ok.alias("obj_kind"),
+                            olg.alias("obj_lang"))
+                 .filter(F.col("subj").isNotNull()
+                         & F.col("pred").isNotNull()
+                         & F.col("obj_kind").isNotNull()))
+        pieces.append(piece)
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out.dropDuplicates(
+        ["subj", "pred", "obj_value", "obj_kind", "obj_lang"])

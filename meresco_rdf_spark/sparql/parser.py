@@ -34,11 +34,21 @@ oversight).
 
 Aggregates: ``SELECT ?g (COUNT(?v) AS ?n) ... GROUP BY ?g`` with
 COUNT (incl. ``*`` and DISTINCT) / SUM / AVG / MIN / MAX, parsed into
-``AggSelect`` entries compiled to one hash aggregation.
+``AggSelect`` entries compiled to one hash aggregation, plus ``HAVING``
+constraints over the aggregate aliases.
 
-This is a deliberately scoped subset (no CONSTRUCT, subqueries, HAVING);
-unsupported syntax raises ``SparqlSyntaxError`` with position info rather
-than mis-parsing.
+Group-level forms beyond BGP: ``OPTIONAL``, ``UNION``, ``FILTER`` (incl.
+``FILTER EXISTS { }`` / ``FILTER NOT EXISTS { }``), ``MINUS { }``,
+``VALUES`` inline bindings (single-var and full-row forms, ``UNDEF``
+supported), and ``BIND (expr AS ?v)`` for the supported scalar functions.
+
+``CONSTRUCT { template } WHERE { ... }`` parses into the same AST with
+``construct_template`` set; template terms are IRIs, literals, variables,
+and blank-node labels (instantiated per solution by the compiler).
+
+This is a deliberately scoped subset (no subqueries, no federated
+SERVICE); unsupported syntax raises ``SparqlSyntaxError`` with position
+info rather than mis-parsing.
 """
 
 from __future__ import annotations
@@ -157,8 +167,40 @@ class UnionPattern:
 
 
 @dataclass
+class ExistsPattern:
+    """FILTER EXISTS / FILTER NOT EXISTS: keep (or drop) the solutions
+    that are join-compatible with the sub-group."""
+    group: "GroupPattern"
+    positive: bool
+
+
+@dataclass
+class MinusPattern:
+    """MINUS: drop solutions compatible with the sub-group ON AT LEAST ONE
+    shared variable (SPARQL 1.1 §8.3 — disjoint domains remove nothing)."""
+    group: "GroupPattern"
+
+
+@dataclass
+class ValuesPattern:
+    """Inline solution sequence. ``rows`` holds one Optional[Term] per
+    variable per row (None = UNDEF)."""
+    variables: List[str]
+    rows: List[List[Opt[Term]]]
+
+
+@dataclass
+class BindPattern:
+    """BIND (expr AS ?v): extends each solution with a computed binding."""
+    expr: "Expr"
+    alias: str
+
+
+@dataclass
 class GroupPattern:
-    parts: List[Union[TriplesBlock, Filter, OptionalPattern, UnionPattern]] \
+    parts: List[Union[TriplesBlock, Filter, OptionalPattern, UnionPattern,
+                      ExistsPattern, MinusPattern, ValuesPattern,
+                      BindPattern]] \
         = field(default_factory=list)
 
 
@@ -172,6 +214,9 @@ class SelectQuery:
     offset: Opt[int] = None
     aggregates: List[AggSelect] = field(default_factory=list)
     group_by: List[str] = field(default_factory=list)
+    having: List["Expr"] = field(default_factory=list)
+    # CONSTRUCT form: template patterns to instantiate per solution
+    construct_template: Opt[List[TriplePattern]] = None
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +322,9 @@ class _Parser:
                 self.fail("expected IRI for prefix %s" % ns)
             self.prefixes[ns] = iri[1:-1]
 
+        if self.at_kw("CONSTRUCT"):
+            return self._construct_query()
+
         self.eat_kw("SELECT")
         distinct = False
         if self.at_kw("DISTINCT"):
@@ -322,6 +370,15 @@ class _Parser:
         if group_by and not aggregates:
             self.fail("GROUP BY requires at least one aggregate")
 
+        having: List[Expr] = []
+        while self.at_kw("HAVING"):
+            if not aggregates:
+                self.fail("HAVING requires aggregates")
+            self.next()
+            self.eat_op("(")
+            having.append(self.expr())
+            self.eat_op(")")
+
         order_by: List[Tuple[str, bool]] = []
         if self.at_kw("ORDER"):
             self.next()
@@ -354,7 +411,50 @@ class _Parser:
         return SelectQuery(variables=variables, distinct=distinct,
                            where=where, order_by=order_by,
                            limit=limit, offset=offset,
-                           aggregates=aggregates, group_by=group_by)
+                           aggregates=aggregates, group_by=group_by,
+                           having=having)
+
+    def _construct_query(self) -> SelectQuery:
+        """'CONSTRUCT' '{' template '}' 'WHERE'? GroupGraphPattern
+        (LIMIT/OFFSET accepted; ORDER BY is meaningless on a graph result
+        and rejected).  The template is a plain triples block: IRI/var
+        predicates only — property paths describe matching, not
+        construction."""
+        self.eat_kw("CONSTRUCT")
+        self.eat_op("{")
+        template = TriplesBlock()
+        while not self.at_op("}"):
+            subj = self.term(position="subject")
+            self._predicate_object_list(template, subj)
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        if template.alts or any(isinstance(p, PathPlus)
+                                for _, p, _ in template.patterns):
+            self.fail("property paths are not allowed in a CONSTRUCT "
+                      "template")
+        if any(isinstance(t, Var) and t.name.startswith("_path")
+               for pat in template.patterns for t in pat):
+            self.fail("path sequences are not allowed in a CONSTRUCT "
+                      "template")
+        if not template.patterns:
+            self.fail("empty CONSTRUCT template")
+        if self.at_kw("WHERE"):
+            self.next()
+        where = self.group_graph_pattern()
+        limit = offset = None
+        for _ in range(2):
+            if self.at_kw("LIMIT"):
+                self.next()
+                limit = self._expect_int()
+            elif self.at_kw("OFFSET"):
+                self.next()
+                offset = self._expect_int()
+        if self.peek()[0] != "EOF":
+            self.fail("unexpected trailing syntax")
+        return SelectQuery(variables="*", distinct=True, where=where,
+                           limit=limit, offset=offset,
+                           construct_template=template.patterns)
 
     _AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
 
@@ -402,10 +502,34 @@ class _Parser:
         while not self.at_op("}"):
             if self.at_kw("FILTER"):
                 self.next()
+                if self.at_kw("EXISTS"):
+                    self.next()
+                    group.parts.append(
+                        ExistsPattern(self.group_graph_pattern(), True))
+                elif self.at_kw("NOT"):
+                    self.next()
+                    self.eat_kw("EXISTS")
+                    group.parts.append(
+                        ExistsPattern(self.group_graph_pattern(), False))
+                else:
+                    self.eat_op("(")
+                    expr = self.expr()
+                    self.eat_op(")")
+                    group.parts.append(Filter(expr))
+            elif self.at_kw("MINUS"):
+                self.next()
+                group.parts.append(MinusPattern(self.group_graph_pattern()))
+            elif self.at_kw("VALUES"):
+                self.next()
+                group.parts.append(self._values_pattern())
+            elif self.at_kw("BIND"):
+                self.next()
                 self.eat_op("(")
                 expr = self.expr()
+                self.eat_kw("AS")
+                alias = self._expect_var()
                 self.eat_op(")")
-                group.parts.append(Filter(expr))
+                group.parts.append(BindPattern(expr, alias))
             elif self.at_kw("OPTIONAL"):
                 self.next()
                 group.parts.append(OptionalPattern(self.group_graph_pattern()))
@@ -431,6 +555,49 @@ class _Parser:
                 self.next()
         self.eat_op("}")
         return group
+
+    def _values_term(self) -> Opt[Term]:
+        if self.at_kw("UNDEF"):
+            self.next()
+            return None
+        term = self.term(position="object")
+        if isinstance(term, Var):
+            self.fail("VALUES data must be constant terms or UNDEF")
+        return term
+
+    def _values_pattern(self) -> ValuesPattern:
+        """'VALUES' ( Var '{' Term* '}'
+                    | '(' Var+ ')' '{' ( '(' Term* ')' )* '}' )"""
+        variables: List[str] = []
+        rows: List[List[Opt[Term]]] = []
+        if self.peek()[0] == "VAR":
+            variables.append(self.next()[1][1:])
+            self.eat_op("{")
+            while not self.at_op("}"):
+                rows.append([self._values_term()])
+            self.eat_op("}")
+        else:
+            self.eat_op("(")
+            while self.peek()[0] == "VAR":
+                variables.append(self.next()[1][1:])
+            if not variables:
+                self.fail("expected VALUES variables")
+            self.eat_op(")")
+            self.eat_op("{")
+            while self.at_op("("):
+                self.next()
+                row: List[Opt[Term]] = []
+                while not self.at_op(")"):
+                    row.append(self._values_term())
+                self.eat_op(")")
+                if len(row) != len(variables):
+                    self.fail("VALUES row arity %d != %d variables"
+                              % (len(row), len(variables)))
+                rows.append(row)
+            self.eat_op("}")
+        if len(set(variables)) != len(variables):
+            self.fail("duplicate VALUES variable")
+        return ValuesPattern(variables, rows)
 
     def triples_block(self) -> TriplesBlock:
         block = TriplesBlock()

@@ -473,3 +473,284 @@ def test_aggregate_order_by_alias(small_graph):
         GROUP BY ?s ORDER BY DESC(?c) LIMIT 1
     """)
     assert [(r["s"], r["c"]) for r in out.collect()] == [("urn:bob", 2)]
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / NOT EXISTS / MINUS
+# ---------------------------------------------------------------------------
+
+def test_filter_exists_semi_join(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?s WHERE {
+            ?s <urn:p:name> ?n .
+            FILTER EXISTS { ?s <urn:p:knows> ?x }
+        }
+    """)
+    got = sorted(r["s"] for r in out.collect())
+    assert got == ["urn:alice", "urn:bob"]
+
+
+def test_filter_not_exists_anti_join(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?s WHERE {
+            ?s <urn:p:name> ?n .
+            FILTER NOT EXISTS { ?s <urn:p:knows> ?x }
+        }
+    """)
+    assert sorted(r["s"] for r in out.collect()) == ["_:b1"]
+
+
+def test_exists_uncorrelated(small_graph):
+    # no shared vars: keeps everything iff the sub-group has a solution
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?s WHERE {
+            ?s <urn:p:age> ?a .
+            FILTER EXISTS { <urn:alice> <urn:p:knows> <urn:bob> }
+        }
+    """)
+    assert sorted(r["s"] for r in out.collect()) == ["urn:alice", "urn:carol"]
+    empty = sparql_select(small_graph, """
+        SELECT DISTINCT ?s WHERE {
+            ?s <urn:p:age> ?a .
+            FILTER EXISTS { <urn:alice> <urn:p:knows> <urn:carol> }
+        }
+    """)
+    assert empty.count() == 0
+
+
+def test_minus_removes_compatible(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?s ?n WHERE {
+            ?s <urn:p:name> ?n .
+            MINUS { ?s <urn:p:knows> <urn:carol> }
+        }
+    """)
+    got = sorted((r["s"], r["n"]) for r in out.collect())
+    assert got == [("_:b1", "Anon"), ("urn:alice", "Alice")]
+
+
+def test_minus_disjoint_domains_removes_nothing(small_graph):
+    # SPARQL 1.1 §8.3: MINUS with no shared variables is a no-op
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?s WHERE {
+            ?s <urn:p:name> ?n .
+            MINUS { ?x <urn:p:age> ?y }
+        }
+    """)
+    assert out.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# VALUES / BIND
+# ---------------------------------------------------------------------------
+
+def test_values_single_var_constrains(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s ?n WHERE {
+            ?s <urn:p:name> ?n .
+            VALUES ?n { "Bobby" "Anon" }
+        }
+    """)
+    got = sorted((r["s"], r["n"]) for r in out.collect())
+    assert got == [("_:b1", "Anon"), ("urn:bob", "Bobby")]
+
+
+def test_values_lang_tag_is_part_of_identity(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:name> ?n . VALUES ?n { "Bob" } }
+    """)
+    # graph has "Bob"@en, VALUES row is plain "Bob": no match
+    assert out.count() == 0
+    out2 = sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:name> ?n . VALUES ?n { "Bob"@en } }
+    """)
+    assert [r["s"] for r in out2.collect()] == ["urn:bob"]
+
+
+def test_values_multi_var_with_undef(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s ?a ?tag WHERE {
+            ?s <urn:p:age> ?a .
+            VALUES (?s ?tag) { (<urn:alice> "A") (UNDEF "X") }
+        }
+    """)
+    got = sorted((r["s"], r["a"], r["tag"]) for r in out.collect())
+    assert got == [("urn:alice", "34", "A"), ("urn:alice", "34", "X"),
+                   ("urn:carol", "29", "X")]
+
+
+def test_values_introduces_new_var(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s ?cat WHERE {
+            ?s <urn:p:knows> <urn:bob> .
+            VALUES ?cat { "x" "y" }
+        }
+    """)
+    got = sorted((r["s"], r["cat"]) for r in out.collect())
+    assert got == [("urn:alice", "x"), ("urn:alice", "y")]
+
+
+def test_bind_term_function(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?n ?l WHERE {
+            <urn:bob> <urn:p:name> ?n .
+            BIND (lang(?n) AS ?l)
+        }
+    """)
+    got = sorted((r["n"], r["l"]) for r in out.collect())
+    assert got == [("Bob", "en"), ("Bobby", "")]
+    # BIND result is a plain literal binding
+    kinds = {r["l_kind"] for r in out.collect()}
+    assert kinds == {"literal"}
+
+
+def test_bind_boolean_expression(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?n ?is_bobby WHERE {
+            <urn:bob> <urn:p:name> ?n .
+            BIND (str(?n) = "Bobby" AS ?is_bobby)
+        }
+    """)
+    got = sorted((r["n"], r["is_bobby"]) for r in out.collect())
+    assert got == [("Bob", "false"), ("Bobby", "true")]
+
+
+def test_bind_alias_already_bound_raises(small_graph):
+    with pytest.raises(SparqlCompileError, match="already bound"):
+        sparql_select(small_graph, """
+            SELECT ?s WHERE { ?s <urn:p:name> ?n . BIND (str(?n) AS ?n) }
+        """).collect()
+
+
+def test_bind_then_filter_on_alias(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s WHERE {
+            ?s <urn:p:name> ?n .
+            BIND (lang(?n) AS ?l)
+            FILTER (?l = "en")
+        }
+    """)
+    assert sorted(r["s"] for r in out.collect()) == ["urn:alice", "urn:bob"]
+
+
+# ---------------------------------------------------------------------------
+# HAVING
+# ---------------------------------------------------------------------------
+
+def test_having_filters_groups(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s (COUNT(?n) AS ?c) WHERE { ?s <urn:p:name> ?n }
+        GROUP BY ?s HAVING (?c > 1)
+    """)
+    assert [(r["s"], r["c"]) for r in out.collect()] == [("urn:bob", 2)]
+
+
+def test_having_conjunction_and_group_var(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s (COUNT(?n) AS ?c) WHERE { ?s <urn:p:name> ?n }
+        GROUP BY ?s HAVING (?c >= 1 && ?c < 2) ORDER BY ?s
+    """)
+    got = [(r["s"], r["c"]) for r in out.collect()]
+    assert got == [("_:b1", 1), ("urn:alice", 1)]
+
+
+def test_having_without_aggregates_rejected():
+    with pytest.raises(SparqlSyntaxError, match="HAVING requires"):
+        parse_query("SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)")
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT
+# ---------------------------------------------------------------------------
+
+def test_construct_basic_template(small_graph):
+    from meresco_rdf_spark.sparql import sparql_construct
+    out = sparql_construct(small_graph, """
+        CONSTRUCT { ?a <urn:p:friend> ?b . ?a <urn:p:known> "yes" }
+        WHERE { ?a <urn:p:knows> ?b }
+    """)
+    got = sorted((r.subj, r.pred, r.obj_value, r.obj_kind)
+                 for r in out.collect())
+    assert got == [
+        ("urn:alice", "urn:p:friend", "urn:bob", "uri"),
+        ("urn:alice", "urn:p:known", "yes", "literal"),
+        ("urn:bob", "urn:p:friend", "urn:carol", "uri"),
+        ("urn:bob", "urn:p:known", "yes", "literal"),
+    ]
+
+
+def test_construct_identity_roundtrip(small_graph):
+    from meresco_rdf_spark.sparql import sparql_construct
+    out = sparql_construct(small_graph, """
+        CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }
+    """)
+    assert _rows(out) == _rows(small_graph)
+
+
+def test_construct_bnodes_fresh_per_solution(small_graph):
+    from meresco_rdf_spark.sparql import sparql_construct
+    out = sparql_construct(small_graph, """
+        CONSTRUCT { ?a <urn:p:card> _:c . _:c <urn:p:of> ?a }
+        WHERE { ?a <urn:p:knows> ?b }
+    """).collect()
+    # two solutions (alice, bob) -> two distinct bnodes; within a
+    # solution the same label is the same node
+    card = {r.subj: r.obj_value for r in out if r.pred == "urn:p:card"}
+    of = {r.obj_value: r.subj for r in out if r.pred == "urn:p:of"}
+    assert set(card) == {"urn:alice", "urn:bob"}
+    assert card["urn:alice"] != card["urn:bob"]
+    for who, bnode in card.items():
+        assert bnode.startswith("_:")
+        assert of[who] == bnode
+
+
+def test_construct_drops_invalid_instantiations(small_graph):
+    from meresco_rdf_spark.sparql import sparql_construct
+    # literal subjects are dropped per SPARQL 1.1 §16.2
+    out = sparql_construct(small_graph, """
+        CONSTRUCT { ?n <urn:p:x> ?a } WHERE { ?a <urn:p:name> ?n }
+    """)
+    assert out.count() == 0
+
+
+def test_construct_unbound_template_var_raises(small_graph):
+    from meresco_rdf_spark.sparql import sparql_construct
+    with pytest.raises(SparqlCompileError, match="not bound"):
+        sparql_construct(small_graph, """
+            CONSTRUCT { ?a <urn:p:x> ?zzz } WHERE { ?a <urn:p:knows> ?b }
+        """)
+
+
+def test_construct_select_dispatch_guards(small_graph):
+    from meresco_rdf_spark.sparql import sparql_construct
+    with pytest.raises(SparqlCompileError, match="sparql_construct"):
+        sparql_select(small_graph, "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlCompileError, match="sparql_select"):
+        sparql_construct(small_graph, "SELECT ?s WHERE { ?s ?p ?o }")
+
+
+def test_construct_output_composes_with_select(small_graph):
+    from meresco_rdf_spark.sparql import sparql_construct
+    derived = sparql_construct(small_graph, """
+        CONSTRUCT { ?a <urn:p:friend> ?b } WHERE { ?a <urn:p:knows> ?b }
+    """)
+    out = sparql_select(derived, """
+        SELECT ?b WHERE { <urn:alice> <urn:p:friend> ?b }
+    """)
+    assert [r["b"] for r in out.collect()] == ["urn:bob"]
+
+
+def test_construct_template_path_rejected():
+    with pytest.raises(SparqlSyntaxError, match="not allowed"):
+        parse_query("""
+            CONSTRUCT { ?a <urn:p>+ ?b } WHERE { ?a <urn:p> ?b }
+        """)
+
+
+def test_values_row_arity_mismatch_rejected():
+    with pytest.raises(SparqlSyntaxError, match="arity"):
+        parse_query("""
+            SELECT ?s WHERE {
+                ?s ?p ?o . VALUES (?a ?b) { ("x") }
+            }
+        """)
