@@ -587,6 +587,34 @@ def q_sparql_having(spark, sf_dir):
     """.format(rel_nation=REL_NATION))
 
 
+def q_sparql_ask(spark, sf_dir):
+    """ASK = existence test: the compiled group under LIMIT 1, so the
+    scan short-circuits at the first solution (LocalLimit)."""
+    from .sparql import sparql_ask
+
+    return sparql_ask(tpch_triples(spark, sf_dir), """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        ASK {{
+            ?n <{rel_region}> ?r .
+            ?r skos:prefLabel "EUROPE" .
+            ?m <{rel_nation}> ?n .
+        }}
+    """.format(rel_region=REL_REGION, rel_nation=REL_NATION))
+
+
+def q_sparql_describe(spark, sf_dir):
+    """DESCRIBE = Concise Bounded Description: seed subjects from the
+    WHERE group, then frontier-driven bnode closure (one semi-join per
+    round; trivial depth here, exercised with deep bnode chains in
+    pytest)."""
+    from .sparql import sparql_describe
+
+    return sparql_describe(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        DESCRIBE ?n WHERE {{ ?n rdfs:label "NATION_7"@en }}
+    """)
+
+
 def q_sparql_construct(spark, sf_dir):
     """CONSTRUCT: derive a NEW graph (member -> region shortcut edges plus
     region type declarations) as a standard 5-column triples relation —
@@ -742,6 +770,23 @@ JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{rdfs}'
 WHERE t1.pred = '{rel_nation}'
 GROUP BY 1, 2, 3
 HAVING count(t1.subj) >= 64""",
+    "sparql_ask": """
+WITH {cte}
+SELECT count(*) > 0 AS ask
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{skos_pref}'
+  AND t2.obj_value = 'EUROPE' AND t2.obj_kind = 'literal'
+  AND t2.obj_lang IS NULL
+JOIN triples t3 ON t3.obj_value = t1.subj AND t3.pred = '{rel_nation}'
+WHERE t1.pred = '{rel_region}'""",
+    "sparql_describe": """
+WITH {cte},
+seeds AS (
+  SELECT subj AS node FROM triples
+  WHERE pred = '{rdfs}' AND obj_value = 'NATION_7' AND obj_lang = 'en'
+)
+SELECT DISTINCT t.subj, t.pred, t.obj_value, t.obj_kind, t.obj_lang
+FROM triples t JOIN seeds s ON t.subj = s.node""",
     "sparql_construct": """
 WITH {cte},
 pairs AS (
@@ -2241,6 +2286,8 @@ QUERIES = {
     "sparql_minus": q_sparql_minus,
     "sparql_values_bind": q_sparql_values_bind,
     "sparql_having": q_sparql_having,
+    "sparql_ask": q_sparql_ask,
+    "sparql_describe": q_sparql_describe,
     "sparql_construct": q_sparql_construct,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,

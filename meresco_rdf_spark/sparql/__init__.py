@@ -12,6 +12,12 @@ for the hand-built operators.
 """
 
 from .parser import parse_query
-from .compiler import sparql_construct, sparql_select
+from .compiler import (
+    sparql_ask,
+    sparql_construct,
+    sparql_describe,
+    sparql_select,
+)
 
-__all__ = ["parse_query", "sparql_construct", "sparql_select"]
+__all__ = ["parse_query", "sparql_ask", "sparql_construct",
+           "sparql_describe", "sparql_select"]

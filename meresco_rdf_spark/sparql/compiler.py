@@ -668,6 +668,10 @@ def sparql_select(triples: DataFrame, query: str,
         raise SparqlCompileError(
             "CONSTRUCT query: use sparql_construct(), which returns a "
             "triples relation, not a solution table")
+    if ast.ask:
+        raise SparqlCompileError("ASK query: use sparql_ask()")
+    if ast.describe_terms is not None:
+        raise SparqlCompileError("DESCRIBE query: use sparql_describe()")
     if pattern_stats is not None and total_triples is None:
         total_triples = pattern_stats.get("__total__")
     df, vars_ = _compile_group(triples, ast.where, pattern_stats,
@@ -748,6 +752,89 @@ def sparql_select(triples: DataFrame, query: str,
     if ast.limit is not None:
         out = out.limit(ast.limit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ASK / DESCRIBE
+# ---------------------------------------------------------------------------
+
+def sparql_ask(triples: DataFrame, query: str,
+               pattern_stats: Opt[Dict[str, int]] = None,
+               total_triples: Opt[int] = None) -> DataFrame:
+    """Execute a SPARQL ASK: does the WHERE group have at least one
+    solution?  Returns a one-row DataFrame with a boolean ``ask`` column.
+    The plan is the compiled group under a LIMIT 1 — Spark stops the scan
+    at the first produced row (LocalLimit short-circuit), so a true ASK
+    touches almost nothing."""
+    ast = parse_query(query)
+    if not ast.ask:
+        raise SparqlCompileError("not an ASK query; use sparql_select")
+    if pattern_stats is not None and total_triples is None:
+        total_triples = pattern_stats.get("__total__")
+    df, _ = _compile_group(triples, ast.where, pattern_stats, total_triples)
+    return (df.limit(1)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select((F.col("_n") > 0).alias("ask")))
+
+
+def sparql_describe(triples: DataFrame, query: str,
+                    pattern_stats: Opt[Dict[str, int]] = None,
+                    total_triples: Opt[int] = None) -> DataFrame:
+    """Execute a SPARQL DESCRIBE as a Concise Bounded Description (the
+    de-facto standard, and exactly the closure the reference serializer
+    walks when rendering a resource — reference triples2rdfxml.py:140-149
+    follows bnode objects into nested descriptions): all triples whose
+    subject is a described resource, plus, recursively, the triples of
+    every blank node reachable through object position.
+
+    Plan: seeds = constant IRIs ∪ non-literal bindings of the DESCRIBE
+    variables from the WHERE group; then a semi-join per closure round
+    (frontier-driven, anti-joined against the seen set so each node is
+    expanded exactly once; ``localCheckpoint`` caps lineage — bnode
+    chains are document-scoped and shallow, so the loop is short).
+    Returns the 5-column triples relation."""
+    ast = parse_query(query)
+    if ast.describe_terms is None:
+        raise SparqlCompileError("not a DESCRIBE query; use sparql_select")
+    if pattern_stats is not None and total_triples is None:
+        total_triples = pattern_stats.get("__total__")
+    spark = triples.sparkSession
+
+    seeds: Opt[DataFrame] = None
+    consts = [t.uri for t in ast.describe_terms if isinstance(t, Iri)]
+    if consts:
+        seeds = spark.createDataFrame([(c,) for c in consts], "node string")
+    var_terms = [t for t in ast.describe_terms if isinstance(t, Var)]
+    if var_terms:
+        df, vars_ = _compile_group(triples, ast.where, pattern_stats,
+                                   total_triples)
+        for t in var_terms:
+            if t.name not in vars_:
+                raise SparqlCompileError(
+                    "DESCRIBE variable ?%s not bound in WHERE" % t.name)
+            val, kind, _ = _var_cols(t.name)
+            piece = (df.filter(F.col(kind) != "literal")
+                     .select(F.col(val).alias("node")))
+            seeds = piece if seeds is None else seeds.unionByName(piece)
+    assert seeds is not None  # parser guarantees >= 1 term
+    seen = seeds.distinct().localCheckpoint(eager=True)
+    frontier = seen
+    out: Opt[DataFrame] = None
+    while True:
+        batch = (triples.alias("t")
+                 .join(frontier.alias("s"),
+                       F.col("t.subj") == F.col("s.node"), "left_semi"))
+        out = batch if out is None else out.unionByName(batch)
+        nxt = (batch.filter(F.col("obj_kind") == "bnode")
+               .select(F.col("obj_value").alias("node")).distinct()
+               .join(seen, "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out.dropDuplicates(
+        ["subj", "pred", "obj_value", "obj_kind", "obj_lang"])
 
 
 # ---------------------------------------------------------------------------

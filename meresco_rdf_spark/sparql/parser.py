@@ -217,6 +217,11 @@ class SelectQuery:
     having: List["Expr"] = field(default_factory=list)
     # CONSTRUCT form: template patterns to instantiate per solution
     construct_template: Opt[List[TriplePattern]] = None
+    # ASK form: existence test over the WHERE group
+    ask: bool = False
+    # DESCRIBE form: resources to describe (Iri constants and/or Vars
+    # bound by the WHERE group)
+    describe_terms: Opt[List[Term]] = None
 
 
 # ---------------------------------------------------------------------------
@@ -324,6 +329,10 @@ class _Parser:
 
         if self.at_kw("CONSTRUCT"):
             return self._construct_query()
+        if self.at_kw("ASK"):
+            return self._ask_query()
+        if self.at_kw("DESCRIBE"):
+            return self._describe_query()
 
         self.eat_kw("SELECT")
         distinct = False
@@ -413,6 +422,47 @@ class _Parser:
                            limit=limit, offset=offset,
                            aggregates=aggregates, group_by=group_by,
                            having=having)
+
+    def _ask_query(self) -> SelectQuery:
+        """'ASK' 'WHERE'? GroupGraphPattern — a pure existence test."""
+        self.eat_kw("ASK")
+        if self.at_kw("WHERE"):
+            self.next()
+        where = self.group_graph_pattern()
+        if self.peek()[0] != "EOF":
+            self.fail("unexpected trailing syntax")
+        return SelectQuery(variables=[], distinct=False, where=where,
+                           ask=True)
+
+    def _describe_query(self) -> SelectQuery:
+        """'DESCRIBE' (IRI | Var)+ ('WHERE'? GroupGraphPattern)? —
+        variables require a WHERE group that binds them."""
+        self.eat_kw("DESCRIBE")
+        terms: List[Term] = []
+        while True:
+            kind, _, _ = self.peek()
+            if kind == "VAR":
+                terms.append(Var(self.next()[1][1:]))
+            elif kind in ("IRIREF", "PNAME"):
+                t = self.term(position="subject")
+                if not isinstance(t, Iri):
+                    self.fail("DESCRIBE takes IRIs or variables")
+                terms.append(t)
+            else:
+                break
+        if not terms:
+            self.fail("DESCRIBE requires at least one resource")
+        where = GroupPattern()
+        if self.at_kw("WHERE") or self.at_op("{"):
+            if self.at_kw("WHERE"):
+                self.next()
+            where = self.group_graph_pattern()
+        if any(isinstance(t, Var) for t in terms) and not where.parts:
+            self.fail("DESCRIBE with variables requires a WHERE group")
+        if self.peek()[0] != "EOF":
+            self.fail("unexpected trailing syntax")
+        return SelectQuery(variables=[], distinct=True, where=where,
+                           describe_terms=terms)
 
     def _construct_query(self) -> SelectQuery:
         """'CONSTRUCT' '{' template '}' 'WHERE'? GroupGraphPattern

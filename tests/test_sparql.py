@@ -18,7 +18,7 @@ from meresco_rdf_spark.sparql.parser import (
     TriplesBlock,
     Var,
 )
-from meresco_rdf_spark.model import Literal, Uri
+from meresco_rdf_spark.model import BNode, Literal, Uri
 
 
 # ---------------------------------------------------------------------------
@@ -754,3 +754,106 @@ def test_values_row_arity_mismatch_rejected():
                 ?s ?p ?o . VALUES (?a ?b) { ("x") }
             }
         """)
+
+
+# ---------------------------------------------------------------------------
+# ASK / DESCRIBE
+# ---------------------------------------------------------------------------
+
+def test_ask_true_and_false(small_graph):
+    from meresco_rdf_spark.sparql import sparql_ask
+    yes = sparql_ask(small_graph, """
+        ASK { <urn:alice> <urn:p:knows> ?x . ?x <urn:p:name> "Bob"@en }
+    """)
+    assert yes.collect()[0]["ask"] is True
+    no = sparql_ask(small_graph, """
+        ASK WHERE { <urn:carol> <urn:p:knows> ?x }
+    """)
+    assert no.collect()[0]["ask"] is False
+
+
+def test_ask_with_filter(small_graph):
+    from meresco_rdf_spark.sparql import sparql_ask
+    out = sparql_ask(small_graph, """
+        ASK { ?s <urn:p:age> ?a . FILTER (?a > 30) }
+    """)
+    assert out.collect()[0]["ask"] is True
+    out2 = sparql_ask(small_graph, """
+        ASK { ?s <urn:p:age> ?a . FILTER (?a > 40) }
+    """)
+    assert out2.collect()[0]["ask"] is False
+
+
+def test_describe_constant_subject(small_graph):
+    from meresco_rdf_spark.sparql import sparql_describe
+    out = sparql_describe(small_graph, "DESCRIBE <urn:alice>")
+    got = sorted((r.subj, r.pred, r.obj_value) for r in out.collect())
+    assert got == [
+        ("urn:alice", "urn:p:age", "34"),
+        ("urn:alice", "urn:p:knows", "urn:bob"),
+        ("urn:alice", "urn:p:name", "Alice"),
+    ]
+
+
+def test_describe_variable_with_where(small_graph):
+    from meresco_rdf_spark.sparql import sparql_describe
+    out = sparql_describe(small_graph, """
+        DESCRIBE ?s WHERE { ?s <urn:p:name> "Bobby" }
+    """)
+    subjects = {r.subj for r in out.collect()}
+    assert subjects == {"urn:bob"}
+    assert out.count() == 3  # Bob's two names + knows edge
+
+
+def test_describe_bnode_closure(spark):
+    from meresco_rdf_spark.sparql import sparql_describe
+    g = triples_df(spark, [
+        ("urn:doc", "urn:p:part", BNode("_:b1")),
+        ("_:b1", "urn:p:part", BNode("_:b2")),
+        ("_:b2", "urn:p:val", Literal("leaf")),
+        ("urn:doc", "urn:p:title", Literal("Doc")),
+        ("urn:other", "urn:p:val", Literal("unrelated")),
+    ])
+    out = sparql_describe(g, "DESCRIBE <urn:doc>")
+    got = sorted((r.subj, r.pred, r.obj_value) for r in out.collect())
+    assert got == [
+        ("_:b1", "urn:p:part", "_:b2"),
+        ("_:b2", "urn:p:val", "leaf"),
+        ("urn:doc", "urn:p:part", "_:b1"),
+        ("urn:doc", "urn:p:title", "Doc"),
+    ]
+
+
+def test_describe_bnode_cycle_terminates(spark):
+    from meresco_rdf_spark.sparql import sparql_describe
+    g = triples_df(spark, [
+        ("urn:doc", "urn:p:part", BNode("_:x")),
+        ("_:x", "urn:p:next", BNode("_:y")),
+        ("_:y", "urn:p:next", BNode("_:x")),
+    ])
+    out = sparql_describe(g, "DESCRIBE <urn:doc>")
+    assert out.count() == 3
+
+
+def test_describe_multiple_resources(small_graph):
+    from meresco_rdf_spark.sparql import sparql_describe
+    out = sparql_describe(small_graph, "DESCRIBE <urn:alice> <urn:carol>")
+    subjects = {r.subj for r in out.collect()}
+    assert subjects == {"urn:alice", "urn:carol"}
+
+
+def test_describe_var_requires_where():
+    with pytest.raises(SparqlSyntaxError, match="requires a WHERE"):
+        parse_query("DESCRIBE ?x")
+
+
+def test_ask_describe_dispatch_guards(small_graph):
+    from meresco_rdf_spark.sparql import sparql_ask, sparql_describe
+    with pytest.raises(SparqlCompileError, match="sparql_ask"):
+        sparql_select(small_graph, "ASK { ?s ?p ?o }")
+    with pytest.raises(SparqlCompileError, match="sparql_describe"):
+        sparql_select(small_graph, "DESCRIBE <urn:alice>")
+    with pytest.raises(SparqlCompileError, match="not an ASK"):
+        sparql_ask(small_graph, "SELECT ?s WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlCompileError, match="not a DESCRIBE"):
+        sparql_describe(small_graph, "SELECT ?s WHERE { ?s ?p ?o }")
