@@ -122,7 +122,7 @@ def main() -> None:
     heads = [
         "graph_find_labels", "graph_bgp", "graph_in_degree",
         "dedup_minhash", "dedup_clusters", "text_simhash",
-        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard", "text_decontaminate",
         "embed_cosine_topk", "similarity_lsh_topk", "similarity_ivf_topk",
         "similarity_ivf_arrow",
         "events_sessions", "events_asof_signup", "events_quantiles",

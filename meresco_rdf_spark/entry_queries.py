@@ -979,6 +979,58 @@ def q_text_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 13-gram with
+    the (doc_id % 10 == 3) eval slice.  Eval n-grams are DISTINCT and
+    broadcast; corpus n-grams travel as xxhash64 fingerprints, never
+    strings; hit counts come from one partial+final hash-agg."""
+    from .textops.decontaminate import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+    eval_set = docs.filter(F.col("doc_id") % 10 == 3)
+    return decontaminate(corpus, eval_set, n=13)
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrubbing: sequential regexp_replace chain (email -> SSN ->
+    IPv4 -> phone) + per-class detection counts, all whole-stage-codegen
+    column expressions.  PII is planted deterministically from doc_id so
+    the oracle synthesizes the identical input."""
+    from .textops.redact import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0")))
+            .otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.concat(
+                F.lit(" ip 10.0."), (did % 256).cast("string"),
+                F.lit(".7 port"))).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" call +1 555 867 53"),
+                F.lpad((did % 100).cast("string"), 2, "0")))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    out = redact_pii(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_pii").cast("long").alias("n_pii"),
+        "redacted")
+
+
 def q_text_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return quality_features(docs.select("doc_id", "text")).select(
@@ -1082,6 +1134,66 @@ def _simhash_sql(n_bits: int = 32) -> str:
         "WITH t AS (SELECT doc_id, %s AS toks FROM documents) "
         "SELECT doc_id, concat(%s) AS simhash FROM t"
         % (_NORM_TOKS, _simhash_bit_exprs(n_bits)))
+
+
+def _decontaminate_sql(n: int = 13) -> str:
+    """DuckDB twin of q_text_decontaminate: string n-grams (the Spark
+    side joins on xxhash64 fingerprints; identical counts absent a
+    64-bit collision, which at sf scales is ~10^-8)."""
+    return """
+WITH toks AS (
+  SELECT doc_id, %s AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+%d], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - %d, 0))) AS u(i)),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id %% 10 = 3),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM grams JOIN ev USING (g)
+  WHERE doc_id %% 10 != 3 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id %% 10 != 3""" % (_TOKS, n - 1, n - 1)
+
+
+def _pii_redact_sql() -> str:
+    """DuckDB twin of q_text_pii_redact: the same planted PII and the
+    same SEQUENTIAL replace chain, built from the shared PII_PATTERNS
+    constants so the two sides cannot drift."""
+    from .textops.redact import PII_PATTERNS
+
+    sql = """
+WITH s0 AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0
+         THEN ' ip 10.0.' || (doc_id % 256) || '.7 port' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN ' call +1 555 867 53' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+         ELSE '' END AS t0
+  FROM documents)"""
+    prev = "t0"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        cur = "t%d" % (i + 1)
+        sql += """,
+s%d AS (
+  SELECT *, len(regexp_extract_all(%s, '%s')) AS n_%s,
+         regexp_replace(%s, '%s', '%s', 'g') AS %s
+  FROM s%d)""" % (i + 1, prev, pat, name, prev, pat, repl, cur, i)
+        prev = cur
+    names = [name for name, _, _ in PII_PATTERNS]
+    sql += """
+SELECT doc_id, %s, %s AS n_pii, %s AS redacted FROM s%d""" % (
+        ", ".join("n_%s::BIGINT AS n_%s" % (n, n) for n in names),
+        "(" + " + ".join("n_%s" % n for n in names) + ")::BIGINT",
+        prev, len(PII_PATTERNS))
+    return sql
 
 
 def _lang_id_sql() -> str:
@@ -1952,6 +2064,24 @@ def q_kg_structure_triples(spark, sf_dir):
     return structure_triples(_synth_transcripts(spark))
 
 
+def q_kg_sparql_entities(spark, sf_dir):
+    """Integration: the SPARQL front-end querying the KG the pipeline
+    just built — per canonical entity name, the number of conversation
+    mention-edges.  One parsed query -> BGP self-join + hash aggregation
+    over pipeline_triples; oracle = identical SQL over the committed
+    golden triples (which kg_triples hash-pins to the pipeline output)."""
+    from .sparql import sparql_select
+
+    return sparql_select(_pipeline_result(spark).triples, """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX kg: <http://data.example.org/kg#>
+        SELECT ?ename (COUNT(?conv) AS ?n_convs) WHERE {
+            ?conv kg:mentions ?e .
+            ?e foaf:name ?ename .
+        } GROUP BY ?ename
+    """)
+
+
 def q_kg_rdfxml_shards(spark, sf_dir):
     """K1 distributed: serialize the pipeline's per-conversation triple
     closures to RDF/XML shards (deterministic serializer, fixture-parity
@@ -2294,6 +2424,8 @@ QUERIES = {
     "text_simhash": q_text_simhash,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
+    "text_decontaminate": q_text_decontaminate,
+    "text_pii_redact": q_text_pii_redact,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
@@ -2327,6 +2459,7 @@ QUERIES = {
     # (tools/golden_ref.py; cross-checked by tools/make_golden.py)
     "kg_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,
+    "kg_sparql_entities": q_kg_sparql_entities,
     "kg_canonical_map": q_kg_canonical_map,
     "kg_entity_labels": q_kg_entity_labels,
     "kg_structure_triples": q_kg_structure_triples,
@@ -2364,6 +2497,8 @@ ORACLES = {
     "text_simhash": _simhash_sql(),
     "text_lang_id": _lang_id_sql(),
     "text_quality": _quality_sql(),
+    "text_decontaminate": _decontaminate_sql(),
+    "text_pii_redact": _pii_redact_sql(),
     "dedup_exact": """
 WITH f AS (SELECT doc_id, md5(%s) AS fp FROM documents)
 SELECT doc_id, fp, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
@@ -2477,6 +2612,19 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
                      "kg_structure_triples")
     },
 }
+
+# SPARQL over the pipeline-built KG: identical SQL over the committed
+# golden triples (kg_triples already hash-pins pipeline output == golden)
+ORACLES["kg_sparql_entities"] = """
+WITH t AS (
+  SELECT * FROM read_parquet('/root/repo/tests/golden/kg_triples.parquet'))
+SELECT t2.obj_value AS ename, t2.obj_kind AS ename_kind,
+       t2.obj_lang AS ename_lang, count(t1.subj)::BIGINT AS n_convs
+FROM t t1
+JOIN t t2 ON t2.subj = t1.obj_value
+  AND t2.pred = 'http://xmlns.com/foaf/0.1/name'
+WHERE t1.pred = 'http://data.example.org/kg#mentions'
+GROUP BY 1, 2, 3"""
 
 # the bucketized range-join strategy must produce byte-identical results
 # to the broadcast twin — same oracle

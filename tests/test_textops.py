@@ -470,3 +470,90 @@ def test_simhash_wide_fingerprints_jvm_arrow_parity(spark, docs):
     assert all(len(r.jvm64) == 64 for r in rows)
     # block 0 is unsalted: the 32-bit fingerprint is a strict prefix
     assert all(r.jvm64[:32] == r.arrow32 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def _decon_frames(spark):
+    corpus = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated words in this one document here"),
+        (3, "short text"),
+    ], "doc_id long, text string")
+    eval_set = spark.createDataFrame([
+        (100, "we saw the quick brown fox jumps over the lazy dog yesterday"),
+    ], "doc_id long, text string")
+    return corpus, eval_set
+
+
+def test_decontaminate_flags_overlap(spark):
+    from meresco_rdf_spark.textops.decontaminate import decontaminate
+    corpus, eval_set = _decon_frames(spark)
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate(corpus, eval_set, n=5).collect()}
+    # doc 1 shares the 9-token span -> 5 distinct 5-grams of the span
+    assert out[1][1] is True and out[1][0] == 5
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)  # shorter than n: no grams, never flagged
+
+
+def test_decontaminate_hash_and_string_paths_agree(spark):
+    from meresco_rdf_spark.textops.decontaminate import decontaminate
+    corpus, eval_set = _decon_frames(spark)
+    a = sorted(tuple(r) for r in
+               decontaminate(corpus, eval_set, n=5, hash_grams=True).collect())
+    b = sorted(tuple(r) for r in
+               decontaminate(corpus, eval_set, n=5,
+                             hash_grams=False).collect())
+    assert a == b
+
+
+def test_decontaminate_normalization_case_punct(spark):
+    from meresco_rdf_spark.textops.decontaminate import decontaminate
+    corpus = spark.createDataFrame(
+        [(1, "Alpha, BETA; gamma. delta epsilon!")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    out = decontaminate(corpus, ev, n=5).collect()[0]
+    assert out.contaminated is True
+
+
+def test_ngrams_column_expression(spark):
+    from meresco_rdf_spark.textops.decontaminate import ngrams
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(ngrams(F.col("text"), 3)).collect()]
+    assert got == [["a b c", "b c d"], []]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_classes(spark):
+    from meresco_rdf_spark.textops.redact import redact_pii
+    df = spark.createDataFrame([
+        (1, "mail me at jo.doe+x@sub.example.org or call +31 20 555 0199"),
+        (2, "ssn 123-45-6789 from host 192.168.0.1 end"),
+        (3, "nothing sensitive here"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "[EMAIL]" in out[1].redacted and "[PHONE]" in out[1].redacted
+    assert "@" not in out[1].redacted
+    assert out[2].n_ssn == 1 and out[2].n_ipv4 == 1
+    assert out[2].redacted == "ssn [SSN] from host [IP] end"
+    assert out[3].n_pii == 0 and out[3].redacted == out[3].text
+
+
+def test_redact_pii_sequential_no_double_count(spark):
+    from meresco_rdf_spark.textops.redact import redact_pii
+    # an SSN also matches the phone shape; sequential detection must
+    # count it exactly once (as ssn), and n_pii equals replacements made
+    df = spark.createDataFrame([(1, "id 123-45-6789 only")],
+                               "doc_id long, text string")
+    r = redact_pii(df).collect()[0]
+    assert r.n_ssn == 1 and r.n_phone == 0 and r.n_pii == 1
+    assert r.redacted == "id [SSN] only"

@@ -231,6 +231,20 @@ def main() -> None:
         and "HashAggregate" not in p,
         ""))
 
+    # decontamination: eval-gram probe is a broadcast join (the corpus
+    # side never shuffles for the join); hit counting is a partial+final
+    # hash agg; the AQE-executed plan keeps the broadcast exchange
+    from meresco_rdf_spark.textops.decontaminate import decontaminate
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+    ev = docs.filter(F.col("doc_id") % 10 == 3)
+    p = plan_of(decontaminate(corpus, ev, n=13))
+    results.append(check(
+        "decontaminate: broadcast probe",
+        "BroadcastHashJoin" in p and "xxhash64" in p
+        and re.search(r"HashAggregate.*partial_count", p) is not None,
+        ""))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
