@@ -632,6 +632,46 @@ def q_sparql_construct(spark, sf_dir):
     """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
 
 
+def q_sparql_group_concat(spark, sf_dir):
+    """SAMPLE + GROUP_CONCAT (DISTINCT, custom separator) aggregates: both
+    are spec-nondeterministic, pinned to the deterministic refinement
+    (lexical min / lexically sorted join) so results are reproducible —
+    collect_list/min are partial-aggregatable, one hash-agg exchange."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?rname (GROUP_CONCAT(DISTINCT ?nname ; SEPARATOR=", ")
+                       AS ?members)
+                      (SAMPLE(?nname) AS ?first)
+        WHERE {{
+            ?n <{rel_region}> ?r .
+            ?r skos:prefLabel ?rname .
+            ?n rdfs:label ?nname .
+        }} GROUP BY ?rname
+    """.format(rel_region=REL_REGION))
+
+
+def q_sparql_scalar_funcs(spark, sf_dir):
+    """SPARQL 1.1 §17.4 scalar built-ins (STRSTARTS/CONTAINS in FILTER;
+    LCASE/STRLEN/IF/STRAFTER in BIND) — all compile to JVM column
+    expressions inside one whole-stage-codegen projection, no Python."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?rname ?low ?len ?tag ?rkey WHERE {
+            ?r skos:prefLabel ?rname .
+            FILTER(strstarts(?rname, "A") || contains(?rname, "EUR"))
+            BIND(lcase(?rname) AS ?low)
+            BIND(strlen(?rname) AS ?len)
+            BIND(if(strlen(?rname) > 4, "long", "short") AS ?tag)
+            BIND(strafter(str(?r), "urn:region:") AS ?rkey)
+        }
+    """)
+
+
 _SPARQL_BGP_ORACLE = """
 WITH {cte}
 SELECT DISTINCT
@@ -787,6 +827,30 @@ seeds AS (
 )
 SELECT DISTINCT t.subj, t.pred, t.obj_value, t.obj_kind, t.obj_lang
 FROM triples t JOIN seeds s ON t.subj = s.node""",
+    "sparql_group_concat": """
+WITH {cte}
+SELECT t2.obj_value AS rname, t2.obj_kind AS rname_kind,
+  t2.obj_lang AS rname_lang,
+  string_agg(DISTINCT t3.obj_value, ', ' ORDER BY t3.obj_value) AS members,
+  min(t3.obj_value) AS first
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{skos_pref}'
+JOIN triples t3 ON t3.subj = t1.subj AND t3.pred = '{rdfs}'
+WHERE t1.pred = '{rel_region}'
+GROUP BY 1, 2, 3""",
+    "sparql_scalar_funcs": """
+WITH {cte}
+SELECT obj_value AS rname, obj_kind AS rname_kind, obj_lang AS rname_lang,
+  lower(obj_value) AS low, 'literal' AS low_kind, obj_lang AS low_lang,
+  CAST(length(obj_value) AS VARCHAR) AS len, 'literal' AS len_kind,
+  CAST(NULL AS VARCHAR) AS len_lang,
+  CASE WHEN length(obj_value) > 4 THEN 'long' ELSE 'short' END AS tag,
+  'literal' AS tag_kind, CAST(NULL AS VARCHAR) AS tag_lang,
+  substr(subj, length('urn:region:') + 1) AS rkey,
+  'literal' AS rkey_kind, CAST(NULL AS VARCHAR) AS rkey_lang
+FROM triples
+WHERE pred = '{skos_pref}'
+  AND (obj_value LIKE 'A%' OR obj_value LIKE '%EUR%')""",
     "sparql_construct": """
 WITH {cte},
 pairs AS (
@@ -2419,6 +2483,8 @@ QUERIES = {
     "sparql_ask": q_sparql_ask,
     "sparql_describe": q_sparql_describe,
     "sparql_construct": q_sparql_construct,
+    "sparql_group_concat": q_sparql_group_concat,
+    "sparql_scalar_funcs": q_sparql_scalar_funcs,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "text_simhash": q_text_simhash,

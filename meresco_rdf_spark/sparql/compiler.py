@@ -54,6 +54,7 @@ from .parser import (
     SelectQuery,
     TriplesBlock,
     UnionPattern,
+    UpdateQuery,
     ValuesPattern,
     Var,
     parse_query,
@@ -461,6 +462,19 @@ def _order_patterns(patterns: Sequence, stats: Opt[Dict[str, int]],
 # filter expressions
 # ---------------------------------------------------------------------------
 
+# functions whose result participates in numeric (not term) comparisons
+_NUMERIC_FUNCS = frozenset(("strlen", "abs", "ceil", "floor", "round"))
+
+
+def _num_lexical(d: Column) -> Column:
+    """xsd-style lexical form of a numeric result: integral values render
+    without a trailing ``.0`` (matching SPARQL's xsd:integer output for
+    STRLEN/CEIL/FLOOR/ROUND and keeping oracle string-compare stable)."""
+    return (F.when(d.isNull(), _null_str())
+            .when(d == F.floor(d), d.cast("long").cast("string"))
+            .otherwise(d.cast("string")))
+
+
 def _term_cols(e, frame_vars: Set[str],
                scalar_vars: Set[str] = frozenset()) -> Tuple[Column, Column,
                                                              Column]:
@@ -481,19 +495,128 @@ def _term_cols(e, frame_vars: Set[str],
                 F.lit(e.lang).cast("string"))
     if isinstance(e, Num):
         return F.lit(e.text), F.lit("literal"), _null_str()
-    if isinstance(e, FuncCall) and e.name in ("str", "lang"):
-        inner_v, inner_k, inner_lg = _term_cols(e.args[0], frame_vars,
-                                                scalar_vars)
-        if e.name == "str":
-            return inner_v, F.lit("literal"), _null_str()
-        return (F.coalesce(inner_lg, F.lit("")), F.lit("literal"),
-                _null_str())
+    if isinstance(e, FuncCall):
+        return _func_term_cols(e, frame_vars, scalar_vars)
+    raise SparqlCompileError("unsupported term in expression: %r" % (e,))
+
+
+def _lit_pattern(arg, what: str) -> str:
+    if not isinstance(arg, Lit):
+        raise SparqlCompileError("%s must be a string literal" % what)
+    return arg.value
+
+
+def _func_term_cols(e: FuncCall, frame_vars: Set[str],
+                    scalar_vars: Set[str]) -> Tuple[Column, Column, Column]:
+    """Term-valued SPARQL built-ins compiled to JVM column expressions —
+    every one stays inside whole-stage codegen (no Python UDFs)."""
+    def term(i: int) -> Tuple[Column, Column, Column]:
+        return _term_cols(e.args[i], frame_vars, scalar_vars)
+
+    name = e.name
+    if name == "str":
+        v, _, _ = term(0)
+        return v, F.lit("literal"), _null_str()
+    if name == "lang":
+        _, _, lg = term(0)
+        return F.coalesce(lg, F.lit("")), F.lit("literal"), _null_str()
+    if name in ("ucase", "lcase"):
+        v, _, lg = term(0)
+        out = F.upper(v) if name == "ucase" else F.lower(v)
+        return out, F.lit("literal"), lg  # case ops preserve the lang tag
+    if name == "strlen":
+        v, _, _ = term(0)
+        return _num_lexical(F.length(v).cast("double")), \
+            F.lit("literal"), _null_str()
+    if name == "substr":
+        if len(e.args) not in (2, 3):
+            raise SparqlCompileError("substr(source, start [, length])")
+        v, _, lg = term(0)
+        start = term(1)[0].cast("int")  # SPARQL is 1-based, like Spark
+        if len(e.args) == 3:
+            out = F.substr(v, start, term(2)[0].cast("int"))
+        else:
+            out = F.substr(v, start)
+        return out, F.lit("literal"), lg
+    if name == "concat":
+        parts = [term(i) for i in range(len(e.args))]
+        val = F.concat(*[p[0] for p in parts])
+        # result keeps a lang tag only when every argument carries the
+        # same one (SPARQL 1.1 §17.4.3.12 argument-compatibility rules)
+        lang = parts[0][2]
+        same = F.lit(True)
+        for p in parts[1:]:
+            same = same & lang.eqNullSafe(p[2])
+        return val, F.lit("literal"), F.when(same, lang)
+    if name in ("strbefore", "strafter"):
+        if len(e.args) != 2:
+            raise SparqlCompileError("%s(source, needle)" % name)
+        v, _, lg = term(0)
+        sep, _, _ = term(1)
+        pos = F.instr(v, sep)
+        if name == "strbefore":
+            # empty needle -> "" (spec); no match -> ""
+            out = (F.when(F.length(sep) == 0, F.lit(""))
+                   .when(pos > 0, F.substr(v, F.lit(1), pos - 1))
+                   .otherwise(F.lit("")))
+        else:
+            out = (F.when(F.length(sep) == 0, v)
+                   .when(pos > 0, F.substr(v, pos + F.length(sep)))
+                   .otherwise(F.lit("")))
+        # lang is preserved on a match, dropped on the empty fallback is
+        # spec-ambiguous; we keep the source lang (matches Jena/Virtuoso)
+        return out, F.lit("literal"), lg
+    if name == "replace":
+        if len(e.args) not in (3, 4):
+            raise SparqlCompileError("replace(source, pattern, repl"
+                                     " [, flags])")
+        v, _, lg = term(0)
+        pattern = _lit_pattern(e.args[1], "replace() pattern")
+        repl = _lit_pattern(e.args[2], "replace() replacement")
+        if len(e.args) == 4 and "i" in _lit_pattern(e.args[3],
+                                                    "replace() flags"):
+            pattern = "(?i)" + pattern
+        return F.regexp_replace(v, pattern, repl), F.lit("literal"), lg
+    if name == "coalesce":
+        parts = [term(i) for i in range(len(e.args))]
+        val = F.coalesce(*[p[0] for p in parts])
+        # kind/lang follow whichever argument supplied the value
+        kind: Column = _null_str()
+        lang: Column = _null_str()
+        for v, k, lg in reversed(parts):
+            kind = F.when(v.isNotNull(), k).otherwise(kind)
+            lang = F.when(v.isNotNull(), lg).otherwise(lang)
+        return val, kind, lang
+    if name == "if":
+        if len(e.args) != 3:
+            raise SparqlCompileError("if(condition, then, else)")
+        cond = _compile_expr(e.args[0], frame_vars, scalar_vars)
+        tv, tk, tlg = term(1)
+        ev, ek, elg = term(2)
+        # a NULL condition is a SPARQL error: the result is unbound
+        return (F.when(cond, tv).when(~cond, ev),
+                F.when(cond, tk).when(~cond, ek),
+                F.when(cond, tlg).when(~cond, elg))
+    if name in ("abs", "ceil", "floor", "round"):
+        d = term(0)[0].cast("double")
+        if name == "abs":
+            out = F.abs(d)
+        elif name == "ceil":
+            out = F.ceil(d).cast("double")
+        elif name == "floor":
+            out = F.floor(d).cast("double")
+        else:
+            # XPath fn:round: ties go toward positive infinity
+            # (round(-2.5) = -2), unlike Spark's HALF_UP
+            out = F.floor(d + F.lit(0.5)).cast("double")
+        return _num_lexical(out), F.lit("literal"), _null_str()
     raise SparqlCompileError("unsupported term in expression: %r" % (e,))
 
 
 def _is_numeric(e, scalar_vars: Set[str] = frozenset()) -> bool:
     return isinstance(e, Num) or (
-        isinstance(e, Var) and e.name in scalar_vars)
+        isinstance(e, Var) and e.name in scalar_vars) or (
+        isinstance(e, FuncCall) and e.name in _NUMERIC_FUNCS)
 
 
 def _compile_expr(e, frame_vars: Set[str],
@@ -551,6 +674,36 @@ def _compile_expr(e, frame_vars: Set[str],
                     and "i" in e.args[2].value:
                 pattern = "(?i)" + pattern
             return val.rlike(pattern)
+        if e.name in ("isuri", "isblank", "isliteral"):
+            _, kind, _ = _term_cols(e.args[0], frame_vars, scalar_vars)
+            want = {"isuri": "uri", "isblank": "bnode",
+                    "isliteral": "literal"}[e.name]
+            return kind == want
+        if e.name in ("contains", "strstarts", "strends"):
+            if len(e.args) != 2:
+                raise SparqlCompileError("%s(text, needle)" % e.name)
+            lv, _, _ = _term_cols(e.args[0], frame_vars, scalar_vars)
+            rv, _, _ = _term_cols(e.args[1], frame_vars, scalar_vars)
+            if e.name == "contains":
+                return lv.contains(rv)
+            if e.name == "strstarts":
+                return lv.startswith(rv)
+            return lv.endswith(rv)
+        if e.name == "langmatches":
+            if len(e.args) != 2:
+                raise SparqlCompileError("langmatches(tag, range)")
+            tag, _, _ = _term_cols(e.args[0], frame_vars, scalar_vars)
+            rng = _lit_pattern(e.args[1], "langmatches() range")
+            if rng == "*":
+                return tag != ""
+            low = F.lower(tag)
+            return (low == rng.lower()) | low.startswith(rng.lower() + "-")
+        if e.name == "if":
+            # boolean-valued IF: both branches as predicates
+            cond = _compile_expr(e.args[0], frame_vars, scalar_vars)
+            t = _compile_expr(e.args[1], frame_vars, scalar_vars)
+            f = _compile_expr(e.args[2], frame_vars, scalar_vars)
+            return F.when(cond, t).when(~cond, f)
     raise SparqlCompileError("unsupported filter expression: %r" % (e,))
 
 
@@ -664,6 +817,8 @@ def sparql_select(triples: DataFrame, query: str,
     reorders physically where it can.
     """
     ast = parse_query(query)
+    if isinstance(ast, UpdateQuery):
+        raise SparqlCompileError("update request: use sparql_update()")
     if ast.construct_template is not None:
         raise SparqlCompileError(
             "CONSTRUCT query: use sparql_construct(), which returns a "
@@ -703,6 +858,20 @@ def sparql_select(triples: DataFrame, query: str,
                          if a.distinct else F.count(F.col(val)))
                 elif a.func in ("sum", "avg"):
                     e = getattr(F, a.func)(F.col(val).cast("double"))
+                elif a.func == "sample":
+                    # SAMPLE may return any value (SPARQL 1.1 §18.5.1.7);
+                    # we pin the lexical minimum so plans are deterministic
+                    # across partitionings and resumable runs re-produce
+                    # identical output
+                    e = F.min(F.col(val))
+                elif a.func == "group_concat":
+                    # deterministic refinement: lexically sorted before
+                    # joining (the spec leaves the order undefined);
+                    # collect_list/collect_set are partial-aggregatable so
+                    # this stays one hash-agg exchange
+                    vals = (F.collect_set(F.col(val)) if a.distinct
+                            else F.collect_list(F.col(val)))
+                    e = F.array_join(F.array_sort(vals), a.separator)
                 else:  # min / max: lexical order over the value space
                     e = getattr(F, a.func)(F.col(val))
             aggs.append(e.alias(a.alias))
@@ -767,7 +936,7 @@ def sparql_ask(triples: DataFrame, query: str,
     at the first produced row (LocalLimit short-circuit), so a true ASK
     touches almost nothing."""
     ast = parse_query(query)
-    if not ast.ask:
+    if isinstance(ast, UpdateQuery) or not ast.ask:
         raise SparqlCompileError("not an ASK query; use sparql_select")
     if pattern_stats is not None and total_triples is None:
         total_triples = pattern_stats.get("__total__")
@@ -794,7 +963,7 @@ def sparql_describe(triples: DataFrame, query: str,
     chains are document-scoped and shallow, so the loop is short).
     Returns the 5-column triples relation."""
     ast = parse_query(query)
-    if ast.describe_terms is None:
+    if isinstance(ast, UpdateQuery) or ast.describe_terms is None:
         raise SparqlCompileError("not a DESCRIBE query; use sparql_select")
     if pattern_stats is not None and total_triples is None:
         total_triples = pattern_stats.get("__total__")
@@ -859,6 +1028,8 @@ def sparql_construct(triples: DataFrame, query: str,
     literal subjects, non-IRI predicates (§16.2: "those triples are not
     included in the output graph")."""
     ast = parse_query(query)
+    if isinstance(ast, UpdateQuery):
+        raise SparqlCompileError("update request: use sparql_update()")
     if ast.construct_template is None:
         raise SparqlCompileError("not a CONSTRUCT query; use sparql_select")
     if pattern_stats is not None and total_triples is None:
@@ -869,7 +1040,18 @@ def sparql_construct(triples: DataFrame, query: str,
         df = df.offset(ast.offset)
     if ast.limit is not None:
         df = df.limit(ast.limit)
+    return _instantiate_template(df, vars_, ast.construct_template)
 
+
+def _instantiate_template(df: DataFrame, vars_: Set[str],
+                          template: Sequence,
+                          what: str = "CONSTRUCT") -> DataFrame:
+    """Instantiate a triple template once per solution row of ``df`` and
+    return the resulting graph as a deduplicated 5-column triples
+    relation.  Shared by CONSTRUCT and the INSERT/DELETE halves of
+    ``sparql_update`` (SPARQL 1.1 §16.2 / Update §3.1.3 share the
+    instantiation rules: unbound variables, literal subjects and non-IRI
+    predicates drop the triple, never error)."""
     user_vars = sorted(v for v in vars_ if not v.startswith("_path"))
     sol_cols = [c for v in user_vars for c in _var_cols(v)]
     sol_hash = F.sha1(F.concat_ws(
@@ -879,14 +1061,14 @@ def sparql_construct(triples: DataFrame, query: str,
         return F.concat(F.lit("_:c%s_" % label), sol_hash)
 
     pieces: List[DataFrame] = []
-    for s, p, o in ast.construct_template:
+    for s, p, o in template:
         conds: List[Column] = []
         # subject: IRI or blank node only
         if isinstance(s, Var):
             if s.name not in vars_:
                 raise SparqlCompileError(
-                    "CONSTRUCT template variable ?%s not bound in WHERE"
-                    % s.name)
+                    "%s template variable ?%s not bound in WHERE"
+                    % (what, s.name))
             sv, sk, _ = _var_cols(s.name)
             subj = F.col(sv)
             conds.append(F.col(sk).isin("uri", "bnode"))
@@ -895,26 +1077,26 @@ def sparql_construct(triples: DataFrame, query: str,
         elif isinstance(s, BNodeRef):
             subj = bnode_col(s.label)
         else:
-            raise SparqlCompileError("invalid CONSTRUCT subject %r" % (s,))
+            raise SparqlCompileError("invalid %s subject %r" % (what, s))
         # predicate: IRI only
         if isinstance(p, Var):
             if p.name not in vars_:
                 raise SparqlCompileError(
-                    "CONSTRUCT template variable ?%s not bound in WHERE"
-                    % p.name)
+                    "%s template variable ?%s not bound in WHERE"
+                    % (what, p.name))
             pv, pk, _ = _var_cols(p.name)
             pred = F.col(pv)
             conds.append(F.col(pk) == "uri")
         elif isinstance(p, Iri):
             pred = F.lit(p.uri)
         else:
-            raise SparqlCompileError("invalid CONSTRUCT predicate %r" % (p,))
+            raise SparqlCompileError("invalid %s predicate %r" % (what, p))
         # object: any term
         if isinstance(o, Var):
             if o.name not in vars_:
                 raise SparqlCompileError(
-                    "CONSTRUCT template variable ?%s not bound in WHERE"
-                    % o.name)
+                    "%s template variable ?%s not bound in WHERE"
+                    % (what, o.name))
             ov_, ok_, olg_ = _var_cols(o.name)
             ov, ok, olg = F.col(ov_), F.col(ok_), F.col(olg_)
         elif isinstance(o, Iri):
@@ -927,7 +1109,7 @@ def sparql_construct(triples: DataFrame, query: str,
         elif isinstance(o, Num):
             ov, ok, olg = F.lit(o.text), F.lit("literal"), _null_str()
         else:
-            raise SparqlCompileError("invalid CONSTRUCT object %r" % (o,))
+            raise SparqlCompileError("invalid %s object %r" % (what, o))
         src = df
         for c in conds:  # kind guards reference solution columns: pre-select
             src = src.filter(c)
@@ -943,3 +1125,100 @@ def sparql_construct(triples: DataFrame, query: str,
         out = out.unionByName(piece)
     return out.dropDuplicates(
         ["subj", "pred", "obj_value", "obj_kind", "obj_lang"])
+
+
+# ---------------------------------------------------------------------------
+# UPDATE (INSERT DATA / DELETE DATA / DELETE WHERE / DELETE-INSERT WHERE)
+# ---------------------------------------------------------------------------
+
+def _ground_template_df(spark, template) -> DataFrame:
+    """Ground (constant-only) template -> a local 5-column triples frame.
+    Driver-literal data: never larger than the request text, so the
+    anti-join/union it feeds always broadcasts it."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    rows = []
+    for s, p, o in template:
+        if isinstance(s, Iri):
+            subj = s.uri
+        elif isinstance(s, BNodeRef):
+            subj = s.label
+        else:
+            raise SparqlCompileError("invalid ground subject %r" % (s,))
+        if not isinstance(p, Iri):
+            raise SparqlCompileError("invalid ground predicate %r" % (p,))
+        if isinstance(o, Iri):
+            obj = (o.uri, "uri", None)
+        elif isinstance(o, BNodeRef):
+            obj = (o.label, "bnode", None)
+        elif isinstance(o, Lit):
+            obj = (o.value, "literal", o.lang)
+        else:
+            raise SparqlCompileError("invalid ground object %r" % (o,))
+        rows.append((subj, p.uri) + obj)
+    schema = StructType([StructField(c, StringType(), True)
+                         for c in ("subj", "pred", "obj_value",
+                                   "obj_kind", "obj_lang")])
+    return spark.createDataFrame(rows, schema).dropDuplicates()
+
+
+def sparql_update_sets(triples: DataFrame, request: str,
+                       pattern_stats: Opt[Dict[str, int]] = None,
+                       total_triples: Opt[int] = None
+                       ) -> Tuple[Opt[DataFrame], Opt[DataFrame]]:
+    """Compile a SPARQL 1.1 Update request into its (deletes, inserts)
+    triple sets — both instantiated against the CURRENT graph state, per
+    the spec's simultaneous-evaluation rule.  Either side is None when
+    the request has no such clause.
+
+    This is the composition point with the engine's materialized-table
+    path: feed the two frames to ``kg.materialize.merge_triple_table``
+    (deletes=…, adds=…) for the partition-pruned per-bucket MERGE instead
+    of rewriting the whole relation."""
+    ast = parse_query(request)
+    if not isinstance(ast, UpdateQuery):
+        raise SparqlCompileError("not an update request; use sparql_select")
+    if pattern_stats is not None and total_triples is None:
+        total_triples = pattern_stats.get("__total__")
+    spark = triples.sparkSession
+    if ast.where is None:
+        dels = (_ground_template_df(spark, ast.delete_template)
+                if ast.delete_template else None)
+        ins = (_ground_template_df(spark, ast.insert_template)
+               if ast.insert_template else None)
+        return dels, ins
+    df, vars_ = _compile_group(triples, ast.where, pattern_stats,
+                               total_triples)
+    dels = (_instantiate_template(df, vars_, ast.delete_template,
+                                  what="DELETE")
+            if ast.delete_template else None)
+    ins = (_instantiate_template(df, vars_, ast.insert_template,
+                                 what="INSERT")
+           if ast.insert_template else None)
+    return dels, ins
+
+
+def sparql_update(triples: DataFrame, request: str,
+                  pattern_stats: Opt[Dict[str, int]] = None,
+                  total_triples: Opt[int] = None) -> DataFrame:
+    """Execute a SPARQL 1.1 Update request against the triples relation
+    and return the NEW graph state (immutable semantics: the input frame
+    is untouched — reference Graph.addTriple/removeTriple set semantics,
+    graph.py:45-68, re-expressed as one plan).
+
+    Plan: deletes = null-safe left-anti join on the full 5-column key
+    (the delete set is template-instantiated, usually small -> AQE
+    broadcasts it); inserts = unionByName + 5-column dropDuplicates (the
+    set-insert dedup).  Deletes apply before inserts, both computed from
+    the pre-update state (spec §3.1.3: the WHERE solutions are evaluated
+    once, against the graph before modification)."""
+    from ..operators.graph_ops import add_triples, remove_triples
+
+    dels, ins = sparql_update_sets(triples, request, pattern_stats,
+                                   total_triples)
+    out = triples
+    if dels is not None:
+        out = remove_triples(out, dels)
+    if ins is not None:
+        out = add_triples(out, ins)
+    return out

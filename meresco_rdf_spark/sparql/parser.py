@@ -33,9 +33,13 @@ bind every node in the graph — unbounded at scale by design, not
 oversight).
 
 Aggregates: ``SELECT ?g (COUNT(?v) AS ?n) ... GROUP BY ?g`` with
-COUNT (incl. ``*`` and DISTINCT) / SUM / AVG / MIN / MAX, parsed into
-``AggSelect`` entries compiled to one hash aggregation, plus ``HAVING``
-constraints over the aggregate aliases.
+COUNT (incl. ``*`` and DISTINCT) / SUM / AVG / MIN / MAX / SAMPLE /
+GROUP_CONCAT (with ``; SEPARATOR="..."``), parsed into ``AggSelect``
+entries compiled to one hash aggregation, plus ``HAVING`` constraints
+over the aggregate aliases.  SAMPLE and GROUP_CONCAT are free to pick
+any value/order per the spec; we pin the deterministic refinement
+(lexical minimum / lexically sorted) so results are reproducible and
+oracle-checkable.
 
 Group-level forms beyond BGP: ``OPTIONAL``, ``UNION``, ``FILTER`` (incl.
 ``FILTER EXISTS { }`` / ``FILTER NOT EXISTS { }``), ``MINUS { }``,
@@ -62,6 +66,21 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 class SparqlSyntaxError(ValueError):
     pass
+
+
+# Scalar built-ins accepted in FILTER / BIND expressions (SPARQL 1.1 §17.4
+# subset).  Boolean-valued: bound, regex, isuri/isiri, isblank, isliteral,
+# contains, strstarts, strends, langmatches.  Term-valued: str, lang,
+# ucase, lcase, strlen, substr, concat, strbefore, strafter, replace,
+# coalesce, if, abs, ceil, floor, round.
+_FUNC_NAMES = frozenset((
+    "regex", "lang", "str", "bound",
+    "isuri", "isiri", "isblank", "isliteral",
+    "contains", "strstarts", "strends", "langmatches",
+    "ucase", "lcase", "strlen", "substr", "concat",
+    "strbefore", "strafter", "replace", "coalesce", "if",
+    "abs", "ceil", "floor", "round",
+))
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +141,7 @@ class NotExpr:
 
 @dataclass(frozen=True)
 class FuncCall:
-    name: str  # regex / lang / str / bound
+    name: str  # one of _FUNC_NAMES (SPARQL 1.1 §17.4 subset)
     args: Tuple["Expr", ...]
 
 
@@ -137,10 +156,11 @@ Expr = Union[Cmp, BoolOp, NotExpr, FuncCall, Var, Lit, Num]
 
 @dataclass(frozen=True)
 class AggSelect:
-    func: str            # count / sum / avg / min / max
+    func: str            # count / sum / avg / min / max / sample / group_concat
     var: Opt[str]        # None for COUNT(*)
     distinct: bool
     alias: str
+    separator: str = " "  # GROUP_CONCAT only (SPARQL default is one space)
 
 
 @dataclass
@@ -222,6 +242,19 @@ class SelectQuery:
     # DESCRIBE form: resources to describe (Iri constants and/or Vars
     # bound by the WHERE group)
     describe_terms: Opt[List[Term]] = None
+
+
+@dataclass
+class UpdateQuery:
+    """SPARQL 1.1 Update request (single operation):
+    ``INSERT DATA`` / ``DELETE DATA`` (ground templates, no WHERE),
+    ``DELETE WHERE`` (the pattern doubles as the delete template), and
+    the full ``DELETE {} INSERT {} WHERE {}`` form (either template
+    optional, at least one present)."""
+    delete_template: Opt[List[TriplePattern]] = None
+    insert_template: Opt[List[TriplePattern]] = None
+    where: Opt[GroupPattern] = None
+    data_form: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +348,7 @@ class _Parser:
                                 % (msg, pos, kind, val))
 
     # -- grammar --
-    def parse(self) -> SelectQuery:
+    def parse(self) -> Union[SelectQuery, UpdateQuery]:
         while self.at_kw("PREFIX"):
             self.next()
             kind, val, _ = self.next()
@@ -333,6 +366,8 @@ class _Parser:
             return self._ask_query()
         if self.at_kw("DESCRIBE"):
             return self._describe_query()
+        if self.at_kw("INSERT") or self.at_kw("DELETE"):
+            return self._update_query()
 
         self.eat_kw("SELECT")
         distinct = False
@@ -471,24 +506,7 @@ class _Parser:
         predicates only — property paths describe matching, not
         construction."""
         self.eat_kw("CONSTRUCT")
-        self.eat_op("{")
-        template = TriplesBlock()
-        while not self.at_op("}"):
-            subj = self.term(position="subject")
-            self._predicate_object_list(template, subj)
-            if self.at_op("."):
-                self.next()
-        self.eat_op("}")
-        if template.alts or any(isinstance(p, PathPlus)
-                                for _, p, _ in template.patterns):
-            self.fail("property paths are not allowed in a CONSTRUCT "
-                      "template")
-        if any(isinstance(t, Var) and t.name.startswith("_path")
-               for pat in template.patterns for t in pat):
-            self.fail("path sequences are not allowed in a CONSTRUCT "
-                      "template")
-        if not template.patterns:
-            self.fail("empty CONSTRUCT template")
+        template = TriplesBlock(self._template("CONSTRUCT"))
         if self.at_kw("WHERE"):
             self.next()
         where = self.group_graph_pattern()
@@ -506,14 +524,125 @@ class _Parser:
                            limit=limit, offset=offset,
                            construct_template=template.patterns)
 
-    _AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+    def _template(self, what: str) -> List[TriplePattern]:
+        """'{' triples '}' — a template block: plain IRI/var/literal/bnode
+        patterns only; property paths describe matching, not
+        construction/deletion."""
+        self.eat_op("{")
+        template = TriplesBlock()
+        while not self.at_op("}"):
+            subj = self.term(position="subject")
+            self._predicate_object_list(template, subj)
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        if template.alts or any(isinstance(p, PathPlus)
+                                for _, p, _ in template.patterns):
+            self.fail("property paths are not allowed in a %s template"
+                      % what)
+        if any(isinstance(t, Var) and t.name.startswith("_path")
+               for pat in template.patterns for t in pat):
+            self.fail("path sequences are not allowed in a %s template"
+                      % what)
+        if not template.patterns:
+            self.fail("empty %s template" % what)
+        return template.patterns
+
+    def _check_ground(self, template: List[TriplePattern], what: str,
+                      allow_bnodes: bool) -> None:
+        for pat in template:
+            for t in pat:
+                if isinstance(t, Var):
+                    self.fail("%s requires ground triples (no variables)"
+                              % what)
+                if isinstance(t, BNodeRef) and not allow_bnodes:
+                    self.fail("blank nodes are not allowed in %s" % what)
+
+    def _update_query(self) -> UpdateQuery:
+        """SPARQL 1.1 Update, single operation:
+        'INSERT'|'DELETE' 'DATA' QuadData
+        | 'DELETE' 'WHERE' GroupGraphPattern
+        | ('DELETE' Template)? ('INSERT' Template)? 'WHERE' Group"""
+        if self.at_kw("DELETE"):
+            self.next()
+            if self.at_kw("DATA"):
+                self.next()
+                tpl = self._template("DELETE DATA")
+                # spec §3.1.2: bnodes are scoped labels, meaningless to
+                # delete by — disallowed
+                self._check_ground(tpl, "DELETE DATA", allow_bnodes=False)
+                self._end()
+                return UpdateQuery(delete_template=tpl, data_form=True)
+            if self.at_kw("WHERE"):
+                self.next()
+                where = self.group_graph_pattern()
+                tpl = self._plain_bgp_template(where, "DELETE WHERE")
+                self._end()
+                return UpdateQuery(delete_template=tpl, where=where)
+            delete_t = self._template("DELETE")
+            self._no_template_bnodes(delete_t, "DELETE")
+            insert_t = None
+            if self.at_kw("INSERT"):
+                self.next()
+                insert_t = self._template("INSERT")
+            self.eat_kw("WHERE")
+            where = self.group_graph_pattern()
+            self._end()
+            return UpdateQuery(delete_template=delete_t,
+                               insert_template=insert_t, where=where)
+        self.eat_kw("INSERT")
+        if self.at_kw("DATA"):
+            self.next()
+            tpl = self._template("INSERT DATA")
+            # bnode labels in INSERT DATA are kept verbatim (deterministic;
+            # the caller owns label freshness — documented deviation from
+            # the spec's per-request relabeling)
+            self._check_ground(tpl, "INSERT DATA", allow_bnodes=True)
+            self._end()
+            return UpdateQuery(insert_template=tpl, data_form=True)
+        insert_t = self._template("INSERT")
+        self.eat_kw("WHERE")
+        where = self.group_graph_pattern()
+        self._end()
+        return UpdateQuery(insert_template=insert_t, where=where)
+
+    def _no_template_bnodes(self, template: List[TriplePattern],
+                            what: str) -> None:
+        if any(isinstance(t, BNodeRef) for pat in template for t in pat):
+            self.fail("blank nodes are not allowed in a %s template" % what)
+
+    def _plain_bgp_template(self, where: GroupPattern,
+                            what: str) -> List[TriplePattern]:
+        """DELETE WHERE's pattern doubles as the delete template: it must
+        be a single plain BGP (no OPTIONAL/UNION/FILTER/paths/bnodes)."""
+        if len(where.parts) != 1 or not isinstance(where.parts[0],
+                                                   TriplesBlock):
+            self.fail("%s takes a plain basic graph pattern" % what)
+        block = where.parts[0]
+        if block.alts or any(isinstance(p, PathPlus)
+                             for _, p, _ in block.patterns):
+            self.fail("property paths are not allowed in %s" % what)
+        if any(isinstance(t, Var) and t.name.startswith("_path")
+               for pat in block.patterns for t in pat):
+            self.fail("path sequences are not allowed in %s" % what)
+        self._no_template_bnodes(block.patterns, what)
+        return block.patterns
+
+    def _end(self) -> None:
+        if self.peek()[0] != "EOF":
+            self.fail("unexpected trailing syntax")
+
+    _AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+                  "GROUP_CONCAT")
 
     def _agg_select(self) -> AggSelect:
-        """'(' AGG '(' 'DISTINCT'? (Var | '*') ')' 'AS' Var ')'"""
+        """'(' AGG '(' 'DISTINCT'? (Var | '*')
+               (';' 'SEPARATOR' '=' STRING)? ')' 'AS' Var ')'"""
         self.eat_op("(")
         kind, val, _ = self.next()
         if kind != "NAME" or val.upper() not in self._AGG_FUNCS:
-            self.fail("expected aggregate function (COUNT/SUM/AVG/MIN/MAX)")
+            self.fail("expected aggregate function (%s)"
+                      % "/".join(self._AGG_FUNCS))
         func = val.lower()
         self.eat_op("(")
         distinct = False
@@ -528,11 +657,23 @@ class _Parser:
             var = None
         else:
             var = self._expect_var()
+        separator = " "
+        if self.at_op(";"):
+            if func != "group_concat":
+                self.fail("SEPARATOR is only valid in GROUP_CONCAT")
+            self.next()
+            self.eat_kw("SEPARATOR")
+            self.eat_op("=")
+            skind, sval, _ = self.next()
+            if skind != "STRING":
+                self.fail("expected separator string literal")
+            separator = _unquote(sval)
         self.eat_op(")")
         self.eat_kw("AS")
         alias = self._expect_var()
         self.eat_op(")")
-        return AggSelect(func=func, var=var, distinct=distinct, alias=alias)
+        return AggSelect(func=func, var=var, distinct=distinct, alias=alias,
+                         separator=separator)
 
     def _expect_var(self) -> str:
         kind, val, _ = self.next()
@@ -908,8 +1049,10 @@ class _Parser:
         if kind == "NUMBER":
             self.next()
             return Num(float(val), val)
-        if kind == "NAME" and val.lower() in ("regex", "lang", "str", "bound"):
+        if kind == "NAME" and val.lower() in _FUNC_NAMES:
             fname = val.lower()
+            if fname == "isiri":
+                fname = "isuri"  # isIRI is a synonym (SPARQL 1.1 §17.4.2.1)
             self.next()
             self.eat_op("(")
             args = [self.expr()]
@@ -922,7 +1065,7 @@ class _Parser:
             "expected expression at offset %d (got %s %r)" % (pos, kind, val))
 
 
-def parse_query(text: str) -> SelectQuery:
-    """Parse a SPARQL SELECT string into the AST consumed by
-    ``compiler.sparql_select``."""
+def parse_query(text: str) -> Union[SelectQuery, UpdateQuery]:
+    """Parse a SPARQL query/update string into the AST consumed by
+    ``compiler.sparql_select`` (and siblings) or ``sparql_update``."""
     return _Parser(text).parse()

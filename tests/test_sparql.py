@@ -857,3 +857,197 @@ def test_ask_describe_dispatch_guards(small_graph):
         sparql_ask(small_graph, "SELECT ?s WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlCompileError, match="not a DESCRIBE"):
         sparql_describe(small_graph, "SELECT ?s WHERE { ?s ?p ?o }")
+
+
+# ---------------------------------------------------------------------------
+# SAMPLE / GROUP_CONCAT aggregates
+# ---------------------------------------------------------------------------
+
+def test_parse_sample_and_group_concat():
+    q = parse_query("""
+        SELECT ?s (SAMPLE(?n) AS ?one)
+                  (GROUP_CONCAT(DISTINCT ?n ; SEPARATOR=", ") AS ?all)
+        WHERE { ?s <urn:p:name> ?n } GROUP BY ?s
+    """)
+    assert [a.func for a in q.aggregates] == ["sample", "group_concat"]
+    assert q.aggregates[1].separator == ", "
+    assert q.aggregates[1].distinct
+    with pytest.raises(SparqlSyntaxError, match="SEPARATOR"):
+        parse_query("""SELECT (SUM(?x ; SEPARATOR=",") AS ?s)
+                       WHERE { ?a ?p ?x }""")
+
+
+def test_aggregate_sample_deterministic(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s (SAMPLE(?n) AS ?one) WHERE { ?s <urn:p:name> ?n }
+        GROUP BY ?s
+    """)
+    got = {(r["s"], r["one"]) for r in out.collect()}
+    # bob has two names; the pinned deterministic sample is the minimum
+    assert got == {("urn:alice", "Alice"), ("urn:bob", "Bob"),
+                   ("_:b1", "Anon")}
+
+
+def test_aggregate_group_concat_sorted(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s (GROUP_CONCAT(?n ; SEPARATOR=", ") AS ?names)
+        WHERE { ?s <urn:p:name> ?n } GROUP BY ?s
+    """)
+    got = dict((r["s"], r["names"]) for r in out.collect())
+    assert got["urn:bob"] == "Bob, Bobby"  # lexically sorted
+    assert got["urn:alice"] == "Alice"
+
+
+def test_aggregate_group_concat_global_default_sep(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT (GROUP_CONCAT(DISTINCT ?n) AS ?all)
+        WHERE { ?s <urn:p:name> ?n }
+    """)
+    assert out.collect()[0]["all"] == "Alice Anon Bob Bobby"
+
+
+# ---------------------------------------------------------------------------
+# scalar built-ins (SPARQL 1.1 §17.4 subset)
+# ---------------------------------------------------------------------------
+
+def test_filter_strstarts_contains_strends(small_graph):
+    got = {r["n"] for r in sparql_select(small_graph, """
+        SELECT ?n WHERE { ?s <urn:p:name> ?n FILTER(strstarts(?n, "Bob")) }
+    """).collect()}
+    assert got == {"Bob", "Bobby"}
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s ?p ?o FILTER(contains(str(?s), "carol")) }
+    """).collect()}
+    assert got == {"urn:carol"}
+    got = {r["n"] for r in sparql_select(small_graph, """
+        SELECT ?n WHERE { ?s <urn:p:name> ?n FILTER(strends(?n, "by")) }
+    """).collect()}
+    assert got == {"Bobby"}
+
+
+def test_filter_is_kind_tests(small_graph):
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:name> ?n FILTER(isBlank(?s)) }
+    """).collect()}
+    assert got == {"_:b1"}
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:alice> ?p ?o FILTER(isURI(?o)) }
+    """).collect()}
+    assert got == {"urn:bob"}
+    got = sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:alice> ?p ?o FILTER(isLiteral(?o)) }
+    """).count()
+    assert got == 2  # name + age
+
+
+def test_filter_strlen_numeric_compare(small_graph):
+    got = {r["n"] for r in sparql_select(small_graph, """
+        SELECT ?n WHERE { ?s <urn:p:name> ?n FILTER(strlen(?n) > 4) }
+    """).collect()}
+    assert got == {"Alice", "Bobby"}
+
+
+def test_filter_langmatches(small_graph):
+    got = {r["n"] for r in sparql_select(small_graph, """
+        SELECT ?n WHERE { ?s <urn:p:name> ?n
+                          FILTER(langmatches(lang(?n), "en")) }
+    """).collect()}
+    assert got == {"Alice", "Bob"}
+    got = {r["n"] for r in sparql_select(small_graph, """
+        SELECT ?n WHERE { ?s <urn:p:name> ?n
+                          FILTER(!langmatches(lang(?n), "*")) }
+    """).collect()}
+    assert got == {"Bobby", "Anon"}
+
+
+def test_bind_case_and_substr(small_graph):
+    rows = sparql_select(small_graph, """
+        SELECT ?n ?u ?pre WHERE {
+            <urn:bob> <urn:p:name> ?n .
+            BIND(ucase(?n) AS ?u)
+            BIND(substr(?n, 1, 3) AS ?pre)
+        }
+    """).collect()
+    got = {(r["n"], r["u"], r["u_lang"], r["pre"]) for r in rows}
+    # UCASE preserves the language tag
+    assert got == {("Bob", "BOB", "en", "Bob"), ("Bobby", "BOBBY", None, "Bob")}
+
+
+def test_bind_concat_lang_compatibility(small_graph):
+    rows = sparql_select(small_graph, """
+        SELECT ?n ?x ?y WHERE {
+            <urn:alice> <urn:p:name> ?n .
+            BIND(concat(?n, "!") AS ?x)
+            BIND(concat(?n, ?n) AS ?y)
+        }
+    """).collect()
+    r = rows[0]
+    assert r["x"] == "Alice!" and r["x_lang"] is None  # mixed lang -> plain
+    assert r["y"] == "AliceAlice" and r["y_lang"] == "en"  # same lang kept
+
+
+def test_bind_strbefore_strafter_replace(small_graph):
+    rows = sparql_select(small_graph, """
+        SELECT ?s ?local ?ns ?sub WHERE {
+            ?s <urn:p:age> ?a .
+            BIND(strafter(str(?s), "urn:") AS ?local)
+            BIND(strbefore(str(?s), ":") AS ?ns)
+            BIND(replace(?local, "[aeiou]", "_") AS ?sub)
+        }
+    """).collect()
+    got = {(r["local"], r["ns"], r["sub"]) for r in rows}
+    assert got == {("alice", "urn", "_l_c_"), ("carol", "urn", "c_r_l")}
+
+
+def test_strbefore_strafter_edge_cases(small_graph):
+    rows = sparql_select(small_graph, """
+        SELECT ?n ?nom ?emp ?all WHERE {
+            <urn:alice> <urn:p:name> ?n .
+            BIND(strbefore(?n, "zzz") AS ?nom)
+            BIND(strbefore(?n, "") AS ?emp)
+            BIND(strafter(?n, "") AS ?all)
+        }
+    """).collect()
+    r = rows[0]
+    assert r["nom"] == ""     # no match -> empty string
+    assert r["emp"] == ""     # empty needle -> "" (spec)
+    assert r["all"] == "Alice"  # strafter empty needle -> whole string
+
+
+def test_bind_coalesce_with_optional(small_graph):
+    rows = sparql_select(small_graph, """
+        SELECT ?s ?a2 WHERE {
+            ?s <urn:p:name> ?n .
+            OPTIONAL { ?s <urn:p:age> ?age }
+            BIND(coalesce(?age, "unknown") AS ?a2)
+        }
+    """).collect()
+    got = {(r["s"], r["a2"], r["a2_kind"]) for r in rows}
+    assert ("urn:alice", "34", "literal") in got
+    assert ("urn:bob", "unknown", "literal") in got
+    assert ("_:b1", "unknown", "literal") in got
+
+
+def test_bind_if_and_round(small_graph):
+    rows = sparql_select(small_graph, """
+        SELECT ?s ?bucket WHERE {
+            ?s <urn:p:age> ?a .
+            BIND(if(?a >= 30, "old", "young") AS ?bucket)
+        }
+    """).collect()
+    got = {(r["s"], r["bucket"]) for r in rows}
+    assert got == {("urn:alice", "old"), ("urn:carol", "young")}
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:age> ?a FILTER(floor(?a) >= 30) }
+    """).collect()}
+    assert got == {"urn:alice"}
+
+
+def test_numeric_lexical_form(small_graph):
+    # strlen/round render integral results without a trailing ".0"
+    rows = sparql_select(small_graph, """
+        SELECT ?n ?len WHERE {
+            <urn:alice> <urn:p:name> ?n . BIND(strlen(?n) AS ?len)
+        }
+    """).collect()
+    assert rows[0]["len"] == "5"
