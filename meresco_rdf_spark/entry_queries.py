@@ -632,6 +632,24 @@ def q_sparql_construct(spark, sf_dir):
     """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
 
 
+def q_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 Update (DELETE-INSERT WHERE): rename every
+    skos:prefLabel edge to skos:altLabel in one request and return the
+    new graph state.  Both halves instantiate against the pre-update
+    graph; deletes are a null-safe anti-join (AQE broadcasts the
+    template-sized delete set), inserts a set-semantics union.  Against a
+    MATERIALIZED table, sparql_update_sets feeds the same two frames to
+    merge_triple_table for the per-bucket MERGE instead."""
+    from .sparql import sparql_update
+
+    return sparql_update(tpch_triples(spark, sf_dir), """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        DELETE { ?r skos:prefLabel ?name }
+        INSERT { ?r skos:altLabel ?name }
+        WHERE { ?r skos:prefLabel ?name }
+    """)
+
+
 def q_sparql_group_concat(spark, sf_dir):
     """SAMPLE + GROUP_CONCAT (DISTINCT, custom separator) aggregates: both
     are spec-nondeterministic, pinned to the deterministic refinement
@@ -827,6 +845,25 @@ seeds AS (
 )
 SELECT DISTINCT t.subj, t.pred, t.obj_value, t.obj_kind, t.obj_lang
 FROM triples t JOIN seeds s ON t.subj = s.node""",
+    "sparql_update": """
+WITH {cte},
+sel AS (
+  SELECT subj, obj_value, obj_kind, obj_lang FROM triples
+  WHERE pred = '{skos_pref}'
+),
+dels AS (
+  SELECT subj, '{skos_pref}' AS pred, obj_value, obj_kind, obj_lang
+  FROM sel
+),
+ins AS (
+  SELECT subj, '{skos_alt}' AS pred, obj_value, obj_kind, obj_lang
+  FROM sel
+)
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM (
+  (SELECT * FROM triples EXCEPT SELECT * FROM dels)
+  UNION
+  SELECT * FROM ins
+)""",
     "sparql_group_concat": """
 WITH {cte}
 SELECT t2.obj_value AS rname, t2.obj_kind AS rname_kind,
@@ -2483,6 +2520,7 @@ QUERIES = {
     "sparql_ask": q_sparql_ask,
     "sparql_describe": q_sparql_describe,
     "sparql_construct": q_sparql_construct,
+    "sparql_update": q_sparql_update,
     "sparql_group_concat": q_sparql_group_concat,
     "sparql_scalar_funcs": q_sparql_scalar_funcs,
     "text_token_count": q_text_token_count,

@@ -1051,3 +1051,137 @@ def test_numeric_lexical_form(small_graph):
         }
     """).collect()
     assert rows[0]["len"] == "5"
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update
+# ---------------------------------------------------------------------------
+
+from meresco_rdf_spark.sparql import sparql_update, sparql_update_sets
+from meresco_rdf_spark.sparql.parser import UpdateQuery
+
+
+def _triples(df):
+    return {tuple(r) for r in
+            df.select("subj", "pred", "obj_value", "obj_kind",
+                      "obj_lang").collect()}
+
+
+def test_parse_update_forms():
+    q = parse_query('INSERT DATA { <urn:a> <urn:p> "x" }')
+    assert isinstance(q, UpdateQuery) and q.data_form
+    assert q.insert_template and q.delete_template is None
+    q = parse_query('DELETE WHERE { ?s <urn:p> ?o }')
+    assert q.delete_template == q.where.parts[0].patterns
+    q = parse_query("""DELETE { ?s <urn:p> ?o } INSERT { ?s <urn:q> ?o }
+                       WHERE { ?s <urn:p> ?o }""")
+    assert q.delete_template and q.insert_template and q.where
+
+
+def test_parse_update_errors():
+    with pytest.raises(SparqlSyntaxError, match="ground"):
+        parse_query('INSERT DATA { ?s <urn:p> "x" }')
+    with pytest.raises(SparqlSyntaxError, match="blank nodes"):
+        parse_query('DELETE DATA { _:b <urn:p> "x" }')
+    with pytest.raises(SparqlSyntaxError, match="blank nodes"):
+        parse_query('DELETE { _:b <urn:p> ?o } WHERE { ?s <urn:p> ?o }')
+    with pytest.raises(SparqlSyntaxError, match="plain basic graph"):
+        parse_query("""DELETE WHERE { ?s <urn:p> ?o
+                       FILTER(isLiteral(?o)) }""")
+    with pytest.raises(SparqlSyntaxError, match="property paths"):
+        parse_query('DELETE WHERE { ?s <urn:p>+ ?o }')
+    with pytest.raises(SparqlSyntaxError, match="path sequences"):
+        parse_query('INSERT { ?s <urn:p>/<urn:q> ?o } WHERE { ?s ?p ?o }')
+
+
+def test_insert_data_set_semantics(small_graph):
+    out = sparql_update(small_graph, """
+        INSERT DATA {
+            <urn:dave> <urn:p:name> "Dave" .
+            <urn:alice> <urn:p:knows> <urn:bob> .
+        }
+    """)
+    # re-inserting an existing triple is a no-op (reference graph.py:45-51)
+    assert out.count() == small_graph.count() + 1
+    assert ("urn:dave", "urn:p:name", "Dave", "literal", None) in _triples(out)
+
+
+def test_delete_data_lang_sensitive(small_graph):
+    # "Alice" plain does NOT match "Alice"@en — full term identity
+    out = sparql_update(small_graph,
+                        'DELETE DATA { <urn:alice> <urn:p:name> "Alice" }')
+    assert out.count() == small_graph.count()
+    out = sparql_update(
+        small_graph,
+        'DELETE DATA { <urn:alice> <urn:p:name> "Alice"@en }')
+    assert out.count() == small_graph.count() - 1
+
+
+def test_delete_where(small_graph):
+    out = sparql_update(small_graph,
+                        'DELETE WHERE { ?s <urn:p:name> ?n }')
+    assert _triples(out) == {
+        ("urn:alice", "urn:p:knows", "urn:bob", "uri", None),
+        ("urn:alice", "urn:p:age", "34", "literal", None),
+        ("urn:bob", "urn:p:knows", "urn:carol", "uri", None),
+        ("urn:carol", "urn:p:age", "29", "literal", None),
+    }
+
+
+def test_delete_insert_where_pre_state(small_graph):
+    # both halves instantiate against the PRE-update graph: the rename
+    # sees every name triple even though DELETE removes them
+    out = sparql_update(small_graph, """
+        DELETE { ?s <urn:p:name> ?n }
+        INSERT { ?s <urn:p:label> ?n }
+        WHERE { ?s <urn:p:name> ?n }
+    """)
+    t = _triples(out)
+    assert ("urn:bob", "urn:p:label", "Bob", "literal", "en") in t
+    assert ("urn:bob", "urn:p:label", "Bobby", "literal", None) in t
+    assert not any(p == "urn:p:name" for _, p, _, _, _ in t)
+    assert out.count() == small_graph.count()  # pure rename
+
+
+def test_insert_where_fresh_bnodes(small_graph):
+    out = sparql_update(small_graph, """
+        INSERT { _:m <urn:p:of> ?s . _:m <urn:p:v> ?n }
+        WHERE { ?s <urn:p:age> ?n }
+    """)
+    new = _triples(out) - _triples(small_graph)
+    # 2 solutions x 2 template triples, one fresh bnode per solution
+    assert len(new) == 4
+    bnodes = {s for s, _, _, _, _ in new}
+    assert len(bnodes) == 2 and all(b.startswith("_:") for b in bnodes)
+    by_bnode = {}
+    for s, p, v, k, _ in new:
+        by_bnode.setdefault(s, set()).add((p, v))
+    # each solution's template triples share ITS bnode
+    assert sorted(sorted(v) for v in by_bnode.values()) == sorted([
+        sorted({("urn:p:of", "urn:alice"), ("urn:p:v", "34")}),
+        sorted({("urn:p:of", "urn:carol"), ("urn:p:v", "29")})])
+
+
+def test_update_invalid_instantiations_dropped(small_graph):
+    # literal in subject position after substitution -> triple dropped
+    out = sparql_update(small_graph, """
+        INSERT { ?n <urn:p:tag> "x" } WHERE { ?s <urn:p:name> ?n }
+    """)
+    assert _triples(out) == _triples(small_graph)
+
+
+def test_update_sets_compose_with_merge(small_graph):
+    dels, ins = sparql_update_sets(small_graph, """
+        DELETE { ?s ?p ?o } WHERE { ?s ?p ?o FILTER(isLiteral(?o)) }
+    """)
+    assert ins is None
+    assert dels.count() == 6  # all literal-object triples
+    assert set(dels.columns) == {"subj", "pred", "obj_value", "obj_kind",
+                                 "obj_lang"}
+
+
+def test_update_dispatch_guards(small_graph):
+    with pytest.raises(SparqlCompileError, match="sparql_update"):
+        sparql_select(small_graph, 'INSERT DATA { <urn:a> <urn:p> "x" }')
+    with pytest.raises(SparqlCompileError, match="not an update"):
+        sparql_update(small_graph, "SELECT ?s WHERE { ?s ?p ?o }")
