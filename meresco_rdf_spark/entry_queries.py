@@ -632,6 +632,23 @@ def q_sparql_construct(spark, sf_dir):
     """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """Sub-select (SPARQL 1.1 §12): per-nation member counts aggregated
+    bottom-up in the nested SELECT, then joined to the label pattern of
+    the enclosing group — the hash-agg runs BEFORE the join, so the join
+    sees one row per nation, not one per member."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?nname ?n WHERE {{
+            ?nat rdfs:label ?nname .
+            {{ SELECT ?nat (COUNT(?m) AS ?n)
+               WHERE {{ ?m <{rel_nation}> ?nat }} GROUP BY ?nat }}
+        }}
+    """.format(rel_nation=REL_NATION))
+
+
 def q_sparql_update(spark, sf_dir):
     """SPARQL 1.1 Update (DELETE-INSERT WHERE): rename every
     skos:prefLabel edge to skos:altLabel in one request and return the
@@ -845,6 +862,18 @@ seeds AS (
 )
 SELECT DISTINCT t.subj, t.pred, t.obj_value, t.obj_kind, t.obj_lang
 FROM triples t JOIN seeds s ON t.subj = s.node""",
+    "sparql_subquery": """
+WITH {cte},
+cnt AS (
+  SELECT obj_value AS nat, count(*) AS n FROM triples
+  WHERE pred = '{rel_nation}' GROUP BY 1
+)
+SELECT t.obj_value AS nname, t.obj_kind AS nname_kind,
+  t.obj_lang AS nname_lang,
+  CAST(c.n AS VARCHAR) AS n, 'literal' AS n_kind,
+  CAST(NULL AS VARCHAR) AS n_lang
+FROM triples t JOIN cnt c ON c.nat = t.subj
+WHERE t.pred = '{rdfs}'""",
     "sparql_update": """
 WITH {cte},
 sel AS (
@@ -2520,6 +2549,7 @@ QUERIES = {
     "sparql_ask": q_sparql_ask,
     "sparql_describe": q_sparql_describe,
     "sparql_construct": q_sparql_construct,
+    "sparql_subquery": q_sparql_subquery,
     "sparql_update": q_sparql_update,
     "sparql_group_concat": q_sparql_group_concat,
     "sparql_scalar_funcs": q_sparql_scalar_funcs,

@@ -52,6 +52,7 @@ from .parser import (
     OptionalPattern,
     PathPlus,
     SelectQuery,
+    SubSelect,
     TriplesBlock,
     UnionPattern,
     UpdateQuery,
@@ -764,6 +765,23 @@ def _compile_group(triples: DataFrame, group: GroupPattern,
         elif isinstance(part, ValuesPattern):
             vpiece = _compile_values(triples.sparkSession, part)
             frame = vpiece if frame is None else _join_values(frame, vpiece)
+        elif isinstance(part, SubSelect):
+            # SPARQL 1.1 §12: the sub-select evaluates bottom-up against
+            # the whole dataset; its projected solutions (and aggregate
+            # aliases, surfaced as plain literals) join the enclosing
+            # group on the shared variables
+            sub_df, proj, aliases = _compile_select(
+                triples, part.query, stats, total)
+            cols = [F.col(c) for v in proj for c in _var_cols(v)]
+            for a in aliases:
+                val, kind, lang = _var_cols(a)
+                cols.extend([
+                    F.col(a).cast("string").alias(val),
+                    F.when(F.col(a).isNotNull(),
+                           F.lit("literal")).alias(kind),
+                    _null_str().alias(lang)])
+            piece = (sub_df.select(*cols), set(proj) | set(aliases))
+            frame = piece if frame is None else _join_frames(frame, piece)
         elif isinstance(part, BindPattern):
             if frame is None:
                 raise SparqlCompileError("BIND requires a preceding pattern")
@@ -829,6 +847,18 @@ def sparql_select(triples: DataFrame, query: str,
         raise SparqlCompileError("DESCRIBE query: use sparql_describe()")
     if pattern_stats is not None and total_triples is None:
         total_triples = pattern_stats.get("__total__")
+    out, _, _ = _compile_select(triples, ast, pattern_stats, total_triples)
+    return out
+
+
+def _compile_select(triples: DataFrame, ast: SelectQuery,
+                    pattern_stats: Opt[Dict[str, int]],
+                    total_triples: Opt[int]
+                    ) -> Tuple[DataFrame, List[str], List[str]]:
+    """Compile one SELECT (top-level or sub-select) to its solution frame.
+    Returns (frame, projected variable names, aggregate alias names) —
+    variables occupy 3 columns each, aggregate aliases one scalar
+    column."""
     df, vars_ = _compile_group(triples, ast.where, pattern_stats,
                                total_triples)
 
@@ -920,7 +950,7 @@ def sparql_select(triples: DataFrame, query: str,
         out = out.offset(ast.offset)
     if ast.limit is not None:
         out = out.limit(ast.limit)
-    return out
+    return out, proj, agg_aliases
 
 
 # ---------------------------------------------------------------------------

@@ -217,10 +217,18 @@ class BindPattern:
 
 
 @dataclass
+class SubSelect:
+    """Nested ``{ SELECT ... }`` (SPARQL 1.1 §12): evaluated bottom-up,
+    its projected solutions join the enclosing group on shared
+    variables.  Aggregate aliases surface as plain-literal bindings."""
+    query: "SelectQuery"
+
+
+@dataclass
 class GroupPattern:
     parts: List[Union[TriplesBlock, Filter, OptionalPattern, UnionPattern,
                       ExistsPattern, MinusPattern, ValuesPattern,
-                      BindPattern]] \
+                      BindPattern, SubSelect]] \
         = field(default_factory=list)
 
 
@@ -368,7 +376,14 @@ class _Parser:
             return self._describe_query()
         if self.at_kw("INSERT") or self.at_kw("DELETE"):
             return self._update_query()
+        query = self._select_body()
+        self._end()
+        return query
 
+    def _select_body(self) -> SelectQuery:
+        """The SELECT form proper — shared by the top-level query and
+        sub-selects (which stop before the enclosing '}' instead of EOF;
+        the caller owns the terminator)."""
         self.eat_kw("SELECT")
         distinct = False
         if self.at_kw("DISTINCT"):
@@ -450,8 +465,6 @@ class _Parser:
             elif self.at_kw("OFFSET"):
                 self.next()
                 offset = self._expect_int()
-        if self.peek()[0] != "EOF":
-            self.fail("unexpected trailing syntax")
         return SelectQuery(variables=variables, distinct=distinct,
                            where=where, order_by=order_by,
                            limit=limit, offset=offset,
@@ -725,13 +738,19 @@ class _Parser:
                 self.next()
                 group.parts.append(OptionalPattern(self.group_graph_pattern()))
             elif self.at_op("{"):
-                branches = [self.group_graph_pattern()]
-                while self.at_kw("UNION"):
-                    self.next()
-                    branches.append(self.group_graph_pattern())
-                if len(branches) == 1:
-                    group.parts.append(UnionPattern(branches))  # nested group
+                nxt = self.tokens[self.i + 1]
+                if nxt[0] == "NAME" and nxt[1].upper() == "SELECT":
+                    self.next()  # '{'
+                    sub = SubSelect(self._select_body())
+                    self.eat_op("}")
+                    if self.at_kw("UNION"):
+                        self.fail("a sub-select cannot be a UNION branch")
+                    group.parts.append(sub)
                 else:
+                    branches = [self.group_graph_pattern()]
+                    while self.at_kw("UNION"):
+                        self.next()
+                        branches.append(self.group_graph_pattern())
                     group.parts.append(UnionPattern(branches))
             else:
                 block = self.triples_block()

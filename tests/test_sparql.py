@@ -1185,3 +1185,78 @@ def test_update_dispatch_guards(small_graph):
         sparql_select(small_graph, 'INSERT DATA { <urn:a> <urn:p> "x" }')
     with pytest.raises(SparqlCompileError, match="not an update"):
         sparql_update(small_graph, "SELECT ?s WHERE { ?s ?p ?o }")
+
+
+# ---------------------------------------------------------------------------
+# sub-selects (SPARQL 1.1 §12)
+# ---------------------------------------------------------------------------
+
+from meresco_rdf_spark.sparql.parser import SubSelect
+
+
+def test_parse_subselect():
+    q = parse_query("""
+        SELECT ?s ?n WHERE {
+            ?s <urn:p:name> ?nm .
+            { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <urn:p> ?o }
+              GROUP BY ?s }
+        }
+    """)
+    subs = [p for p in q.where.parts if isinstance(p, SubSelect)]
+    assert len(subs) == 1
+    assert subs[0].query.aggregates[0].alias == "n"
+    with pytest.raises(SparqlSyntaxError, match="UNION branch"):
+        parse_query("""SELECT ?s WHERE {
+            { SELECT ?s WHERE { ?s ?p ?o } } UNION { ?s ?p ?o } }""")
+
+
+def test_subselect_aggregate_joins_outer(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s ?name ?n WHERE {
+            ?s <urn:p:name> ?name .
+            { SELECT ?s (COUNT(?o) AS ?n)
+              WHERE { ?s <urn:p:knows> ?o } GROUP BY ?s }
+        }
+    """)
+    rows = {(r["s"], r["name"], r["n"], r["n_kind"]) for r in out.collect()}
+    # only subjects with a knows edge survive the (inner) join
+    assert rows == {("urn:alice", "Alice", "1", "literal"),
+                    ("urn:bob", "Bob", "1", "literal"),
+                    ("urn:bob", "Bobby", "1", "literal")}
+
+
+def test_subselect_limit_scopes_inside(small_graph):
+    # ORDER BY + LIMIT apply INSIDE the sub-select, before the outer join
+    out = sparql_select(small_graph, """
+        SELECT ?s ?who WHERE {
+            ?s <urn:p:knows> ?who .
+            { SELECT ?s WHERE { ?s <urn:p:age> ?a }
+              ORDER BY ?a LIMIT 1 }
+        }
+    """)
+    rows = {(r["s"], r["who"]) for r in out.collect()}
+    # min age is carol (29) — but carol knows nobody; ORDER BY ?a picks
+    # "29" lexically first, so the sub-select yields carol only
+    assert rows == set()
+    out2 = sparql_select(small_graph, """
+        SELECT ?s ?who WHERE {
+            ?s <urn:p:knows> ?who .
+            { SELECT ?s WHERE { ?s <urn:p:age> ?a }
+              ORDER BY DESC(?a) LIMIT 1 }
+        }
+    """)
+    rows2 = {(r["s"], r["who"]) for r in out2.collect()}
+    assert rows2 == {("urn:alice", "urn:bob")}
+
+
+def test_subselect_leading_position(small_graph):
+    # a sub-select can open the group (no preceding pattern required)
+    out = sparql_select(small_graph, """
+        SELECT ?s ?n WHERE {
+            { SELECT ?s (COUNT(?x) AS ?n)
+              WHERE { ?s <urn:p:name> ?x } GROUP BY ?s }
+            ?s <urn:p:age> ?a .
+        }
+    """)
+    rows = {(r["s"], r["n"]) for r in out.collect()}
+    assert rows == {("urn:alice", "1")}
