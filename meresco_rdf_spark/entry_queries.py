@@ -632,6 +632,23 @@ def q_sparql_construct(spark, sf_dir):
     """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
 
 
+def q_sparql_arithmetic(spark, sf_dir):
+    """Arithmetic expressions (+ - * / with precedence) in FILTER and
+    BIND: numeric coercion via try_cast so a non-numeric lexical is a
+    SPARQL error (NULL -> row eliminated / unbound), never an ANSI
+    throw."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?nname ?halflen WHERE {
+            ?n rdfs:label ?nname .
+            FILTER(strlen(?nname) + 2 > 10)
+            BIND(strlen(?nname) / 2 AS ?halflen)
+        }
+    """)
+
+
 def q_sparql_subquery(spark, sf_dir):
     """Sub-select (SPARQL 1.1 §12): per-nation member counts aggregated
     bottom-up in the nested SELECT, then joined to the label pattern of
@@ -862,6 +879,15 @@ seeds AS (
 )
 SELECT DISTINCT t.subj, t.pred, t.obj_value, t.obj_kind, t.obj_lang
 FROM triples t JOIN seeds s ON t.subj = s.node""",
+    "sparql_arithmetic": """
+WITH {cte}
+SELECT obj_value AS nname, obj_kind AS nname_kind, obj_lang AS nname_lang,
+  CASE WHEN length(obj_value) / 2.0 = floor(length(obj_value) / 2.0)
+       THEN CAST(CAST(length(obj_value) / 2.0 AS BIGINT) AS VARCHAR)
+       ELSE CAST(length(obj_value) / 2.0 AS VARCHAR) END AS halflen,
+  'literal' AS halflen_kind, CAST(NULL AS VARCHAR) AS halflen_lang
+FROM triples
+WHERE pred = '{rdfs}' AND length(obj_value) + 2 > 10""",
     "sparql_subquery": """
 WITH {cte},
 cnt AS (
@@ -2549,6 +2575,7 @@ QUERIES = {
     "sparql_ask": q_sparql_ask,
     "sparql_describe": q_sparql_describe,
     "sparql_construct": q_sparql_construct,
+    "sparql_arithmetic": q_sparql_arithmetic,
     "sparql_subquery": q_sparql_subquery,
     "sparql_update": q_sparql_update,
     "sparql_group_concat": q_sparql_group_concat,

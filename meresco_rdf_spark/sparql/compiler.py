@@ -36,6 +36,7 @@ from typing import Dict, List, Optional as Opt, Sequence, Set, Tuple
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .parser import (
+    Arith,
     BindPattern,
     BNodeRef,
     BoolOp,
@@ -472,7 +473,9 @@ def _num_lexical(d: Column) -> Column:
     without a trailing ``.0`` (matching SPARQL's xsd:integer output for
     STRLEN/CEIL/FLOOR/ROUND and keeping oracle string-compare stable)."""
     return (F.when(d.isNull(), _null_str())
-            .when(d == F.floor(d), d.cast("long").cast("string"))
+            .when(d == F.floor(d),
+                  F.coalesce(d.try_cast("long").cast("string"),
+                             d.cast("string")))
             .otherwise(d.cast("string")))
 
 
@@ -496,6 +499,15 @@ def _term_cols(e, frame_vars: Set[str],
                 F.lit(e.lang).cast("string"))
     if isinstance(e, Num):
         return F.lit(e.text), F.lit("literal"), _null_str()
+    if isinstance(e, Arith):
+        lv = _term_cols(e.left, frame_vars,
+                        scalar_vars)[0].try_cast("double")
+        rv = _term_cols(e.right, frame_vars,
+                        scalar_vars)[0].try_cast("double")
+        d = {"+": lv + rv, "-": lv - rv, "*": lv * rv, "/": lv / rv}[e.op]
+        # non-numeric operands / division by zero yield NULL = SPARQL
+        # error: the row is eliminated (FILTER) or left unbound (BIND)
+        return _num_lexical(d), F.lit("literal"), _null_str()
     if isinstance(e, FuncCall):
         return _func_term_cols(e, frame_vars, scalar_vars)
     raise SparqlCompileError("unsupported term in expression: %r" % (e,))
@@ -533,9 +545,9 @@ def _func_term_cols(e: FuncCall, frame_vars: Set[str],
         if len(e.args) not in (2, 3):
             raise SparqlCompileError("substr(source, start [, length])")
         v, _, lg = term(0)
-        start = term(1)[0].cast("int")  # SPARQL is 1-based, like Spark
+        start = term(1)[0].try_cast("int")  # 1-based, like Spark
         if len(e.args) == 3:
-            out = F.substr(v, start, term(2)[0].cast("int"))
+            out = F.substr(v, start, term(2)[0].try_cast("int"))
         else:
             out = F.substr(v, start)
         return out, F.lit("literal"), lg
@@ -599,7 +611,7 @@ def _func_term_cols(e: FuncCall, frame_vars: Set[str],
                 F.when(cond, tk).when(~cond, ek),
                 F.when(cond, tlg).when(~cond, elg))
     if name in ("abs", "ceil", "floor", "round"):
-        d = term(0)[0].cast("double")
+        d = term(0)[0].try_cast("double")
         if name == "abs":
             out = F.abs(d)
         elif name == "ceil":
@@ -615,7 +627,7 @@ def _func_term_cols(e: FuncCall, frame_vars: Set[str],
 
 
 def _is_numeric(e, scalar_vars: Set[str] = frozenset()) -> bool:
-    return isinstance(e, Num) or (
+    return isinstance(e, (Num, Arith)) or (
         isinstance(e, Var) and e.name in scalar_vars) or (
         isinstance(e, FuncCall) and e.name in _NUMERIC_FUNCS)
 
@@ -636,7 +648,7 @@ def _compile_expr(e, frame_vars: Set[str],
         numeric = _is_numeric(e.left, scalar_vars) \
             or _is_numeric(e.right, scalar_vars)
         if numeric:
-            lhs, rhs = lv.cast("double"), rv.cast("double")
+            lhs, rhs = lv.try_cast("double"), rv.try_cast("double")
         else:
             lhs, rhs = lv, rv
         if e.op == "=":
@@ -887,7 +899,8 @@ def _compile_select(triples: DataFrame, ast: SelectQuery,
                                    F.struct(val, kind, lang)))
                          if a.distinct else F.count(F.col(val)))
                 elif a.func in ("sum", "avg"):
-                    e = getattr(F, a.func)(F.col(val).cast("double"))
+                    e = getattr(F, a.func)(
+                        F.col(val).try_cast("double"))
                 elif a.func == "sample":
                     # SAMPLE may return any value (SPARQL 1.1 §18.5.1.7);
                     # we pin the lexical minimum so plans are deterministic

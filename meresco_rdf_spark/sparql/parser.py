@@ -151,7 +151,14 @@ class Num:
     text: str
 
 
-Expr = Union[Cmp, BoolOp, NotExpr, FuncCall, Var, Lit, Num]
+@dataclass(frozen=True)
+class Arith:
+    op: str  # + - * /
+    left: "Expr"
+    right: "Expr"
+
+
+Expr = Union[Cmp, BoolOp, NotExpr, FuncCall, Var, Lit, Num, Arith]
 
 
 @dataclass(frozen=True)
@@ -280,7 +287,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*?:[A-Za-z0-9_.-]*|[A-Za-z_][A-Za-z0-9_-]*:)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*/^|+])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*/^|+-])
 """, re.VERBOSE)
 
 
@@ -1033,12 +1040,34 @@ class _Parser:
         return parts[0] if len(parts) == 1 else BoolOp("and", tuple(parts))
 
     def _cmp_expr(self) -> Expr:
-        left = self._unary_expr()
+        left = self._additive_expr()
         for op in ("=", "!=", "<=", ">=", "<", ">"):
             if self.at_op(op):
                 self.next()
-                right = self._unary_expr()
+                right = self._additive_expr()
                 return Cmp(op, left, right)
+        return left
+
+    def _additive_expr(self) -> Expr:
+        left = self._mult_expr()
+        while True:
+            if self.at_op("+") or self.at_op("-"):
+                op = self.next()[1]
+                left = Arith(op, left, self._mult_expr())
+            elif self.peek()[0] == "NUMBER" and self.peek()[1][0] in "+-":
+                # signed-literal juxtaposition (SPARQL grammar's
+                # NumericLiteralPositive/Negative): ``?x -3`` == ``?x - 3``
+                _, val, _ = self.next()
+                left = Arith(val[0], left,
+                             Num(abs(float(val)), val.lstrip("+-")))
+            else:
+                return left
+
+    def _mult_expr(self) -> Expr:
+        left = self._unary_expr()
+        while self.at_op("*") or self.at_op("/"):
+            op = self.next()[1]
+            left = Arith(op, left, self._unary_expr())
         return left
 
     def _unary_expr(self) -> Expr:

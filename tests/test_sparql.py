@@ -1260,3 +1260,54 @@ def test_subselect_leading_position(small_graph):
     """)
     rows = {(r["s"], r["n"]) for r in out.collect()}
     assert rows == {("urn:alice", "1")}
+
+
+# ---------------------------------------------------------------------------
+# arithmetic expressions
+# ---------------------------------------------------------------------------
+
+def test_filter_arithmetic(small_graph):
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:age> ?a FILTER(?a + 5 > 35) }
+    """).collect()}
+    assert got == {"urn:alice"}
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:age> ?a FILTER(?a - 30 > 0) }
+    """).collect()}
+    assert got == {"urn:alice"}
+    # signed-literal juxtaposition: "?a -30" means subtraction
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:age> ?a FILTER(?a -30 > 0) }
+    """).collect()}
+    assert got == {"urn:alice"}
+
+
+def test_bind_arithmetic_precedence(small_graph):
+    rows = sparql_select(small_graph, """
+        SELECT ?s ?d ?h ?m WHERE {
+            ?s <urn:p:age> ?a .
+            BIND(?a * 2 AS ?d)
+            BIND(?a / 2 AS ?h)
+            BIND(?a + 2 * 3 AS ?m)
+        }
+    """).collect()
+    got = {(r["s"], r["d"], r["h"], r["m"]) for r in rows}
+    # integral doubles render without ".0"; 29/2 keeps the fraction;
+    # * binds tighter than +
+    assert got == {("urn:alice", "68", "17", "40"),
+                   ("urn:carol", "58", "14.5", "35")}
+
+
+def test_arithmetic_error_eliminates_row(small_graph):
+    # non-numeric operand -> NULL -> FILTER error semantics (row dropped)
+    got = sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:name> ?n FILTER(?n + 1 > 0) }
+    """).count()
+    assert got == 0
+    # BIND error leaves the variable unbound but keeps the row
+    rows = sparql_select(small_graph, """
+        SELECT ?s ?x WHERE {
+            ?s <urn:p:name> ?n . BIND(?n * 2 AS ?x)
+        }
+    """).collect()
+    assert len(rows) == 4 and all(r["x"] is None for r in rows)
