@@ -632,6 +632,20 @@ def q_sparql_construct(spark, sf_dir):
     """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
 
 
+def q_sparql_negated_set(spark, sf_dir):
+    """Negated property set !(...): every non-membership edge leaving a
+    customer — the NOT-IN predicate filter reaches the scan pushed down,
+    no variable bound for the predicate position (§9.1)."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        SELECT ?s ?o WHERE {{
+            ?s !<{rel_nation}> ?o .
+            ?s <{rel_nation}> <urn:nation:7> .
+        }}
+    """.format(rel_nation=REL_NATION))
+
+
 def q_sparql_arithmetic(spark, sf_dir):
     """Arithmetic expressions (+ - * / with precedence) in FILTER and
     BIND: numeric coercion via try_cast so a non-numeric lexical is a
@@ -879,6 +893,17 @@ seeds AS (
 )
 SELECT DISTINCT t.subj, t.pred, t.obj_value, t.obj_kind, t.obj_lang
 FROM triples t JOIN seeds s ON t.subj = s.node""",
+    "sparql_negated_set": """
+WITH {cte}
+SELECT t1.subj AS s,
+  CASE WHEN t1.subj LIKE '\\_:%' ESCAPE '\\' THEN 'bnode' ELSE 'uri' END
+    AS s_kind,
+  CAST(NULL AS VARCHAR) AS s_lang,
+  t1.obj_value AS o, t1.obj_kind AS o_kind, t1.obj_lang AS o_lang
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.pred = '{rel_nation}'
+  AND t2.obj_value = 'urn:nation:7' AND t2.obj_kind = 'uri'
+WHERE t1.pred != '{rel_nation}'""",
     "sparql_arithmetic": """
 WITH {cte}
 SELECT obj_value AS nname, obj_kind AS nname_kind, obj_lang AS nname_lang,
@@ -2575,6 +2600,7 @@ QUERIES = {
     "sparql_ask": q_sparql_ask,
     "sparql_describe": q_sparql_describe,
     "sparql_construct": q_sparql_construct,
+    "sparql_negated_set": q_sparql_negated_set,
     "sparql_arithmetic": q_sparql_arithmetic,
     "sparql_subquery": q_sparql_subquery,
     "sparql_update": q_sparql_update,

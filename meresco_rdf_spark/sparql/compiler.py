@@ -48,6 +48,7 @@ from .parser import (
     Iri,
     Lit,
     MinusPattern,
+    NegatedSet,
     NotExpr,
     Num,
     OptionalPattern,
@@ -203,6 +204,10 @@ def _compile_pattern(triples: DataFrame, pattern) -> Tuple[DataFrame, Set[str]]:
         df = df.filter(F.col("subj") == s.label)
     if isinstance(p, Iri):
         df = df.filter(F.col("pred") == p.uri)
+    elif isinstance(p, NegatedSet):
+        # §9.1: any predicate OUTSIDE the set; binds no variable.  The
+        # NOT-IN reaches the scan as a pushed filter like any equality.
+        df = df.filter(~F.col("pred").isin(list(p.preds)))
     elif not isinstance(p, Var):
         raise SparqlCompileError("predicate must be IRI or variable")
     if isinstance(o, Iri):

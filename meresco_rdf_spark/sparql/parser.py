@@ -25,12 +25,13 @@ keyword (rdf:type), ``?var``, literals ``"s"``, ``"s"@lang``,
 
 Property paths (predicate position): sequence ``p1/p2`` (desugared into
 chained patterns over fresh internal variables), inverse ``^p`` (subject/
-object swap), alternation ``p1|p2`` (desugared to UNION branches), and
-one-or-more ``p+`` over an IRI or an alternation of IRIs (kept in the AST
-as ``PathPlus`` — the compiler runs an iterative closure).  ``p*`` and
-nested ``+`` are rejected with a clear error (zero-length-path semantics
-bind every node in the graph — unbounded at scale by design, not
-oversight).
+object swap), alternation ``p1|p2`` (desugared to UNION branches),
+negated property sets ``!p`` / ``!(p1|p2)`` (a NOT-IN predicate filter,
+no variable bound), and one-or-more ``p+`` over an IRI or an alternation
+of IRIs (kept in the AST as ``PathPlus`` — the compiler runs an
+iterative closure).  ``p*`` and nested ``+`` are rejected with a clear
+error (zero-length-path semantics bind every node in the graph —
+unbounded at scale by design, not oversight).
 
 Aggregates: ``SELECT ?g (COUNT(?v) AS ?n) ... GROUP BY ?g`` with
 COUNT (incl. ``*`` and DISTINCT) / SUM / AVG / MIN / MAX / SAMPLE /
@@ -44,14 +45,17 @@ oracle-checkable.
 Group-level forms beyond BGP: ``OPTIONAL``, ``UNION``, ``FILTER`` (incl.
 ``FILTER EXISTS { }`` / ``FILTER NOT EXISTS { }``), ``MINUS { }``,
 ``VALUES`` inline bindings (single-var and full-row forms, ``UNDEF``
-supported), and ``BIND (expr AS ?v)`` for the supported scalar functions.
+supported), ``BIND (expr AS ?v)`` for the supported scalar functions and
+arithmetic, and sub-selects ``{ SELECT ... }`` with their own modifiers.
 
 ``CONSTRUCT { template } WHERE { ... }`` parses into the same AST with
 ``construct_template`` set; template terms are IRIs, literals, variables,
 and blank-node labels (instantiated per solution by the compiler).
+Update requests (``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
+``DELETE {} INSERT {} WHERE {}``) parse into ``UpdateQuery``.
 
-This is a deliberately scoped subset (no subqueries, no federated
-SERVICE); unsupported syntax raises ``SparqlSyntaxError`` with position
+This is a deliberately scoped subset (no federated SERVICE, no named
+graphs); unsupported syntax raises ``SparqlSyntaxError`` with position
 info rather than mis-parsing.
 """
 
@@ -116,8 +120,16 @@ class PathPlus:
     preds: Tuple[str, ...]
 
 
+@dataclass(frozen=True)
+class NegatedSet:
+    """Negated property set ``!iri`` / ``!(iri1|iri2|...)``: matches any
+    triple whose predicate is NOT one of the listed IRIs.  Does not bind
+    a predicate variable (SPARQL 1.1 §9.1)."""
+    preds: Tuple[str, ...]
+
+
 Term = Union[Var, Iri, Lit, BNodeRef]
-Pred = Union[Term, PathPlus]
+Pred = Union[Term, PathPlus, NegatedSet]
 TriplePattern = Tuple[Term, Pred, Term]
 
 
@@ -556,7 +568,7 @@ class _Parser:
             if self.at_op("."):
                 self.next()
         self.eat_op("}")
-        if template.alts or any(isinstance(p, PathPlus)
+        if template.alts or any(isinstance(p, (PathPlus, NegatedSet))
                                 for _, p, _ in template.patterns):
             self.fail("property paths are not allowed in a %s template"
                       % what)
@@ -639,7 +651,7 @@ class _Parser:
                                                    TriplesBlock):
             self.fail("%s takes a plain basic graph pattern" % what)
         block = where.parts[0]
-        if block.alts or any(isinstance(p, PathPlus)
+        if block.alts or any(isinstance(p, (PathPlus, NegatedSet))
                              for _, p, _ in block.patterns):
             self.fail("property paths are not allowed in %s" % what)
         if any(isinstance(t, Var) and t.name.startswith("_path")
@@ -899,6 +911,31 @@ class _Parser:
     def _path_elt(self) -> tuple:
         if self.at_op("*"):
             self.fail("zero-or-more path (*) is not supported")
+        if self.at_op("!"):
+            self.next()
+            preds: List[str] = []
+            if self.at_op("("):
+                self.next()
+                if self.at_op("^"):
+                    self.fail("inverse inside a negated property set is "
+                              "not supported")
+                preds.append(self._path_iri().uri)
+                while self.at_op("|"):
+                    self.next()
+                    if self.at_op("^"):
+                        self.fail("inverse inside a negated property set "
+                                  "is not supported")
+                    preds.append(self._path_iri().uri)
+                self.eat_op(")")
+            else:
+                if self.at_op("^"):
+                    self.fail("inverse inside a negated property set is "
+                              "not supported")
+                preds.append(self._path_iri().uri)
+            if self.at_op("+") or self.at_op("*"):
+                self.fail("quantifiers over a negated property set are "
+                          "not supported")
+            return ("neg", tuple(preds))
         inverse = False
         if self.at_op("^"):
             self.next()
@@ -974,6 +1011,8 @@ class _Parser:
                 pats.append((cur, step[1], nxt))
             elif tag == "inv":
                 pats.append((nxt, step[1], cur))
+            elif tag == "neg":
+                pats.append((cur, NegatedSet(step[1]), nxt))
             else:  # plus
                 pats.append((cur, PathPlus(step[1]), nxt))
             cur = nxt

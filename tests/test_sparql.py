@@ -1311,3 +1311,33 @@ def test_arithmetic_error_eliminates_row(small_graph):
         }
     """).collect()
     assert len(rows) == 4 and all(r["x"] is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# negated property sets
+# ---------------------------------------------------------------------------
+
+def test_negated_property_set(small_graph):
+    got = {(r["s"], r["o"]) for r in sparql_select(small_graph, """
+        SELECT ?s ?o WHERE { ?s !<urn:p:name> ?o }
+    """).collect()}
+    assert got == {("urn:alice", "urn:bob"), ("urn:alice", "34"),
+                   ("urn:bob", "urn:carol"), ("urn:carol", "29")}
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:alice> !(<urn:p:name>|<urn:p:age>) ?o }
+    """).collect()}
+    assert got == {"urn:bob"}
+
+
+def test_negated_set_in_sequence_and_errors(small_graph):
+    # usable as a step inside a path sequence
+    got = {r["n"] for r in sparql_select(small_graph, """
+        SELECT ?n WHERE { <urn:alice> !<urn:p:name>/<urn:p:name> ?n }
+    """).collect()}
+    assert got == {"Bob", "Bobby"}
+    with pytest.raises(SparqlSyntaxError, match="inverse inside"):
+        parse_query("SELECT ?o WHERE { ?s !(^<urn:p>) ?o }")
+    with pytest.raises(SparqlSyntaxError, match="quantifiers"):
+        parse_query("SELECT ?o WHERE { ?s !<urn:p>+ ?o }")
+    with pytest.raises(SparqlSyntaxError, match="property paths"):
+        parse_query("CONSTRUCT { ?s !<urn:p> ?o } WHERE { ?s ?p ?o }")
