@@ -8,7 +8,10 @@ Checks (printed + exit code):
 - BGP (O9): AQE converts the selective pattern sides to broadcast joins;
 - pipeline emit: exactly one Arrow UDF stage (extraction), the canonical
   map join is a BroadcastHashJoin, and no global dedup exchange exists;
-- pricing summary: decimal sums stay inside WholeStageCodegen.
+- pricing summary: decimal sums stay inside WholeStageCodegen;
+- SPARQL front-end: sub-select aggregates before the outer join, UPDATE
+  deletes broadcast into the anti-join, negated property sets fold to
+  union-branch pruning.
 
 Usage: python tools/explain_audit.py [sf_dir]
 """
@@ -244,6 +247,47 @@ def main() -> None:
         "BroadcastHashJoin" in p and "xxhash64" in p
         and re.search(r"HashAggregate.*partial_count", p) is not None,
         ""))
+
+    # SPARQL sub-select: the inner COUNT aggregates BEFORE the label
+    # join (partial+final hash-agg feeding the join's build side), so
+    # the join sees one row per nation, not one per member
+    from meresco_rdf_spark.entry_queries import (q_sparql_negated_set,
+                                                 q_sparql_subquery,
+                                                 q_sparql_update)
+
+    sub = q_sparql_subquery(spark, sf_dir)
+    sub.count()
+    p = plan_of(sub)
+    agg_pos = p.find("HashAggregate")
+    join_pos = min(i for i in (p.find("SortMergeJoin"),
+                               p.find("BroadcastHashJoin"),
+                               p.find("ShuffledHashJoin")) if i >= 0)
+    results.append(check(
+        "sparql subquery: agg before join",
+        "partial_count" in p and agg_pos >= 0 and join_pos >= 0
+        # executed plans print top-down: the join node appears ABOVE
+        # (before) the aggregate that feeds it
+        and join_pos < agg_pos))
+
+    # SPARQL UPDATE: the template-sized delete set broadcasts into the
+    # anti-join (the corpus-side relation never shuffles for the delete)
+    upd = q_sparql_update(spark, sf_dir)
+    upd.count()
+    p = plan_of(upd)
+    results.append(check(
+        "sparql update: broadcast anti-join delete",
+        re.search(r"BroadcastHashJoin .*LeftAnti", p) is not None))
+
+    # SPARQL negated property set: over the union-of-branches triples
+    # view the NOT-IN folds at compile time — Catalyst evaluates it per
+    # branch (pred is a literal there) and PRUNES the excluded branches
+    # from the union entirely: no runtime pred filter, no trace of the
+    # excluded predicate, and only the surviving branch scans remain
+    # (5 probe-side + 2 seed-side = 7 of the 14 a naive plan would scan)
+    p = plan_of(q_sparql_negated_set(spark, sf_dir))
+    results.append(check(
+        "sparql !set: folded to branch pruning",
+        "urn:rel:nation" not in p and p.count("FileScan") == 7))
 
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
