@@ -632,6 +632,21 @@ def q_sparql_construct(spark, sf_dir):
     """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
 
 
+def q_sparql_json_encode(spark, sf_dir):
+    """SPARQL-JSON result ENCODE (egress complement of the reference's
+    fromDict decode): one W3C bindings object per solution row, pure
+    struct+to_json column expressions; unbound vars / absent lang tags
+    omitted so the stream round-trips through decode_bindings."""
+    from .sinks.sparql_json_sink import encode_bindings
+    from .sparql import sparql_select
+
+    sol = sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?r ?rname WHERE { ?r skos:prefLabel ?rname }
+    """)
+    return encode_bindings(sol)
+
+
 def q_sparql_negated_set(spark, sf_dir):
     """Negated property set !(...): every non-membership edge leaving a
     customer — the NOT-IN predicate filter reaches the scan pushed down,
@@ -893,6 +908,12 @@ seeds AS (
 )
 SELECT DISTINCT t.subj, t.pred, t.obj_value, t.obj_kind, t.obj_lang
 FROM triples t JOIN seeds s ON t.subj = s.node""",
+    "sparql_json_encode": """
+WITH {cte}
+SELECT '{{"r":{{"type":"uri","value":"' || subj
+       || '"}},"rname":{{"type":"literal","value":"' || obj_value
+       || '"}}}}' AS binding_json
+FROM triples WHERE pred = '{skos_pref}'""",
     "sparql_negated_set": """
 WITH {cte}
 SELECT t1.subj AS s,
@@ -2600,6 +2621,7 @@ QUERIES = {
     "sparql_ask": q_sparql_ask,
     "sparql_describe": q_sparql_describe,
     "sparql_construct": q_sparql_construct,
+    "sparql_json_encode": q_sparql_json_encode,
     "sparql_negated_set": q_sparql_negated_set,
     "sparql_arithmetic": q_sparql_arithmetic,
     "sparql_subquery": q_sparql_subquery,

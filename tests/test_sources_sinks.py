@@ -254,3 +254,51 @@ def test_nt_lines_pure_jvm(spark):
     # no Python in the plan: pure projection over the scan
     plan = lines._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sparql_json_encode_roundtrip(spark):
+    """encode_bindings emits W3C bindings objects that round-trip through
+    decode_bindings; unbound variables and absent lang tags are omitted."""
+    import json
+
+    from meresco_rdf_spark.model import Literal, Uri
+    from meresco_rdf_spark.operators.graph_ops import triples_df
+    from meresco_rdf_spark.sinks.sparql_json_sink import (
+        encode_bindings, head_document, results_document)
+    from meresco_rdf_spark.sources.sparql_json import decode_bindings
+    from meresco_rdf_spark.sparql import sparql_select
+    from pyspark.sql import functions as F
+
+    g = triples_df(spark, [
+        ("urn:a", "urn:p:name", Literal('Al "q"', lang="en")),
+        ("urn:a", "urn:p:knows", Uri("urn:b")),
+        ("urn:b", "urn:p:knows", Uri("urn:c")),
+        ("_:x", "urn:p:knows", Uri("urn:a")),
+    ])
+    sol = sparql_select(g, """
+        SELECT ?s ?n WHERE {
+            ?s <urn:p:knows> ?o OPTIONAL { ?s <urn:p:name> ?n }
+        }
+    """)
+    enc = encode_bindings(sol)
+    docs = [json.loads(r[0]) for r in enc.collect()]
+    by_s = {d["s"]["value"]: d for d in docs}
+    assert by_s["urn:a"]["n"] == {"type": "literal", "value": 'Al "q"',
+                                  "xml:lang": "en"}
+    assert "n" not in by_s["urn:b"]          # unbound var omitted
+    assert by_s["_:x"]["s"]["type"] == "bnode"
+    assert "xml:lang" not in by_s["_:x"]["s"]
+
+    # round-trip each ?n binding through the reference-semantics decoder
+    dec = decode_bindings(
+        enc.withColumn("binding",
+                       F.get_json_object("binding_json", "$.n"))
+        .filter(F.col("binding").isNotNull()),
+        "binding")
+    row = dec.select("obj_value", "obj_kind", "obj_lang").collect()[0]
+    assert tuple(row) == ('Al "q"', "literal", "en")
+
+    assert head_document(["s", "n"]) == '{"head":{"vars":["s","n"]}}'
+    full = json.loads(results_document(sol))
+    assert full["head"]["vars"] == ["s", "n"]
+    assert len(full["results"]["bindings"]) == 3
