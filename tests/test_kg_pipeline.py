@@ -706,3 +706,42 @@ class TestMergeEmptiedBuckets:
                        | {("zz", "p", "zz", "literal", None)})
         assert set(staged_rows) <= got
         assert not os.path.exists(staging)
+
+
+class TestSparqlUpdateMergeIntegration:
+    """The scale path claimed in sparql_update_sets' docstring, executed:
+    a SPARQL 1.1 Update request compiled to (deletes, inserts) frames and
+    applied to the MATERIALIZED bucketed triple table via the per-bucket
+    MERGE — final table state must equal sparql_update() of the same
+    request over the in-memory relation."""
+
+    def test_update_request_merges_into_table(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.materialize import merge_triple_table
+        from meresco_rdf_spark.sparql import sparql_update, sparql_update_sets
+
+        t = synthesize_transcripts(spark, 20, 5)
+        triples = run_pipeline(t).triples.cache()
+        path = str(tmp_path / "triples")
+        write_triple_table(triples, path, buckets=8)
+
+        request = """
+            PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+            DELETE { ?s ?p ?o }
+            INSERT { ?s <urn:meta:hadTriple> ?p }
+            WHERE { ?s ?p ?o
+                    FILTER(strends(str(?p), "kg#score")) }
+        """
+        table = spark.read.parquet(path).drop("subj_bucket")
+        dels, ins = sparql_update_sets(table, request)
+        res = merge_triple_table(spark, path, adds=ins, deletes=dels,
+                                 buckets=8)
+        assert res["buckets_touched"]
+
+        expected = {tuple(r) for r in sparql_update(triples, request)
+                    .collect()}
+        got = {tuple(r) for r in
+               spark.read.parquet(path).drop("subj_bucket").collect()}
+        assert got == expected
+        # the request really did something in both directions
+        assert not any(p.endswith("kg#score") for _, p, _, _, _ in got)
+        assert any(p == "urn:meta:hadTriple" for _, p, _, _, _ in got)
