@@ -916,7 +916,11 @@ def _compile_select(triples: DataFrame, ast: SelectQuery,
                     # deterministic refinement: lexically sorted before
                     # joining (the spec leaves the order undefined);
                     # collect_list/collect_set are partial-aggregatable so
-                    # this stays one hash-agg exchange
+                    # this stays one hash-agg exchange.  Scale caveat: the
+                    # buffer is O(group size) by the OPERATOR'S NATURE
+                    # (the result string is that large) — a hot key needs
+                    # a LIMIT-shaped rewrite upstream, not salting
+                    # (concatenation is order-sensitive across salt legs)
                     vals = (F.collect_set(F.col(val)) if a.distinct
                             else F.collect_list(F.col(val)))
                     e = F.array_join(F.array_sort(vals), a.separator)
