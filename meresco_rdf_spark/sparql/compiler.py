@@ -502,6 +502,8 @@ def _term_cols(e, frame_vars: Set[str],
     if isinstance(e, Lit):
         return (F.lit(e.value), F.lit("literal"),
                 F.lit(e.lang).cast("string"))
+    if isinstance(e, Iri):
+        return F.lit(e.uri), F.lit("uri"), _null_str()
     if isinstance(e, Num):
         return F.lit(e.text), F.lit("literal"), _null_str()
     if isinstance(e, Arith):
@@ -538,6 +540,12 @@ def _func_term_cols(e: FuncCall, frame_vars: Set[str],
     if name == "lang":
         _, _, lg = term(0)
         return F.coalesce(lg, F.lit("")), F.lit("literal"), _null_str()
+    if name == "encode_for_uri":
+        v, _, _ = term(0)
+        # url_encode is form-encoding (space -> '+'); a literal '+' in
+        # the input becomes %2B first, so the replace is collision-free
+        return (F.replace(F.url_encode(v), F.lit("+"), F.lit("%20")),
+                F.lit("literal"), _null_str())
     if name in ("ucase", "lcase"):
         v, _, lg = term(0)
         out = F.upper(v) if name == "ucase" else F.lower(v)
@@ -707,6 +715,12 @@ def _compile_expr(e, frame_vars: Set[str],
             if e.name == "strstarts":
                 return lv.startswith(rv)
             return lv.endswith(rv)
+        if e.name == "sameterm":
+            if len(e.args) != 2:
+                raise SparqlCompileError("sameterm(a, b)")
+            lv, lk, llg = _term_cols(e.args[0], frame_vars, scalar_vars)
+            rv, rk, rlg = _term_cols(e.args[1], frame_vars, scalar_vars)
+            return (lv == rv) & (lk == rk) & llg.eqNullSafe(rlg)
         if e.name == "langmatches":
             if len(e.args) != 2:
                 raise SparqlCompileError("langmatches(tag, range)")

@@ -74,9 +74,11 @@ class SparqlSyntaxError(ValueError):
 
 # Scalar built-ins accepted in FILTER / BIND expressions (SPARQL 1.1 §17.4
 # subset).  Boolean-valued: bound, regex, isuri/isiri, isblank, isliteral,
-# contains, strstarts, strends, langmatches.  Term-valued: str, lang,
-# ucase, lcase, strlen, substr, concat, strbefore, strafter, replace,
-# coalesce, if, abs, ceil, floor, round.
+# contains, strstarts, strends, langmatches, sameterm.  Term-valued:
+# str, lang, ucase, lcase, strlen, substr, concat, strbefore, strafter,
+# replace, coalesce, if, abs, ceil, floor, round, encode_for_uri.
+# IN / NOT IN parse as RelationalExpression tails and desugar to =/!=
+# chains; IRIs are valid expression primaries.
 _FUNC_NAMES = frozenset((
     "regex", "lang", "str", "bound",
     "isuri", "isiri", "isblank", "isliteral",
@@ -84,6 +86,7 @@ _FUNC_NAMES = frozenset((
     "ucase", "lcase", "strlen", "substr", "concat",
     "strbefore", "strafter", "replace", "coalesce", "if",
     "abs", "ceil", "floor", "round",
+    "sameterm", "encode_for_uri",
 ))
 
 
@@ -1085,7 +1088,39 @@ class _Parser:
                 self.next()
                 right = self._additive_expr()
                 return Cmp(op, left, right)
+        # IN / NOT IN desugar per spec (§17.4.1.9/.10): IN -> OR of
+        # equalities, NOT IN -> AND of inequalities
+        if self.at_kw("IN"):
+            self.next()
+            items = self._expr_list()
+            if not items:
+                return Cmp("!=", Num(0.0, "0"), Num(0.0, "0"))  # false
+            parts = tuple(Cmp("=", left, it) for it in items)
+            return parts[0] if len(parts) == 1 else BoolOp("or", parts)
+        if self.at_kw("NOT"):
+            save = self.i
+            self.next()
+            if not self.at_kw("IN"):
+                self.i = save
+                return left
+            self.next()
+            items = self._expr_list()
+            if not items:
+                return Cmp("=", Num(0.0, "0"), Num(0.0, "0"))  # true
+            parts = tuple(Cmp("!=", left, it) for it in items)
+            return parts[0] if len(parts) == 1 else BoolOp("and", parts)
         return left
+
+    def _expr_list(self) -> List[Expr]:
+        self.eat_op("(")
+        items: List[Expr] = []
+        if not self.at_op(")"):
+            items.append(self.expr())
+            while self.at_op(","):
+                self.next()
+                items.append(self.expr())
+        self.eat_op(")")
+        return items
 
     def _additive_expr(self) -> Expr:
         left = self._mult_expr()
@@ -1125,6 +1160,16 @@ class _Parser:
         if kind == "VAR":
             self.next()
             return Var(val[1:])
+        if kind == "IRIREF":
+            self.next()
+            return Iri(val[1:-1])
+        if kind == "PNAME":
+            self.next()
+            ns, _, local = val.partition(":")
+            if ns not in self.prefixes:
+                raise SparqlSyntaxError(
+                    "undeclared prefix %r at offset %d" % (ns, pos))
+            return Iri(self.prefixes[ns] + local)
         if kind == "STRING":
             self.next()
             text = _unquote(val)

@@ -1341,3 +1341,60 @@ def test_negated_set_in_sequence_and_errors(small_graph):
         parse_query("SELECT ?o WHERE { ?s !<urn:p>+ ?o }")
     with pytest.raises(SparqlSyntaxError, match="property paths"):
         parse_query("CONSTRUCT { ?s !<urn:p> ?o } WHERE { ?s ?p ?o }")
+
+
+# ---------------------------------------------------------------------------
+# IN / NOT IN, sameTerm, ENCODE_FOR_URI, IRI expression primaries
+# ---------------------------------------------------------------------------
+
+def test_filter_in_and_not_in(small_graph):
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:knows> ?o
+                          FILTER(?o IN (<urn:bob>, <urn:carol>)) }
+    """).collect()}
+    assert got == {"urn:alice", "urn:bob"}
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:knows> ?o
+                          FILTER(?o NOT IN (<urn:bob>)) }
+    """).collect()}
+    assert got == {"urn:bob"}
+    # literals participate with full term identity (lang matters)
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:name> ?n FILTER(?n IN ("Bob"@en, "Anon")) }
+    """).collect()}
+    assert got == {"urn:bob", "_:b1"}
+
+
+def test_filter_iri_equality(small_graph):
+    got = {r["p"] for r in sparql_select(small_graph, """
+        SELECT ?p WHERE { ?s ?p ?o FILTER(?s = <urn:carol>) }
+    """).collect()}
+    assert got == {"urn:p:age"}
+
+
+def test_sameterm(small_graph):
+    got = {r["s"] for r in sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:name> ?n FILTER(sameterm(?n, "Bob"@en)) }
+    """).collect()}
+    assert got == {"urn:bob"}
+    # sameterm distinguishes lang where plain = would also fail, but
+    # unlike "=" it never errors on unbound: test via OPTIONAL
+    got = sparql_select(small_graph, """
+        SELECT ?s WHERE {
+            ?s <urn:p:name> ?n
+            OPTIONAL { ?s <urn:p:age> ?a }
+            FILTER(sameterm(?a, "34"))
+        }
+    """).collect()
+    assert {r["s"] for r in got} == {"urn:alice"}
+
+
+def test_encode_for_uri(small_graph):
+    rows = sparql_select(small_graph, """
+        SELECT ?e WHERE {
+            <urn:bob> <urn:p:name> ?n . FILTER(langmatches(lang(?n), "en"))
+            BIND(encode_for_uri(concat(?n, " & co/+")) AS ?e)
+        }
+    """).collect()
+    # space -> %20 (not '+'), '&' '/' '+' percent-encoded
+    assert rows[0]["e"] == "Bob%20%26%20co%2F%2B"
