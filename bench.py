@@ -121,6 +121,7 @@ def main() -> None:
     # --- operator headliners over the sf tables ---
     heads = [
         "graph_find_labels", "graph_bgp", "graph_in_degree",
+        "sparql_select_bgp_stats",
         "dedup_minhash", "dedup_clusters", "text_simhash",
         "dedup_ngram_jaccard", "text_decontaminate",
         "embed_cosine_topk", "similarity_lsh_topk", "similarity_ivf_topk",

@@ -978,9 +978,20 @@ def _compile_select(triples: DataFrame, ast: SelectQuery,
         for var, asc in ast.order_by:
             if var not in vars_ and var not in agg_aliases:
                 raise SparqlCompileError("ORDER BY unbound variable ?%s" % var)
-            col = F.col(var)
-            order_cols.append(col.asc_nulls_first() if asc
-                              else col.desc_nulls_last())
+            if var in agg_aliases:
+                keys: List[Column] = [F.col(var)]
+            else:
+                # SPARQL §15.1 total order: unbound < bnode < IRI <
+                # literal, then by value, lang as the final tiebreaker
+                val, kind, lang = _var_cols(var)
+                rank = (F.when(F.col(kind).isNull(), 0)
+                        .when(F.col(kind) == "bnode", 1)
+                        .when(F.col(kind) == "uri", 2)
+                        .otherwise(3))
+                keys = [rank, F.col(val), F.col(lang)]
+            order_cols.extend(
+                [k.asc_nulls_first() for k in keys] if asc
+                else [k.desc_nulls_last() for k in keys])
         out = out.orderBy(*order_cols)
     if ast.offset:
         out = out.offset(ast.offset)

@@ -1398,3 +1398,20 @@ def test_encode_for_uri(small_graph):
     """).collect()
     # space -> %20 (not '+'), '&' '/' '+' percent-encoded
     assert rows[0]["e"] == "Bob%20%26%20co%2F%2B"
+
+
+def test_order_by_term_type_precedence(spark):
+    # SPARQL §15.1: bnode < IRI < literal, then value
+    g = triples_df(spark, [
+        ("urn:s", "urn:p", Uri("urn:z")),
+        ("urn:s", "urn:p", Literal("aaa")),
+        ("urn:s", "urn:p", BNode("_:b")),
+    ])
+    out = sparql_select(g, """
+        SELECT ?o WHERE { <urn:s> <urn:p> ?o } ORDER BY ?o
+    """).collect()
+    assert [r["o"] for r in out] == ["_:b", "urn:z", "aaa"]
+    out = sparql_select(g, """
+        SELECT ?o WHERE { <urn:s> <urn:p> ?o } ORDER BY DESC(?o)
+    """).collect()
+    assert [r["o"] for r in out] == ["aaa", "urn:z", "_:b"]
