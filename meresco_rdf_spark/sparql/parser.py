@@ -539,8 +539,29 @@ class _Parser:
         (LIMIT/OFFSET accepted; ORDER BY is meaningless on a graph result
         and rejected).  The template is a plain triples block: IRI/var
         predicates only — property paths describe matching, not
-        construction."""
+        construction.  The §10.2.3 shorthand ``CONSTRUCT WHERE { bgp }``
+        (no template) copies the matched pattern itself — the WHERE must
+        then be a plain BGP."""
         self.eat_kw("CONSTRUCT")
+        if self.at_kw("WHERE") or self.at_op("{") is False:
+            # shorthand form: template := the WHERE pattern
+            if self.at_kw("WHERE"):
+                self.next()
+            where = self.group_graph_pattern()
+            template = TriplesBlock(
+                self._plain_bgp_template(where, "CONSTRUCT WHERE"))
+            limit = offset = None
+            for _ in range(2):
+                if self.at_kw("LIMIT"):
+                    self.next()
+                    limit = self._expect_int()
+                elif self.at_kw("OFFSET"):
+                    self.next()
+                    offset = self._expect_int()
+            self._end()
+            return SelectQuery(variables="*", distinct=True, where=where,
+                               limit=limit, offset=offset,
+                               construct_template=template.patterns)
         template = TriplesBlock(self._template("CONSTRUCT"))
         if self.at_kw("WHERE"):
             self.next()

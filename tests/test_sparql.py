@@ -1415,3 +1415,17 @@ def test_order_by_term_type_precedence(spark):
         SELECT ?o WHERE { <urn:s> <urn:p> ?o } ORDER BY DESC(?o)
     """).collect()
     assert [r["o"] for r in out] == ["aaa", "urn:z", "_:b"]
+
+
+def test_construct_where_shorthand(small_graph):
+    from meresco_rdf_spark.sparql import sparql_construct
+
+    out = sparql_construct(small_graph, """
+        CONSTRUCT WHERE { ?s <urn:p:knows> ?o }
+    """)
+    got = {(r.subj, r.pred, r.obj_value) for r in out.collect()}
+    assert got == {("urn:alice", "urn:p:knows", "urn:bob"),
+                   ("urn:bob", "urn:p:knows", "urn:carol")}
+    with pytest.raises(SparqlSyntaxError, match="plain basic graph"):
+        parse_query("""CONSTRUCT WHERE { ?s <urn:p> ?o
+                       FILTER(isLiteral(?o)) }""")
