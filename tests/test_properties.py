@@ -164,3 +164,51 @@ def test_ntriples_unescape_inverts_sink_escaping(value):
                     .replace("\n", "\\n").replace("\r", "\\r")
                     .replace("\t", "\\t"))
     assert unescape(escaped) == value
+
+
+# ---------------------------------------------------------------------------
+# SPARQL compiler vs hand-built match_patterns (O9): two independent
+# implementations of BGP semantics must agree on random graphs/patterns
+# ---------------------------------------------------------------------------
+
+_B_SUBJ = st.sampled_from(["urn:a", "urn:b", "urn:c"])
+_B_PRED = st.sampled_from(["urn:p", "urn:q"])
+_B_OBJ = st.one_of(
+    st.sampled_from([Uri("urn:a"), Uri("urn:b"), Uri("urn:c")]),
+    st.builds(Literal, st.sampled_from(["x", "y"])),
+    st.builds(lambda v: Literal(v, lang="en"), st.sampled_from(["x", "y"])),
+)
+_B_TRIPLES = st.lists(st.tuples(_B_SUBJ, _B_PRED, _B_OBJ),
+                      min_size=1, max_size=10)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_B_TRIPLES, st.sampled_from(["urn:p", "urn:q"]),
+       st.sampled_from(["urn:p", "urn:q"]), st.booleans())
+def test_sparql_bgp_agrees_with_match_patterns(spark, triples, p1, p2,
+                                               star_join):
+    """For star (?x p1 ?y . ?x p2 ?z) and chain (?x p1 ?y . ?y p2 ?z)
+    shapes, the parsed SPARQL front-end and the hand-built O9 self-join
+    cascade — independently written compilers — must produce identical
+    binding multirows (both dedup: SELECT DISTINCT vs reference dedup)."""
+    from meresco_rdf_spark.operators.graph_ops import (match_patterns,
+                                                       triples_df)
+    from meresco_rdf_spark.sparql import sparql_select
+
+    df = triples_df(spark, triples)
+    if star_join:
+        pats = [("?x", p1, "?y"), ("?x", p2, "?z")]
+        q = "SELECT DISTINCT ?x ?y ?z WHERE { ?x <%s> ?y . ?x <%s> ?z }" \
+            % (p1, p2)
+    else:
+        pats = [("?x", p1, "?y"), ("?y", p2, "?z")]
+        q = "SELECT DISTINCT ?x ?y ?z WHERE { ?x <%s> ?y . ?y <%s> ?z }" \
+            % (p1, p2)
+    cols = ["x", "x_kind", "x_lang", "y", "y_kind", "y_lang",
+            "z", "z_kind", "z_lang"]
+    got_o9 = {tuple(r) for r in
+              match_patterns(df, pats).select(*cols).collect()}
+    got_sparql = {tuple(r) for r in
+                  sparql_select(df, q).select(*cols).collect()}
+    assert got_sparql == got_o9
