@@ -632,6 +632,25 @@ def q_sparql_construct(spark, sf_dir):
     """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
 
 
+def q_sparql_agg_expr(spark, sf_dir):
+    """Aggregates over expressions (not just variables): SUM(strlen(?x))
+    evaluates the scalar expression per row inside the same codegen
+    stage, then feeds the one partial+final hash aggregation."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?rname (SUM(strlen(?nname)) AS ?label_chars)
+                      (MAX(strlen(?nname)) AS ?longest)
+        WHERE {{
+            ?n <{rel_region}> ?r .
+            ?r skos:prefLabel ?rname .
+            ?n rdfs:label ?nname .
+        }} GROUP BY ?rname
+    """.format(rel_region=REL_REGION))
+
+
 def q_sparql_json_encode(spark, sf_dir):
     """SPARQL-JSON result ENCODE (egress complement of the reference's
     fromDict decode): one W3C bindings object per solution row, pure
@@ -908,6 +927,20 @@ seeds AS (
 )
 SELECT DISTINCT t.subj, t.pred, t.obj_value, t.obj_kind, t.obj_lang
 FROM triples t JOIN seeds s ON t.subj = s.node""",
+    "sparql_agg_expr": """
+WITH {cte}
+SELECT t2.obj_value AS rname, t2.obj_kind AS rname_kind,
+  t2.obj_lang AS rname_lang,
+  CAST(sum(length(t3.obj_value)) AS DOUBLE) AS label_chars,
+  CASE WHEN max(length(t3.obj_value)) * 1.0
+            = floor(max(length(t3.obj_value)) * 1.0)
+       THEN CAST(max(length(t3.obj_value)) AS VARCHAR)
+       ELSE CAST(max(length(t3.obj_value)) * 1.0 AS VARCHAR) END AS longest
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj_value AND t2.pred = '{skos_pref}'
+JOIN triples t3 ON t3.subj = t1.subj AND t3.pred = '{rdfs}'
+WHERE t1.pred = '{rel_region}'
+GROUP BY 1, 2, 3""",
     "sparql_json_encode": """
 WITH {cte}
 SELECT '{{"r":{{"type":"uri","value":"' || subj
@@ -2621,6 +2654,7 @@ QUERIES = {
     "sparql_ask": q_sparql_ask,
     "sparql_describe": q_sparql_describe,
     "sparql_construct": q_sparql_construct,
+    "sparql_agg_expr": q_sparql_agg_expr,
     "sparql_json_encode": q_sparql_json_encode,
     "sparql_negated_set": q_sparql_negated_set,
     "sparql_arithmetic": q_sparql_arithmetic,

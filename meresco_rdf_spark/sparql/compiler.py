@@ -905,8 +905,29 @@ def _compile_select(triples: DataFrame, ast: SelectQuery,
             group_cols.extend(_var_cols(v))
         aggs: List[Column] = []
         for a in ast.aggregates:
-            if a.var is None:  # COUNT(*)
+            if a.var is None and a.expr is None:  # COUNT(*)
                 e = F.count(F.lit(1))
+            elif a.expr is not None:
+                # aggregate over an expression: evaluate the term value
+                # per row (same codegen path as BIND), then aggregate
+                ev = _term_cols(a.expr, vars_)[0]
+                numeric = _is_numeric(a.expr)
+                if a.func == "count":
+                    e = F.countDistinct(ev) if a.distinct else F.count(ev)
+                elif a.func in ("sum", "avg"):
+                    e = getattr(F, a.func)(ev.try_cast("double"))
+                elif a.func == "sample":
+                    e = F.min(ev)
+                elif a.func == "group_concat":
+                    vals = (F.collect_set(ev) if a.distinct
+                            else F.collect_list(ev))
+                    e = F.array_join(F.array_sort(vals), a.separator)
+                elif numeric:
+                    # numeric expr: order numerically, render lexically
+                    e = _num_lexical(
+                        getattr(F, a.func)(ev.try_cast("double")))
+                else:
+                    e = getattr(F, a.func)(ev)
             else:
                 if a.var not in vars_:
                     raise SparqlCompileError(

@@ -179,10 +179,11 @@ Expr = Union[Cmp, BoolOp, NotExpr, FuncCall, Var, Lit, Num, Arith]
 @dataclass(frozen=True)
 class AggSelect:
     func: str            # count / sum / avg / min / max / sample / group_concat
-    var: Opt[str]        # None for COUNT(*)
+    var: Opt[str]        # None for COUNT(*) or when ``expr`` is set
     distinct: bool
     alias: str
     separator: str = " "  # GROUP_CONCAT only (SPARQL default is one space)
+    expr: Opt["Expr"] = None  # non-variable aggregate argument
 
 
 @dataclass
@@ -705,14 +706,19 @@ class _Parser:
         if self.at_kw("DISTINCT"):
             self.next()
             distinct = True
-        var: Opt[str]
+        var: Opt[str] = None
+        agg_expr: Opt[Expr] = None
         if self.at_op("*"):
             if func != "count":
                 self.fail("* argument is only valid in COUNT")
             self.next()
-            var = None
+        elif self.peek()[0] == "VAR" and \
+                self.tokens[self.i + 1][:2] in (("OP", ")"), ("OP", ";")):
+            var = self.next()[1][1:]
         else:
-            var = self._expect_var()
+            # arbitrary expression argument: SUM(?a * ?b),
+            # MIN(strlen(?n)), COUNT(coalesce(?x, ?y)), ...
+            agg_expr = self.expr()
         separator = " "
         if self.at_op(";"):
             if func != "group_concat":
@@ -729,7 +735,7 @@ class _Parser:
         alias = self._expect_var()
         self.eat_op(")")
         return AggSelect(func=func, var=var, distinct=distinct, alias=alias,
-                         separator=separator)
+                         separator=separator, expr=agg_expr)
 
     def _expect_var(self) -> str:
         kind, val, _ = self.next()

@@ -1429,3 +1429,32 @@ def test_construct_where_shorthand(small_graph):
     with pytest.raises(SparqlSyntaxError, match="plain basic graph"):
         parse_query("""CONSTRUCT WHERE { ?s <urn:p> ?o
                        FILTER(isLiteral(?o)) }""")
+
+
+def test_aggregate_over_expression(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s (SUM(strlen(?n)) AS ?chars)
+                  (MIN(strlen(?n)) AS ?shortest)
+        WHERE { ?s <urn:p:name> ?n } GROUP BY ?s
+    """)
+    got = {(r["s"], r["chars"], r["shortest"]) for r in out.collect()}
+    # bob: Bob(3) + Bobby(5); numeric MIN renders without ".0"
+    assert ("urn:bob", 8.0, "3") in got
+    assert ("urn:alice", 5.0, "5") in got
+    out = sparql_select(small_graph, """
+        SELECT (AVG(?a + 1) AS ?m) WHERE { ?s <urn:p:age> ?a }
+    """)
+    assert out.collect()[0]["m"] == 32.5  # (35 + 30) / 2
+    # numeric MIN over values where lexical order would disagree
+    out = sparql_select(small_graph, """
+        SELECT (MIN(?a - 25) AS ?lo) (MAX(?a - 25) AS ?hi)
+        WHERE { ?s <urn:p:age> ?a }
+    """)
+    r = out.collect()[0]
+    assert (r["lo"], r["hi"]) == ("4", "9")  # lexical max would be "9" too,
+    # but lexical MIN of {"4","9"} is "4" while numeric of {4,9} agrees;
+    # the trap case is {4, 10}:
+    out = sparql_select(small_graph, """
+        SELECT (MAX(?a - 24) AS ?hi) WHERE { ?s <urn:p:age> ?a }
+    """)
+    assert out.collect()[0]["hi"] == "10"  # lexical MAX would pick "5"
