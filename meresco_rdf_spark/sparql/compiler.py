@@ -972,6 +972,9 @@ def _compile_select(triples: DataFrame, ast: SelectQuery,
         for expr in ast.having:
             df = df.filter(_compile_expr(expr, vars_,
                                          scalar_vars=set(agg_aliases)))
+        # hidden _hav<N> aliases (inline HAVING aggregates) are consumed
+        # by the filter above and never projected
+        agg_aliases = [a for a in agg_aliases if not a.startswith("_hav")]
 
     if ast.variables == "*":
         # internal ?_pathN join variables from path desugaring are not

@@ -345,6 +345,9 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._fresh = 0  # counter for internal path-join variables
+        # when parsing a HAVING expression: the query's AggSelect list,
+        # so inline aggregate calls can register hidden aliases
+        self._in_having: Opt[List[AggSelect]] = None
 
     # -- token helpers --
     def peek(self) -> Tuple[str, str, int]:
@@ -442,6 +445,21 @@ class _Parser:
                 group_by.append(self.next()[1][1:])
             if not group_by:
                 self.fail("expected GROUP BY variables")
+        having: List[Expr] = []
+        while self.at_kw("HAVING"):
+            if not aggregates and not group_by:
+                self.fail("HAVING requires aggregates or GROUP BY")
+            self.next()
+            self.eat_op("(")
+            # inline aggregate calls (HAVING (COUNT(?x) > 2)) parse into
+            # hidden _hav<N>-aliased AggSelects — same hash-agg stage,
+            # referenced through the alias, excluded from the projection
+            self._in_having = aggregates
+            try:
+                having.append(self.expr())
+            finally:
+                self._in_having = None
+            self.eat_op(")")
         if aggregates and variables != "*":
             loose = [v for v in variables if v not in group_by]
             if loose:
@@ -450,16 +468,8 @@ class _Parser:
         if aggregates and variables == "*":
             self.fail("SELECT * cannot be combined with aggregates")
         if group_by and not aggregates:
-            self.fail("GROUP BY requires at least one aggregate")
-
-        having: List[Expr] = []
-        while self.at_kw("HAVING"):
-            if not aggregates:
-                self.fail("HAVING requires aggregates")
-            self.next()
-            self.eat_op("(")
-            having.append(self.expr())
-            self.eat_op(")")
+            self.fail("GROUP BY requires at least one aggregate "
+                      "(in the projection or HAVING)")
 
         order_by: List[Tuple[str, bool]] = []
         if self.at_kw("ORDER"):
@@ -1208,6 +1218,34 @@ class _Parser:
         if kind == "NUMBER":
             self.next()
             return Num(float(val), val)
+        if kind == "NAME" and val.upper() in self._AGG_FUNCS \
+                and self._in_having is not None:
+            # inline HAVING aggregate: register under a hidden alias and
+            # reference it like any aggregate alias
+            func = val.lower()
+            self.next()
+            self.eat_op("(")
+            distinct = False
+            if self.at_kw("DISTINCT"):
+                self.next()
+                distinct = True
+            var: Opt[str] = None
+            agg_expr: Opt[Expr] = None
+            if self.at_op("*"):
+                if func != "count":
+                    self.fail("* argument is only valid in COUNT")
+                self.next()
+            elif self.peek()[0] == "VAR" and \
+                    self.tokens[self.i + 1][:2] == ("OP", ")"):
+                var = self.next()[1][1:]
+            else:
+                agg_expr = self.expr()
+            self.eat_op(")")
+            alias = "_hav%d" % len(self._in_having)
+            self._in_having.append(AggSelect(
+                func=func, var=var, distinct=distinct, alias=alias,
+                expr=agg_expr))
+            return Var(alias)
         if kind == "NAME" and val.lower() in _FUNC_NAMES:
             fname = val.lower()
             if fname == "isiri":

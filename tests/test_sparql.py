@@ -1458,3 +1458,23 @@ def test_aggregate_over_expression(small_graph):
         SELECT (MAX(?a - 24) AS ?hi) WHERE { ?s <urn:p:age> ?a }
     """)
     assert out.collect()[0]["hi"] == "10"  # lexical MAX would pick "5"
+
+
+def test_having_inline_aggregates(small_graph):
+    # HAVING aggregate without an alias; GROUP BY with no projected agg
+    out = sparql_select(small_graph, """
+        SELECT ?s WHERE { ?s <urn:p:name> ?n }
+        GROUP BY ?s HAVING (COUNT(?n) > 1)
+    """)
+    assert out.columns == ["s", "s_kind", "s_lang"]
+    assert {r["s"] for r in out.collect()} == {"urn:bob"}
+    # mixed projected + inline expression aggregate
+    out = sparql_select(small_graph, """
+        SELECT ?s (COUNT(?n) AS ?c) WHERE { ?s <urn:p:name> ?n }
+        GROUP BY ?s HAVING (MAX(strlen(?n)) >= 5)
+    """)
+    got = {(r["s"], r["c"]) for r in out.collect()}
+    assert got == {("urn:alice", 1), ("urn:bob", 2)}
+    # HAVING with neither aggregates nor GROUP BY still rejected
+    with pytest.raises(SparqlSyntaxError, match="HAVING requires"):
+        parse_query("SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)")
