@@ -23,10 +23,16 @@ from pyspark.sql import DataFrame, functions as F
 
 def solution_variables(df: DataFrame) -> List[str]:
     """Infer the solution variables of a ``sparql_select`` frame: every
-    ``v`` with companion ``v_kind`` / ``v_lang`` columns."""
+    ``v`` with companion ``v_kind`` / ``v_lang`` columns, PLUS every
+    remaining non-companion column (aggregate aliases project as single
+    scalar columns — they are solution variables too, bound to plain
+    literals)."""
     cols = set(df.columns)
-    return [c for c in df.columns
+    full = [c for c in df.columns
             if "%s_kind" % c in cols and "%s_lang" % c in cols]
+    companions = {"%s_kind" % v for v in full} | {"%s_lang" % v
+                                                  for v in full}
+    return [c for c in df.columns if c in full or c not in companions]
 
 
 def encode_bindings(df: DataFrame,
@@ -38,13 +44,23 @@ def encode_bindings(df: DataFrame,
         if not variables:
             raise ValueError("no solution variables (v/v_kind/v_lang "
                              "column triples) found")
+    cols = set(df.columns)
     structs = []
     for v in variables:
-        kind = F.col("%s_kind" % v)
+        if v not in cols:
+            raise ValueError("column %r not in frame" % v)
+        if "%s_kind" % v in cols and "%s_lang" % v in cols:
+            kind = F.col("%s_kind" % v)
+            lang = F.col("%s_lang" % v)
+        else:
+            # aggregate / computed alias: a single scalar column is a
+            # plain-literal binding (unbound when NULL)
+            kind = F.when(F.col(v).isNotNull(), F.lit("literal"))
+            lang = F.lit(None).cast("string")
         term = F.struct(
             kind.alias("type"),
-            F.col(v).alias("value"),
-            F.col("%s_lang" % v).alias("xml:lang"))
+            F.col(v).cast("string").alias("value"),
+            lang.alias("xml:lang"))
         # NULL struct for an unbound variable -> key omitted by to_json
         structs.append(F.when(kind.isNotNull(), term).alias(v))
     return df.select(F.to_json(F.struct(*structs)).alias(out_col))

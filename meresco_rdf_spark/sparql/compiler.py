@@ -31,6 +31,7 @@ the small relations even when CBO statistics are absent.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Optional as Opt, Sequence, Set, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -511,7 +512,8 @@ def _term_cols(e, frame_vars: Set[str],
                         scalar_vars)[0].try_cast("double")
         rv = _term_cols(e.right, frame_vars,
                         scalar_vars)[0].try_cast("double")
-        d = {"+": lv + rv, "-": lv - rv, "*": lv * rv, "/": lv / rv}[e.op]
+        d = {"+": lv + rv, "-": lv - rv, "*": lv * rv,
+             "/": F.try_divide(lv, rv)}[e.op]
         # non-numeric operands / division by zero yield NULL = SPARQL
         # error: the row is eliminated (FILTER) or left unbound (BIND)
         return _num_lexical(d), F.lit("literal"), _null_str()
@@ -524,6 +526,25 @@ def _lit_pattern(arg, what: str) -> str:
     if not isinstance(arg, Lit):
         raise SparqlCompileError("%s must be a string literal" % what)
     return arg.value
+
+
+def _apply_regex_flags(pattern: str, flags: str, what: str) -> str:
+    """Map the XPath regex flags SPARQL REGEX/REPLACE accept onto the
+    Java regex the JVM executes: ``i``/``s``/``m``/``x`` become inline
+    ``(?...)`` flags, ``q`` escapes the pattern so every character
+    matches literally (``Pattern.quote`` semantics — applied compile-time
+    since SPARQL patterns are literals).  Unknown flags raise instead of
+    silently changing match semantics."""
+    unknown = set(flags) - set("ismxq")
+    if unknown:
+        raise SparqlCompileError(
+            "unsupported %s flags: %s" % (what, "".join(sorted(unknown))))
+    if "q" in flags:
+        pattern = re.escape(pattern)
+    inline = "".join(f for f in "ismx" if f in flags)
+    if inline:
+        pattern = "(?%s)%s" % (inline, pattern)
+    return pattern
 
 
 def _func_term_cols(e: FuncCall, frame_vars: Set[str],
@@ -599,9 +620,10 @@ def _func_term_cols(e: FuncCall, frame_vars: Set[str],
         v, _, lg = term(0)
         pattern = _lit_pattern(e.args[1], "replace() pattern")
         repl = _lit_pattern(e.args[2], "replace() replacement")
-        if len(e.args) == 4 and "i" in _lit_pattern(e.args[3],
-                                                    "replace() flags"):
-            pattern = "(?i)" + pattern
+        if len(e.args) == 4:
+            pattern = _apply_regex_flags(
+                pattern, _lit_pattern(e.args[3], "replace() flags"),
+                "replace()")
         return F.regexp_replace(v, pattern, repl), F.lit("literal"), lg
     if name == "coalesce":
         parts = [term(i) for i in range(len(e.args))]
@@ -696,9 +718,10 @@ def _compile_expr(e, frame_vars: Set[str],
             if not isinstance(pat, Lit):
                 raise SparqlCompileError("regex pattern must be a literal")
             pattern = pat.value
-            if len(e.args) == 3 and isinstance(e.args[2], Lit) \
-                    and "i" in e.args[2].value:
-                pattern = "(?i)" + pattern
+            if len(e.args) == 3:
+                pattern = _apply_regex_flags(
+                    pattern, _lit_pattern(e.args[2], "regex() flags"),
+                    "regex()")
             return val.rlike(pattern)
         if e.name in ("isuri", "isblank", "isliteral"):
             _, kind, _ = _term_cols(e.args[0], frame_vars, scalar_vars)
@@ -910,10 +933,17 @@ def _compile_select(triples: DataFrame, ast: SelectQuery,
             elif a.expr is not None:
                 # aggregate over an expression: evaluate the term value
                 # per row (same codegen path as BIND), then aggregate
-                ev = _term_cols(a.expr, vars_)[0]
+                tv, tk, tl = _term_cols(a.expr, vars_)
+                ev = tv
                 numeric = _is_numeric(a.expr)
                 if a.func == "count":
-                    e = F.countDistinct(ev) if a.distinct else F.count(ev)
+                    # DISTINCT counts full term identity (value/kind/lang)
+                    # — same discipline as the variable path, so e.g.
+                    # COALESCE(?x, ?y) yielding equal strings of different
+                    # kind/lang is not undercounted
+                    e = (F.countDistinct(
+                            F.when(tv.isNotNull(), F.struct(tv, tk, tl)))
+                         if a.distinct else F.count(ev))
                 elif a.func in ("sum", "avg"):
                     e = getattr(F, a.func)(ev.try_cast("double"))
                 elif a.func == "sample":
@@ -1003,7 +1033,12 @@ def _compile_select(triples: DataFrame, ast: SelectQuery,
             if var not in vars_ and var not in agg_aliases:
                 raise SparqlCompileError("ORDER BY unbound variable ?%s" % var)
             if var in agg_aliases:
-                keys: List[Column] = [F.col(var)]
+                # aggregate aliases may be numeric rendered lexically
+                # (MIN/MAX via _num_lexical): order numerically when the
+                # values parse, fall back to lexical for string aggregates
+                # (try_cast -> all-NULL -> ties -> second key decides)
+                keys: List[Column] = [F.col(var).try_cast("double"),
+                                      F.col(var)]
             else:
                 # SPARQL §15.1 total order: unbound < bnode < IRI <
                 # literal, then by value, lang as the final tiebreaker

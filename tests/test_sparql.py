@@ -1478,3 +1478,105 @@ def test_having_inline_aggregates(small_graph):
     # HAVING with neither aggregates nor GROUP BY still rejected
     with pytest.raises(SparqlSyntaxError, match="HAVING requires"):
         parse_query("SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)")
+
+
+# ---------------------------------------------------------------------------
+# round-3 advisor fixes: ANSI-safe division, term-identity DISTINCT,
+# numeric ordering of MIN/MAX aliases, XPath regex flags
+# ---------------------------------------------------------------------------
+
+def test_division_by_zero_yields_unbound_not_error(small_graph):
+    # Spark 4 ANSI mode throws DIVIDE_BY_ZERO on plain '/'; SPARQL says a
+    # zero divisor is an expression ERROR: BIND leaves the var unbound,
+    # FILTER eliminates the row — the query itself must not abort
+    rows = sparql_select(small_graph, """
+        SELECT ?s ?d WHERE {
+            ?s <urn:p:age> ?a .
+            BIND(1 / (?a - 29) AS ?d)
+        } ORDER BY ?s
+    """).collect()
+    got = {(r["s"], r["d"]) for r in rows}
+    assert got == {("urn:alice", "0.2"), ("urn:carol", None)}
+    # FILTER over a zero divisor eliminates the row, no exception
+    out = sparql_select(small_graph, """
+        SELECT ?s WHERE {
+            ?s <urn:p:age> ?a .
+            FILTER(1 / (?a - 29) > 0)
+        }
+    """)
+    assert [r["s"] for r in out.collect()] == ["urn:alice"]
+
+
+def test_count_distinct_expression_uses_term_identity(spark):
+    # same lexical value, different kind (uri vs literal): DISTINCT over
+    # an expression must count full term identity like the variable path
+    g = triples_df(spark, [
+        ("urn:x", "urn:p:v", Uri("urn:same")),
+        ("urn:y", "urn:p:v", Literal("urn:same")),
+    ])
+    row = sparql_select(g, """
+        SELECT (COUNT(DISTINCT COALESCE(?o, ?o)) AS ?n)
+        WHERE { ?s <urn:p:v> ?o }
+    """).collect()[0]
+    assert row["n"] == 2
+
+
+def test_order_by_numeric_minmax_alias(spark):
+    # MAX over a numeric expression renders lexically ('9' vs '10'):
+    # ORDER BY the alias must still sort numerically
+    g = triples_df(spark, [
+        ("urn:a", "urn:p:age", Literal("9")),
+        ("urn:b", "urn:p:age", Literal("10")),
+        ("urn:c", "urn:p:age", Literal("2")),
+    ])
+    out = sparql_select(g, """
+        SELECT ?s (MAX(?a + 0) AS ?m) WHERE { ?s <urn:p:age> ?a }
+        GROUP BY ?s ORDER BY DESC(?m)
+    """)
+    assert [r["m"] for r in out.collect()] == ["10", "9", "2"]
+
+
+def test_replace_and_regex_xpath_flags(small_graph):
+    # 'q': pattern is a literal string, not a regex
+    rows = sparql_select(small_graph, """
+        SELECT ?s ?y WHERE {
+            <urn:alice> <urn:p:name> ?n .
+            BIND(replace(str(?n), ".", "-", "q") AS ?y)
+            BIND(replace(str(?n), "a.i", "X", "iq") AS ?s)
+        }
+    """).collect()
+    assert rows[0]["y"] == "Alice"          # no literal '.' to replace
+    assert rows[0]["s"] == "Alice"          # 'a.i' literal not present
+    # 's' flag: '.' matches newline
+    g2 = triples_df(small_graph.sparkSession, [
+        ("urn:d", "urn:p:txt", Literal("a\nb")),
+    ])
+    out = sparql_select(g2, """
+        SELECT ?s WHERE { ?s <urn:p:txt> ?t . FILTER(regex(?t, "a.b", "s")) }
+    """)
+    assert [r["s"] for r in out.collect()] == ["urn:d"]
+    out0 = sparql_select(g2, """
+        SELECT ?s WHERE { ?s <urn:p:txt> ?t . FILTER(regex(?t, "a.b")) }
+    """)
+    assert out0.count() == 0
+    # unknown flag raises instead of silently matching wrong
+    with pytest.raises(SparqlCompileError, match="unsupported regex"):
+        sparql_select(small_graph, """
+            SELECT ?s WHERE { ?s <urn:p:name> ?n . FILTER(regex(?n, "a", "z")) }
+        """)
+
+
+def test_json_sink_encodes_aggregate_aliases(small_graph):
+    from meresco_rdf_spark.sinks.sparql_json_sink import (
+        results_document, solution_variables)
+    import json as _json
+    sol = sparql_select(small_graph, """
+        SELECT ?s (COUNT(?n) AS ?c) WHERE { ?s <urn:p:name> ?n }
+        GROUP BY ?s
+    """)
+    assert solution_variables(sol) == ["s", "c"]
+    doc = _json.loads(results_document(sol))
+    assert doc["head"]["vars"] == ["s", "c"]
+    by_s = {b["s"]["value"]: b["c"] for b in doc["results"]["bindings"]}
+    assert by_s["urn:bob"] == {"type": "literal", "value": "2"}
+    assert by_s["urn:alice"]["value"] == "1"
