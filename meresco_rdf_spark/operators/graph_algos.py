@@ -127,29 +127,67 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int,
     return visited
 
 
-def triangle_participation(edges: DataFrame) -> DataFrame:
+def oriented_edges(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """Undirected-dedup + orientation for triangle enumeration.
+
+    ``orient='degree'`` (production): orient every undirected edge from
+    its lower-degree endpoint to its higher-degree endpoint (ties broken
+    by node id).  Under this TOTAL order every node's forward degree is
+    bounded by O(sqrt(m)) — a degree-d star hub has forward degree 0, so
+    it contributes ZERO wedges as a pivot instead of ~(d/2)^2 — the
+    difference between dying and not dying on a hub-heavy KG.
+
+    ``orient='id'`` (kept for the skew micro-bench baseline,
+    tools/bench_triangle_skew.py): orient lexicographically by node id —
+    a hub keeps ~(d/2)^2 pivot wedges.
+
+    Returns ``(u, v)`` with (key(u) < key(v)) under the chosen order;
+    each undirected edge appears exactly once.
+    """
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    if orient == "id":
+        return und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    if orient != "degree":
+        raise ValueError("orient must be 'degree' or 'id'")
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    return (und.join(da, "a").join(db, "b")
+            .select(F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+                    F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v")))
+
+
+def triangle_participation(edges: DataFrame,
+                           orient: str = "degree") -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED view of the edge list
     (direction and parallel edges ignored; self-loops dropped).
 
     Returns ``(node, n_triangles)`` — how many distinct triangles each
     node participates in; nodes in no triangle are absent.
 
-    Plan shape: the classic order-the-endpoints formulation.  Canonicalize
-    every edge to ``a < b`` and dedup, so each triangle {x,y,z} (x<y<z) is
-    found EXACTLY once as the join (x,y)⋈(y,z)⋈(x,z) — two equi-joins, no
-    combinatorial double counting and no post-hoc distinct over wedge
-    results.  Cost is the wedge count Σ deg², the proven lower bound for
-    exact triangle enumeration; at 100 TB the mitigations are the standard
-    ones (degree-ordered orientation already halves wedges vs naive;
-    skewed hubs spread via AQE skew-join on the shared ``y`` key).
+    Plan shape: orient every undirected edge low-degree -> high-degree
+    (ties on id; :func:`oriented_edges`), so each triangle {x,y,z} with
+    x ≺ y ≺ z under the (degree, id) total order is found EXACTLY once
+    as the join (x,y)⋈(y,z)⋈(x,z) — two equi-joins, no combinatorial
+    double counting and no post-hoc distinct.  Wedge candidates per
+    pivot y are fwd-deg(y) x in-deg(y); degree orientation bounds every
+    node's forward degree by O(sqrt(m)) — the standard bound that makes
+    exact enumeration survive hub-heavy KGs at 100x (a degree-10k star
+    hub pivots 0 wedges instead of ~25M; measured in
+    tools/bench_triangle_skew.py).  Residual skew on the shared ``y``
+    key spreads via AQE skew-join.  The output is orientation-invariant.
     """
-    und = (edges.filter(F.col("src") != F.col("dst"))
-           .select(F.least("src", "dst").alias("a"),
-                   F.greatest("src", "dst").alias("b"))
-           .distinct())
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    ori = oriented_edges(edges, orient=orient)
+    e1 = ori.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = ori.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = ori.select(F.col("u").alias("x"), F.col("v").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
     per_node = (tri.select(F.col("x").alias("node"))
                 .unionByName(tri.select(F.col("y").alias("node")))

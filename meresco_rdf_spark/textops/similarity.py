@@ -159,42 +159,80 @@ def hyperplane_signature_arrow(vec: Column, n_planes: int, dim: int,
     return signature(vec)
 
 
+def _banded_ids(df: DataFrame, src_id: str, out_id: str, vec_col: str,
+                sig_fn, n_planes: int, dim: int, bands: int) -> DataFrame:
+    """(out_id, band_id, band_bits) — the ONLY columns that ride the band
+    exchange.  The embedding array is deliberately dropped before the
+    explode: carrying it would shuffle O(rows x bands x dim x 8B) — at
+    dim 768-4096 the vector bytes dominate the exchange (the same
+    anti-pattern class as shuffling MinHash shingle arrays,
+    dedup.py banding).  Vectors are re-joined onto the (much smaller)
+    candidate set instead."""
+    width = n_planes // bands
+    sig = sig_fn(F.col(vec_col), n_planes, dim)
+    return df.select(
+        F.col(src_id).alias(out_id),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.substring(sig, b * width + 1, width).alias("band_bits"))
+            for b in range(bands)
+        ])).alias("band"),
+    ).select(out_id, "band.band_id", "band.band_bits")
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_planes: int = 8,
              dim: int = 64, bands: int = 4,
-             use_arrow: bool = False) -> DataFrame:
+             use_arrow: bool = False,
+             broadcast_queries: bool = False) -> DataFrame:
     """Approximate top-k: sign-LSH banding for candidates, exact cosine
     re-rank.  Recall is tunable by bands/planes; candidates per query
     shrink ~2^(-planes/bands) of the corpus — the 100-TB-side win.
+
+    Shuffle shape: the band exchange carries (id, band_id, band_bits)
+    ONLY — never the embedding arrays (those would ride the exchange
+    x bands, dominating bytes at production dims).  The corpus vectors
+    re-join onto the candidate set (one O(corpus x dim) exchange instead
+    of O(corpus x bands x dim)); the query vectors arrive either via a
+    broadcast join (default — |Q| is probe-shaped) or, with
+    ``broadcast_queries``, captured in the re-rank UDF's closure so they
+    never ride candidate rows at all.
+
     ``use_arrow`` switches signature computation AND the cosine re-rank
     to the numpy-matmul twins (the production-dim path)."""
-    width = n_planes // bands
+    if broadcast_queries and not use_arrow:
+        raise ValueError("broadcast_queries requires use_arrow=True")
     sig_fn = hyperplane_signature_arrow if use_arrow else hyperplane_signature
     cosine_fn = cosine_arrow if use_arrow else cosine
 
-    def banded(df, id_alias):
-        sig = sig_fn(F.col(vec_col), n_planes, dim)
-        return df.select(
-            F.col(id_alias[0]).alias(id_alias[1]),
-            F.col(vec_col).alias(id_alias[2]),
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.substring(sig, b * width + 1, width).alias("band_bits"))
-                for b in range(bands)
-            ])).alias("band"),
-        ).select(id_alias[1], id_alias[2], "band.band_id", "band.band_bits")
-
-    qb = banded(queries, (query_id_col, "query_id", "q_vec"))
-    cb = banded(corpus, (id_col, "neighbor_id", "c_vec"))
+    qb = _banded_ids(queries, query_id_col, "query_id", vec_col,
+                     sig_fn, n_planes, dim, bands)
+    cb = _banded_ids(corpus, id_col, "neighbor_id", vec_col,
+                     sig_fn, n_planes, dim, bands)
     cand = (
         qb.join(cb, ["band_id", "band_bits"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
     )
-    scored = cand.withColumn(
-        "cos", F.round(cosine_fn(F.col("q_vec"), F.col("c_vec")), 6))
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    cand = cand.join(c_vecs, "neighbor_id")
+    if broadcast_queries:
+        qid_to_vec = {
+            r[0]: r[1]
+            for r in queries.select(query_id_col, vec_col).collect()}
+        cos_fixed = _cosine_vs_captured_queries(qid_to_vec)
+        scored = cand.withColumn(
+            "cos", F.round(cos_fixed(F.col("query_id"), F.col("c_vec")), 6))
+    else:
+        q_vecs = F.broadcast(queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec")))
+        scored = cand.join(q_vecs, "query_id").withColumn(
+            "cos", F.round(cosine_fn(F.col("q_vec"), F.col("c_vec")), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -415,26 +453,20 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("v_a"))
     right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("v_b"))
     if n_planes:
-        width = n_planes // bands
-
-        def banded(side, idc, vecc):
-            sig = hyperplane_signature(F.col(vecc), n_planes, dim)
-            return side.select(
-                idc, vecc,
-                F.explode(F.array(*[
-                    F.struct(
-                        F.lit(bb).alias("band_id"),
-                        F.substring(sig, bb * width + 1, width).alias("band_bits"))
-                    for bb in range(bands)
-                ])).alias("band"),
-            ).select(idc, vecc, "band.band_id", "band.band_bits")
-
-        lb = banded(left, "a", "v_a")
-        rb = banded(right, "b", "v_b")
+        # band exchange carries ids only; vectors re-join onto the
+        # candidate pair set (two O(corpus x dim) exchanges instead of
+        # O(corpus x bands x dim) riding the banded self-join)
+        lb = _banded_ids(df, id_col, "a", vec_col,
+                         hyperplane_signature, n_planes, dim, bands)
+        rb = _banded_ids(df, id_col, "b", vec_col,
+                         hyperplane_signature, n_planes, dim, bands)
         cand = (
             lb.join(rb, ["band_id", "band_bits"])
             .filter(F.col("a") < F.col("b"))
             .dropDuplicates(["a", "b"])
+            .select("a", "b")
+            .join(left, "a")
+            .join(right, "b")
         )
     else:
         cand = left.crossJoin(right).filter(F.col("a") < F.col("b"))

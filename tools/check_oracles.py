@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -54,11 +55,14 @@ def main():
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         sdf = fn(spark, sf_dir)
         s_cols = sdf.columns
         s_rows = [tuple(r) for r in sdf.collect()]
+        dt = time.monotonic() - t0
         if name not in ORACLES:
-            print("%-24s rows-only: %d rows, cols=%s" % (name, len(s_rows), s_cols))
+            print("%-24s rows-only: %d rows, cols=%s [%.1fs]"
+                  % (name, len(s_rows), s_cols, dt))
             continue
         try:
             res = con.execute(ORACLES[name])
@@ -85,7 +89,7 @@ def main():
                 print("%-24s VALUE MISMATCH (%d rows)\n  spark-only: %s\n  duck-only:  %s"
                       % (name, len(s_rows), extra_s, extra_o))
         if ok:
-            print("%-24s OK (%d rows)" % (name, len(s_rows)))
+            print("%-24s OK (%d rows) [%.1fs]" % (name, len(s_rows), dt))
         else:
             failures.append(name)
 

@@ -125,6 +125,33 @@ def main() -> None:
         "minhash: no arrays in exchanges", len(exchange_inputs) > 0 and not bad,
         "(%d exchanges)" % len(exchange_inputs)))
 
+    # vector LSH banding: same discipline as minhash — no embedding ARRAY
+    # ever rides a band exchange (an exchange partitioned by band_id /
+    # band_bits).  Vectors re-join onto the candidate set, so the only
+    # exchanges allowed to carry an array column are the id-keyed
+    # vector re-joins.
+    from meresco_rdf_spark.textops.similarity import cosine_pairs, lsh_topk
+
+    emb = spark.read.parquet("%s/embeddings.parquet" % sf_dir)
+    qset = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id")
+    band_exchanges, band_bad = 0, []
+    for df_lsh in (lsh_topk(emb, qset, k=5, n_planes=8, dim=64, bands=4),
+                   cosine_pairs(emb, threshold=0.4, n_planes=8, dim=64)):
+        s2 = df_lsh._jdf.queryExecution().explainString(fmt)
+        blocks = re.findall(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*"
+            r"\nArguments: ([^\n]*)", s2)
+        for inp, args in blocks:
+            if "band_id" in args or "band_bits" in args:
+                band_exchanges += 1
+                if re.search(r"(embedding|q_vec|c_vec|v_a|v_b)#", inp):
+                    band_bad.append(inp)
+    results.append(check(
+        "vector lsh: no vecs in band exchanges",
+        band_exchanges > 0 and not band_bad,
+        "(%d band exchanges)" % band_exchanges))
+
     # verify tail: the union size |A|+|B|-|AnB| comes from n_sh carried
     # on posting rows, NOT from joining the pair aggregate against an
     # O(corpus) sizes relation — exactly 3 joins (banded self-join + the
