@@ -507,6 +507,35 @@ def q_sparql_path_alt_plus(spark, sf_dir):
     """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
 
 
+def q_sparql_path_star(spark, sf_dir):
+    """Zero-or-more path over an alternation of predicates
+    (``rdfs:subClassOf*``-shaped, the most common property path in the
+    wild): the reachability relation of the nation/region hierarchy
+    UNION the zero-length identity matches — with both endpoints
+    variables, every RDF term of the graph bound to itself
+    (SPARQL 1.1 §18.4 ZeroLengthPath)."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        SELECT DISTINCT ?x ?y WHERE {{
+            ?x (<{rel_nation}>|<{rel_region}>)* ?y .
+        }}
+    """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
+
+
+def q_sparql_path_opt(spark, sf_dir):
+    """Zero-or-one path: each term optionally stepped through one
+    skos:prefLabel edge — the base edge set plus every graph term's
+    identity row."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        SELECT DISTINCT ?n ?v WHERE {{
+            ?n <{skos_pref}>? ?v .
+        }}
+    """.format(skos_pref=SKOS_PREFLABEL))
+
+
 def q_sparql_path_inverse(spark, sf_dir):
     """Inverse path: the members of one nation found by traversing
     ^rel:nation from the nation node."""
@@ -855,6 +884,55 @@ SELECT DISTINCT src AS x,
   CAST(NULL AS VARCHAR) AS x_lang,
   dst AS y, dst_kind AS y_kind, dst_lang AS y_lang
 FROM walk""",
+    "sparql_path_star": """
+WITH RECURSIVE {cte},
+edges AS (
+  SELECT DISTINCT subj AS src, obj_value AS dst, obj_kind AS dst_kind,
+         obj_lang AS dst_lang
+  FROM triples WHERE pred IN ('{rel_nation}', '{rel_region}')
+),
+walk(src, dst, dst_kind, dst_lang) AS (
+  SELECT src, dst, dst_kind, dst_lang FROM edges
+  UNION
+  SELECT w.src, e.dst, e.dst_kind, e.dst_lang
+  FROM walk w JOIN edges e ON e.src = w.dst AND w.dst_kind != 'literal'
+),
+terms(node, kind, lang) AS (
+  SELECT DISTINCT subj,
+    CASE WHEN subj LIKE '\\_:%' ESCAPE '\\' THEN 'bnode' ELSE 'uri' END,
+    CAST(NULL AS VARCHAR)
+  FROM triples
+  UNION
+  SELECT DISTINCT obj_value, obj_kind, obj_lang FROM triples
+)
+SELECT DISTINCT x, x_kind, x_lang, y, y_kind, y_lang FROM (
+  SELECT src AS x,
+    CASE WHEN src LIKE '\\_:%' ESCAPE '\\' THEN 'bnode' ELSE 'uri' END AS x_kind,
+    CAST(NULL AS VARCHAR) AS x_lang,
+    dst AS y, dst_kind AS y_kind, dst_lang AS y_lang
+  FROM walk
+  UNION
+  SELECT node, kind, lang, node, kind, lang FROM terms
+)""",
+    "sparql_path_opt": """
+WITH {cte},
+terms(node, kind, lang) AS (
+  SELECT DISTINCT subj,
+    CASE WHEN subj LIKE '\\_:%' ESCAPE '\\' THEN 'bnode' ELSE 'uri' END,
+    CAST(NULL AS VARCHAR)
+  FROM triples
+  UNION
+  SELECT DISTINCT obj_value, obj_kind, obj_lang FROM triples
+)
+SELECT DISTINCT n, n_kind, n_lang, v, v_kind, v_lang FROM (
+  SELECT subj AS n,
+    CASE WHEN subj LIKE '\\_:%' ESCAPE '\\' THEN 'bnode' ELSE 'uri' END AS n_kind,
+    CAST(NULL AS VARCHAR) AS n_lang,
+    obj_value AS v, obj_kind AS v_kind, obj_lang AS v_lang
+  FROM triples WHERE pred = '{skos_pref}'
+  UNION
+  SELECT node, kind, lang, node, kind, lang FROM terms
+)""",
     "sparql_path_inverse": """
 WITH {cte}
 SELECT DISTINCT t1.obj_value AS n, t1.obj_kind AS n_kind,
@@ -2404,16 +2482,20 @@ def q_stream_mention_rate(spark, sf_dir):
 
 
 def _write_turn_slices(spark, base: str) -> str:
-    """Write the seeded transcripts as four turn-slice parquet files with
+    """Write the seeded transcripts as turn-slice parquet files with
     strictly increasing mtimes (file-source batch order follows
     modification time) — the forced-multi-micro-batch input shared by the
-    streaming driver queries.  Returns the input directory."""
+    streaming driver queries.  Two slices: the minimum that still forces
+    state/merge results to carry ACROSS micro-batches (the property under
+    test; the oracles are slicing-independent, and the per-micro-batch
+    machinery dominates the gate's wall-clock — tests/test_streaming.py
+    exercises deeper slicings).  Returns the input directory."""
     import os
 
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     t = _synth_transcripts(spark)
-    for i, (lo, hi) in enumerate([(0, 1), (2, 3), (4, 5), (6, 7)]):
+    for i, (lo, hi) in enumerate([(0, 3), (4, 7)]):
         part = os.path.join(base, "part%d" % i)
         t.filter(F.col("turn_idx").between(lo, hi)).coalesce(1).write.mode(
             "overwrite").parquet(part)
@@ -2428,7 +2510,7 @@ def _write_turn_slices(spark, base: str) -> str:
 def q_stream_stateful_scores(spark, sf_dir):
     """Custom stateful streaming operator (``applyInPandasWithState``)
     under FORCED multi-micro-batch processing: the input is written as
-    four turn-slice files with strictly increasing mtimes and drained
+    turn-slice files with strictly increasing mtimes and drained
     with maxFilesPerTrigger=1, so every conversation's support state MUST
     carry across micro-batches to produce the batch-path cumulative
     scores.  Oracle: the golden kg_mentions scores reformatted — the
@@ -2460,7 +2542,7 @@ def q_stream_stateful_scores(spark, sf_dir):
 
 def q_stream_dedup_fps(spark, sf_dir):
     """Streaming ingestion-time exact dedup under FORCED multi-micro-batch
-    processing (4 shards, maxFilesPerTrigger=1): the documents table
+    processing (2 shards, maxFilesPerTrigger=1): the documents table
     arrives as file drops, stateful ``dropDuplicates`` on the
     normalized-text fingerprint keeps the first-seen doc per key ACROSS
     batches.  The surviving doc per group is arrival-order-dependent, so
@@ -2474,7 +2556,7 @@ def q_stream_dedup_fps(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="stream_dedup_")
     in_dir = os.path.join(base, "in")
-    _read(spark, sf_dir, "documents").repartition(4, "doc_id") \
+    _read(spark, sf_dir, "documents").repartition(2, "doc_id") \
         .write.parquet(in_dir)
     q = run_to_parquet(
         stream_exact_dedup(read_document_stream(
@@ -2489,8 +2571,8 @@ def q_stream_merge_triples(spark, sf_dir):
     incremental mention extraction -> stateless triple fan-out -> per-
     micro-batch MERGE (set semantics, bucket-pruned read-modify-write)
     into the subject-bucketed materialized triple table.  Forced
-    multi-micro-batch (4 turn-slice files, maxFilesPerTrigger=1) so the
-    table is built by 4 successive merges, each deduplicating against the
+    multi-micro-batch (turn-slice files, maxFilesPerTrigger=1) so the
+    table is built by successive merges, each deduplicating against the
     rows the earlier ones committed.  Oracle: the pure-Python golden of
     the stateless fan-out over all mentions — the table the merges must
     converge to regardless of batch slicing."""
@@ -2623,7 +2705,63 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_participation(edges)
 
 
+# Ordering contract: the driver iterates QUERIES in dict order and its
+# per-round run is budget-capped (CORRECTNESS_r02 recorded exactly the
+# first 50 entries).  Queries that have never had a driver-written green
+# CORRECTNESS row therefore run FIRST — the round-1 failures (kg_*,
+# stream_mention_rate) at the very front — and the 50 entries already
+# green in CORRECTNESS_r02 run last (they are re-verified whenever budget
+# allows; all 91 also run in tools/check_oracles.py every round).
 QUERIES = {
+    # -- never driver-verified: round-1 failures first ---------------------
+    # (kg_*/stream queries are oracled against committed golden parquet
+    # generated by the independent pure-Python reference pipeline,
+    # tools/golden_ref.py; cross-checked by tools/make_golden.py)
+    "kg_mentions": q_kg_mentions,
+    "kg_triples": q_kg_triples,
+    "kg_canonical_map": q_kg_canonical_map,
+    "kg_entity_labels": q_kg_entity_labels,
+    "kg_rdfxml_shards": q_kg_rdfxml_shards,
+    "stream_mention_rate": q_stream_mention_rate,
+    "kg_sparql_entities": q_kg_sparql_entities,
+    "kg_structure_triples": q_kg_structure_triples,
+    # -- never driver-verified: S/K operators, analytics, streaming --------
+    "graph_contains": q_graph_contains,
+    "rdf_ingest_dir": q_rdf_ingest_dir,
+    "nt_ingest": q_nt_ingest,
+    "nt_roundtrip": q_nt_roundtrip,
+    "sparql_json_decode": q_sparql_json_decode,
+    "rdfxml_roundtrip": q_rdfxml_roundtrip,
+    "scalar_functions": q_scalar_functions,
+    "scalar_matches_iri": q_scalar_matches_iri,
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "embed_dup_pairs": q_embed_dup_pairs,
+    "embed_dup_clusters": q_embed_dup_clusters,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_ivf_arrow": q_similarity_ivf_arrow,
+    "multimodal_features": q_multimodal_features,
+    "events_sessions": q_events_sessions,
+    "events_asof_signup": q_events_asof_signup,
+    "events_range_hot_hours": q_events_range_hot_hours,
+    "events_range_hot_hours_bucketized": q_events_range_hot_hours_bucketized,
+    "events_quantiles": q_events_quantiles,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "pricing_summary": q_pricing_summary,
+    "pricing_pivot": q_pricing_pivot,
+    "pricing_cube": q_pricing_cube,
+    "pricing_rollup": q_pricing_rollup,
+    "stream_stateful_scores": q_stream_stateful_scores,
+    "stream_dedup_fps": q_stream_dedup_fps,
+    "stream_merge_triples": q_stream_merge_triples,
+    "sample_hash_split": q_sample_hash_split,
+    "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
+    "text_repetition": q_text_repetition,
+    "graph_triangles": q_graph_triangles,
+    "sparql_path_star": q_sparql_path_star,
+    "sparql_path_opt": q_sparql_path_opt,
+    # -- driver-green in CORRECTNESS_r02 (re-verified when budget allows) --
     "graph_scan_masked": q_graph_scan_masked,
     "graph_iterate": q_graph_iterate,
     "graph_adjacency_topk": q_graph_adjacency_topk,
@@ -2674,51 +2812,6 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "embed_cosine_topk": q_embed_cosine_topk,
-    "events_sessions": q_events_sessions,
-    "events_asof_signup": q_events_asof_signup,
-    "events_range_hot_hours": q_events_range_hot_hours,
-    "events_range_hot_hours_bucketized": q_events_range_hot_hours_bucketized,
-    "events_quantiles": q_events_quantiles,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "graph_contains": q_graph_contains,
-    "pricing_summary": q_pricing_summary,
-    "pricing_pivot": q_pricing_pivot,
-    "pricing_cube": q_pricing_cube,
-    "rdf_ingest_dir": q_rdf_ingest_dir,
-    "nt_ingest": q_nt_ingest,
-    "nt_roundtrip": q_nt_roundtrip,
-    "sparql_json_decode": q_sparql_json_decode,
-    "rdfxml_roundtrip": q_rdfxml_roundtrip,
-    "pricing_rollup": q_pricing_rollup,
-    "multimodal_features": q_multimodal_features,
-    "embed_dup_pairs": q_embed_dup_pairs,
-    "embed_dup_clusters": q_embed_dup_clusters,
-    "scalar_functions": q_scalar_functions,
-    "scalar_matches_iri": q_scalar_matches_iri,
-    # not ANSI-SQL-expressible (pandas-UDF extraction, iterative connected
-    # components, streaming runtime) — oracled against committed golden
-    # parquet generated by the pure-Python reference pipeline
-    # (tools/golden_ref.py; cross-checked by tools/make_golden.py)
-    "kg_mentions": q_kg_mentions,
-    "kg_triples": q_kg_triples,
-    "kg_sparql_entities": q_kg_sparql_entities,
-    "kg_canonical_map": q_kg_canonical_map,
-    "kg_entity_labels": q_kg_entity_labels,
-    "kg_structure_triples": q_kg_structure_triples,
-    "kg_rdfxml_shards": q_kg_rdfxml_shards,
-    "stream_mention_rate": q_stream_mention_rate,
-    "similarity_lsh_topk": q_similarity_lsh_topk,
-    "similarity_ivf_topk": q_similarity_ivf_topk,
-    "similarity_ivf_arrow": q_similarity_ivf_arrow,
-    "stream_stateful_scores": q_stream_stateful_scores,
-    "stream_dedup_fps": q_stream_dedup_fps,
-    "stream_merge_triples": q_stream_merge_triples,
-    "sample_hash_split": q_sample_hash_split,
-    "sample_stratified": q_sample_stratified,
-    "pack_sequences": q_pack_sequences,
-    "text_repetition": q_text_repetition,
-    "graph_triangles": q_graph_triangles,
 }
 
 

@@ -53,7 +53,9 @@ from .parser import (
     NotExpr,
     Num,
     OptionalPattern,
+    PathOpt,
     PathPlus,
+    PathStar,
     SelectQuery,
     SubSelect,
     TriplesBlock,
@@ -144,6 +146,126 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
         spark.conf.set("spark.sql.constraintPropagation.enabled", saved)
 
 
+def _src_kind() -> Column:
+    """Path sources are always subjects — uri or bnode, never literal."""
+    return (F.when(F.col("src").startswith("_:"), F.lit("bnode"))
+            .otherwise(F.lit("uri")))
+
+
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """(node, kind, lang) for every RDF term of the graph (subjects ∪
+    objects) — the zero-length-path domain (SPARQL 1.1 §18.4,
+    ZeroLengthPath over both-variable endpoints)."""
+    subjects = triples.select(
+        F.col("subj").alias("node"),
+        F.when(F.col("subj").startswith("_:"), F.lit("bnode"))
+         .otherwise(F.lit("uri")).alias("kind"),
+        _null_str().alias("lang"))
+    objects = triples.select(
+        F.col("obj_value").alias("node"),
+        F.col("obj_kind").alias("kind"),
+        F.col("obj_lang").alias("lang"))
+    return subjects.unionByName(objects).distinct()
+
+
+def _term_const(t) -> Opt[Tuple[str, str, Opt[str]]]:
+    """(value, kind, lang) of a constant term, None for variables."""
+    if isinstance(t, Iri):
+        return (t.uri, "uri", None)
+    if isinstance(t, BNodeRef):
+        return (t.label, "bnode", None)
+    if isinstance(t, Lit):
+        return (t.value, "literal", t.lang)
+    return None
+
+
+def _compile_path_closure(triples: DataFrame, s, p, o,
+                          plus: bool) -> Tuple[DataFrame, Set[str]]:
+    """(s, p*, o) / (s, p?, o) -> bindings frame: the zero-length
+    identity matches UNION the length>=1 matches (the full transitive
+    closure for ``*``, the base edge set for ``?``).
+
+    Zero-length semantics: a constant endpoint contributes its own
+    identity row; with both endpoints variables, every RDF term of the
+    graph matches itself (so ``?x p* ?x`` binds every term).  The frame
+    carries explicit (src, src_kind, src_lang) because zero-length
+    matches can bind a LITERAL to the subject position — the uri/bnode
+    derivation used for real path sources does not apply to them."""
+    seed = None
+    if isinstance(s, Iri):
+        seed = s.uri
+    elif isinstance(s, BNodeRef):
+        seed = s.label
+    if plus:
+        step = _path_plus_edges(triples, p.preds, seed=seed)
+    else:
+        step = (triples.filter(F.col("pred").isin(list(p.preds)))
+                .select(F.col("subj").alias("src"),
+                        F.col("obj_value").alias("dst"),
+                        F.col("obj_kind").alias("dst_kind"),
+                        F.col("obj_lang").alias("dst_lang"))
+                .distinct())
+        if seed is not None:
+            step = step.filter(F.col("src") == seed)
+    step6 = step.select(
+        "src", _src_kind().alias("src_kind"), _null_str().alias("src_lang"),
+        "dst", "dst_kind", "dst_lang")
+
+    const = _term_const(s) or _term_const(o)
+    if const is not None:
+        node, kind, lang = const
+        spark = triples.sparkSession
+        ident = spark.range(1).select(
+            F.lit(node).alias("node"), F.lit(kind).alias("kind"),
+            F.lit(lang).cast("string").alias("lang"))
+    else:
+        ident = _graph_terms(triples)
+    zero6 = ident.select(
+        F.col("node").alias("src"), F.col("kind").alias("src_kind"),
+        F.col("lang").alias("src_lang"),
+        F.col("node").alias("dst"), F.col("kind").alias("dst_kind"),
+        F.col("lang").alias("dst_lang"))
+    df = zero6.unionByName(step6).dropDuplicates()
+
+    sc, oc = _term_const(s), _term_const(o)
+    if sc is not None:
+        df = (df.filter(F.col("src") == sc[0])
+              .filter(F.col("src_kind") == sc[1])
+              .filter(F.col("src_lang").eqNullSafe(
+                  F.lit(sc[2]).cast("string"))))
+    if oc is not None:
+        df = (df.filter(F.col("dst") == oc[0])
+              .filter(F.col("dst_kind") == oc[1])
+              .filter(F.col("dst_lang").eqNullSafe(
+                  F.lit(oc[2]).cast("string"))))
+
+    if isinstance(s, Var) and isinstance(o, Var) and s.name == o.name:
+        df = df.filter(
+            (F.col("src") == F.col("dst"))
+            & (F.col("src_kind") == F.col("dst_kind"))
+            & F.col("src_lang").eqNullSafe(F.col("dst_lang")))
+        v, k, lg = _var_cols(s.name)
+        return (df.select(F.col("src").alias(v),
+                          F.col("src_kind").alias(k),
+                          F.col("src_lang").alias(lg)).dropDuplicates(),
+                {s.name})
+    cols: List[Column] = []
+    vars_: Set[str] = set()
+    if isinstance(s, Var):
+        v, k, lg = _var_cols(s.name)
+        cols.extend([F.col("src").alias(v), F.col("src_kind").alias(k),
+                     F.col("src_lang").alias(lg)])
+        vars_.add(s.name)
+    if isinstance(o, Var):
+        v, k, lg = _var_cols(o.name)
+        cols.extend([F.col("dst").alias(v), F.col("dst_kind").alias(k),
+                     F.col("dst_lang").alias(lg)])
+        vars_.add(o.name)
+    if not cols:
+        return df.limit(1).select(F.lit(1).alias("_ground")), set()
+    return df.select(*cols), vars_
+
+
 def _compile_path_plus(triples: DataFrame, s, p: PathPlus,
                        o) -> Tuple[DataFrame, Set[str]]:
     """(s, p+, o) -> bindings frame over the closure relation."""
@@ -196,6 +318,10 @@ def _compile_pattern(triples: DataFrame, pattern) -> Tuple[DataFrame, Set[str]]:
     s, p, o = pattern
     if isinstance(p, PathPlus):
         return _compile_path_plus(triples, s, p, o)
+    if isinstance(p, PathStar):
+        return _compile_path_closure(triples, s, p, o, plus=True)
+    if isinstance(p, PathOpt):
+        return _compile_path_closure(triples, s, p, o, plus=False)
     df = triples
 
     # constant filters (pushdown-eligible)

@@ -27,11 +27,12 @@ Property paths (predicate position): sequence ``p1/p2`` (desugared into
 chained patterns over fresh internal variables), inverse ``^p`` (subject/
 object swap), alternation ``p1|p2`` (desugared to UNION branches),
 negated property sets ``!p`` / ``!(p1|p2)`` (a NOT-IN predicate filter,
-no variable bound), and one-or-more ``p+`` over an IRI or an alternation
-of IRIs (kept in the AST as ``PathPlus`` — the compiler runs an
-iterative closure).  ``p*`` and nested ``+`` are rejected with a clear
-error (zero-length-path semantics bind every node in the graph —
-unbounded at scale by design, not oversight).
+no variable bound), and the quantifiers over an IRI or an alternation
+of IRIs: one-or-more ``p+`` (``PathPlus`` — the compiler runs an
+iterative closure), zero-or-more ``p*`` (``PathStar`` — the closure
+UNION the zero-length identity matches per SPARQL 1.1 §18.4), and
+zero-or-one ``p?`` (``PathOpt``).  Nested quantifiers are rejected with
+a clear error.
 
 Aggregates: ``SELECT ?g (COUNT(?v) AS ?n) ... GROUP BY ?g`` with
 COUNT (incl. ``*`` and DISTINCT) / SUM / AVG / MIN / MAX / SAMPLE /
@@ -124,6 +125,21 @@ class PathPlus:
 
 
 @dataclass(frozen=True)
+class PathStar:
+    """Zero-or-more path ``p*``: the transitive closure UNION the
+    zero-length identity matches (every RDF term in the graph bound to
+    itself; a constant endpoint contributes its own identity row)."""
+    preds: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class PathOpt:
+    """Zero-or-one path ``p?``: the base edge set UNION the zero-length
+    identity matches."""
+    preds: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class NegatedSet:
     """Negated property set ``!iri`` / ``!(iri1|iri2|...)``: matches any
     triple whose predicate is NOT one of the listed IRIs.  Does not bind
@@ -132,8 +148,12 @@ class NegatedSet:
 
 
 Term = Union[Var, Iri, Lit, BNodeRef]
-Pred = Union[Term, PathPlus, NegatedSet]
+Pred = Union[Term, PathPlus, PathStar, PathOpt, NegatedSet]
 TriplePattern = Tuple[Term, Pred, Term]
+
+# every non-plain predicate node (guards that forbid property paths in
+# CONSTRUCT/DELETE templates etc. check against this tuple)
+PATH_PREDS = (PathPlus, PathStar, PathOpt, NegatedSet)
 
 
 @dataclass(frozen=True)
@@ -303,7 +323,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*?:[A-Za-z0-9_.-]*|[A-Za-z_][A-Za-z0-9_-]*:)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*/^|+-])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*/^|+?-])
 """, re.VERBOSE)
 
 
@@ -603,7 +623,7 @@ class _Parser:
             if self.at_op("."):
                 self.next()
         self.eat_op("}")
-        if template.alts or any(isinstance(p, (PathPlus, NegatedSet))
+        if template.alts or any(isinstance(p, PATH_PREDS)
                                 for _, p, _ in template.patterns):
             self.fail("property paths are not allowed in a %s template"
                       % what)
@@ -686,7 +706,7 @@ class _Parser:
                                                    TriplesBlock):
             self.fail("%s takes a plain basic graph pattern" % what)
         block = where.parts[0]
-        if block.alts or any(isinstance(p, (PathPlus, NegatedSet))
+        if block.alts or any(isinstance(p, PATH_PREDS)
                              for _, p, _ in block.patterns):
             self.fail("property paths are not allowed in %s" % what)
         if any(isinstance(t, Var) and t.name.startswith("_path")
@@ -948,9 +968,33 @@ class _Parser:
             steps.append(self._path_elt())
         return steps
 
+    _QUANT_TAG = {"+": "plus", "*": "star", "?": "opt"}
+
+    def _path_quantifier(self, inverse: bool) -> Opt[str]:
+        """Consume a trailing path quantifier (+ * ?) if present and
+        return its step tag; inverse quantified paths are rejected."""
+        for op, tag in self._QUANT_TAG.items():
+            if self.at_op(op):
+                self.next()
+                if inverse:
+                    self.fail("inverse of a %s path is not supported" % op)
+                return tag
+        return None
+
+    def _quant_preds(self, inner: List[List[tuple]], quant: str) -> tuple:
+        """A quantifier applies to an IRI or an alternation of IRIs —
+        flatten the parenthesized group's DNF branches into the IRI set."""
+        preds = []
+        for br in inner:
+            if len(br) != 1 or br[0][0] != "fwd":
+                self.fail("%s applies to an IRI or an alternation "
+                          "of IRIs only" % quant)
+            preds.append(br[0][1].uri)
+        return tuple(preds)
+
     def _path_elt(self) -> tuple:
         if self.at_op("*"):
-            self.fail("zero-or-more path (*) is not supported")
+            self.fail("a path element cannot start with '*'")
         if self.at_op("!"):
             self.next()
             preds: List[str] = []
@@ -972,7 +1016,7 @@ class _Parser:
                     self.fail("inverse inside a negated property set is "
                               "not supported")
                 preds.append(self._path_iri().uri)
-            if self.at_op("+") or self.at_op("*"):
+            if self.at_op("+") or self.at_op("*") or self.at_op("?"):
                 self.fail("quantifiers over a negated property set are "
                           "not supported")
             return ("neg", tuple(preds))
@@ -984,19 +1028,9 @@ class _Parser:
             self.next()
             inner = self.parse_path()
             self.eat_op(")")
-            if self.at_op("+"):
-                self.next()
-                if inverse:
-                    self.fail("inverse of a + path is not supported")
-                preds = []
-                for br in inner:
-                    if len(br) != 1 or br[0][0] != "fwd":
-                        self.fail("+ applies to an IRI or an alternation "
-                                  "of IRIs only")
-                    preds.append(br[0][1].uri)
-                return ("plus", tuple(preds))
-            if self.at_op("*"):
-                self.fail("zero-or-more path (*) is not supported")
+            tag = self._path_quantifier(inverse)
+            if tag is not None:
+                return (tag, self._quant_preds(inner, tag))
             if len(inner) == 1 and len(inner[0]) == 1:
                 step = inner[0][0]
                 if inverse:
@@ -1010,13 +1044,9 @@ class _Parser:
             # bare group: expanded into DNF branches by parse_path
             return ("alt", inner)
         iri = self._path_iri()
-        if self.at_op("+"):
-            self.next()
-            if inverse:
-                self.fail("inverse of a + path is not supported")
-            return ("plus", (iri.uri,))
-        if self.at_op("*"):
-            self.fail("zero-or-more path (*) is not supported")
+        tag = self._path_quantifier(inverse)
+        if tag is not None:
+            return (tag, (iri.uri,))
         return ("inv", iri) if inverse else ("fwd", iri)
 
     def _path_iri(self) -> Iri:
@@ -1053,6 +1083,10 @@ class _Parser:
                 pats.append((nxt, step[1], cur))
             elif tag == "neg":
                 pats.append((cur, NegatedSet(step[1]), nxt))
+            elif tag == "star":
+                pats.append((cur, PathStar(step[1]), nxt))
+            elif tag == "opt":
+                pats.append((cur, PathOpt(step[1]), nxt))
             else:  # plus
                 pats.append((cur, PathPlus(step[1]), nxt))
             cur = nxt

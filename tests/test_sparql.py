@@ -311,9 +311,19 @@ def test_parse_path_inverse_swaps_subject_object():
     assert pats == [(Var("s"), Iri("urn:p:a"), Var("o"))]
 
 
-def test_parse_path_star_rejected():
-    with pytest.raises(SparqlSyntaxError, match="zero-or-more"):
-        parse_query("SELECT * WHERE { ?s <urn:p:a>* ?o }")
+def test_parse_path_star_and_opt():
+    from meresco_rdf_spark.sparql.parser import PathOpt, PathStar
+
+    q = parse_query("SELECT * WHERE { ?s <urn:p:a>* ?o }")
+    assert q.where.parts[0].patterns[0][1] == PathStar(("urn:p:a",))
+    q = parse_query("SELECT * WHERE { ?s (<urn:p:a>|<urn:p:b>)? ?o }")
+    assert q.where.parts[0].patterns[0][1] == PathOpt(("urn:p:a", "urn:p:b"))
+
+
+def test_parse_path_star_rejected_in_templates():
+    with pytest.raises(SparqlSyntaxError, match="not allowed"):
+        parse_query("""CONSTRUCT { ?s <urn:p:a>* ?o }
+                       WHERE { ?s <urn:p:a> ?o }""")
 
 
 def test_path_sequence_semantics(small_graph):
@@ -411,6 +421,66 @@ def test_path_plus_in_sequence(small_graph):
         SELECT DISTINCT ?n WHERE { <urn:alice> <urn:p:knows>+/<urn:p:name> ?n }
     """)
     assert {r["n"] for r in out.collect()} == {"Bob", "Bobby"}
+
+
+def test_path_star_from_constant_includes_self(spark):
+    chain = triples_df(spark, [
+        ("urn:1", "urn:p:next", Uri("urn:2")),
+        ("urn:2", "urn:p:next", Uri("urn:3")),
+        ("urn:5", "urn:p:next", Uri("urn:6")),
+    ])
+    out = sparql_select(chain,
+                        "SELECT ?y WHERE { <urn:1> <urn:p:next>* ?y }")
+    assert {r["y"] for r in out.collect()} == {"urn:1", "urn:2", "urn:3"}
+    # constant not in the graph still matches itself (zero-length)
+    out2 = sparql_select(chain,
+                         "SELECT ?y WHERE { <urn:99> <urn:p:next>* ?y }")
+    assert {r["y"] for r in out2.collect()} == {"urn:99"}
+
+
+def test_path_star_both_vars_binds_every_term(spark):
+    g = triples_df(spark, [
+        ("urn:1", "urn:p:n", Uri("urn:2")),
+        ("urn:2", "urn:p:lbl", Literal("two", lang="en")),
+    ])
+    out = sparql_select(g, "SELECT ?x ?y WHERE { ?x <urn:p:n>* ?y }")
+    got = {(r["x"], r["y"], r["y_kind"]) for r in out.collect()}
+    # identity over ALL graph terms (incl. the literal) + the real edge
+    assert got == {("urn:1", "urn:1", "uri"), ("urn:2", "urn:2", "uri"),
+                   ("two", "two", "literal"), ("urn:1", "urn:2", "uri")}
+    # ?x p* ?x binds every term to itself
+    cyc = sparql_select(g, "SELECT ?x WHERE { ?x <urn:p:n>* ?x }")
+    assert {r["x"] for r in cyc.collect()} == {"urn:1", "urn:2", "two"}
+
+
+def test_path_star_in_sequence_subclassof_shape(small_graph):
+    # knows*/name from alice: zero steps -> Alice's own name; one step ->
+    # bob's names; two steps -> carol (no name)
+    out = sparql_select(small_graph, """
+        SELECT DISTINCT ?n WHERE { <urn:alice> <urn:p:knows>*/<urn:p:name> ?n }
+    """)
+    assert {r["n"] for r in out.collect()} == {"Alice", "Bob", "Bobby"}
+
+
+def test_path_opt_zero_or_one(spark):
+    chain = triples_df(spark, [
+        ("urn:1", "urn:p:next", Uri("urn:2")),
+        ("urn:2", "urn:p:next", Uri("urn:3")),
+    ])
+    out = sparql_select(chain,
+                        "SELECT ?y WHERE { <urn:1> <urn:p:next>? ?y }")
+    # self + ONE step, never two
+    assert {r["y"] for r in out.collect()} == {"urn:1", "urn:2"}
+
+
+def test_path_star_const_const_zero_length(spark):
+    g = triples_df(spark, [("urn:1", "urn:p:n", Uri("urn:2"))])
+    # zero-length match grounds the pattern even with no connecting edge
+    out = sparql_select(g, """
+        SELECT ?o WHERE { <urn:9> <urn:p:n>* <urn:9> .
+                          <urn:1> <urn:p:n> ?o }
+    """)
+    assert {r["o"] for r in out.collect()} == {"urn:2"}
 
 
 # ---------------------------------------------------------------------------

@@ -139,11 +139,14 @@ def main() -> None:
     for df_lsh in (lsh_topk(emb, qset, k=5, n_planes=8, dim=64, bands=4),
                    cosine_pairs(emb, threshold=0.4, n_planes=8, dim=64)):
         s2 = df_lsh._jdf.queryExecution().explainString(fmt)
+        # BOTH shuffle and broadcast exchanges count: at audit scale AQE
+        # broadcasts the tiny band join, at 100 TB it shuffles — either
+        # way a banded frame must never carry an embedding array.
         blocks = re.findall(
-            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*"
-            r"\nArguments: ([^\n]*)", s2)
-        for inp, args in blocks:
-            if "band_id" in args or "band_bits" in args:
+            r"\(\d+\) (?:Broadcast)?Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]",
+            s2)
+        for inp in blocks:
+            if "band_id" in inp or "band_bits" in inp:
                 band_exchanges += 1
                 if re.search(r"(embedding|q_vec|c_vec|v_a|v_b)#", inp):
                     band_bad.append(inp)
