@@ -2657,12 +2657,15 @@ def q_sample_hash_split(spark, sf_dir):
 
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sample: the 20 smallest-md5 documents per
-    language — a uniform per-stratum sample every engine reproduces."""
+    language — a uniform per-stratum sample every engine reproduces.
+    Runs the HOT-STRATUM path (salted two-stage top-k aggregation, no
+    window); the window path produces the identical set (asserted in
+    tests/test_sampling.py) against the same oracle."""
     from .textops.sampling import stratified_sample
 
     docs = _read(spark, sf_dir, "documents")
-    return stratified_sample(docs, "lang", "doc_id", 20).select(
-        "doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", 20,
+                             salt_buckets=8).select("doc_id", "lang")
 
 
 def q_pack_sequences(spark, sf_dir):

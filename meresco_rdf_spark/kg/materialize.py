@@ -48,7 +48,14 @@ def adjacency(triples: DataFrame) -> DataFrame:
     """Per-subject adjacency: sorted struct array + degree.
 
     One hash-agg keyed subj (partial map-side combine; the sort is
-    per-array, executed inside the agg output projection)."""
+    per-array, executed inside the agg output projection).
+
+    HUB BOUND: ``collect_list`` materializes one array row per subject,
+    so a degree-d hub builds a d-element array in a single task's agg
+    buffer — unbounded row size.  This is the right table only when a
+    max-degree invariant holds upstream; for unbounded-degree corpora
+    write :func:`adjacency_chunked` (full fidelity, bounded rows) or
+    :func:`adjacency_topk` (bounded truncation) instead."""
     edge = F.struct(
         F.col("pred"), F.col("obj_value"), F.col("obj_kind"), F.col("obj_lang"))
     return (
@@ -56,6 +63,44 @@ def adjacency(triples: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list(edge)).alias("edges"))
         .withColumn("degree", F.size(F.col("edges")))
     )
+
+
+def adjacency_chunked(triples: DataFrame,
+                      chunk_size: int = 1024) -> DataFrame:
+    """Full-fidelity adjacency with BOUNDED rows: every subject's edges
+    in sorted (pred, obj) order, split into ``chunk_size``-element array
+    chunks ``(subj, chunk_id, edges, n_edges, degree)``.  Reconstructing
+    the resource description = read the subject's chunks in chunk_id
+    order (they land in the same subj_bucket partition, adjacent under
+    the write sort).
+
+    Why this survives hubs when :func:`adjacency` cannot: the chunk
+    index comes from ``row_number`` over a subj-keyed window — a
+    STREAMING window function backed by a spillable external sort, so a
+    million-edge hub costs disk, never a million-element agg buffer —
+    and the per-(subj, chunk_id) ``collect_list`` is bounded by
+    ``chunk_size``.  One exchange total: the chunk aggregation and the
+    degree window both reuse the row_number window's subj partitioning
+    (subj ⊆ every later key set)."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    from pyspark.sql import Window
+
+    edge = F.struct(
+        F.col("pred"), F.col("obj_value"), F.col("obj_kind"), F.col("obj_lang"))
+    w = Window.partitionBy("subj").orderBy(
+        "pred", "obj_value", "obj_kind", "obj_lang")
+    chunked = (
+        triples
+        .withColumn("_idx", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("chunk_id",
+                    F.expr("_idx div %d" % chunk_size).cast("int"))
+        .groupBy("subj", "chunk_id")
+        .agg(F.sort_array(F.collect_list(edge)).alias("edges"),
+             F.count("*").alias("n_edges"))
+    )
+    w_deg = Window.partitionBy("subj")
+    return chunked.withColumn("degree", F.sum("n_edges").over(w_deg))
 
 
 def adjacency_topk(triples: DataFrame, k: int = 128,
@@ -87,11 +132,20 @@ def adjacency_topk(triples: DataFrame, k: int = 128,
 
 
 def write_adjacency_table(triples: DataFrame, path: str, buckets: int = 64,
-                          mode: str = "overwrite") -> None:
+                          mode: str = "overwrite",
+                          chunk_size: int | None = None) -> None:
+    """``chunk_size=None`` writes the one-row-per-subject table (requires
+    a bounded-degree corpus — see :func:`adjacency`); setting it writes
+    the hub-safe chunked layout, sorted (subj, chunk_id) within buckets."""
+    if chunk_size is None:
+        adj, sort_cols = adjacency(triples), ["subj"]
+    else:
+        adj, sort_cols = adjacency_chunked(triples, chunk_size), [
+            "subj", "chunk_id"]
     (
-        with_subj_bucket(adjacency(triples), buckets)
+        with_subj_bucket(adj, buckets)
         .repartition(buckets, "subj_bucket")
-        .sortWithinPartitions("subj")
+        .sortWithinPartitions(*sort_cols)
         .write.mode(mode)
         .partitionBy("subj_bucket")
         .parquet(path)

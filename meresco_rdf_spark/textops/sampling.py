@@ -90,21 +90,50 @@ def assign_split(df: DataFrame, id_col: str,
 
 
 def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
-                      n_per_stratum: int) -> DataFrame:
+                      n_per_stratum: int,
+                      salt_buckets: int | None = None) -> DataFrame:
     """Deterministic stratified sample: the ``n_per_stratum`` documents
     with the smallest ``md5(id)`` per stratum.  md5 order is uniform and
     id-stable, so this IS a uniform random sample per stratum — but one
     that every engine, every run, and every cluster size reproduces.
 
-    One shuffle (window partitioned by the stratum key).  Skew note: a
-    hot stratum concentrates its sort in one task; since only the top
-    ``n`` survive, swap the window for ``min_by``-style top-k aggregation
-    if a single stratum exceeds a task's sort budget.
+    Two physical paths, identical output (asserted in tests and by the
+    driver oracle):
+
+    - ``salt_buckets=None`` (default): ONE window partitioned by the
+      stratum key.  Right when strata are balanced; a hot stratum
+      concentrates its full sort in one task.
+    - ``salt_buckets=S`` (the hot-stratum path): two-stage top-k
+      aggregation — stage 1 keyed ``(stratum, salt)`` keeps only each
+      salt group's ``n`` smallest (bounding any task's buffer to
+      ~stratum/S rows), stage 2 keyed ``stratum`` merges ``S`` arrays of
+      ≤ ``n`` candidates (≤ S·n rows per stratum, trivially bounded) —
+      then the tiny winner set broadcast-joins back to the corpus, which
+      is never shuffled.  No window anywhere on this path
+      (tools/explain_audit.py pins it).
     """
-    w = Window.partitionBy(strata_col).orderBy(_md5_of(F.col(id_col)))
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n_per_stratum)
-            .drop("_rn"))
+    if salt_buckets is None:
+        w = Window.partitionBy(strata_col).orderBy(_md5_of(F.col(id_col)))
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= n_per_stratum)
+                .drop("_rn"))
+    h = _md5_of(F.col(id_col))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    cand = (df.select(F.col(strata_col).alias("_strata"),
+                      F.col(id_col).alias("_id"), h.alias("_h"),
+                      salt.alias("_salt"))
+            .groupBy("_strata", "_salt")
+            .agg(F.slice(F.array_sort(F.collect_list(F.struct("_h", "_id"))),
+                         1, n_per_stratum).alias("_cand"))
+            .groupBy("_strata")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_cand"))),
+                         1, n_per_stratum).alias("_cand"))
+            .select("_strata", F.explode("_cand").alias("_c"))
+            .select("_strata", F.col("_c._id").alias("_id")))
+    return df.join(
+        F.broadcast(cand),
+        (F.col(strata_col) == F.col("_strata"))
+        & (F.col(id_col) == F.col("_id"))).drop("_strata", "_id")
 
 
 def pack_sequences(df: DataFrame, id_col: str, max_len: int,

@@ -503,6 +503,54 @@ def test_adjacency_topk_matches_plain_truncation(spark):
     assert all(len(v[1]) <= 7 for v in salted.values())
 
 
+def test_adjacency_chunked_matches_plain(spark):
+    from meresco_rdf_spark.kg.materialize import adjacency, adjacency_chunked
+
+    rows = ([("hub", "p%03d" % i, "o%03d" % i, "uri", None) for i in range(50)]
+            + [("tiny", "p", "o", "uri", None)])
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_kind string, obj_lang string")
+    plain = {r.subj: (r.degree, [tuple(e) for e in r.edges])
+             for r in adjacency(triples).collect()}
+    got = {}
+    for r in sorted(adjacency_chunked(triples, chunk_size=16).collect(),
+                    key=lambda r: (r.subj, r.chunk_id)):
+        deg, edges = got.setdefault(r.subj, (r.degree, []))
+        assert r.degree == deg and len(r.edges) <= 16 and r.n_edges == len(r.edges)
+        edges.extend(tuple(e) for e in r.edges)
+    # chunks concatenated in chunk_id order == the plain sorted adjacency
+    assert {s: (d, e) for s, (d, e) in got.items()} == plain
+    # hub spans ceil(50/16)=4 chunks, tiny exactly 1
+    assert len([1 for r in adjacency_chunked(triples, 16).collect()
+                if r.subj == "hub"]) == 4
+
+
+def test_adjacency_chunked_million_edge_hub(spark):
+    # the VERDICT r02 #6 bound: a degree-1M subject must materialize as
+    # bounded chunk rows (spillable window sort), never a single
+    # million-element array row
+    from pyspark.sql import functions as F
+
+    from meresco_rdf_spark.kg.materialize import adjacency_chunked
+
+    triples = spark.range(1_000_000).select(
+        F.lit("hub").alias("subj"),
+        F.lit("urn:p").alias("pred"),
+        F.concat(F.lit("o"), F.format_string("%07d", "id")).alias("obj_value"),
+        F.lit("uri").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    out = adjacency_chunked(triples, chunk_size=4096)
+    stats = out.agg(
+        F.count("*").alias("n_chunks"),
+        F.max(F.size("edges")).alias("max_chunk"),
+        F.sum("n_edges").alias("total"),
+        F.min("degree").alias("deg")).collect()[0]
+    assert stats.n_chunks == 245  # ceil(1e6 / 4096)
+    assert stats.max_chunk == 4096
+    assert stats.total == 1_000_000
+    assert stats.deg == 1_000_000
+
+
 def test_detect_mentions_elides_shuffle_on_partitioned_input(spark):
     # conv-partitioned input + assume_conv_partitioned: identical results
     # and NO exchange in the plan (the pipeline's only O(input) shuffle

@@ -100,6 +100,29 @@ def test_stratified_sample_small_stratum_keeps_all(spark):
     assert len(got) == 3
 
 
+def test_stratified_sample_topk_agg_path_identical(spark):
+    # hot-stratum salted-aggregation path == window path, row for row
+    rows = [(i, "en" if i % 10 else "de", "x") for i in range(300)]
+    docs = _docs(spark, rows)
+    window_path = {(r["doc_id"], r["lang"]) for r in
+                   stratified_sample(docs, "lang", "doc_id", 9).collect()}
+    for s in (1, 4, 16):
+        agg_path = {(r["doc_id"], r["lang"]) for r in
+                    stratified_sample(docs, "lang", "doc_id", 9,
+                                      salt_buckets=s).collect()}
+        assert agg_path == window_path
+    # schema preserved (same columns as the input)
+    out = stratified_sample(docs, "lang", "doc_id", 3, salt_buckets=4)
+    assert out.columns == docs.columns
+
+
+def test_stratified_sample_topk_agg_small_stratum_keeps_all(spark):
+    rows = [(1, "en", "x"), (2, "en", "x"), (3, "fr", "x")]
+    got = stratified_sample(_docs(spark, rows), "lang", "doc_id", 10,
+                            salt_buckets=4).collect()
+    assert len(got) == 3
+
+
 # ---------------------------------------------------------------- packing
 
 def test_pack_sequences_reconstructs_concat_and_chunk(spark):

@@ -255,11 +255,65 @@ class TestMultimodal:
         assert fake_feature(b"abc", 4) != fake_feature(b"abd", 4)
         assert fake_feature(None, 3) == [0.0, 0.0, 0.0]
 
-    def test_real_decode_is_gated(self):
-        from meresco_rdf_spark.textops.multimodal import decode_image
+    def test_real_decode_probes_then_gates(self):
+        from meresco_rdf_spark.textops.multimodal import (
+            _image_codec,
+            decode_image,
+        )
 
-        with pytest.raises(NotImplementedError):
-            decode_image(b"payload")
+        if _image_codec() is None:
+            # this container ships neither Pillow nor OpenCV: clear gate
+            with pytest.raises(NotImplementedError, match="Pillow or OpenCV"):
+                decode_image(b"payload")
+        else:  # pragma: no cover - runs only where a codec is installed
+            import numpy as np
+
+            # 1x1 white PNG
+            png = bytes.fromhex(
+                "89504e470d0a1a0a0000000d49484452000000010000000108020000"
+                "0090775"
+                "3de0000000c4944415408d763f8ffff3f0005fe02fea7356081000000"
+                "0049454e44ae426082")
+            arr = np.asarray(decode_image(png))
+            assert arr.shape == (1, 1, 3)
+
+    def test_real_decode_branch_with_injected_codec(self, spark):
+        # drives the use_fake=False mapInPandas branch end-to-end in a
+        # codec-less container: the injected decoder ships to executors
+        # inside the closure, exactly like a Pillow-backed one would
+        def decode_stub(payload: bytes):
+            v = (payload[0] if payload else 0) / 255.0
+            return [[[v, v, v]] * 4] * 4  # (4, 4, 3)
+
+        media = synthesize_media(spark, 10)
+        feats = extract_features(media, dim=4, use_fake=False,
+                                 codec=decode_stub).collect()
+        assert len(feats) == 10
+        for r in feats:
+            assert len(r.feature) == 4
+            assert all(0.0 <= x <= 1.0 for x in r.feature)
+            # pooled bands of a constant image all equal payload[0]/255
+            assert len(set(r.feature)) == 1
+
+    def test_real_decode_mode_without_codec_raises_clearly(self, spark):
+        from meresco_rdf_spark.textops.multimodal import _image_codec
+
+        if _image_codec() is not None:  # pragma: no cover
+            pytest.skip("a real codec is installed here")
+        media = synthesize_media(spark, 2)
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        with pytest.raises((PythonException, Py4JJavaError),
+                           match="Pillow or OpenCV"):
+            extract_features(media, dim=4, use_fake=False).collect()
+
+    def test_pooled_feature_band_means(self):
+        from meresco_rdf_spark.textops.multimodal import pooled_feature
+
+        # 4 rows: two black then two white -> top band 0.0, bottom 1.0
+        img = [[[0.0] * 3] * 2] * 2 + [[[1.0] * 3] * 2] * 2
+        assert pooled_feature(img, dim=2) == [0.0, 1.0]
 
 
 class TestArrowFastPaths:

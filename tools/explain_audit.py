@@ -202,6 +202,25 @@ def main() -> None:
         and "SortMergeJoin" not in p,
         ""))
 
+    # stratified sample, hot-stratum path: NO window (a hot stratum must
+    # never sort in one task) — two-stage top-k aggregation, stage 1
+    # keyed (stratum, salt), stage 2 keyed stratum, winners broadcast
+    # back onto the (never-shuffled) corpus
+    from meresco_rdf_spark.textops.sampling import stratified_sample
+
+    strat = stratified_sample(docs, "lang", "doc_id", 5, salt_buckets=8)
+    p = optimized_of(strat)
+    results.append(check(
+        "stratified topk-agg: no window, 2-stage",
+        "Window" not in p
+        and re.search(r"Aggregate \[_strata#\d+, _salt#\d+L?\]", p) is not None
+        and re.search(r"Aggregate \[_strata#\d+\]", p) is not None))
+    strat.collect()
+    p = plan_of(strat).split("== Initial Plan ==")[0]
+    results.append(check(
+        "stratified topk-agg: broadcast join-back",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p))
+
     # pricing summary: decimal agg inside codegen
     from meresco_rdf_spark.entry_queries import q_pricing_summary
 
