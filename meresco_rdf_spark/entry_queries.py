@@ -2395,6 +2395,53 @@ def q_kg_sparql_entities(spark, sf_dir):
     """)
 
 
+def q_kg_e2e_sparql(spark, sf_dir):
+    """End-to-end integration over the MATERIALIZED table (VERDICT r02
+    #8): transcripts -> pipeline triples -> bucketed triple table
+    (initial write) -> MERGE in the structure triples (incremental
+    maintenance) -> SPARQL UPDATE executed THROUGH the same MERGE
+    machinery (rename foaf:name to rdfs:label) -> SPARQL SELECT over the
+    final on-disk table joining pipeline facts (kg:mentions) with
+    structure facts (kg:turnCount).  Oracle: identical SQL over the
+    committed golden kg_triples + kg_structure_triples parquet with the
+    rename applied — so the row set pins write + merge + update + query
+    agreeing end-to-end."""
+    import os
+    import tempfile
+
+    from .kg.extract import structure_triples
+    from .kg.materialize import merge_triple_table, write_triple_table
+    from .sparql import sparql_select
+    from .sparql.compiler import sparql_update_sets
+
+    res = _pipeline_result(spark)
+    table = os.path.join(tempfile.mkdtemp(prefix="kg_e2e_"), "triples")
+    write_triple_table(res.triples, table, buckets=8)
+    merge_triple_table(spark, table,
+                       adds=structure_triples(_synth_transcripts(spark)),
+                       buckets=8)
+    stored = spark.read.parquet(table).drop("subj_bucket")
+    deletes, inserts = sparql_update_sets(stored, """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        DELETE { ?e foaf:name ?n }
+        INSERT { ?e rdfs:label ?n }
+        WHERE { ?e foaf:name ?n }
+    """)
+    merge_triple_table(spark, table, adds=inserts, deletes=deletes, buckets=8)
+    final = spark.read.parquet(table).drop("subj_bucket")
+    return sparql_select(final, """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX kg: <http://data.example.org/kg#>
+        SELECT ?ename (COUNT(?conv) AS ?n_convs) (SUM(?turns) AS ?total_turns)
+        WHERE {
+            ?conv kg:mentions ?e .
+            ?e rdfs:label ?ename .
+            ?conv kg:turnCount ?turns .
+        } GROUP BY ?ename
+    """)
+
+
 def q_kg_rdfxml_shards(spark, sf_dir):
     """K1 distributed: serialize the pipeline's per-conversation triple
     closures to RDF/XML shards (deterministic serializer, fixture-parity
@@ -2728,6 +2775,7 @@ QUERIES = {
     "stream_mention_rate": q_stream_mention_rate,
     "kg_sparql_entities": q_kg_sparql_entities,
     "kg_structure_triples": q_kg_structure_triples,
+    "kg_e2e_sparql": q_kg_e2e_sparql,
     # -- never driver-verified: S/K operators, analytics, streaming --------
     "graph_contains": q_graph_contains,
     "rdf_ingest_dir": q_rdf_ingest_dir,
@@ -2954,6 +3002,31 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
 # SPARQL over the pipeline-built KG: identical SQL over the committed
 # golden triples (kg_triples already hash-pins pipeline output == golden)
+# end-to-end materialization oracle: the SAME select over the committed
+# goldens with the update's foaf:name -> rdfs:label rename applied —
+# pins write + merge + SPARQL UPDATE + SELECT agreeing with the
+# independent pure-Python pipeline
+ORACLES["kg_e2e_sparql"] = """
+WITH t1 AS (
+  SELECT * FROM read_parquet('/root/repo/tests/golden/kg_triples.parquet')),
+t2 AS (
+  SELECT * FROM
+    read_parquet('/root/repo/tests/golden/kg_structure_triples.parquet')),
+men AS (SELECT subj, obj_value
+        FROM t1 WHERE pred = 'http://data.example.org/kg#mentions'),
+names AS (SELECT subj, obj_value, obj_kind, obj_lang
+          FROM t1 WHERE pred = 'http://xmlns.com/foaf/0.1/name'),
+turns AS (SELECT subj, obj_value
+          FROM t2 WHERE pred = 'http://data.example.org/kg#turnCount')
+SELECT names.obj_value AS ename, names.obj_kind AS ename_kind,
+       names.obj_lang AS ename_lang,
+       count(men.subj)::BIGINT AS n_convs,
+       SUM(CAST(turns.obj_value AS DOUBLE)) AS total_turns
+FROM men
+JOIN names ON names.subj = men.obj_value
+JOIN turns ON turns.subj = men.subj
+GROUP BY 1, 2, 3"""
+
 ORACLES["kg_sparql_entities"] = """
 WITH t AS (
   SELECT * FROM read_parquet('/root/repo/tests/golden/kg_triples.parquet'))

@@ -420,10 +420,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rnk") <= probes)
         .select(*q_cols, "bucket")
     )
+    # No dedup needed (unlike LSH banding): every corpus vector lives in
+    # exactly ONE inverted list and a query's probe buckets are distinct
+    # (row_number over distinct bucket ids), so (query_id, neighbor_id)
+    # pairs are unique by construction.  A dropDuplicates here would be a
+    # semantic no-op that costs a full exchange of the candidate set WITH
+    # the c_vec arrays riding it — at 4M vecs x dim 64 that was an ~8 GB
+    # shuffle, the dominant cost of the measured 4M scaling run.
     cand = (
         q_buckets.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     if broadcast_queries:
         qid_to_vec = {
