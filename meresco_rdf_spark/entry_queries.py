@@ -801,6 +801,59 @@ def q_sparql_scalar_funcs(spark, sf_dir):
     """)
 
 
+def q_sparql_hash_funcs(spark, sf_dir):
+    """SPARQL 1.1 §17.4.4 hash built-ins (MD5/SHA256 — the two DuckDB
+    can oracle; SHA1/384/512 are pytest-checked vs hashlib) plus
+    isNumeric() in a FILTER.  All JVM column expressions inside one
+    whole-stage-codegen projection."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?rname ?rkey ?m ?h WHERE {
+            ?r skos:prefLabel ?rname .
+            BIND(strafter(str(?r), "urn:region:") AS ?rkey)
+            FILTER(isnumeric(?rkey))
+            BIND(md5(?rname) AS ?m)
+            BIND(sha256(?rname) AS ?h)
+        }
+    """)
+
+
+def q_sparql_datetime_funcs(spark, sf_dir):
+    """SPARQL 1.1 §17.4.5 dateTime accessors (YEAR/MONTH/DAY/HOURS/
+    MINUTES/SECONDS/TZ/TIMEZONE) over xsd:dateTime lexical literals.
+    Compiled as lexical regexp extraction, NOT a timestamp cast —
+    Spark's to_timestamp converts into the session timezone, which
+    would shift the hour, while SPARQL returns components of the
+    literal's own lexical form.  Timezone variety (Z / +05:30 /
+    -08:00 / absent) is derived deterministically from event_id; the
+    absent branch exercises TZ -> "" and TIMEZONE -> error (unbound)."""
+    from .sparql import sparql_select
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    mod = F.col("event_id") % 4
+    off = (F.when(mod == 0, F.lit("Z")).when(mod == 1, F.lit("+05:30"))
+           .when(mod == 2, F.lit("-08:00")).otherwise(F.lit("")))
+    triples = ev.select(
+        F.concat(F.lit("urn:event:"),
+                 F.col("event_id").cast("string")).alias("subj"),
+        F.lit("urn:prop:ts").alias("pred"),
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                 off).alias("obj_value"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    return sparql_select(triples, """
+        SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tzs ?dur WHERE {
+            ?s <urn:prop:ts> ?dt .
+            BIND(year(?dt) AS ?y) BIND(month(?dt) AS ?mo)
+            BIND(day(?dt) AS ?d) BIND(hours(?dt) AS ?h)
+            BIND(minutes(?dt) AS ?mi) BIND(seconds(?dt) AS ?sec)
+            BIND(tz(?dt) AS ?tzs) BIND(timezone(?dt) AS ?dur)
+        }
+    """)
+
+
 _SPARQL_BGP_ORACLE = """
 WITH {cte}
 SELECT DISTINCT
@@ -1100,6 +1153,17 @@ SELECT obj_value AS rname, obj_kind AS rname_kind, obj_lang AS rname_lang,
 FROM triples
 WHERE pred = '{skos_pref}'
   AND (obj_value LIKE 'A%' OR obj_value LIKE '%EUR%')""",
+    "sparql_hash_funcs": """
+WITH {cte}
+SELECT obj_value AS rname, obj_kind AS rname_kind, obj_lang AS rname_lang,
+  substr(subj, length('urn:region:') + 1) AS rkey,
+  'literal' AS rkey_kind, CAST(NULL AS VARCHAR) AS rkey_lang,
+  md5(obj_value) AS m, 'literal' AS m_kind, CAST(NULL AS VARCHAR) AS m_lang,
+  sha256(obj_value) AS h, 'literal' AS h_kind, CAST(NULL AS VARCHAR) AS h_lang
+FROM triples
+WHERE pred = '{skos_pref}'
+  AND regexp_matches(substr(subj, length('urn:region:') + 1),
+                     '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$')""",
     "sparql_construct": """
 WITH {cte},
 pairs AS (
@@ -2776,6 +2840,8 @@ QUERIES = {
     "kg_sparql_entities": q_kg_sparql_entities,
     "kg_structure_triples": q_kg_structure_triples,
     "kg_e2e_sparql": q_kg_e2e_sparql,
+    "sparql_hash_funcs": q_sparql_hash_funcs,
+    "sparql_datetime_funcs": q_sparql_datetime_funcs,
     # -- never driver-verified: S/K operators, analytics, streaming --------
     "graph_contains": q_graph_contains,
     "rdf_ingest_dir": q_rdf_ingest_dir,
@@ -3002,6 +3068,38 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
 # SPARQL over the pipeline-built KG: identical SQL over the committed
 # golden triples (kg_triples already hash-pins pipeline output == golden)
+# dateTime accessors: components read straight off the lexical form the
+# query itself constructs (substr positions are fixed for the
+# yyyy-MM-ddTHH:mm:ss prefix), int-cast to match xsd:integer rendering
+ORACLES["sparql_datetime_funcs"] = """
+WITH ev AS (
+  SELECT event_id,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS dt,
+         CAST(event_id % 4 AS INT) AS m4
+  FROM events WHERE event_id < 200)
+SELECT 'urn:event:' || event_id AS s, 'uri' AS s_kind,
+  CAST(NULL AS VARCHAR) AS s_lang,
+  CAST(CAST(substr(dt, 1, 4) AS INT) AS VARCHAR) AS y,
+  'literal' AS y_kind, CAST(NULL AS VARCHAR) AS y_lang,
+  CAST(CAST(substr(dt, 6, 2) AS INT) AS VARCHAR) AS mo,
+  'literal' AS mo_kind, CAST(NULL AS VARCHAR) AS mo_lang,
+  CAST(CAST(substr(dt, 9, 2) AS INT) AS VARCHAR) AS d,
+  'literal' AS d_kind, CAST(NULL AS VARCHAR) AS d_lang,
+  CAST(CAST(substr(dt, 12, 2) AS INT) AS VARCHAR) AS h,
+  'literal' AS h_kind, CAST(NULL AS VARCHAR) AS h_lang,
+  CAST(CAST(substr(dt, 15, 2) AS INT) AS VARCHAR) AS mi,
+  'literal' AS mi_kind, CAST(NULL AS VARCHAR) AS mi_lang,
+  CAST(CAST(substr(dt, 18, 2) AS INT) AS VARCHAR) AS sec,
+  'literal' AS sec_kind, CAST(NULL AS VARCHAR) AS sec_lang,
+  CASE m4 WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30' WHEN 2 THEN '-08:00'
+          ELSE '' END AS tzs,
+  'literal' AS tzs_kind, CAST(NULL AS VARCHAR) AS tzs_lang,
+  CASE m4 WHEN 0 THEN 'PT0S' WHEN 1 THEN 'PT5H30M' WHEN 2 THEN '-PT8H'
+          ELSE NULL END AS dur,
+  CASE WHEN m4 = 3 THEN NULL ELSE 'literal' END AS dur_kind,
+  CAST(NULL AS VARCHAR) AS dur_lang
+FROM ev"""
+
 # end-to-end materialization oracle: the SAME select over the committed
 # goldens with the update's foaf:name -> rdfs:label rename applied —
 # pins write + merge + SPARQL UPDATE + SELECT agreeing with the

@@ -597,7 +597,25 @@ def _order_patterns(patterns: Sequence, stats: Opt[Dict[str, int]],
 # ---------------------------------------------------------------------------
 
 # functions whose result participates in numeric (not term) comparisons
-_NUMERIC_FUNCS = frozenset(("strlen", "abs", "ceil", "floor", "round"))
+_NUMERIC_FUNCS = frozenset(("strlen", "abs", "ceil", "floor", "round",
+                            "year", "month", "day", "hours", "minutes",
+                            "seconds", "rand"))
+
+# §17.4.5 dateTime component accessors, compiled as LEXICAL extraction
+# from the ISO 8601 string rather than a timestamp cast: Spark's
+# to_timestamp converts into the session timezone, which would shift the
+# hour, while SPARQL returns the component of the literal's OWN lexical
+# form ("2011-01-10T14:45:13.815-05:00" -> HOURS = 14).  The term model
+# carries no datatype (reference meresco/rdf/graph/literal.py:39 —
+# datatype explicitly absent), so dateTime-ness is lexical here too.
+_DT_COMPONENT_PATTERNS = {
+    "year": r"^(-?\d{4,})-",
+    "month": r"^-?\d{4,}-(\d{2})",
+    "day": r"^-?\d{4,}-\d{2}-(\d{2})",
+    "hours": r"T(\d{2})",
+    "minutes": r"T\d{2}:(\d{2})",
+    "seconds": r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+}
 
 
 def _num_lexical(d: Column) -> Column:
@@ -771,6 +789,85 @@ def _func_term_cols(e: FuncCall, frame_vars: Set[str],
         return (F.when(cond, tv).when(~cond, ev),
                 F.when(cond, tk).when(~cond, ek),
                 F.when(cond, tlg).when(~cond, elg))
+    if name in ("md5", "sha1", "sha256", "sha384", "sha512"):
+        if len(e.args) != 1:
+            raise SparqlCompileError("%s(literal)" % name)
+        v = term(0)[0]
+        if name == "md5":
+            out = F.md5(v)
+        elif name == "sha1":
+            out = F.sha1(v)
+        else:
+            out = F.sha2(v, int(name[3:]))
+        return out, F.lit("literal"), _null_str()
+    if name in _DT_COMPONENT_PATTERNS:
+        if len(e.args) != 1:
+            raise SparqlCompileError("%s(dateTime)" % name)
+        comp = F.regexp_extract(term(0)[0], _DT_COMPONENT_PATTERNS[name], 1)
+        # no match -> '' -> NULL: a non-dateTime argument is a SPARQL
+        # error (row eliminated / unbound), same shape as try_cast
+        out = F.nullif(comp, F.lit("")).try_cast("double")
+        return _num_lexical(out), F.lit("literal"), _null_str()
+    if name == "tz":
+        if len(e.args) != 1:
+            raise SparqlCompileError("tz(dateTime)")
+        v = term(0)[0]
+        isdt = v.rlike(r"^-?\d{4,}-\d{2}-\d{2}T")
+        # "" when the dateTime has no timezone (spec); error otherwise
+        out = F.when(isdt, F.regexp_extract(
+            v, r"(Z|[+-]\d{2}:\d{2})$", 1))
+        return out, F.when(isdt, F.lit("literal")), _null_str()
+    if name == "timezone":
+        if len(e.args) != 1:
+            raise SparqlCompileError("timezone(dateTime)")
+        v = term(0)[0]
+        part = F.regexp_extract(v, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        hh = F.nullif(F.regexp_extract(part, r"^[+-](\d{2}):", 1),
+                      F.lit("")).try_cast("int")
+        mm = F.nullif(F.regexp_extract(part, r":(\d{2})$", 1),
+                      F.lit("")).try_cast("int")
+        nonzero = (hh > 0) | (mm > 0)
+        sign = F.when(part.startswith("-") & nonzero,
+                      F.lit("-")).otherwise(F.lit(""))
+        dur = (F.when((part == "Z") | ~nonzero, F.lit("PT0S"))
+               .otherwise(F.concat(
+                   sign, F.lit("PT"),
+                   F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H")))
+                   .otherwise(F.lit("")),
+                   F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M")))
+                   .otherwise(F.lit("")))))
+        # xsd:dayTimeDuration of the offset; absent timezone is an error
+        out = F.when(part != "", dur)
+        return out, F.when(part != "", F.lit("literal")), _null_str()
+    if name in ("uuid", "struuid", "now", "rand"):
+        if e.args:
+            raise SparqlCompileError("%s() takes no arguments" % name)
+        if name == "uuid":
+            return (F.concat(F.lit("urn:uuid:"), F.expr("uuid()")),
+                    F.lit("uri"), _null_str())
+        if name == "struuid":
+            return F.expr("uuid()"), F.lit("literal"), _null_str()
+        if name == "now":
+            # current_timestamp is query-constant in Spark = one fixed
+            # instant per query execution, exactly the §17.4.5.1 contract
+            return (F.date_format(F.current_timestamp(),
+                                  "yyyy-MM-dd'T'HH:mm:ss.SSSxxx"),
+                    F.lit("literal"), _null_str())
+        return _num_lexical(F.rand()), F.lit("literal"), _null_str()
+    if name == "bnode":
+        if len(e.args) > 1:
+            raise SparqlCompileError("bnode([literal])")
+        if not e.args:
+            # fresh bnode per solution row
+            return (F.concat(F.lit("_:b"),
+                             F.expr("replace(uuid(), '-', '')")),
+                    F.lit("bnode"), _null_str())
+        # BNODE(str): stable per lexical value query-wide — a coarser
+        # identification than the spec's per-solution-mapping scope
+        # (conservative: never splits bnodes the spec would unify)
+        v = term(0)[0]
+        return (F.concat(F.lit("_:b"), F.md5(v)), F.lit("bnode"),
+                _null_str())
     if name in ("abs", "ceil", "floor", "round"):
         d = term(0)[0].try_cast("double")
         if name == "abs":
@@ -854,6 +951,13 @@ def _compile_expr(e, frame_vars: Set[str],
             want = {"isuri": "uri", "isblank": "bnode",
                     "isliteral": "literal"}[e.name]
             return kind == want
+        if e.name == "isnumeric":
+            # datatype-less term model: numeric = plain (untagged)
+            # literal whose lexical form is a valid xsd numeric
+            v, kind, lg = _term_cols(e.args[0], frame_vars, scalar_vars)
+            return ((kind == "literal") & lg.isNull()
+                    & v.rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)"
+                              r"([eE][+-]?\d+)?$"))
         if e.name in ("contains", "strstarts", "strends"):
             if len(e.args) != 2:
                 raise SparqlCompileError("%s(text, needle)" % e.name)
@@ -971,10 +1075,16 @@ def _compile_group(triples: DataFrame, group: GroupPattern,
                     "BIND alias ?%s is already bound" % part.alias)
             try:
                 bv, bk, blg = _term_cols(part.expr, vars_)
-            except SparqlCompileError:
+            except SparqlCompileError as term_err:
                 # boolean-valued expression: xsd:boolean lexical forms;
                 # an error (NULL) leaves the variable unbound, row kept
-                cond = _compile_expr(part.expr, vars_)
+                try:
+                    cond = _compile_expr(part.expr, vars_)
+                except SparqlCompileError:
+                    # neither term- nor boolean-compilable: the term
+                    # path's error (e.g. a specific arity message) is
+                    # the diagnostic one — don't mask it
+                    raise term_err
                 bv = (F.when(cond, F.lit("true"))
                       .when(~cond, F.lit("false")))
                 bk, blg = F.when(bv.isNotNull(), F.lit("literal")), \

@@ -82,12 +82,19 @@ class SparqlSyntaxError(ValueError):
 # chains; IRIs are valid expression primaries.
 _FUNC_NAMES = frozenset((
     "regex", "lang", "str", "bound",
-    "isuri", "isiri", "isblank", "isliteral",
+    "isuri", "isiri", "isblank", "isliteral", "isnumeric",
     "contains", "strstarts", "strends", "langmatches",
     "ucase", "lcase", "strlen", "substr", "concat",
     "strbefore", "strafter", "replace", "coalesce", "if",
     "abs", "ceil", "floor", "round",
     "sameterm", "encode_for_uri",
+    # §17.4.4 hashes; §17.4.5 dateTime accessors (lexical-form based —
+    # the term model carries no datatype, matching the reference's
+    # datatype-less Literal); constructors / nondeterministic
+    "md5", "sha1", "sha256", "sha384", "sha512",
+    "year", "month", "day", "hours", "minutes", "seconds",
+    "timezone", "tz",
+    "uuid", "struuid", "now", "rand", "bnode",
 ))
 
 
@@ -1286,10 +1293,12 @@ class _Parser:
                 fname = "isuri"  # isIRI is a synonym (SPARQL 1.1 §17.4.2.1)
             self.next()
             self.eat_op("(")
-            args = [self.expr()]
-            while self.at_op(","):
-                self.next()
+            args = []
+            if not self.at_op(")"):  # NOW()/UUID()/RAND()/BNODE() are 0-ary
                 args.append(self.expr())
+                while self.at_op(","):
+                    self.next()
+                    args.append(self.expr())
             self.eat_op(")")
             return FuncCall(fname, tuple(args))
         raise SparqlSyntaxError(

@@ -1650,3 +1650,137 @@ def test_json_sink_encodes_aggregate_aliases(small_graph):
     by_s = {b["s"]["value"]: b["c"] for b in doc["results"]["bindings"]}
     assert by_s["urn:bob"] == {"type": "literal", "value": "2"}
     assert by_s["urn:alice"]["value"] == "1"
+
+
+# ---------------------------------------------------------------------------
+# §17.4.4 hashes, §17.4.5 dateTime accessors, constructors (round 3)
+# ---------------------------------------------------------------------------
+
+def test_hash_builtins_match_hashlib(spark):
+    import hashlib
+    g = triples_df(spark, [("urn:a", "urn:p:v", Literal("abc"))])
+    row = sparql_select(g, """
+        SELECT ?h1 ?h2 ?h3 ?h4 ?h5 WHERE {
+            ?s <urn:p:v> ?v .
+            BIND(md5(?v) AS ?h1) BIND(sha1(?v) AS ?h2)
+            BIND(sha256(?v) AS ?h3) BIND(sha384(?v) AS ?h4)
+            BIND(sha512(?v) AS ?h5)
+        }
+    """).collect()[0]
+    b = b"abc"
+    assert row["h1"] == hashlib.md5(b).hexdigest()
+    assert row["h2"] == hashlib.sha1(b).hexdigest()
+    assert row["h3"] == hashlib.sha256(b).hexdigest()
+    assert row["h4"] == hashlib.sha384(b).hexdigest()
+    assert row["h5"] == hashlib.sha512(b).hexdigest()
+    assert row["h1_kind"] == "literal" and row["h5_lang"] is None
+
+
+def test_datetime_accessors_lexical(spark):
+    # components come from the LEXICAL form — the -05:00 hour must stay
+    # 14, not shift into the session timezone
+    g = triples_df(spark, [
+        ("urn:a", "urn:p:dt", Literal("2011-01-10T14:45:13.815-05:00")),
+        ("urn:b", "urn:p:dt", Literal("2020-06-01T00:30:09+05:30")),
+        ("urn:c", "urn:p:dt", Literal("1999-03-04T05:06:07")),
+        ("urn:d", "urn:p:dt", Literal("not a dateTime")),
+    ])
+    rows = {r["s"]: r for r in sparql_select(g, """
+        SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tzs ?dur WHERE {
+            ?s <urn:p:dt> ?t .
+            BIND(year(?t) AS ?y) BIND(month(?t) AS ?mo)
+            BIND(day(?t) AS ?d) BIND(hours(?t) AS ?h)
+            BIND(minutes(?t) AS ?mi) BIND(seconds(?t) AS ?sec)
+            BIND(tz(?t) AS ?tzs) BIND(timezone(?t) AS ?dur)
+        }
+    """).collect()}
+    a = rows["urn:a"]
+    assert (a["y"], a["mo"], a["d"], a["h"], a["mi"], a["sec"]) == \
+        ("2011", "1", "10", "14", "45", "13.815")
+    assert a["tzs"] == "-05:00" and a["dur"] == "-PT5H"
+    b = rows["urn:b"]
+    assert (b["h"], b["mi"], b["sec"]) == ("0", "30", "9")
+    assert b["dur"] == "PT5H30M"
+    c = rows["urn:c"]
+    assert c["tzs"] == "" and c["tzs_kind"] == "literal"
+    assert c["dur"] is None and c["dur_kind"] is None  # TIMEZONE error
+    d = rows["urn:d"]  # non-dateTime: every accessor is an error
+    assert all(d[k] is None
+               for k in ("y", "mo", "d", "h", "mi", "sec", "tzs", "dur"))
+
+
+def test_datetime_accessor_in_filter_is_numeric(spark):
+    g = triples_df(spark, [
+        ("urn:a", "urn:p:dt", Literal("2009-12-31T23:00:00Z")),
+        ("urn:b", "urn:p:dt", Literal("2011-01-01T00:00:00Z")),
+    ])
+    out = sparql_select(g, """
+        SELECT ?s WHERE { ?s <urn:p:dt> ?t . FILTER(year(?t) >= 2010) }
+    """)
+    assert [r["s"] for r in out.collect()] == ["urn:b"]
+
+
+def test_isnumeric(spark):
+    g = triples_df(spark, [
+        ("urn:a", "urn:p:v", Literal("42.5")),
+        ("urn:b", "urn:p:v", Literal("-3e10")),
+        ("urn:c", "urn:p:v", Literal("hello")),
+        ("urn:d", "urn:p:v", Literal("7", lang="en")),  # tagged: not numeric
+        ("urn:e", "urn:p:v", Uri("urn:x:7")),
+    ])
+    out = sparql_select(g, """
+        SELECT ?s WHERE { ?s <urn:p:v> ?v . FILTER(isnumeric(?v)) }
+        ORDER BY ?s
+    """)
+    assert [r["s"] for r in out.collect()] == ["urn:a", "urn:b"]
+
+
+def test_uuid_struuid_bnode_rand_now(spark):
+    import re as _re
+    g = triples_df(spark, [
+        ("urn:a", "urn:p:v", Literal("x")),
+        ("urn:b", "urn:p:v", Literal("y")),
+        ("urn:c", "urn:p:v", Literal("x")),
+    ])
+    rows = sparql_select(g, """
+        SELECT ?s ?u ?su ?b ?bs ?r ?n WHERE {
+            ?s <urn:p:v> ?v .
+            BIND(uuid() AS ?u) BIND(struuid() AS ?su)
+            BIND(bnode() AS ?b) BIND(bnode(?v) AS ?bs)
+            BIND(rand() AS ?r) BIND(now() AS ?n)
+        }
+    """).collect()
+    uuid_re = _re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}"
+                          r"-[0-9a-f]{4}-[0-9a-f]{12}$")
+    by_s = {r["s"]: r for r in rows}
+    for r in rows:
+        assert r["u"].startswith("urn:uuid:") and r["u_kind"] == "uri"
+        assert uuid_re.match(r["u"][len("urn:uuid:"):])
+        assert uuid_re.match(r["su"]) and r["su_kind"] == "literal"
+        assert r["b"].startswith("_:b") and r["b_kind"] == "bnode"
+        assert 0.0 <= float(r["r"]) < 1.0
+        # now(): xsd:dateTime lexical with offset, query-constant
+        assert _re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}"
+                         r"(Z|[+-]\d{2}:\d{2})$", r["n"])
+    assert len({r["u"] for r in rows}) == 3       # fresh per row
+    assert len({r["b"] for r in rows}) == 3
+    assert len({r["n"] for r in rows}) == 1       # one instant per query
+    # BNODE(str): same lexical value -> same bnode, different -> different
+    assert by_s["urn:a"]["bs"] == by_s["urn:c"]["bs"]
+    assert by_s["urn:a"]["bs"] != by_s["urn:b"]["bs"]
+
+
+def test_zero_arg_parse_and_arity_errors(spark):
+    g = triples_df(spark, [("urn:a", "urn:p:v", Literal("x"))])
+    with pytest.raises(SparqlCompileError, match="takes no arguments"):
+        sparql_select(g, """
+            SELECT ?u WHERE { ?s <urn:p:v> ?v . BIND(uuid(?v) AS ?u) }
+        """)
+    with pytest.raises(SparqlCompileError, match="md5"):
+        sparql_select(g, """
+            SELECT ?m WHERE { ?s <urn:p:v> ?v . BIND(md5(?v, ?v) AS ?m) }
+        """)
+    with pytest.raises(SparqlCompileError, match="bnode"):
+        sparql_select(g, """
+            SELECT ?b WHERE { ?s <urn:p:v> ?v . BIND(bnode(?v, ?v) AS ?b) }
+        """)
