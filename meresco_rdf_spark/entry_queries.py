@@ -854,6 +854,62 @@ def q_sparql_datetime_funcs(spark, sf_dir):
     """)
 
 
+def tpch_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quad relation (context + 5 triple columns): customer facts in
+    urn:graph:cust, supplier facts (names + nation links) in
+    urn:graph:supp, nation labels in the default graph (NULL context) —
+    the shape the multi-document RDF ingest emits."""
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+
+    def q(df, ctx, subj, pred, obj_value, kind, lang=None):
+        return df.select(
+            (F.lit(None).cast("string") if ctx is None else
+             F.lit(ctx)).alias("context"),
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            obj_value.cast("string").alias("obj_value"),
+            F.lit(kind).alias("obj_kind"),
+            (F.lit(None).cast("string") if lang is None else F.lit(lang))
+            .alias("obj_lang"))
+
+    cust_uri = F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+    supp_uri = F.concat(F.lit("urn:supp:"), F.col("s_suppkey").cast("string"))
+    nation_uri = F.concat(F.lit("urn:nation:"),
+                          F.col("n_nationkey").cast("string"))
+    return (
+        q(cust, "urn:graph:cust", cust_uri, FOAF_NAME,
+          F.col("c_name"), "literal")
+        .unionByName(q(supp, "urn:graph:supp", supp_uri, FOAF_NAME,
+                       F.col("s_name"), "literal"))
+        .unionByName(q(supp, "urn:graph:supp", supp_uri, REL_NATION,
+                       F.concat(F.lit("urn:nation:"),
+                                F.col("s_nationkey").cast("string")), "uri"))
+        .unionByName(q(nation, None, nation_uri, RDFS_LABEL,
+                       F.col("n_name"), "literal", "en"))
+    )
+
+
+def q_sparql_named_graphs(spark, sf_dir):
+    """SPARQL 1.1 GRAPH over a quad relation: GRAPH ?g iterates named
+    graphs binding the variable (context column becomes a join-able
+    var binding per pattern — one pushdown-eligible IS NOT NULL filter,
+    no per-graph loop), GRAPH <iri> scopes by a constant pushed filter,
+    and joins inside a GRAPH block stay within one graph.  Customers
+    have no nation link in their graph, so ?nat binds only for
+    suppliers."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_quads(spark, sf_dir), """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        SELECT ?g ?s ?n ?nat WHERE {
+            GRAPH ?g { ?s foaf:name ?n }
+            FILTER(strends(?n, "7"))
+            OPTIONAL { GRAPH <urn:graph:supp> { ?s <urn:rel:nation> ?nat } }
+        }
+    """)
+
+
 _SPARQL_BGP_ORACLE = """
 WITH {cte}
 SELECT DISTINCT
@@ -2842,6 +2898,7 @@ QUERIES = {
     "kg_e2e_sparql": q_kg_e2e_sparql,
     "sparql_hash_funcs": q_sparql_hash_funcs,
     "sparql_datetime_funcs": q_sparql_datetime_funcs,
+    "sparql_named_graphs": q_sparql_named_graphs,
     # -- never driver-verified: S/K operators, analytics, streaming --------
     "graph_contains": q_graph_contains,
     "rdf_ingest_dir": q_rdf_ingest_dir,
@@ -3068,6 +3125,26 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
 # SPARQL over the pipeline-built KG: identical SQL over the committed
 # golden triples (kg_triples already hash-pins pipeline output == golden)
+# named graphs: var-graph iteration + constant-graph OPTIONAL join —
+# suppliers carry a nation link in their graph, customers don't
+ORACLES["sparql_named_graphs"] = """
+WITH named AS (
+  SELECT 'urn:graph:cust' AS g, 'urn:cust:' || c_custkey AS s,
+         c_name AS n FROM customer
+  UNION ALL
+  SELECT 'urn:graph:supp', 'urn:supp:' || s_suppkey, s_name FROM supplier)
+SELECT named.g, 'uri' AS g_kind, CAST(NULL AS VARCHAR) AS g_lang,
+  named.s, 'uri' AS s_kind, CAST(NULL AS VARCHAR) AS s_lang,
+  named.n, 'literal' AS n_kind, CAST(NULL AS VARCHAR) AS n_lang,
+  CASE WHEN named.g = 'urn:graph:supp'
+       THEN 'urn:nation:' || supplier.s_nationkey ELSE NULL END AS nat,
+  CASE WHEN named.g = 'urn:graph:supp' THEN 'uri' ELSE NULL END AS nat_kind,
+  CAST(NULL AS VARCHAR) AS nat_lang
+FROM named
+LEFT JOIN supplier ON named.g = 'urn:graph:supp'
+  AND named.s = 'urn:supp:' || supplier.s_suppkey
+WHERE named.n LIKE '%7'"""
+
 # dateTime accessors: components read straight off the lexical form the
 # query itself constructs (substr positions are fixed for the
 # yyyy-MM-ddTHH:mm:ss prefix), int-cast to match xsd:integer rendering

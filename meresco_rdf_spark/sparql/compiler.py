@@ -49,6 +49,7 @@ from .parser import (
     Iri,
     Lit,
     MinusPattern,
+    NamedGraphPattern,
     NegatedSet,
     NotExpr,
     Num,
@@ -312,10 +313,43 @@ def _compile_path_plus(triples: DataFrame, s, p: PathPlus,
     return df.select(*cols), vars_
 
 
-def _compile_pattern(triples: DataFrame, pattern) -> Tuple[DataFrame, Set[str]]:
+def _active_graph(triples: DataFrame, graph) -> Tuple[DataFrame, Opt[str]]:
+    """Resolve the active graph for a group: (view, graph_var).
+
+    ``graph`` is None (default graph), ("iri", uri) or ("var", name).
+    On a plain 5-column triple relation only the default graph exists.
+    On a quad relation (extra ``context`` column — the multi-document
+    ingest shape), the default graph is the context-IS-NULL rows; GRAPH
+    scopes to non-null contexts.  Query the union of all graphs by
+    passing ``quads.drop("context")``.  The context filter is a plain
+    pushdown-eligible predicate either way."""
+    if "context" not in triples.columns:
+        if graph is not None:
+            raise SparqlCompileError(
+                "GRAPH requires a quad relation (a 'context' column); "
+                "this relation has only the default graph")
+        return triples, None
+    ctx = F.col("context")
+    if graph is None:
+        return triples.filter(ctx.isNull()).drop("context"), None
+    kind, val = graph
+    if kind == "iri":
+        return triples.filter(ctx == val).drop("context"), None
+    return triples.filter(ctx.isNotNull()), val  # var: keep context
+
+
+def _compile_pattern(triples: DataFrame, pattern,
+                     graph_var: Opt[str] = None) -> Tuple[DataFrame,
+                                                          Set[str]]:
     """One triple pattern -> (bindings frame, vars). Constant terms become
-    pushed filters; variable terms become the binding columns."""
+    pushed filters; variable terms become the binding columns.  With
+    ``graph_var`` the frame additionally binds the quad's context as that
+    variable (GRAPH ?g scope)."""
     s, p, o = pattern
+    if isinstance(p, (PathPlus, PathStar, PathOpt)) and graph_var:
+        raise SparqlCompileError(
+            "property paths inside GRAPH ?%s are not supported; "
+            "use a constant graph IRI" % graph_var)
     if isinstance(p, PathPlus):
         return _compile_path_plus(triples, s, p, o)
     if isinstance(p, PathStar):
@@ -380,6 +414,19 @@ def _compile_pattern(triples: DataFrame, pattern) -> Tuple[DataFrame, Set[str]]:
             bind(o.name, F.col("obj_value"), F.col("obj_kind"),
                  F.col("obj_lang"), 2)
 
+    gvars: Set[str] = set()
+    if graph_var is not None:
+        if graph_var in seen:
+            # GRAPH ?g { ... ?g ... }: unify the context with the
+            # already-bound position instead of binding twice
+            src = ("subj", "pred", "obj_value")[seen[graph_var]]
+            df = df.filter(F.col("context") == F.col(src))
+        else:
+            v, k, lg = _var_cols(graph_var)
+            cols.extend([F.col("context").alias(v), F.lit("uri").alias(k),
+                         _null_str().alias(lg)])
+            gvars = {graph_var}
+
     if not cols:
         # fully ground pattern: existence check contributes a row iff present
         frame = df.limit(1).select(F.lit(1).alias("_ground"))
@@ -387,7 +434,7 @@ def _compile_pattern(triples: DataFrame, pattern) -> Tuple[DataFrame, Set[str]]:
     frame = df.select(*cols)
     for cond in same_var_conds:
         frame = frame.filter(cond)
-    return frame, set(seen)
+    return frame, set(seen) | gvars
 
 
 def _strict_cond(shared: Sequence[str]) -> Column:
@@ -998,22 +1045,29 @@ def _compile_expr(e, frame_vars: Set[str],
 
 def _compile_group(triples: DataFrame, group: GroupPattern,
                    stats: Opt[Dict[str, int]],
-                   total: Opt[int]) -> Tuple[DataFrame, Set[str]]:
+                   total: Opt[int], graph=None) -> Tuple[DataFrame,
+                                                         Set[str]]:
+    active, graph_var = _active_graph(triples, graph)
     frame: Opt[Tuple[DataFrame, Set[str]]] = None
     filters: List = []
     exists_parts: List[ExistsPattern] = []
     for part in group.parts:
         if isinstance(part, TriplesBlock):
             for pattern in _order_patterns(part.patterns, stats, total):
-                piece = _compile_pattern(triples, pattern)
+                piece = _compile_pattern(active, pattern, graph_var)
                 frame = piece if frame is None else _join_frames(frame, piece)
         elif isinstance(part, OptionalPattern):
-            sub = _compile_group(triples, part.group, stats, total)
+            sub = _compile_group(triples, part.group, stats, total, graph)
             if frame is None:
                 raise SparqlCompileError("OPTIONAL requires a preceding pattern")
             frame = _join_frames(frame, sub, how="left")
+        elif isinstance(part, NamedGraphPattern):
+            gspec = (("iri", part.term.uri) if isinstance(part.term, Iri)
+                     else ("var", part.term.name))
+            sub = _compile_group(triples, part.group, stats, total, gspec)
+            frame = sub if frame is None else _join_frames(frame, sub)
         elif isinstance(part, UnionPattern):
-            branches = [_compile_group(triples, g, stats, total)
+            branches = [_compile_group(triples, g, stats, total, graph)
                         for g in part.groups]
             all_vars: Set[str] = set()
             for _, vs in branches:
@@ -1044,7 +1098,7 @@ def _compile_group(triples: DataFrame, group: GroupPattern,
         elif isinstance(part, MinusPattern):
             if frame is None:
                 raise SparqlCompileError("MINUS requires a preceding pattern")
-            sub = _compile_group(triples, part.group, stats, total)
+            sub = _compile_group(triples, part.group, stats, total, graph)
             frame = _apply_minus(frame, sub)
         elif isinstance(part, ValuesPattern):
             vpiece = _compile_values(triples.sparkSession, part)
@@ -1053,9 +1107,16 @@ def _compile_group(triples: DataFrame, group: GroupPattern,
             # SPARQL 1.1 §12: the sub-select evaluates bottom-up against
             # the whole dataset; its projected solutions (and aggregate
             # aliases, surfaced as plain literals) join the enclosing
-            # group on the shared variables
+            # group on the shared variables.  Inside GRAPH <iri> the
+            # sub-select sees that graph as ITS dataset (active view);
+            # inside GRAPH ?var the scoping is per-solution — unsupported
+            if graph_var is not None:
+                raise SparqlCompileError(
+                    "a sub-select inside GRAPH ?%s is not supported; "
+                    "use a constant graph IRI" % graph_var)
             sub_df, proj, aliases = _compile_select(
-                triples, part.query, stats, total)
+                active if graph is not None else triples,
+                part.query, stats, total)
             cols = [F.col(c) for v in proj for c in _var_cols(v)]
             for a in aliases:
                 val, kind, lang = _var_cols(a)
@@ -1100,7 +1161,7 @@ def _compile_group(triples: DataFrame, group: GroupPattern,
     if frame is None:
         raise SparqlCompileError("empty group pattern")
     for part in exists_parts:
-        sub = _compile_group(triples, part.group, stats, total)
+        sub = _compile_group(triples, part.group, stats, total, graph)
         frame = _apply_exists(frame, sub, part.positive)
     df, vars_ = frame
     for expr in filters:

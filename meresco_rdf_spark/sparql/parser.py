@@ -252,6 +252,17 @@ class MinusPattern:
 
 
 @dataclass
+class NamedGraphPattern:
+    """GRAPH <iri> { } / GRAPH ?g { }: scope the inner group to one named
+    graph (constant) or iterate named graphs binding the variable.  The
+    relation must carry a ``context`` column (quads) — the shape the
+    multi-document ingest emits (sources/rdf_source.py: one graph per
+    source document, context = file: IRI)."""
+    term: Union["Iri", "Var"]
+    group: "GroupPattern"
+
+
+@dataclass
 class ValuesPattern:
     """Inline solution sequence. ``rows`` holds one Optional[Term] per
     variable per row (None = UNDEF)."""
@@ -278,7 +289,7 @@ class SubSelect:
 class GroupPattern:
     parts: List[Union[TriplesBlock, Filter, OptionalPattern, UnionPattern,
                       ExistsPattern, MinusPattern, ValuesPattern,
-                      BindPattern, SubSelect]] \
+                      BindPattern, SubSelect, NamedGraphPattern]] \
         = field(default_factory=list)
 
 
@@ -823,6 +834,13 @@ class _Parser:
             elif self.at_kw("OPTIONAL"):
                 self.next()
                 group.parts.append(OptionalPattern(self.group_graph_pattern()))
+            elif self.at_kw("GRAPH"):
+                self.next()
+                gterm = self.term(position="subject")
+                if not isinstance(gterm, (Iri, Var)):
+                    self.fail("GRAPH name must be an IRI or a variable")
+                group.parts.append(
+                    NamedGraphPattern(gterm, self.group_graph_pattern()))
             elif self.at_op("{"):
                 nxt = self.tokens[self.i + 1]
                 if nxt[0] == "NAME" and nxt[1].upper() == "SELECT":

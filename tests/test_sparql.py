@@ -1784,3 +1784,83 @@ def test_zero_arg_parse_and_arity_errors(spark):
         sparql_select(g, """
             SELECT ?b WHERE { ?s <urn:p:v> ?v . BIND(bnode(?v, ?v) AS ?b) }
         """)
+
+
+# ---------------------------------------------------------------------------
+# GRAPH / named graphs over quad relations (round 3)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def quad_graph(spark):
+    return spark.createDataFrame([
+        ("file:a.rdf", "urn:x", "urn:p:name", "Alice", "literal", None),
+        ("file:a.rdf", "urn:x", "urn:p:age", "30", "literal", None),
+        ("file:b.rdf", "urn:x", "urn:p:name", "Alicia", "literal", None),
+        ("file:b.rdf", "urn:y", "urn:p:name", "Bob", "literal", None),
+        (None, "urn:z", "urn:p:name", "Default", "literal", None),
+    ], "context string, subj string, pred string, obj_value string, "
+       "obj_kind string, obj_lang string")
+
+
+def test_graph_default_graph_isolation(quad_graph):
+    # patterns outside GRAPH see only context-IS-NULL rows
+    out = sparql_select(quad_graph,
+                        "SELECT ?n WHERE { ?s <urn:p:name> ?n }")
+    assert [r["n"] for r in out.collect()] == ["Default"]
+    # the union of all graphs is one .drop() away
+    out2 = sparql_select(quad_graph.drop("context"),
+                         "SELECT ?n WHERE { ?s <urn:p:name> ?n }")
+    assert sorted(r["n"] for r in out2.collect()) == \
+        ["Alice", "Alicia", "Bob", "Default"]
+
+
+def test_graph_constant_iri(quad_graph):
+    out = sparql_select(quad_graph, """
+        SELECT ?n WHERE { GRAPH <file:b.rdf> { ?s <urn:p:name> ?n } }
+    """)
+    assert sorted(r["n"] for r in out.collect()) == ["Alicia", "Bob"]
+
+
+def test_graph_variable_binds_and_scopes_joins(quad_graph):
+    # OPTIONAL inside GRAPH ?g joins within the same graph only:
+    # urn:x has an age in file:a.rdf but not in file:b.rdf
+    rows = sorted(sparql_select(quad_graph, """
+        SELECT ?g ?s ?n ?a WHERE {
+            GRAPH ?g { ?s <urn:p:name> ?n
+                       OPTIONAL { ?s <urn:p:age> ?a } }
+        }
+    """).collect())
+    assert [(r["g"], r["s"], r["n"], r["a"], r["g_kind"]) for r in rows] == [
+        ("file:a.rdf", "urn:x", "Alice", "30", "uri"),
+        ("file:b.rdf", "urn:x", "Alicia", None, "uri"),
+        ("file:b.rdf", "urn:y", "Bob", None, "uri"),
+    ]
+
+
+def test_graph_joins_with_default_graph_patterns(quad_graph):
+    rows = sorted(sparql_select(quad_graph, """
+        SELECT ?g ?n ?dn WHERE {
+            ?z <urn:p:name> ?dn .
+            GRAPH ?g { ?x <urn:p:name> ?n . FILTER(strstarts(?n, "Ali")) }
+        }
+    """).collect())
+    assert [(r["g"], r["n"], r["dn"]) for r in rows] == [
+        ("file:a.rdf", "Alice", "Default"),
+        ("file:b.rdf", "Alicia", "Default"),
+    ]
+
+
+def test_graph_requires_quads_and_rejects_paths_in_var_graph(quad_graph):
+    with pytest.raises(SparqlCompileError, match="quad relation"):
+        sparql_select(quad_graph.drop("context"), """
+            SELECT ?n WHERE { GRAPH ?g { ?s <urn:p:name> ?n } }
+        """).collect()
+    with pytest.raises(SparqlCompileError, match="property paths inside"):
+        sparql_select(quad_graph, """
+            SELECT ?n WHERE { GRAPH ?g { ?s <urn:p:name>+ ?n } }
+        """).collect()
+    # paths under a CONSTANT graph are fine (plain filtered relation)
+    out = sparql_select(quad_graph, """
+        SELECT ?n WHERE { GRAPH <file:a.rdf> { ?s <urn:p:name>? ?n } }
+    """)
+    assert "Alice" in {r["n"] for r in out.collect()}
