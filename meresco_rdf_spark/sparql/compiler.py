@@ -1114,6 +1114,9 @@ def _compile_group(triples: DataFrame, group: GroupPattern,
                 raise SparqlCompileError(
                     "a sub-select inside GRAPH ?%s is not supported; "
                     "use a constant graph IRI" % graph_var)
+            if part.query.from_graphs or part.query.from_named:
+                raise SparqlCompileError(
+                    "FROM/FROM NAMED are not allowed in a sub-select")
             sub_df, proj, aliases = _compile_select(
                 active if graph is not None else triples,
                 part.query, stats, total)
@@ -1202,6 +1205,29 @@ def sparql_select(triples: DataFrame, query: str,
     return out
 
 
+def _apply_dataset(triples: DataFrame, ast: SelectQuery) -> DataFrame:
+    """§13.2 dataset clauses: when any FROM / FROM NAMED is present, the
+    query's dataset is described ONLY by the clauses — default graph =
+    the merge of the FROM graphs (contexts nulled), named graphs = the
+    FROM NAMED list.  Both are plain IN-list pushdown filters."""
+    if not (ast.from_graphs or ast.from_named):
+        return triples
+    if "context" not in triples.columns:
+        raise SparqlCompileError(
+            "FROM/FROM NAMED require a quad relation (a 'context' column)")
+    ctx = F.col("context")
+    parts = []
+    if ast.from_graphs:
+        parts.append(triples.filter(ctx.isin(ast.from_graphs))
+                     .withColumn("context", _null_str()))
+    if ast.from_named:
+        parts.append(triples.filter(ctx.isin(ast.from_named)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _compile_select(triples: DataFrame, ast: SelectQuery,
                     pattern_stats: Opt[Dict[str, int]],
                     total_triples: Opt[int]
@@ -1210,6 +1236,7 @@ def _compile_select(triples: DataFrame, ast: SelectQuery,
     Returns (frame, projected variable names, aggregate alias names) —
     variables occupy 3 columns each, aggregate aliases one scalar
     column."""
+    triples = _apply_dataset(triples, ast)
     df, vars_ = _compile_group(triples, ast.where, pattern_stats,
                                total_triples)
 
@@ -1373,7 +1400,8 @@ def sparql_ask(triples: DataFrame, query: str,
         raise SparqlCompileError("not an ASK query; use sparql_select")
     if pattern_stats is not None and total_triples is None:
         total_triples = pattern_stats.get("__total__")
-    df, _ = _compile_group(triples, ast.where, pattern_stats, total_triples)
+    df, _ = _compile_group(_apply_dataset(triples, ast), ast.where,
+                           pattern_stats, total_triples)
     return (df.limit(1)
             .agg(F.count(F.lit(1)).alias("_n"))
             .select((F.col("_n") > 0).alias("ask")))
@@ -1401,6 +1429,10 @@ def sparql_describe(triples: DataFrame, query: str,
     if pattern_stats is not None and total_triples is None:
         total_triples = pattern_stats.get("__total__")
     spark = triples.sparkSession
+    triples = _apply_dataset(triples, ast)
+    # the CBD closure walks the DEFAULT graph (pattern semantics); on a
+    # plain 5-column relation this is the identity
+    closure_rel, _ = _active_graph(triples, None)
 
     seeds: Opt[DataFrame] = None
     consts = [t.uri for t in ast.describe_terms if isinstance(t, Iri)]
@@ -1423,7 +1455,7 @@ def sparql_describe(triples: DataFrame, query: str,
     frontier = seen
     out: Opt[DataFrame] = None
     while True:
-        batch = (triples.alias("t")
+        batch = (closure_rel.alias("t")
                  .join(frontier.alias("s"),
                        F.col("t.subj") == F.col("s.node"), "left_semi"))
         out = batch if out is None else out.unionByName(batch)
@@ -1467,8 +1499,8 @@ def sparql_construct(triples: DataFrame, query: str,
         raise SparqlCompileError("not a CONSTRUCT query; use sparql_select")
     if pattern_stats is not None and total_triples is None:
         total_triples = pattern_stats.get("__total__")
-    df, vars_ = _compile_group(triples, ast.where, pattern_stats,
-                               total_triples)
+    df, vars_ = _compile_group(_apply_dataset(triples, ast), ast.where,
+                               pattern_stats, total_triples)
     if ast.offset:
         df = df.offset(ast.offset)
     if ast.limit is not None:

@@ -311,6 +311,11 @@ class SelectQuery:
     # DESCRIBE form: resources to describe (Iri constants and/or Vars
     # bound by the WHERE group)
     describe_terms: Opt[List[Term]] = None
+    # dataset clauses (§13.2): FROM graphs merge into the default graph,
+    # FROM NAMED graphs are the ones visible to GRAPH.  Empty = use the
+    # relation's own dataset (NULL context = default, rest named).
+    from_graphs: List[str] = field(default_factory=list)
+    from_named: List[str] = field(default_factory=list)
 
 
 @dataclass
@@ -471,6 +476,7 @@ class _Parser:
                 self.fail("expected projection variables, aggregates, or *")
             variables = names
 
+        from_graphs, from_named = self._dataset_clauses()
         if self.at_kw("WHERE"):
             self.next()
         where = self.group_graph_pattern()
@@ -540,18 +546,37 @@ class _Parser:
                            where=where, order_by=order_by,
                            limit=limit, offset=offset,
                            aggregates=aggregates, group_by=group_by,
-                           having=having)
+                           having=having, from_graphs=from_graphs,
+                           from_named=from_named)
+
+    def _dataset_clauses(self) -> Tuple[List[str], List[str]]:
+        """('FROM' 'NAMED'? IRI)* — §13.2 dataset description."""
+        from_graphs: List[str] = []
+        from_named: List[str] = []
+        while self.at_kw("FROM"):
+            self.next()
+            named = False
+            if self.at_kw("NAMED"):
+                self.next()
+                named = True
+            t = self.term(position="subject")
+            if not isinstance(t, Iri):
+                self.fail("FROM takes an IRI")
+            (from_named if named else from_graphs).append(t.uri)
+        return from_graphs, from_named
 
     def _ask_query(self) -> SelectQuery:
-        """'ASK' 'WHERE'? GroupGraphPattern — a pure existence test."""
+        """'ASK' Dataset* 'WHERE'? GroupGraphPattern — existence test."""
         self.eat_kw("ASK")
+        from_graphs, from_named = self._dataset_clauses()
         if self.at_kw("WHERE"):
             self.next()
         where = self.group_graph_pattern()
         if self.peek()[0] != "EOF":
             self.fail("unexpected trailing syntax")
         return SelectQuery(variables=[], distinct=False, where=where,
-                           ask=True)
+                           ask=True, from_graphs=from_graphs,
+                           from_named=from_named)
 
     def _describe_query(self) -> SelectQuery:
         """'DESCRIBE' (IRI | Var)+ ('WHERE'? GroupGraphPattern)? —
@@ -571,6 +596,7 @@ class _Parser:
                 break
         if not terms:
             self.fail("DESCRIBE requires at least one resource")
+        from_graphs, from_named = self._dataset_clauses()
         where = GroupPattern()
         if self.at_kw("WHERE") or self.at_op("{"):
             if self.at_kw("WHERE"):
@@ -581,7 +607,8 @@ class _Parser:
         if self.peek()[0] != "EOF":
             self.fail("unexpected trailing syntax")
         return SelectQuery(variables=[], distinct=True, where=where,
-                           describe_terms=terms)
+                           describe_terms=terms, from_graphs=from_graphs,
+                           from_named=from_named)
 
     def _construct_query(self) -> SelectQuery:
         """'CONSTRUCT' '{' template '}' 'WHERE'? GroupGraphPattern
@@ -612,6 +639,7 @@ class _Parser:
                                limit=limit, offset=offset,
                                construct_template=template.patterns)
         template = TriplesBlock(self._template("CONSTRUCT"))
+        from_graphs, from_named = self._dataset_clauses()
         if self.at_kw("WHERE"):
             self.next()
         where = self.group_graph_pattern()
@@ -627,7 +655,8 @@ class _Parser:
             self.fail("unexpected trailing syntax")
         return SelectQuery(variables="*", distinct=True, where=where,
                            limit=limit, offset=offset,
-                           construct_template=template.patterns)
+                           construct_template=template.patterns,
+                           from_graphs=from_graphs, from_named=from_named)
 
     def _template(self, what: str) -> List[TriplePattern]:
         """'{' triples '}' — a template block: plain IRI/var/literal/bnode

@@ -1864,3 +1864,49 @@ def test_graph_requires_quads_and_rejects_paths_in_var_graph(quad_graph):
         SELECT ?n WHERE { GRAPH <file:a.rdf> { ?s <urn:p:name>? ?n } }
     """)
     assert "Alice" in {r["n"] for r in out.collect()}
+
+
+def test_from_merges_named_graphs_into_default(quad_graph):
+    # FROM clauses REPLACE the dataset: only the listed graphs form the
+    # default graph; the relation's own default rows disappear
+    out = sparql_select(quad_graph, """
+        SELECT ?n FROM <file:a.rdf> FROM <file:b.rdf>
+        WHERE { ?s <urn:p:name> ?n }
+    """)
+    assert sorted(r["n"] for r in out.collect()) == \
+        ["Alice", "Alicia", "Bob"]
+    out2 = sparql_select(quad_graph, """
+        SELECT ?n FROM <file:a.rdf> WHERE { ?s <urn:p:name> ?n }
+    """)
+    assert [r["n"] for r in out2.collect()] == ["Alice"]
+
+
+def test_from_named_scopes_graph_visibility(quad_graph):
+    # only FROM NAMED graphs are visible to GRAPH ?g; with FROM NAMED
+    # alone there is no default graph at all
+    out = sparql_select(quad_graph, """
+        SELECT ?g ?n FROM NAMED <file:b.rdf>
+        WHERE { GRAPH ?g { ?s <urn:p:name> ?n } }
+    """)
+    assert sorted((r["g"], r["n"]) for r in out.collect()) == \
+        [("file:b.rdf", "Alicia"), ("file:b.rdf", "Bob")]
+    # ASK against a default graph that the clauses leave empty
+    from meresco_rdf_spark.sparql import sparql_ask
+    row = sparql_ask(quad_graph, """
+        ASK FROM NAMED <file:b.rdf> { ?s <urn:p:name> ?n }
+    """).collect()[0]
+    assert row["ask"] is False
+
+
+def test_from_requires_quads_and_not_in_subselect(quad_graph):
+    with pytest.raises(SparqlCompileError, match="quad relation"):
+        sparql_select(quad_graph.drop("context"), """
+            SELECT ?n FROM <file:a.rdf> WHERE { ?s <urn:p:name> ?n }
+        """).collect()
+    with pytest.raises(SparqlCompileError, match="sub-select"):
+        sparql_select(quad_graph, """
+            SELECT ?n WHERE {
+                { SELECT ?n FROM <file:a.rdf>
+                  WHERE { ?s <urn:p:name> ?n } }
+            }
+        """).collect()
