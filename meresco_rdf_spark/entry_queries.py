@@ -820,6 +820,24 @@ def q_sparql_hash_funcs(spark, sf_dir):
     """)
 
 
+def q_sparql_group_order_expr(spark, sf_dir):
+    """GROUP BY on a computed key (§11.1 — desugared into a BIND before
+    the one hash aggregation) and ORDER BY expressions (§15.1 OrderCond:
+    a numeric builtin over a GROUP_CONCAT alias, then the group key).
+    All expression evaluation stays in the same codegen stages as the
+    grouping/projection — no extra exchange beyond the single hash-agg."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        SELECT ?k (COUNT(?n) AS ?cnt)
+               (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names)
+        WHERE { ?c foaf:name ?n }
+        GROUP BY (substr(?n, strlen(?n), 1) AS ?k)
+        ORDER BY DESC(strlen(?names)) ?k
+    """)
+
+
 def q_sparql_datetime_funcs(spark, sf_dir):
     """SPARQL 1.1 §17.4.5 dateTime accessors (YEAR/MONTH/DAY/HOURS/
     MINUTES/SECONDS/TZ/TIMEZONE) over xsd:dateTime lexical literals.
@@ -1209,6 +1227,14 @@ SELECT obj_value AS rname, obj_kind AS rname_kind, obj_lang AS rname_lang,
 FROM triples
 WHERE pred = '{skos_pref}'
   AND (obj_value LIKE 'A%' OR obj_value LIKE '%EUR%')""",
+    "sparql_group_order_expr": """
+WITH {cte},
+names AS (SELECT obj_value AS n FROM triples WHERE pred = '{foaf}')
+SELECT substr(n, length(n), 1) AS k, 'literal' AS k_kind,
+       CAST(NULL AS VARCHAR) AS k_lang,
+       count(*)::BIGINT AS cnt,
+       string_agg(n, ',' ORDER BY n) AS names
+FROM names GROUP BY 1""",
     "sparql_hash_funcs": """
 WITH {cte}
 SELECT obj_value AS rname, obj_kind AS rname_kind, obj_lang AS rname_lang,
@@ -2899,6 +2925,7 @@ QUERIES = {
     "sparql_hash_funcs": q_sparql_hash_funcs,
     "sparql_datetime_funcs": q_sparql_datetime_funcs,
     "sparql_named_graphs": q_sparql_named_graphs,
+    "sparql_group_order_expr": q_sparql_group_order_expr,
     # -- never driver-verified: S/K operators, analytics, streaming --------
     "graph_contains": q_graph_contains,
     "rdf_ingest_dir": q_rdf_ingest_dir,

@@ -931,6 +931,27 @@ def _func_term_cols(e: FuncCall, frame_vars: Set[str],
     raise SparqlCompileError("unsupported term in expression: %r" % (e,))
 
 
+def _expr_vars(e) -> Set[str]:
+    """Variables referenced anywhere in an expression tree."""
+    if isinstance(e, Var):
+        return {e.name}
+    if isinstance(e, BoolOp):
+        out: Set[str] = set()
+        for p in e.parts:
+            out |= _expr_vars(p)
+        return out
+    if isinstance(e, NotExpr):
+        return _expr_vars(e.inner)
+    if isinstance(e, (Cmp, Arith)):
+        return _expr_vars(e.left) | _expr_vars(e.right)
+    if isinstance(e, FuncCall):
+        out = set()
+        for a in e.args:
+            out |= _expr_vars(a)
+        return out
+    return set()
+
+
 def _is_numeric(e, scalar_vars: Set[str] = frozenset()) -> bool:
     return isinstance(e, (Num, Arith)) or (
         isinstance(e, Var) and e.name in scalar_vars) or (
@@ -1354,6 +1375,38 @@ def _compile_select(triples: DataFrame, ast: SelectQuery,
     if ast.order_by:
         order_cols = []
         for var, asc in ast.order_by:
+            if not isinstance(var, str):
+                # expression order condition (§15.1 OrderCond =
+                # BrackettedExpression | Constraint): evaluated over the
+                # PROJECTED columns — an expression over a var the
+                # projection dropped has nothing to read
+                missing = _expr_vars(var) - set(proj) - set(agg_aliases)
+                if missing:
+                    raise SparqlCompileError(
+                        "ORDER BY expression uses non-projected "
+                        "variable(s): %s"
+                        % ", ".join("?" + v for v in sorted(missing)))
+                try:
+                    tv, tk, tl = _term_cols(var, set(proj),
+                                            scalar_vars=set(agg_aliases))
+                except SparqlCompileError:
+                    cond = _compile_expr(var, set(proj),
+                                         scalar_vars=set(agg_aliases))
+                    tv = (F.when(cond, F.lit("true"))
+                          .when(~cond, F.lit("false")))
+                    tk, tl = F.lit("literal"), _null_str()
+                if _is_numeric(var, set(agg_aliases)):
+                    keys = [tv.try_cast("double"), tv]
+                else:
+                    rank = (F.when(tk.isNull(), 0)
+                            .when(tk == "bnode", 1)
+                            .when(tk == "uri", 2)
+                            .otherwise(3))
+                    keys = [rank, tv, tl]
+                order_cols.extend(
+                    [k.asc_nulls_first() for k in keys] if asc
+                    else [k.desc_nulls_last() for k in keys])
+                continue
             if var not in vars_ and var not in agg_aliases:
                 raise SparqlCompileError("ORDER BY unbound variable ?%s" % var)
             if var in agg_aliases:

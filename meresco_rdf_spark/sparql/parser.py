@@ -485,8 +485,26 @@ class _Parser:
         if self.at_kw("GROUP"):
             self.next()
             self.eat_kw("BY")
-            while self.peek()[0] == "VAR":
-                group_by.append(self.next()[1][1:])
+            while True:
+                if self.peek()[0] == "VAR":
+                    group_by.append(self.next()[1][1:])
+                elif self.at_op("("):
+                    # '(' expr ('AS' ?var)? ')' — grouping on a computed
+                    # key desugars into a BIND evaluated before the
+                    # aggregation (same codegen stage); an un-aliased
+                    # expression gets a hidden non-projectable key
+                    self.next()
+                    gexpr = self.expr()
+                    if self.at_kw("AS"):
+                        self.next()
+                        galias = self._expect_var()
+                    else:
+                        galias = "_grp%d" % len(group_by)
+                    self.eat_op(")")
+                    where.parts.append(BindPattern(gexpr, galias))
+                    group_by.append(galias)
+                else:
+                    break
             if not group_by:
                 self.fail("expected GROUP BY variables")
         having: List[Expr] = []
@@ -515,7 +533,7 @@ class _Parser:
             self.fail("GROUP BY requires at least one aggregate "
                       "(in the projection or HAVING)")
 
-        order_by: List[Tuple[str, bool]] = []
+        order_by: List[Tuple[Union[str, "Expr"], bool]] = []
         if self.at_kw("ORDER"):
             self.next()
             self.eat_kw("BY")
@@ -523,11 +541,23 @@ class _Parser:
                 if self.at_kw("ASC") or self.at_kw("DESC"):
                     asc = self.next()[1].upper() == "ASC"
                     self.eat_op("(")
-                    var = self._expect_var()
+                    if self.peek()[0] == "VAR" and \
+                            self.tokens[self.i + 1][:2] == ("OP", ")"):
+                        order_by.append((self.next()[1][1:], asc))
+                    else:
+                        order_by.append((self.expr(), asc))
                     self.eat_op(")")
-                    order_by.append((var, asc))
                 elif self.peek()[0] == "VAR":
                     order_by.append((self.next()[1][1:], True))
+                elif self.at_op("("):
+                    # bracketted order expression: ORDER BY (?a + ?b)
+                    self.next()
+                    order_by.append((self.expr(), True))
+                    self.eat_op(")")
+                elif self.peek()[0] == "NAME" and \
+                        self.peek()[1].lower() in _FUNC_NAMES:
+                    # builtin-call order condition: ORDER BY strlen(?n)
+                    order_by.append((self.expr(), True))
                 else:
                     break
             if not order_by:

@@ -1910,3 +1910,48 @@ def test_from_requires_quads_and_not_in_subselect(quad_graph):
                   WHERE { ?s <urn:p:name> ?n } }
             }
         """).collect()
+
+
+def test_order_by_expression(small_graph):
+    g = small_graph.sparkSession.createDataFrame([
+        ("urn:a", "urn:p:n", "Bo", "literal", None),
+        ("urn:b", "urn:p:n", "Alexander", "literal", None),
+        ("urn:c", "urn:p:n", "Cal", "literal", None),
+    ], "subj string, pred string, obj_value string, obj_kind string, "
+       "obj_lang string")
+    out = sparql_select(g, """
+        SELECT ?n WHERE { ?s <urn:p:n> ?n }
+        ORDER BY DESC(strlen(?n)) ?n
+    """)
+    assert [r["n"] for r in out.collect()] == ["Alexander", "Cal", "Bo"]
+    out2 = sparql_select(g, """
+        SELECT ?n WHERE { ?s <urn:p:n> ?n } ORDER BY lcase(?n)
+    """)
+    assert [r["n"] for r in out2.collect()] == ["Alexander", "Bo", "Cal"]
+    with pytest.raises(SparqlCompileError, match="non-projected"):
+        sparql_select(g, """
+            SELECT ?s WHERE { ?s <urn:p:n> ?n } ORDER BY strlen(?n)
+        """).collect()
+
+
+def test_group_by_expression(small_graph):
+    g = small_graph.sparkSession.createDataFrame([
+        ("urn:a", "urn:p:n", "Bo", "literal", None),
+        ("urn:b", "urn:p:n", "Alexander", "literal", None),
+        ("urn:c", "urn:p:n", "alt", "literal", None),
+    ], "subj string, pred string, obj_value string, obj_kind string, "
+       "obj_lang string")
+    out = sparql_select(g, """
+        SELECT ?k (COUNT(?n) AS ?c) WHERE { ?s <urn:p:n> ?n }
+        GROUP BY (ucase(substr(?n, 1, 1)) AS ?k) ORDER BY ?k
+    """)
+    assert [(r["k"], r["c"]) for r in out.collect()] == \
+        [("A", "2"), ("B", "1")] or \
+        [(r["k"], int(r["c"])) for r in out.collect()] == \
+        [("A", 2), ("B", 1)]
+    # bare (un-aliased) grouping expression: hidden non-projectable key
+    out2 = sparql_select(g, """
+        SELECT (COUNT(?n) AS ?c) WHERE { ?s <urn:p:n> ?n }
+        GROUP BY (strlen(?n)) ORDER BY ?c
+    """)
+    assert sorted(int(r["c"]) for r in out2.collect()) == [1, 1, 1]

@@ -338,6 +338,26 @@ def main() -> None:
         "sparql !set: folded to branch pruning",
         "urn:rel:nation" not in p and p.count("FileScan") == 7))
 
+    # SPARQL GRAPH over quads: the graph scope compiles to plain context
+    # predicates (GRAPH ?g isnotnull, GRAPH <iri> equality) — over the
+    # constant-context union view they CONSTANT-FOLD entirely: excluded
+    # branches are pruned from the union (3 of 4 source scans remain:
+    # cust names + supp names for GRAPH ?g, supp links for GRAPH <iri>;
+    # the NULL-context nation branch is gone), the context column never
+    # survives into the executed plan (?g becomes a literal projection
+    # per branch), and there is no context-keyed exchange or per-graph
+    # loop anywhere
+    from meresco_rdf_spark.entry_queries import q_sparql_named_graphs
+
+    ng = q_sparql_named_graphs(spark, sf_dir)
+    ng.count()
+    p = plan_of(ng)
+    results.append(check(
+        "sparql graph: folded to branch pruning, no per-graph loop",
+        p.count("FileScan") == 3 and "context#" not in p
+        and p.count("AS g#") == 2
+        and "hashpartitioning(context" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
