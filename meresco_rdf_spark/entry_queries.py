@@ -2444,6 +2444,54 @@ def q_multimodal_features(spark, sf_dir):
         F.round(F.col("f").cast("double") * 255).cast("long").alias("byte_val"))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Distributed image resize plumbing (8x8 RGB): image rows only,
+    Arrow mapInPandas, fake kernel = sha256 hex stream of the payload
+    (6 rounds cover 192 bytes) so every digest re-derives in pure SQL.
+    The real branch (probed/injected codec + nearest-neighbor numpy
+    resample) shares this exact schema and is pytest-covered."""
+    from .textops.multimodal import resize_images, synthesize_media
+
+    out = resize_images(synthesize_media(spark, 96), out_w=8, out_h=8)
+    return out.select("media_id", "kind", "out_width", "out_height",
+                      "n_bytes", "digest")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling plumbing: 4 evenly spaced timestamps per
+    video row (ts = i * duration / n), one output row per frame via
+    mapInPandas fan-out (no explode shuffle); fake per-frame digest =
+    md5 of one sha256 round over (payload hex, frame index) — fully
+    SQL-reproducible.  Real branch = injected extractor, pytest-covered."""
+    from .textops.multimodal import sample_frames, synthesize_media
+
+    return sample_frames(synthesize_media(spark, 96), n_frames=4)
+
+
+ORACLES_MULTIMODAL_EXTRA = {
+    "multimodal_resize": """
+WITH ids AS (SELECT range AS id FROM range(0, 96)),
+m AS (SELECT 'm' || id AS media_id, sha256('media-42-' || id) AS h
+      FROM ids WHERE id % 3 = 0)
+SELECT media_id, 'image' AS kind, CAST(8 AS INT) AS out_width,
+  CAST(8 AS INT) AS out_height, CAST(192 AS INT) AS n_bytes,
+  md5(sha256(h || ':resize:0') || sha256(h || ':resize:1')
+      || sha256(h || ':resize:2') || sha256(h || ':resize:3')
+      || sha256(h || ':resize:4') || sha256(h || ':resize:5')) AS digest
+FROM m""",
+    "multimodal_frames": """
+WITH ids AS (SELECT range AS id FROM range(0, 96)),
+m AS (SELECT 'm' || id AS media_id, sha256('media-42-' || id) AS h
+      FROM ids WHERE id % 3 = 2),
+f AS (SELECT media_id, h, CAST(j.range AS INT) AS frame_idx,
+             CAST(j.range * 250 AS INT) AS ts_ms
+      FROM m CROSS JOIN range(0, 4) j)
+SELECT media_id, frame_idx, ts_ms,
+       md5(sha256(h || ':frame:' || frame_idx || ':0')) AS digest
+FROM f""",
+}
+
+
 _MULTIMODAL_SQL = """
 WITH ids AS (SELECT range AS id FROM range(0, 64)),
 m AS (SELECT 'm' || id AS media_id,
@@ -2942,6 +2990,8 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_ivf_arrow": q_similarity_ivf_arrow,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     "events_sessions": q_events_sessions,
     "events_asof_signup": q_events_asof_signup,
     "events_range_hot_hours": q_events_range_hot_hours,
@@ -3099,6 +3149,7 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "multimodal_features": _MULTIMODAL_SQL,
+    **ORACLES_MULTIMODAL_EXTRA,
     "embed_dup_pairs": _embed_dup_sql(),
     "embed_dup_clusters": _embed_clusters_sql(),
     "scalar_functions": _SCALAR_FNS_SQL,

@@ -171,6 +171,154 @@ def extract_features(media: DataFrame, dim: int = 8,
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("kind", StringType(), False),
+    StructField("out_width", IntegerType(), False),
+    StructField("out_height", IntegerType(), False),
+    StructField("n_bytes", IntegerType(), False),
+    StructField("digest", StringType(), True),     # md5 of the RGB hex
+    StructField("payload", BinaryType(), True),    # raw RGB bytes
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("ts_ms", IntegerType(), False),
+    StructField("digest", StringType(), True),
+])
+
+
+def resize_pixels(pixels, out_h: int, out_w: int):
+    """Real resize kernel: nearest-neighbor resampling of an (H, W, 3)
+    array — pure numpy index sampling, codec-independent (a decoded
+    array in, a decoded array out), so the real branch is testable
+    end-to-end with an injected decoder even in codec-less containers."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    h, w = px.shape[0], px.shape[1]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return px[rows][:, cols]
+
+
+def _fake_hex_stream(payload: bytes, n_bytes: int, salt: str) -> str:
+    """Deterministic pseudo-content: concat sha256 digests of the
+    payload's lowercase hex + ':<salt>:<i>' until ``n_bytes`` are
+    covered.  Pure VARCHAR arithmetic — reproducible bit-for-bit in an
+    ANSI-SQL oracle (same reasoning as ``fake_feature``)."""
+    h = payload.hex()
+    chunks = []
+    for i in range((n_bytes + 31) // 32):
+        chunks.append(hashlib.sha256(
+            ("%s:%s:%d" % (h, salt, i)).encode("ascii")).hexdigest())
+    return "".join(chunks)[:n_bytes * 2]
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8,
+                  use_fake: bool = True, codec=None) -> DataFrame:
+    """Distributed image resize over Arrow batches (image rows only).
+
+    Real mode decodes with the probed/injected codec and resamples with
+    ``resize_pixels`` (nearest-neighbor); fake mode synthesizes the
+    ``out_h x out_w x 3`` RGB bytes from the sha256 hex stream of the
+    payload, so plumbing, schema, row counts, sizes, and digests are all
+    oracle-checkable without a codec.  ``digest`` = md5 of the RGB hex —
+    the comparison handle (raw bytes ride along for downstream stages
+    but comparisons never ship blobs)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        decode = codec
+        if not use_fake and decode is None:
+            found = _image_codec()
+            if found is None:
+                raise NotImplementedError(
+                    "real-resize mode needs Pillow or OpenCV on the "
+                    "executors (or an injected codec)")
+            decode = found[1]
+        n = out_h * out_w * 3
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "out_width",
+                                   "out_height", "n_bytes", "digest",
+                                   "payload")}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                if kind != "image" or payload is None:
+                    continue
+                if use_fake:
+                    hx = _fake_hex_stream(bytes(payload), n, "resize")
+                else:
+                    px = resize_pixels(decode(bytes(payload)),
+                                       out_h, out_w)
+                    raw = (np.clip(np.asarray(px, dtype=np.float64), 0, 1)
+                           * 255).astype(np.uint8)
+                    hx = raw.tobytes().hex()
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["out_width"].append(out_w)
+                out["out_height"].append(out_h)
+                out["n_bytes"].append(n)
+                out["digest"].append(
+                    hashlib.md5(hx.encode("ascii")).hexdigest())
+                out["payload"].append(bytes.fromhex(hx))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  use_fake: bool = True, extractor=None) -> DataFrame:
+    """Frame sampling over video rows: ``n_frames`` evenly spaced
+    timestamps per item (``ts_ms = i * duration_ms / n_frames``), one
+    output row per frame — a mapInPandas fan-out, no explode shuffle.
+
+    Real mode calls ``extractor(payload, ts_ms) -> (H, W, 3) array``
+    (a video codec seam — none ships in this container, so the probe
+    mirror raises ``NotImplementedError`` unless injected); fake mode
+    derives each frame's digest from the payload hex + frame index,
+    keeping counts, spacing, and digests oracle-checkable."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        if not use_fake and extractor is None:
+            raise NotImplementedError(
+                "real frame sampling needs a video codec on the "
+                "executors (inject an extractor callable)")
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "ts_ms",
+                                   "digest")}
+            for mid, kind, payload, dur in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"],
+                    pdf["duration_ms"]):
+                if kind != "video" or payload is None:
+                    continue
+                dur = int(dur) if dur is not None else 0
+                for i in range(n_frames):
+                    ts = (i * dur) // n_frames
+                    if use_fake:
+                        hx = _fake_hex_stream(bytes(payload), 32,
+                                              "frame:%d" % i)
+                    else:
+                        px = extractor(bytes(payload), ts)
+                        raw = (np.clip(np.asarray(px, dtype=np.float64),
+                                       0, 1) * 255).astype(np.uint8)
+                        hx = raw.tobytes().hex()
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["digest"].append(
+                        hashlib.md5(hx.encode("ascii")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes) for tests
     and plumbing benchmarks."""

@@ -315,6 +315,84 @@ class TestMultimodal:
         img = [[[0.0] * 3] * 2] * 2 + [[[1.0] * 3] * 2] * 2
         assert pooled_feature(img, dim=2) == [0.0, 1.0]
 
+    def test_resize_fake_mode_shapes_and_determinism(self, spark):
+        from meresco_rdf_spark.textops.multimodal import resize_images
+
+        media = synthesize_media(spark, 24)
+        out = resize_images(media, out_w=8, out_h=8).collect()
+        # image rows only (kind cycles image/audio/video)
+        assert len(out) == 8
+        for r in out:
+            assert (r.out_width, r.out_height, r.n_bytes) == (8, 8, 192)
+            assert len(r.payload) == 192
+            import hashlib
+            assert r.digest == hashlib.md5(
+                bytes(r.payload).hex().encode("ascii")).hexdigest()
+        again = resize_images(media, out_w=8, out_h=8).collect()
+        assert {r.digest for r in out} == {r.digest for r in again}
+
+    def test_resize_real_branch_with_injected_codec(self, spark):
+        from meresco_rdf_spark.textops.multimodal import resize_images
+
+        def decode_stub(payload: bytes):
+            # 2x2 image: top row black, bottom row white
+            return [[[0.0] * 3] * 2, [[1.0] * 3] * 2]
+
+        out = resize_images(synthesize_media(spark, 6), out_w=2, out_h=4,
+                            use_fake=False, codec=decode_stub).collect()
+        assert len(out) == 2
+        for r in out:
+            raw = bytes(r.payload)
+            assert len(raw) == 2 * 4 * 3
+            # nearest-neighbor: output rows 0-1 from source row 0 (black),
+            # rows 2-3 from source row 1 (white)
+            assert raw[: 2 * 2 * 3] == b"\x00" * 12
+            assert raw[2 * 2 * 3:] == b"\xff" * 12
+
+    def test_resize_pixels_nearest_neighbor(self):
+        from meresco_rdf_spark.textops.multimodal import resize_pixels
+
+        img = [[[0.0] * 3, [1.0] * 3], [[0.5] * 3, [0.25] * 3]]  # 2x2
+        up = resize_pixels(img, 4, 4)
+        assert up.shape == (4, 4, 3)
+        assert float(up[0][0][0]) == 0.0 and float(up[0][3][0]) == 1.0
+        assert float(up[3][0][0]) == 0.5 and float(up[3][3][0]) == 0.25
+        down = resize_pixels(img, 1, 1)
+        assert down.shape == (1, 1, 3) and float(down[0][0][0]) == 0.0
+
+    def test_sample_frames_fake_mode(self, spark):
+        from meresco_rdf_spark.textops.multimodal import sample_frames
+
+        media = synthesize_media(spark, 24)  # 8 videos, duration 1000ms
+        out = sample_frames(media, n_frames=4).collect()
+        assert len(out) == 8 * 4
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.media_id, []).append((r.frame_idx, r.ts_ms))
+        for frames in by_id.values():
+            assert sorted(frames) == [(0, 0), (1, 250), (2, 500), (3, 750)]
+        # distinct digests per frame index (salted by index)
+        one = [r for r in out if r.media_id == out[0].media_id]
+        assert len({r.digest for r in one}) == 4
+
+    def test_sample_frames_real_branch_and_gate(self, spark):
+        from meresco_rdf_spark.textops.multimodal import sample_frames
+
+        def extractor(payload: bytes, ts_ms: int):
+            v = ((ts_ms // 250) % 4) / 4.0
+            return [[[v] * 3]]
+
+        media = synthesize_media(spark, 6)
+        out = sample_frames(media, n_frames=2, use_fake=False,
+                            extractor=extractor).collect()
+        assert len(out) == 2 * 2
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        with pytest.raises((PythonException, Py4JJavaError),
+                           match="video codec"):
+            sample_frames(media, n_frames=2, use_fake=False).collect()
+
 
 class TestArrowFastPaths:
     def test_arrow_shingles_match_native(self, spark, docs):
