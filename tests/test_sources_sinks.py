@@ -302,3 +302,32 @@ def test_sparql_json_encode_roundtrip(spark):
     full = json.loads(results_document(sol))
     assert full["head"]["vars"] == ["s", "n"]
     assert len(full["results"]["bindings"]) == 3
+
+
+def test_ingested_quads_queryable_with_sparql_graph(spark, tmp_path):
+    # the multi-document ingest's per-file contexts ARE named graphs:
+    # SPARQL GRAPH composes directly with read_rdf_directory output
+    from meresco_rdf_spark.sources import read_rdf_directory
+    from meresco_rdf_spark.sparql import sparql_select
+
+    (tmp_path / "a.rdf").write_text(DOC_A, encoding="utf-8")
+    (tmp_path / "b.nt").write_text(
+        "<urn:s1> <urn:p> \"from-b\" .\n", encoding="utf-8")
+    quads = read_rdf_directory(spark, str(tmp_path))
+    out = sparql_select(quads, """
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } }
+    """)
+    by_graph = {}
+    for r in out.collect():
+        by_graph.setdefault(r["g"], set()).add(r["s"])
+    assert set(by_graph) == {"file:a.rdf", "file:b.nt"}
+    assert by_graph["file:b.nt"] == {"urn:s1"}
+    # constant-graph scope reads one document's graph only
+    only_b = sparql_select(quads, """
+        SELECT ?o WHERE { GRAPH <file:b.nt> { ?s <urn:p> ?o } }
+    """).collect()
+    assert [r["o"] for r in only_b] == ["from-b"]
+    # the union view is one .drop() away
+    all_rows = sparql_select(quads.drop("context"),
+                             "SELECT ?s WHERE { ?s ?p ?o }")
+    assert all_rows.count() == quads.count()
