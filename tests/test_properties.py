@@ -212,3 +212,76 @@ def test_sparql_bgp_agrees_with_match_patterns(spark, triples, p1, p2,
     got_sparql = {tuple(r) for r in
                   sparql_select(df, q).select(*cols).collect()}
     assert got_sparql == got_o9
+
+
+_CTX = st.sampled_from([None, "urn:g:1", "urn:g:2"])
+_Q_SUBJ = st.sampled_from(["urn:s1", "urn:s2", "urn:s3"])
+_Q_OBJ = st.sampled_from(["v1", "v2", "v3"])
+_QUADS = st.lists(st.tuples(_CTX, _Q_SUBJ, _Q_OBJ), min_size=1,
+                  max_size=10, unique=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_QUADS)
+def test_sparql_graph_agrees_with_pure_python_quad_eval(spark, quads):
+    """GRAPH ?g iteration and default-graph isolation vs a three-line
+    pure-Python evaluation of the same dataset semantics (named graphs =
+    non-null contexts, default graph = null context)."""
+    from meresco_rdf_spark.sparql import sparql_select
+
+    df = spark.createDataFrame(
+        [(c, s, "urn:p", o, "literal", None) for c, s, o in quads],
+        "context string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string")
+    got_named = {(r["g"], r["s"], r["o"]) for r in sparql_select(df, """
+        SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <urn:p> ?o } }
+    """).collect()}
+    want_named = {(c, s, o) for c, s, o in quads if c is not None}
+    assert got_named == want_named
+    got_default = {(r["s"], r["o"]) for r in sparql_select(df, """
+        SELECT ?s ?o WHERE { ?s <urn:p> ?o }
+    """).collect()}
+    want_default = {(s, o) for c, s, o in quads if c is None}
+    assert got_default == want_default
+
+
+_DT = st.datetimes(
+    min_value=__import__("datetime").datetime(1, 1, 1),
+    max_value=__import__("datetime").datetime(9999, 12, 31))
+_OFF = st.sampled_from(["", "Z", "+05:30", "-08:00", "+00:00", "-11:45"])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(_DT, _OFF), min_size=1, max_size=6))
+def test_datetime_accessors_agree_with_python_datetime(spark, items):
+    """YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ over arbitrary
+    xsd:dateTime lexicals vs Python's own datetime components — the
+    compiled lexical extraction must never shift a component (the
+    session-timezone trap the docstring promises to avoid)."""
+    from meresco_rdf_spark.sparql import sparql_select
+
+    rows = [("urn:x%d" % i, "urn:p:dt", dt.isoformat() + off,
+             "literal", None)
+            for i, (dt, off) in enumerate(items)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, "
+              "obj_kind string, obj_lang string")
+    got = {r["s"]: r for r in sparql_select(df, """
+        SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tzs WHERE {
+            ?s <urn:p:dt> ?t .
+            BIND(year(?t) AS ?y) BIND(month(?t) AS ?mo)
+            BIND(day(?t) AS ?d) BIND(hours(?t) AS ?h)
+            BIND(minutes(?t) AS ?mi) BIND(seconds(?t) AS ?sec)
+            BIND(tz(?t) AS ?tzs)
+        }
+    """).collect()}
+    for i, (dt, off) in enumerate(items):
+        r = got["urn:x%d" % i]
+        assert (int(r["y"]), int(r["mo"]), int(r["d"])) == \
+            (dt.year, dt.month, dt.day)
+        assert (int(r["h"]), int(r["mi"])) == (dt.hour, dt.minute)
+        want_sec = dt.second + dt.microsecond / 1e6
+        assert abs(float(r["sec"]) - want_sec) < 1e-9
+        assert r["tzs"] == off
