@@ -2167,6 +2167,18 @@ def q_nt_ingest(spark, sf_dir):
     return read_ntriples_triples(spark, write_fixture_dir(NT_DOCS))
 
 
+def q_ttl_ingest(spark, sf_dir):
+    """S1 (.ttl branch, engine extension): Turtle document parse — the
+    most common RDF serialization in the wild; per-document mapInPandas
+    like the RDF/XML path (Turtle is not line-splittable).  Oracle =
+    VALUES relation of the hand-transcribed expected triples
+    (``driver_fixtures.EXPECTED_TTL_ROWS``)."""
+    from .sources.driver_fixtures import TTL_DOCS, write_fixture_dir
+    from .sources.rdf_source import read_turtle_triples
+
+    return read_turtle_triples(spark, write_fixture_dir(TTL_DOCS))
+
+
 def q_sparql_json_decode(spark, sf_dir):
     """S4: SPARQL-JSON binding decode (reference ``fromDict``,
     rdf/uri.py:35-36, rdf/literal.py:35-38, rdf/bnode.py:34-35) — binding
@@ -2513,7 +2525,11 @@ def _driver_fixture_sql(kind: str) -> str:
         values_cte,
     )
 
-    return values_cte(EXPECTED_RDF_ROWS if kind == "rdf" else EXPECTED_NT_ROWS)
+    from .sources.driver_fixtures import EXPECTED_TTL_ROWS
+
+    rows = {"rdf": EXPECTED_RDF_ROWS, "nt": EXPECTED_NT_ROWS,
+            "ttl": EXPECTED_TTL_ROWS}[kind]
+    return values_cte(rows)
 
 
 # ==========================================================================
@@ -2978,6 +2994,7 @@ QUERIES = {
     "graph_contains": q_graph_contains,
     "rdf_ingest_dir": q_rdf_ingest_dir,
     "nt_ingest": q_nt_ingest,
+    "ttl_ingest": q_ttl_ingest,
     "nt_roundtrip": q_nt_roundtrip,
     "sparql_json_decode": q_sparql_json_decode,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
@@ -3128,6 +3145,7 @@ FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, prob)""",
     "pricing_summary": _PRICING_SQL,
     "rdf_ingest_dir": _driver_fixture_sql("rdf"),
     "nt_ingest": _driver_fixture_sql("nt"),
+    "ttl_ingest": _driver_fixture_sql("ttl"),
     "sparql_json_decode": """
 SELECT n_nationkey AS row_id, 'urn:nation:' || n_nationkey AS obj_value,
        'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang FROM nation

@@ -65,8 +65,29 @@ NT_DOC = "\n".join([
     '<urn:nt:s2> <%sdescription> "esc\\nline" .' % DCTERMS,
 ])
 
+TTL_DOC = """@prefix dct: <http://purl.org/dc/terms/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@base <http://example.org/> .
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+
+<book/1> a foaf:Document ;
+    dct:title "Turtle Title" ;
+    rdfs:label "Nederlands"@nl , "English"@en ;
+    dct:creator [ rdfs:label "Anon Author" ] ;
+    dct:extent 42 ;
+    dct:available true ;
+    dct:identifier "isbn"^^<http://www.w3.org/2001/XMLSchema#string> ;
+    dct:relation _:joe .
+_:joe dct:title "Joe" .
+# collection desugars to rdf:first/rest/nil cells
+<book/2> dct:subject ( <s/a> <s/b> ) ;
+    dct:description \"\"\"multi
+line\"\"\" .
+"""
+
 RDF_DOCS = {"doc1.rdf": DOC1, "doc2.rdf": DOC2}
 NT_DOCS = {"fixture.nt": NT_DOC}
+TTL_DOCS = {"fixture.ttl": TTL_DOC}
 
 
 def _scope(context: str) -> str:
@@ -109,6 +130,52 @@ EXPECTED_NT_ROWS = [
      "typed kept, datatype dropped", "literal", None),
     ("file:fixture.nt", "urn:nt:s2", DCTERMS + "description", "esc\nline",
      "literal", None),
+]
+
+
+# Turtle fixture transcription.  Bnode allocation order in
+# rdfxml/turtle.py is parse order: the anonymous creator property list
+# allocates _:id0; the two collection cells allocate _:id1/_:id2 AFTER
+# their items are parsed (both items are IRIs, no allocation).  Rescope
+# discipline identical to the other formats.
+_TTL = _scope("file:fixture.ttl")
+_ANON = _TTL + ":id0"
+_CELL1, _CELL2 = _TTL + ":id1", _TTL + ":id2"
+_TJOE = _TTL + ":joe"
+_EX = "http://example.org/"
+_NIL = RDF + "nil"
+
+# (context, subj, pred, obj_value, obj_kind, obj_lang)
+EXPECTED_TTL_ROWS = [
+    ("file:fixture.ttl", _EX + "book/1", RDF + "type", FOAF + "Document",
+     "uri", None),
+    ("file:fixture.ttl", _EX + "book/1", DCTERMS + "title", "Turtle Title",
+     "literal", None),
+    ("file:fixture.ttl", _EX + "book/1", RDFS + "label", "Nederlands",
+     "literal", "nl"),
+    ("file:fixture.ttl", _EX + "book/1", RDFS + "label", "English",
+     "literal", "en"),
+    ("file:fixture.ttl", _EX + "book/1", DCTERMS + "creator", _ANON,
+     "bnode", None),
+    ("file:fixture.ttl", _ANON, RDFS + "label", "Anon Author",
+     "literal", None),
+    ("file:fixture.ttl", _EX + "book/1", DCTERMS + "extent", "42",
+     "literal", None),
+    ("file:fixture.ttl", _EX + "book/1", DCTERMS + "available", "true",
+     "literal", None),
+    ("file:fixture.ttl", _EX + "book/1", DCTERMS + "identifier", "isbn",
+     "literal", None),
+    ("file:fixture.ttl", _EX + "book/1", DCTERMS + "relation", _TJOE,
+     "bnode", None),
+    ("file:fixture.ttl", _TJOE, DCTERMS + "title", "Joe", "literal", None),
+    ("file:fixture.ttl", _EX + "book/2", DCTERMS + "subject", _CELL1,
+     "bnode", None),
+    ("file:fixture.ttl", _CELL1, RDF + "first", _EX + "s/a", "uri", None),
+    ("file:fixture.ttl", _CELL1, RDF + "rest", _CELL2, "bnode", None),
+    ("file:fixture.ttl", _CELL2, RDF + "first", _EX + "s/b", "uri", None),
+    ("file:fixture.ttl", _CELL2, RDF + "rest", _NIL, "uri", None),
+    ("file:fixture.ttl", _EX + "book/2", DCTERMS + "description",
+     "multi\nline", "literal", None),
 ]
 
 

@@ -210,14 +210,88 @@ def read_ntriples_triples(spark: SparkSession, path: str,
     return triples.filter(F.col("error").isNull()).drop("error")
 
 
+def _parse_turtle_documents(batches) -> Iterator:
+    """mapInPandas worker: (context, ttl) batches -> triple rows.  Same
+    per-document bnode rescoping discipline as ``_parse_documents``."""
+    import pandas as pd
+
+    from ..model import BNode
+    from ..rdfxml.turtle import parse_turtle
+
+    for batch in batches:
+        out = {k: [] for k in ("context", "subj", "pred", "obj_value",
+                               "obj_kind", "obj_lang", "error")}
+
+        def emit(context, subj, pred, value, kind, lang, error=None):
+            out["context"].append(context)
+            out["subj"].append(subj)
+            out["pred"].append(pred)
+            out["obj_value"].append(value)
+            out["obj_kind"].append(kind)
+            out["obj_lang"].append(lang)
+            out["error"].append(error)
+
+        for context, ttl in zip(batch["context"], batch["ttl"]):
+            try:
+                BNode.nextGenId = 0
+                graph = parse_turtle(ttl)
+                scope = "_:d" + _stable_hash(context)
+                for s, p, o in graph.triples():
+                    subj, pred, value, kind, lang = node_to_row(s, p, o)
+                    if subj.startswith("_:"):
+                        subj = scope + subj[1:]
+                    if kind == "bnode":
+                        value = scope + value[1:]
+                    emit(context, subj, pred, value, kind, lang)
+            except Exception as exc:  # quarantine, don't fail the job
+                emit(context, None, None, None, "error", None,
+                     "%s: %s" % (type(exc).__name__, exc))
+        yield pd.DataFrame(out)
+
+
+def read_turtle_triples(spark: SparkSession, path: str,
+                        keep_errors: bool = False,
+                        glob: str = "*.ttl") -> DataFrame:
+    """Turtle files -> triples DataFrame (context = ``file:<basename>``).
+
+    Scale shape: Turtle statements span lines (long strings, ``;``/``,``
+    continuation), so unlike ``.nt`` a single document is NOT
+    line-splittable — parallelism comes from the file count, one
+    Arrow-batched ``mapInPandas`` task per batch of whole documents (the
+    same shape as the RDF/XML path).  For bulk single-file interchange
+    prefer ``.nt``; directory-of-``.ttl`` corpora parallelize
+    embarrassingly here."""
+    docs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            F.concat(F.lit("file:"),
+                     F.element_at(F.split(F.col("path"), "/"), -1)
+                     ).alias("context"),
+            F.decode(F.col("content"), "utf-8").alias("ttl"))
+    )
+    triples = docs.mapInPandas(
+        _parse_turtle_documents, schema=TRIPLE_WITH_CONTEXT_SCHEMA)
+    if keep_errors:
+        return triples
+    return triples.filter(F.col("error").isNull()).drop("error")
+
+
 def read_rdf_directory(spark: SparkSession, path: str,
                        keep_errors: bool = False) -> DataFrame:
     """Mixed-extension multi-source ingest (reference ``iterRdfSources``,
     graphcomponent.py:58-80): ``.rdf`` documents through the XML parser,
-    ``.nt`` files through the line parser, one unified triples relation
-    with per-file provenance contexts."""
-    return read_rdfxml_triples(spark, path, keep_errors=keep_errors).unionByName(
-        read_ntriples_triples(spark, path, keep_errors=keep_errors))
+    ``.nt`` files through the line parser, ``.ttl`` documents through the
+    Turtle parser, one unified triples relation with per-file provenance
+    contexts."""
+    return (
+        read_rdfxml_triples(spark, path, keep_errors=keep_errors)
+        .unionByName(read_ntriples_triples(spark, path,
+                                           keep_errors=keep_errors))
+        .unionByName(read_turtle_triples(spark, path,
+                                         keep_errors=keep_errors)))
 
 
 def file_sources(directory: str) -> list[tuple[str, str, str]]:
@@ -232,6 +306,8 @@ def file_sources(directory: str) -> list[tuple[str, str, str]]:
                 content_type = "text/xml"
             elif filename.endswith(".nt"):
                 content_type = "text/plain"
+            elif filename.endswith(".ttl"):
+                content_type = "text/turtle"
             else:
                 raise ValueError("Unknown file format")
             with open(full, encoding="utf-8") as fh:

@@ -1,0 +1,194 @@
+"""Turtle parser + distributed .ttl ingest.
+
+The pure-parser cases pin each grammar construct independently; the
+Spark cases pin the ingest plumbing (per-document bnode rescoping,
+error quarantine, mixed-directory union) against the same expectations
+used by the driver oracle (``driver_fixtures.EXPECTED_TTL_ROWS``)."""
+
+import pytest
+
+from meresco_rdf_spark.model import BNode, Literal, Uri
+from meresco_rdf_spark.rdfxml.turtle import TurtleParseError, parse_turtle
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+EX = "http://example.org/"
+
+
+def _triples(doc, **kw):
+    BNode.nextGenId = 0
+    return set(parse_turtle(doc, **kw).triples())
+
+
+def test_prefix_and_a_keyword():
+    got = _triples("@prefix ex: <%s> . ex:s a ex:T ." % EX)
+    assert got == {(EX + "s", RDF + "type", Uri(EX + "T"))}
+
+
+def test_sparql_style_prefix_and_base():
+    doc = "PREFIX ex: <%s>\nBASE <http://b.org/>\n<rel> ex:p ex:o ." % EX
+    got = _triples(doc)
+    assert got == {("http://b.org/rel", EX + "p", Uri(EX + "o"))}
+
+
+def test_base_resolves_relative_irirefs_not_pnames():
+    doc = "@base <http://b.org/dir/> . <x> <//other.org/p> <../up> ."
+    got = _triples(doc)
+    assert got == {("http://b.org/dir/x", "http://other.org/p",
+                    Uri("http://b.org/up"))}
+
+
+def test_predicate_and_object_lists():
+    doc = ("@prefix ex: <%s> . ex:s ex:p1 ex:a , ex:b ; ex:p2 ex:c ." % EX)
+    got = _triples(doc)
+    assert got == {
+        (EX + "s", EX + "p1", Uri(EX + "a")),
+        (EX + "s", EX + "p1", Uri(EX + "b")),
+        (EX + "s", EX + "p2", Uri(EX + "c")),
+    }
+
+
+def test_literals_lang_datatype_drop_and_shorthands():
+    doc = ("@prefix ex: <%s> . ex:s ex:p \"plain\" , \"nl\"@nl , "
+           "\"typed\"^^<http://www.w3.org/2001/XMLSchema#string> , "
+           "42 , -1.5 , 2e3 , true , false ." % EX)
+    objs = {o for _, _, o in _triples(doc)}
+    assert objs == {Literal("plain"), Literal("nl", lang="nl"),
+                    Literal("typed"), Literal("42"), Literal("-1.5"),
+                    Literal("2e3"), Literal("true"), Literal("false")}
+
+
+def test_integer_then_statement_dot():
+    # "42." is integer 42 + terminator, not a decimal (Turtle DECIMAL
+    # requires digits after the dot)
+    got = _triples("@prefix ex: <%s> . ex:s ex:p 42." % EX)
+    assert got == {(EX + "s", EX + "p", Literal("42"))}
+
+
+def test_long_strings_and_escapes():
+    doc = ('@prefix ex: <%s> . ex:s ex:p """multi\nline "quoted" x""" , '
+           "'''single\\tstyle''' , \"esc\\u00e9\" ." % EX)
+    objs = {o.value for _, _, o in _triples(doc)}
+    assert objs == {'multi\nline "quoted" x', "single\tstyle", "escé"}
+
+
+def test_labeled_and_anonymous_bnodes():
+    doc = ("@prefix ex: <%s> . _:joe ex:p [ ex:q \"inner\" ] . "
+           "[] ex:r _:joe ." % EX)
+    got = _triples(doc)
+    assert got == {
+        ("_:joe", EX + "p", BNode("_:id0")),
+        ("_:id0", EX + "q", Literal("inner")),
+        ("_:id1", EX + "r", BNode("_:joe")),
+    }
+
+
+def test_bnode_property_list_as_lone_subject():
+    got = _triples("@prefix ex: <%s> . [ ex:p ex:o ] ." % EX)
+    assert got == {("_:id0", EX + "p", Uri(EX + "o"))}
+
+
+def test_collection_desugars_to_first_rest_nil():
+    got = _triples("@prefix ex: <%s> . ex:s ex:p ( ex:a ex:b ) ." % EX)
+    assert got == {
+        (EX + "s", EX + "p", BNode("_:id0")),
+        ("_:id0", RDF + "first", Uri(EX + "a")),
+        ("_:id0", RDF + "rest", BNode("_:id1")),
+        ("_:id1", RDF + "first", Uri(EX + "b")),
+        ("_:id1", RDF + "rest", Uri(RDF + "nil")),
+    }
+
+
+def test_empty_collection_is_nil():
+    got = _triples("@prefix ex: <%s> . ex:s ex:p ( ) ." % EX)
+    assert got == {(EX + "s", EX + "p", Uri(RDF + "nil"))}
+
+
+def test_pname_local_escapes_and_dots():
+    doc = "@prefix ex: <%s> . ex:a.b ex:p ex:o\\%%20x ." % EX
+    got = _triples(doc)
+    assert got == {(EX + "a.b", EX + "p", Uri(EX + "o%20x"))}
+
+
+def test_comments_ignored_outside_strings():
+    doc = ("@prefix ex: <%s> . # comment\nex:s ex:p \"a # not comment\" ."
+           % EX)
+    got = _triples(doc)
+    assert got == {(EX + "s", EX + "p", Literal("a # not comment"))}
+
+
+@pytest.mark.parametrize("doc", [
+    "ex:s ex:p ex:o .",                       # undeclared prefix
+    "@prefix ex: <http://x/> . ex:s ex:p .",  # missing object
+    "<a> <b> <c>",                            # missing terminator
+    "@prefix ex <http://x/> .",               # malformed directive
+])
+def test_malformed_raises(doc):
+    with pytest.raises(TurtleParseError):
+        parse_turtle(doc)
+
+
+def test_turtle_agrees_with_ntriples_on_shared_subset():
+    from meresco_rdf_spark.rdfxml.ntriples import parse_ntriples
+
+    nt = "\n".join([
+        '<urn:s> <urn:p> "v"@en .',
+        "<urn:s> <urn:p> <urn:o> .",
+        '_:b <urn:q> "w" .',
+    ])
+    assert _triples(nt) == set(parse_ntriples(nt).triples())
+
+
+# -- distributed ingest ------------------------------------------------------
+
+def test_read_turtle_triples_matches_fixture(spark, tmp_path):
+    from meresco_rdf_spark.sources.driver_fixtures import (
+        EXPECTED_TTL_ROWS,
+        TTL_DOCS,
+    )
+    from meresco_rdf_spark.sources.rdf_source import read_turtle_triples
+
+    for name, content in TTL_DOCS.items():
+        (tmp_path / name).write_text(content)
+    rows = {tuple(r) for r in
+            read_turtle_triples(spark, str(tmp_path)).collect()}
+    assert rows == set(EXPECTED_TTL_ROWS)
+
+
+def test_read_turtle_quarantines_malformed(spark, tmp_path):
+    from meresco_rdf_spark.sources.rdf_source import read_turtle_triples
+
+    (tmp_path / "good.ttl").write_text(
+        "@prefix ex: <%s> . ex:s ex:p ex:o ." % EX)
+    (tmp_path / "bad.ttl").write_text("ex:s ex:p ex:o .")  # no @prefix
+    kept = read_turtle_triples(spark, str(tmp_path))
+    assert kept.count() == 1
+    errs = (read_turtle_triples(spark, str(tmp_path), keep_errors=True)
+            .filter("error IS NOT NULL").collect())
+    assert len(errs) == 1 and errs[0].context == "file:bad.ttl"
+    assert "TurtleParseError" in errs[0].error
+
+
+def test_read_rdf_directory_includes_ttl(spark, tmp_path):
+    from meresco_rdf_spark.sources.driver_fixtures import (
+        NT_DOCS,
+        RDF_DOCS,
+        TTL_DOCS,
+    )
+    from meresco_rdf_spark.sources.rdf_source import read_rdf_directory
+
+    for docs in (RDF_DOCS, NT_DOCS, TTL_DOCS):
+        for name, content in docs.items():
+            (tmp_path / name).write_text(content)
+    contexts = {r.context for r in
+                read_rdf_directory(spark, str(tmp_path))
+                .select("context").distinct().collect()}
+    assert contexts == {"file:doc1.rdf", "file:doc2.rdf",
+                        "file:fixture.nt", "file:fixture.ttl"}
+
+
+def test_file_sources_reports_turtle_content_type(tmp_path):
+    from meresco_rdf_spark.sources.rdf_source import file_sources
+
+    (tmp_path / "a.ttl").write_text("@prefix ex: <http://x/> .")
+    [(context, content_type, payload)] = file_sources(str(tmp_path))
+    assert (context, content_type) == ("file:a.ttl", "text/turtle")
