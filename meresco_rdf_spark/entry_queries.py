@@ -2236,6 +2236,22 @@ def q_nt_roundtrip(spark, sf_dir):
     return read_ntriples_triples(spark, base, glob="*.txt").drop("context")
 
 
+def q_ttl_roundtrip(spark, sf_dir):
+    """K-side .ttl egress + S-side ingest identity: the TPC-H triples view
+    written as subject-grouped Turtle (one window shuffle, pure column
+    expressions, ``a`` shorthand) and parsed back — oracle is the
+    original triples CTE, so the driver hash-checks the full
+    serialize->parse identity including statement grouping."""
+    import tempfile
+
+    from .sinks.turtle_sink import write_turtle
+    from .sources.rdf_source import read_turtle_triples
+
+    base = tempfile.mkdtemp(prefix="ttl_roundtrip_")
+    write_turtle(tpch_triples(spark, sf_dir), base, num_files=8)
+    return read_turtle_triples(spark, base, glob="*.txt").drop("context")
+
+
 def q_pricing_rollup(spark, sf_dir):
     """ROLLUP over (returnflag, linestatus): hierarchical subtotals in one
     hash-agg pass (NULL = subtotal marker rows)."""
@@ -2996,6 +3012,7 @@ QUERIES = {
     "nt_ingest": q_nt_ingest,
     "ttl_ingest": q_ttl_ingest,
     "nt_roundtrip": q_nt_roundtrip,
+    "ttl_roundtrip": q_ttl_roundtrip,
     "sparql_json_decode": q_sparql_json_decode,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "scalar_functions": q_scalar_functions,
@@ -3160,6 +3177,9 @@ FROM nation""",
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
     "nt_roundtrip": _fmt("""
+WITH {cte}
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
+    "ttl_roundtrip": _fmt("""
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
     "pricing_rollup": """

@@ -64,7 +64,7 @@ _TOKEN_RE = re.compile(
     | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<dtype>\^\^)
     | (?P<number>[+-]?(?:\d*\.\d+|\d+)(?:[eE][+-]?\d+)?)
-    | (?P<blank>_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)
+    | (?P<blank>_:[A-Za-z0-9_](?:[A-Za-z0-9_.:\-]*[A-Za-z0-9_\-])?)
     | (?P<pname>(?:[A-Za-z][A-Za-z0-9_.\-]*)?:
                 (?:[A-Za-z0-9_:%\-]|\\[_~.\-!$&'()*+,;=/?\#@%]
                  |\.(?=[A-Za-z0-9_:%\-\\.]))*)

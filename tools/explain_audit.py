@@ -358,6 +358,20 @@ def main() -> None:
         and p.count("AS g#") == 2
         and "hashpartitioning(context" not in p))
 
+    # Turtle sink: subject-grouped statement encoding is ONE window
+    # exchange (hashpartitioning on subj) and streams per-row — no
+    # collect_list/collect_set arrays, no Python stage, so hub subjects
+    # with millions of triples never materialize in one task
+    from meresco_rdf_spark.sinks.turtle_sink import turtle_lines
+
+    tl = turtle_lines(tpch_triples(spark, sf_dir))
+    p = plan_of(tl)
+    results.append(check(
+        "turtle sink: 1 window exchange, no arrays",
+        p.count("Exchange hashpartitioning(subj") == 1
+        and "collect_list" not in p and "collect_set" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
