@@ -2179,6 +2179,18 @@ def q_ttl_ingest(spark, sf_dir):
     return read_turtle_triples(spark, write_fixture_dir(TTL_DOCS))
 
 
+def q_nq_ingest(spark, sf_dir):
+    """S1 (.nq branch, engine extension): N-Quads line parse — the bulk
+    named-graph interchange format; the 4th term lands in ``context``
+    (NULL = default graph), the exact quad-relation shape SPARQL
+    ``GRAPH``/``FROM NAMED`` consumes.  Oracle = VALUES relation of the
+    hand-transcribed expected quads."""
+    from .sources.driver_fixtures import NQ_DOCS, write_fixture_dir
+    from .sources.rdf_source import read_nquads_quads
+
+    return read_nquads_quads(spark, write_fixture_dir(NQ_DOCS))
+
+
 def q_sparql_json_decode(spark, sf_dir):
     """S4: SPARQL-JSON binding decode (reference ``fromDict``,
     rdf/uri.py:35-36, rdf/literal.py:35-38, rdf/bnode.py:34-35) — binding
@@ -2250,6 +2262,28 @@ def q_ttl_roundtrip(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="ttl_roundtrip_")
     write_turtle(tpch_triples(spark, sf_dir), base, num_files=8)
     return read_turtle_triples(spark, base, glob="*.txt").drop("context")
+
+
+def q_nq_roundtrip(spark, sf_dir):
+    """K-side .nq egress + S-side ingest identity over NAMED GRAPHS: the
+    TPC-H triples view split across two named graphs plus the default
+    graph (NULL context), written as N-Quads text (pure column
+    expressions) and parsed back — oracle recomputes the same quads, so
+    the driver hash-checks the round trip INCLUDING graph terms and
+    default-graph NULLs."""
+    import tempfile
+
+    from .sinks.nquads_sink import write_nquads
+    from .sources.rdf_source import read_nquads_quads
+
+    quads = tpch_triples(spark, sf_dir).withColumn(
+        "context",
+        F.when(F.col("subj").startswith("urn:cust:"), F.lit("urn:g:cust"))
+        .when(F.col("subj").startswith("urn:supp:"), F.lit("urn:g:supp"))
+        .otherwise(F.lit(None).cast("string")))
+    base = tempfile.mkdtemp(prefix="nq_roundtrip_")
+    write_nquads(quads, base, num_files=8)
+    return read_nquads_quads(spark, base, glob="*.txt")
 
 
 def q_pricing_rollup(spark, sf_dir):
@@ -2543,8 +2577,10 @@ def _driver_fixture_sql(kind: str) -> str:
 
     from .sources.driver_fixtures import EXPECTED_TTL_ROWS
 
+    from .sources.driver_fixtures import EXPECTED_NQ_ROWS
+
     rows = {"rdf": EXPECTED_RDF_ROWS, "nt": EXPECTED_NT_ROWS,
-            "ttl": EXPECTED_TTL_ROWS}[kind]
+            "ttl": EXPECTED_TTL_ROWS, "nq": EXPECTED_NQ_ROWS}[kind]
     return values_cte(rows)
 
 
@@ -3011,8 +3047,10 @@ QUERIES = {
     "rdf_ingest_dir": q_rdf_ingest_dir,
     "nt_ingest": q_nt_ingest,
     "ttl_ingest": q_ttl_ingest,
+    "nq_ingest": q_nq_ingest,
     "nt_roundtrip": q_nt_roundtrip,
     "ttl_roundtrip": q_ttl_roundtrip,
+    "nq_roundtrip": q_nq_roundtrip,
     "sparql_json_decode": q_sparql_json_decode,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "scalar_functions": q_scalar_functions,
@@ -3163,6 +3201,7 @@ FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, prob)""",
     "rdf_ingest_dir": _driver_fixture_sql("rdf"),
     "nt_ingest": _driver_fixture_sql("nt"),
     "ttl_ingest": _driver_fixture_sql("ttl"),
+    "nq_ingest": _driver_fixture_sql("nq"),
     "sparql_json_decode": """
 SELECT n_nationkey AS row_id, 'urn:nation:' || n_nationkey AS obj_value,
        'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang FROM nation
@@ -3182,6 +3221,11 @@ SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
     "ttl_roundtrip": _fmt("""
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
+    "nq_roundtrip": _fmt("""
+WITH {cte}
+SELECT CASE WHEN subj LIKE 'urn:cust:%' THEN 'urn:g:cust'
+            WHEN subj LIKE 'urn:supp:%' THEN 'urn:g:supp' END AS context,
+       subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
     "pricing_rollup": """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
        sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty

@@ -1,4 +1,5 @@
 from .rdf_source import (  # noqa: F401
+    read_nquads_quads,
     read_ntriples_triples,
     read_rdf_directory,
     read_rdfxml_documents,

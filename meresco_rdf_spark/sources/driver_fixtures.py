@@ -85,9 +85,23 @@ _:joe dct:title "Joe" .
 line\"\"\" .
 """
 
+NQ_DOC = "\n".join([
+    "# driver fixture: quads — 4th term = named graph, absent = default",
+    '<urn:nq:s1> <%stitle> "Default graph" .' % DCTERMS,
+    "<urn:nq:s1> <%stype> <%sDocument> <urn:graph:a> ." % (RDF, FOAF),
+    '<urn:nq:s1> <%slabel> "Nederlands"@nl <urn:graph:a> .' % RDFS,
+    "<urn:nq:s2> <%sseeAlso> <urn:nq:s1> <urn:graph:b> ." % RDFS,
+    '_:anon <%stitle> "Bnode subject" <urn:graph:b> .' % DCTERMS,
+    '<urn:nq:s2> <%srelation> _:anon _:g0 .' % DCTERMS,
+    '<urn:nq:s2> <%stitle> "datatype dropped"'
+    "^^<http://www.w3.org/2001/XMLSchema#string> <urn:graph:a> ." % DCTERMS,
+    '<urn:nq:s2> <%sdescription> "esc\\nline" <urn:graph:b> .' % DCTERMS,
+])
+
 RDF_DOCS = {"doc1.rdf": DOC1, "doc2.rdf": DOC2}
 NT_DOCS = {"fixture.nt": NT_DOC}
 TTL_DOCS = {"fixture.ttl": TTL_DOC}
+NQ_DOCS = {"fixture.nq": NQ_DOC}
 
 
 def _scope(context: str) -> str:
@@ -129,6 +143,25 @@ EXPECTED_NT_ROWS = [
     ("file:fixture.nt", "urn:nt:s2", DCTERMS + "title",
      "typed kept, datatype dropped", "literal", None),
     ("file:fixture.nt", "urn:nt:s2", DCTERMS + "description", "esc\nline",
+     "literal", None),
+]
+
+
+# (context, subj, pred, obj_value, obj_kind, obj_lang) — context = graph
+# term (bnode graph labels verbatim), NULL = default graph; like .nt the
+# line parser keeps author bnode labels (no per-file rescope).
+EXPECTED_NQ_ROWS = [
+    (None, "urn:nq:s1", DCTERMS + "title", "Default graph", "literal", None),
+    ("urn:graph:a", "urn:nq:s1", RDF + "type", FOAF + "Document", "uri", None),
+    ("urn:graph:a", "urn:nq:s1", RDFS + "label", "Nederlands",
+     "literal", "nl"),
+    ("urn:graph:b", "urn:nq:s2", RDFS + "seeAlso", "urn:nq:s1", "uri", None),
+    ("urn:graph:b", "_:anon", DCTERMS + "title", "Bnode subject",
+     "literal", None),
+    ("_:g0", "urn:nq:s2", DCTERMS + "relation", "_:anon", "bnode", None),
+    ("urn:graph:a", "urn:nq:s2", DCTERMS + "title", "datatype dropped",
+     "literal", None),
+    ("urn:graph:b", "urn:nq:s2", DCTERMS + "description", "esc\nline",
      "literal", None),
 ]
 

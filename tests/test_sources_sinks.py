@@ -331,3 +331,120 @@ def test_ingested_quads_queryable_with_sparql_graph(spark, tmp_path):
     all_rows = sparql_select(quads.drop("context"),
                              "SELECT ?s WHERE { ?s ?p ?o }")
     assert all_rows.count() == quads.count()
+
+
+# ---------------------------------------------------------------- N-Quads
+
+NQ_DOC = "\n".join([
+    "# comment",
+    '<urn:s1> <urn:p> "default graph" .',
+    "<urn:s1> <urn:q> <urn:o1> <urn:graph:a> .",
+    '<urn:s2> <urn:p> "taal"@nl <urn:graph:a> .',
+    '_:b0 <urn:p> _:b1 _:g0 .',
+    '<urn:s2> <urn:p> "typed"^^<http://www.w3.org/2001/XMLSchema#string> '
+    "<urn:graph:b> .",
+    '<urn:s2> <urn:r> "esc\\nline" <urn:graph:b> .',
+])
+
+
+def test_parse_nquads_pure():
+    from meresco_rdf_spark.model import Literal, Uri
+    from meresco_rdf_spark.rdfxml.nquads import iter_nquads
+
+    quads = list(iter_nquads(NQ_DOC))
+    assert quads[0] == (None, "urn:s1", "urn:p", Literal("default graph"))
+    assert quads[1] == ("urn:graph:a", "urn:s1", "urn:q", Uri("urn:o1"))
+    assert quads[2][0] == "urn:graph:a"
+    assert quads[2][3].lang == "nl"
+    assert quads[3][0] == "_:g0"          # bnode graph label kept verbatim
+    assert quads[4][3] == Literal("typed")  # datatype dropped
+    assert quads[5][3] == Literal("esc\nline")
+
+
+def test_parse_nquads_malformed_raises():
+    from meresco_rdf_spark.rdfxml.nquads import parse_nquads_line
+
+    with pytest.raises(ValueError):
+        parse_nquads_line("<urn:s> nonsense <urn:g> .")
+
+
+def test_read_nquads_matches_pure_parser(spark, tmp_path):
+    from meresco_rdf_spark.model import node_to_row
+    from meresco_rdf_spark.rdfxml.nquads import iter_nquads
+    from meresco_rdf_spark.sources import read_nquads_quads
+
+    (tmp_path / "fixture.nq").write_text(NQ_DOC, encoding="utf-8")
+    got = {tuple(r) for r in read_nquads_quads(spark, str(tmp_path)).collect()}
+    expect = {(g,) + node_to_row(s, p, o)
+              for g, s, p, o in iter_nquads(NQ_DOC)}
+    assert got == expect
+    # escaped line exercised the Arrow fallback; the rest stayed JVM-side
+    assert any("\n" in v for _, _, _, v, *_ in got)
+    # default-graph row has NULL context
+    assert any(g is None for g, *_ in got)
+
+
+def test_read_nquads_quarantines_malformed(spark, tmp_path):
+    from meresco_rdf_spark.sources import read_nquads_quads
+
+    (tmp_path / "bad.nq").write_text(
+        "<urn:s> <urn:p> <urn:o> <urn:g> .\n"
+        "junk line here\n"
+        "<urn:s> oops\\escape .\n", encoding="utf-8")
+    df = read_nquads_quads(spark, str(tmp_path), keep_errors=True)
+    rows = df.collect()
+    assert len([r for r in rows if r.error is None]) == 1
+    assert len([r for r in rows if r.error is not None]) == 2
+
+
+def test_nq_sink_roundtrip(spark, tmp_path):
+    from meresco_rdf_spark.sinks import write_nquads
+    from meresco_rdf_spark.sources import read_nquads_quads
+
+    rows = [
+        (None, "urn:s", "urn:p", 'tricky "q" \\ nl\nhere', "literal", None),
+        ("urn:g:a", "urn:s", "urn:p", "taal", "literal", "nl"),
+        ("urn:g:a", "urn:s", "urn:q", "urn:o", "uri", None),
+        ("_:g0", "_:b0", "urn:p", "_:b1", "bnode", None),
+        (None, "urn:s", "urn:r", "unicode ë ok", "literal", None),
+    ]
+    quads = spark.createDataFrame(
+        rows, "context string, subj string, pred string, obj_value string, "
+              "obj_kind string, obj_lang string")
+    out = str(tmp_path / "nq")
+    write_nquads(quads, out, num_files=2)
+    back = {tuple(r) for r in read_nquads_quads(
+        spark, out, glob="*.txt").collect()}
+    assert back == set(rows)
+
+
+def test_nq_lines_pure_jvm(spark):
+    from meresco_rdf_spark.sinks import nquads_lines
+
+    quads = spark.createDataFrame(
+        [("urn:g", "urn:s", "urn:p", "v", "literal", "en"),
+         (None, "urn:s", "urn:p", "urn:o", "uri", None)],
+        "context string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string")
+    lines = sorted(r.value for r in nquads_lines(quads).collect())
+    assert lines == ['<urn:s> <urn:p> "v"@en <urn:g> .',
+                     '<urn:s> <urn:p> <urn:o> .']
+    plan = nquads_lines(quads)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nquads_queryable_with_sparql_graph(spark, tmp_path):
+    # .nq ingest lands directly in the SPARQL quad shape: the 4th term is
+    # the named graph, absent = default graph (context IS NULL)
+    from meresco_rdf_spark.sources import read_nquads_quads
+    from meresco_rdf_spark.sparql import sparql_select
+
+    (tmp_path / "f.nq").write_text(NQ_DOC, encoding="utf-8")
+    quads = read_nquads_quads(spark, str(tmp_path))
+    out = sparql_select(quads, "SELECT ?g WHERE { GRAPH ?g { ?s ?p ?o } }")
+    graphs = sorted(r["g"] for r in out.collect())
+    assert graphs == ["_:g0", "urn:graph:a", "urn:graph:a",
+                      "urn:graph:b", "urn:graph:b"]
+    # default graph = the context-IS-NULL row only
+    dflt = sparql_select(quads, "SELECT ?o WHERE { ?s <urn:p> ?o }")
+    assert [r["o"] for r in dflt.collect()] == ["default graph"]
