@@ -2191,6 +2191,18 @@ def q_nq_ingest(spark, sf_dir):
     return read_nquads_quads(spark, write_fixture_dir(NQ_DOCS))
 
 
+def q_trig_ingest(spark, sf_dir):
+    """S1 (.trig branch, engine extension): TriG document parse — Turtle
+    plus named-graph blocks, the human-readable quad format.  Graph
+    labels land in ``context`` (NULL = default graph); per-document
+    mapInPandas like Turtle (graph blocks span lines).  Oracle = VALUES
+    relation of the hand-transcribed expected quads."""
+    from .sources.driver_fixtures import TRIG_DOCS, write_fixture_dir
+    from .sources.rdf_source import read_trig_quads
+
+    return read_trig_quads(spark, write_fixture_dir(TRIG_DOCS))
+
+
 def q_sparql_json_decode(spark, sf_dir):
     """S4: SPARQL-JSON binding decode (reference ``fromDict``,
     rdf/uri.py:35-36, rdf/literal.py:35-38, rdf/bnode.py:34-35) — binding
@@ -2284,6 +2296,28 @@ def q_nq_roundtrip(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="nq_roundtrip_")
     write_nquads(quads, base, num_files=8)
     return read_nquads_quads(spark, base, glob="*.txt")
+
+
+def q_trig_roundtrip(spark, sf_dir):
+    """K-side .trig egress + S-side ingest identity over named graphs:
+    the same two-named-graphs-plus-default quad split as
+    ``nq_roundtrip``, written as (graph, subject)-blocked TriG (one
+    window shuffle, union-of-blocks semantics) and parsed back — the
+    driver hash-checks the round trip including graph terms and
+    default-graph NULLs."""
+    import tempfile
+
+    from .sinks.trig_sink import write_trig
+    from .sources.rdf_source import read_trig_quads
+
+    quads = tpch_triples(spark, sf_dir).withColumn(
+        "context",
+        F.when(F.col("subj").startswith("urn:cust:"), F.lit("urn:g:cust"))
+        .when(F.col("subj").startswith("urn:supp:"), F.lit("urn:g:supp"))
+        .otherwise(F.lit(None).cast("string")))
+    base = tempfile.mkdtemp(prefix="trig_roundtrip_")
+    write_trig(quads, base, num_files=8)
+    return read_trig_quads(spark, base, glob="*.txt")
 
 
 def q_pricing_rollup(spark, sf_dir):
@@ -2577,10 +2611,11 @@ def _driver_fixture_sql(kind: str) -> str:
 
     from .sources.driver_fixtures import EXPECTED_TTL_ROWS
 
-    from .sources.driver_fixtures import EXPECTED_NQ_ROWS
+    from .sources.driver_fixtures import EXPECTED_NQ_ROWS, EXPECTED_TRIG_ROWS
 
     rows = {"rdf": EXPECTED_RDF_ROWS, "nt": EXPECTED_NT_ROWS,
-            "ttl": EXPECTED_TTL_ROWS, "nq": EXPECTED_NQ_ROWS}[kind]
+            "ttl": EXPECTED_TTL_ROWS, "nq": EXPECTED_NQ_ROWS,
+            "trig": EXPECTED_TRIG_ROWS}[kind]
     return values_cte(rows)
 
 
@@ -3048,9 +3083,11 @@ QUERIES = {
     "nt_ingest": q_nt_ingest,
     "ttl_ingest": q_ttl_ingest,
     "nq_ingest": q_nq_ingest,
+    "trig_ingest": q_trig_ingest,
     "nt_roundtrip": q_nt_roundtrip,
     "ttl_roundtrip": q_ttl_roundtrip,
     "nq_roundtrip": q_nq_roundtrip,
+    "trig_roundtrip": q_trig_roundtrip,
     "sparql_json_decode": q_sparql_json_decode,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "scalar_functions": q_scalar_functions,
@@ -3202,6 +3239,7 @@ FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, prob)""",
     "nt_ingest": _driver_fixture_sql("nt"),
     "ttl_ingest": _driver_fixture_sql("ttl"),
     "nq_ingest": _driver_fixture_sql("nq"),
+    "trig_ingest": _driver_fixture_sql("trig"),
     "sparql_json_decode": """
 SELECT n_nationkey AS row_id, 'urn:nation:' || n_nationkey AS obj_value,
        'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang FROM nation
@@ -3222,6 +3260,11 @@ SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
     "nq_roundtrip": _fmt("""
+WITH {cte}
+SELECT CASE WHEN subj LIKE 'urn:cust:%' THEN 'urn:g:cust'
+            WHEN subj LIKE 'urn:supp:%' THEN 'urn:g:supp' END AS context,
+       subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
+    "trig_roundtrip": _fmt("""
 WITH {cte}
 SELECT CASE WHEN subj LIKE 'urn:cust:%' THEN 'urn:g:cust'
             WHEN subj LIKE 'urn:supp:%' THEN 'urn:g:supp' END AS context,

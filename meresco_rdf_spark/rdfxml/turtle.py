@@ -68,8 +68,8 @@ _TOKEN_RE = re.compile(
     | (?P<pname>(?:[A-Za-z][A-Za-z0-9_.\-]*)?:
                 (?:[A-Za-z0-9_:%\-]|\\[_~.\-!$&'()*+,;=/?\#@%]
                  |\.(?=[A-Za-z0-9_:%\-\\.]))*)
-    | (?P<punct>[\[\]();,.])
-    | (?P<keyword>a\b|true\b|false\b|(?i:PREFIX\b|BASE\b))
+    | (?P<punct>[\[\](){};,.])
+    | (?P<keyword>a\b|true\b|false\b|(?i:PREFIX\b|BASE\b|GRAPH\b))
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -95,6 +95,10 @@ def _tokenize(text: str) -> List[Tuple[str, str]]:
 
 
 class _Parser:
+    # tokens that may legally follow a statement in place of its '.'
+    # (TriG subclasses add '}' for statements ending a graph block)
+    STMT_END = (".",)
+
     def __init__(self, text: str, sink: Graph, base: Optional[str]):
         self.tokens = _tokenize(text)
         self.i = 0
@@ -175,7 +179,7 @@ class _Parser:
             subj = self._bnode_property_list()
             # a lone "[...]" may legally end the statement (subject with
             # no further predicates)
-            if self._peek()[1] != ".":
+            if self._peek()[1] not in self.STMT_END:
                 self._predicate_object_list(subj)
             return
         if tok == "(":
@@ -205,7 +209,8 @@ class _Parser:
             if self._peek()[1] == ";":
                 self._next()
                 # trailing ';' before '.' or ']' is legal
-                if self._peek()[1] in (".", "]") or self._peek()[0] == "eof":
+                if (self._peek()[1] in self.STMT_END + ("]",)
+                        or self._peek()[0] == "eof"):
                     return
                 continue
             return

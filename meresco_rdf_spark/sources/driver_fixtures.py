@@ -98,10 +98,30 @@ NQ_DOC = "\n".join([
     '<urn:nq:s2> <%sdescription> "esc\\nline" <urn:graph:b> .' % DCTERMS,
 ])
 
+TRIG_DOC = """@prefix dct: <http://purl.org/dc/terms/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+# bare statement = default graph
+<urn:t:s0> dct:title "Default statement" .
+GRAPH <urn:graph:a> {
+  <urn:t:s1> a <http://xmlns.com/foaf/0.1/Document> ;
+      rdfs:label "Nederlands"@nl ;
+      dct:creator [ rdfs:label "Anon" ] .
+}
+# keyword-less graph block; optional final '.'
+<urn:graph:b> {
+  <urn:t:s2> dct:relation _:joe .
+  _:joe dct:title "Joe"
+}
+# explicit default-graph block; datatype dropped
+{ <urn:t:s3> dct:identifier "isbn"^^<http://www.w3.org/2001/XMLSchema#string> . }
+graph _:g0 { <urn:t:s4> dct:title "In bnode graph" . }
+"""
+
 RDF_DOCS = {"doc1.rdf": DOC1, "doc2.rdf": DOC2}
 NT_DOCS = {"fixture.nt": NT_DOC}
 TTL_DOCS = {"fixture.ttl": TTL_DOC}
 NQ_DOCS = {"fixture.nq": NQ_DOC}
+TRIG_DOCS = {"fixture.trig": TRIG_DOC}
 
 
 def _scope(context: str) -> str:
@@ -209,6 +229,35 @@ EXPECTED_TTL_ROWS = [
     ("file:fixture.ttl", _CELL2, RDF + "rest", _NIL, "uri", None),
     ("file:fixture.ttl", _EX + "book/2", DCTERMS + "description",
      "multi\nline", "literal", None),
+]
+
+
+# TriG fixture transcription.  context = graph label (NULL = default
+# graph); bnode rescope discipline identical to Turtle, applied to the
+# bnode graph label too.  Allocation order: the anonymous creator
+# property list is the only anonymous bnode -> _:id0.
+_TRIG = _scope("file:fixture.trig")
+_TRIG_ANON = _TRIG + ":id0"
+_TRIG_JOE = _TRIG + ":joe"
+_TRIG_G0 = _TRIG + ":g0"
+
+# (context, subj, pred, obj_value, obj_kind, obj_lang)
+EXPECTED_TRIG_ROWS = [
+    (None, "urn:t:s0", DCTERMS + "title", "Default statement",
+     "literal", None),
+    ("urn:graph:a", "urn:t:s1", RDF + "type", FOAF + "Document",
+     "uri", None),
+    ("urn:graph:a", "urn:t:s1", RDFS + "label", "Nederlands",
+     "literal", "nl"),
+    ("urn:graph:a", "urn:t:s1", DCTERMS + "creator", _TRIG_ANON,
+     "bnode", None),
+    ("urn:graph:a", _TRIG_ANON, RDFS + "label", "Anon", "literal", None),
+    ("urn:graph:b", "urn:t:s2", DCTERMS + "relation", _TRIG_JOE,
+     "bnode", None),
+    ("urn:graph:b", _TRIG_JOE, DCTERMS + "title", "Joe", "literal", None),
+    (None, "urn:t:s3", DCTERMS + "identifier", "isbn", "literal", None),
+    (_TRIG_G0, "urn:t:s4", DCTERMS + "title", "In bnode graph",
+     "literal", None),
 ]
 
 
