@@ -2203,6 +2203,35 @@ def q_trig_ingest(spark, sf_dir):
     return read_trig_quads(spark, write_fixture_dir(TRIG_DOCS))
 
 
+def q_sparql_dataset_ingest(spark, sf_dir):
+    """End-to-end RDF DATASET integration: all five supported formats
+    (.rdf .nt .ttl .nq .trig) ingested from ONE directory into a unified
+    quad relation, then queried as a SPARQL dataset — per-named-graph
+    triple counts via GRAPH ?g.  Exercises that per-file provenance
+    contexts (triple formats) and intrinsic graph labels (quad formats,
+    incl. a shared label spanning .nq and .trig, and bnode graph labels)
+    are all the same thing to the GRAPH machinery.  Oracle = UNION of
+    the five hand-transcribed fixture relations, grouped the same way."""
+    from .sources.driver_fixtures import (
+        NQ_DOCS,
+        NT_DOCS,
+        RDF_DOCS,
+        TRIG_DOCS,
+        TTL_DOCS,
+        write_fixture_dir,
+    )
+    from .sources.rdf_source import read_rdf_directory
+    from .sparql import sparql_select
+
+    base = write_fixture_dir(
+        {**RDF_DOCS, **NT_DOCS, **TTL_DOCS, **NQ_DOCS, **TRIG_DOCS})
+    quads = read_rdf_directory(spark, base)
+    return sparql_select(quads, """
+        SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+        GROUP BY ?g
+    """)
+
+
 def q_sparql_json_decode(spark, sf_dir):
     """S4: SPARQL-JSON binding decode (reference ``fromDict``,
     rdf/uri.py:35-36, rdf/literal.py:35-38, rdf/bnode.py:34-35) — binding
@@ -3084,6 +3113,7 @@ QUERIES = {
     "ttl_ingest": q_ttl_ingest,
     "nq_ingest": q_nq_ingest,
     "trig_ingest": q_trig_ingest,
+    "sparql_dataset_ingest": q_sparql_dataset_ingest,
     "nt_roundtrip": q_nt_roundtrip,
     "ttl_roundtrip": q_ttl_roundtrip,
     "nq_roundtrip": q_nq_roundtrip,
@@ -3240,6 +3270,17 @@ FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, prob)""",
     "ttl_ingest": _driver_fixture_sql("ttl"),
     "nq_ingest": _driver_fixture_sql("nq"),
     "trig_ingest": _driver_fixture_sql("trig"),
+    "sparql_dataset_ingest": """
+WITH all_quads AS (
+  %s
+)
+SELECT context AS g,
+  CASE WHEN starts_with(context, '_:') THEN 'bnode' ELSE 'uri' END AS g_kind,
+  CAST(NULL AS VARCHAR) AS g_lang,
+  count(*)::BIGINT AS n
+FROM all_quads WHERE context IS NOT NULL
+GROUP BY 1, 2, 3""" % "\n  UNION ALL ".join(
+        _driver_fixture_sql(k) for k in ("rdf", "nt", "ttl", "nq", "trig")),
     "sparql_json_decode": """
 SELECT n_nationkey AS row_id, 'urn:nation:' || n_nationkey AS obj_value,
        'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang FROM nation

@@ -458,14 +458,22 @@ def read_rdf_directory(spark: SparkSession, path: str,
     """Mixed-extension multi-source ingest (reference ``iterRdfSources``,
     graphcomponent.py:58-80): ``.rdf`` documents through the XML parser,
     ``.nt`` files through the line parser, ``.ttl`` documents through the
-    Turtle parser, one unified triples relation with per-file provenance
-    contexts."""
+    Turtle parser, ``.nq``/``.trig`` through the quad parsers — one
+    unified quad relation.  Triple formats carry per-file provenance
+    contexts (``file:<basename>``); quad formats carry their intrinsic
+    graph labels (NULL = default graph).  Both context flavors are named
+    graphs to the SPARQL ``GRAPH`` machinery, so the union is directly
+    queryable as a dataset."""
     return (
         read_rdfxml_triples(spark, path, keep_errors=keep_errors)
         .unionByName(read_ntriples_triples(spark, path,
                                            keep_errors=keep_errors))
         .unionByName(read_turtle_triples(spark, path,
-                                         keep_errors=keep_errors)))
+                                         keep_errors=keep_errors))
+        .unionByName(read_nquads_quads(spark, path,
+                                       keep_errors=keep_errors))
+        .unionByName(read_trig_quads(spark, path,
+                                     keep_errors=keep_errors)))
 
 
 def file_sources(directory: str) -> list[tuple[str, str, str]]:

@@ -423,7 +423,11 @@ def _compile_pattern(triples: DataFrame, pattern,
             df = df.filter(F.col("context") == F.col(src))
         else:
             v, k, lg = _var_cols(graph_var)
-            cols.extend([F.col("context").alias(v), F.lit("uri").alias(k),
+            # graph labels are IRIs or blank nodes (TriG/N-Quads admit
+            # both; the .nq/.trig readers keep bnode labels verbatim)
+            kind = F.when(F.col("context").startswith("_:"),
+                          F.lit("bnode")).otherwise(F.lit("uri"))
+            cols.extend([F.col("context").alias(v), kind.alias(k),
                          _null_str().alias(lg)])
             gvars = {graph_var}
 

@@ -199,3 +199,46 @@ def test_trig_queryable_with_sparql_graph(spark, tmp_path):
     assert {r["g"] for r in named.collect()} >= {"http://ex.org/g"}
     dflt = sparql_select(quads, "SELECT ?o WHERE { ?s <http://ex.org/p> ?o }")
     assert [r["o"] for r in dflt.collect()] == ["default"]
+
+
+def test_read_rdf_directory_all_five_formats(spark, tmp_path):
+    # one directory, five serializations, one unified quad relation:
+    # triple formats carry file contexts, quad formats their graph labels
+    from meresco_rdf_spark.sources import read_rdf_directory
+    from meresco_rdf_spark.sparql import sparql_select
+
+    (tmp_path / "a.rdf").write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:dct="http://purl.org/dc/terms/">'
+        '<rdf:Description rdf:about="urn:x:1"><dct:title>X</dct:title>'
+        '</rdf:Description></rdf:RDF>', encoding="utf-8")
+    (tmp_path / "b.nt").write_text(
+        '<urn:x:2> <urn:p> "nt" .\n', encoding="utf-8")
+    (tmp_path / "c.ttl").write_text(
+        '<urn:x:3> <urn:p> "ttl" .\n', encoding="utf-8")
+    (tmp_path / "d.nq").write_text(
+        '<urn:x:4> <urn:p> "nq" <urn:g> .\n'
+        '<urn:x:5> <urn:p> "nq-default" .\n', encoding="utf-8")
+    (tmp_path / "e.trig").write_text(
+        'GRAPH <urn:g> { <urn:x:6> <urn:p> "trig" . }', encoding="utf-8")
+    quads = read_rdf_directory(spark, str(tmp_path))
+    ctx = {r.context for r in quads.collect()}
+    assert ctx == {"file:a.rdf", "file:b.nt", "file:c.ttl", "urn:g", None}
+    # the shared <urn:g> label spans .nq and .trig: one graph, two files
+    g = sparql_select(
+        quads, 'SELECT ?s WHERE { GRAPH <urn:g> { ?s ?p ?o } }')
+    assert {r["s"] for r in g.collect()} == {"urn:x:4", "urn:x:6"}
+
+
+def test_graph_var_binds_bnode_kind(spark):
+    # GRAPH ?g over a bnode-labeled graph binds ?g with term kind 'bnode'
+    from meresco_rdf_spark.sparql import sparql_select
+
+    quads = spark.createDataFrame(
+        [("_:g0", "urn:s", "urn:p", "v", "literal", None),
+         ("urn:g1", "urn:s", "urn:p", "w", "literal", None)],
+        "context string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string")
+    out = sparql_select(quads, "SELECT ?g WHERE { GRAPH ?g { ?s ?p ?o } }")
+    kinds = {r["g"]: r["g_kind"] for r in out.collect()}
+    assert kinds == {"_:g0": "bnode", "urn:g1": "uri"}

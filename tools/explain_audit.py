@@ -372,6 +372,27 @@ def main() -> None:
         and "collect_list" not in p and "collect_set" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # N-Quads sink: quad egress is a pure projection — no exchange at
+    # all, no Python; and the TriG sink matches the Turtle sink's shape
+    # with the window keyed on (context, subj)
+    from meresco_rdf_spark.sinks.nquads_sink import nquads_lines
+    from meresco_rdf_spark.sinks.trig_sink import trig_lines
+
+    quads = tpch_triples(spark, sf_dir).withColumn(
+        "context", F.when(F.col("subj").startswith("urn:cust:"),
+                          F.lit("urn:g:cust")))
+    p = plan_of(nquads_lines(quads))
+    results.append(check(
+        "nquads sink: pure projection, no exchange",
+        "Exchange" not in p and "ArrowEvalPython" not in p
+        and "BatchEvalPython" not in p))
+    p = plan_of(trig_lines(quads))
+    results.append(check(
+        "trig sink: 1 window exchange, no arrays",
+        p.count("Exchange hashpartitioning(context") == 1
+        and "collect_list" not in p and "collect_set" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
