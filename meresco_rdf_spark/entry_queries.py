@@ -943,9 +943,67 @@ JOIN triples t4 ON t4.subj = t1.subj AND t4.pred = '{foaf}'
 JOIN triples t5 ON t5.subj = t1.obj_value AND t5.pred = '{rdfs}'
 WHERE t1.pred = '{rel_nation}' AND regexp_matches(t4.obj_value, '1$')"""
 
+_RDFS_ENTAILMENT_ORACLE = """
+WITH RECURSIVE {cte},
+onto(subj, pred, obj_value) AS (VALUES
+  ('{rel_nation}', '%(sp)s', 'urn:rel:locatedIn'),
+  ('urn:rel:locatedIn', '%(sp)s', 'urn:rel:related'),
+  ('{rel_region}', '%(sp)s', 'urn:rel:locatedIn'),
+  ('{rel_nation}', '%(dom)s', 'urn:class:Agent'),
+  ('{rel_nation}', '%(rng)s', 'urn:class:Nation'),
+  ('{rel_region}', '%(dom)s', 'urn:class:Nation'),
+  ('{rel_region}', '%(rng)s', 'urn:class:Region'),
+  ('urn:class:Nation', '%(sc)s', 'urn:class:Place'),
+  ('urn:class:Region', '%(sc)s', 'urn:class:Place'),
+  ('urn:class:Place', '%(sc)s', 'urn:class:Entity'),
+  ('{skos_pref}', '%(sp)s', '{rdfs}')),
+base AS (
+  SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples
+  UNION ALL
+  SELECT subj, pred, obj_value, 'uri', CAST(NULL AS VARCHAR) FROM onto),
+sp(a, b) AS (
+  SELECT subj, obj_value FROM onto WHERE pred = '%(sp)s'
+  UNION
+  SELECT s.a, e.obj_value FROM sp s
+  JOIN onto e ON e.subj = s.b AND e.pred = '%(sp)s'),
+sc(a, b) AS (
+  SELECT subj, obj_value FROM onto WHERE pred = '%(sc)s'
+  UNION
+  SELECT s.a, e.obj_value FROM sc s
+  JOIN onto e ON e.subj = s.b AND e.pred = '%(sc)s'),
+t1 AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT b.subj, sp.b, b.obj_value, b.obj_kind, b.obj_lang
+  FROM base b JOIN sp ON b.pred = sp.a),
+typed AS (
+  SELECT t1.subj AS subj, '%(type)s' AS pred, o.obj_value AS obj_value,
+         'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang
+  FROM t1 JOIN onto o ON o.pred = '%(dom)s' AND t1.pred = o.subj
+  UNION ALL
+  SELECT t1.obj_value, '%(type)s', o.obj_value, 'uri', NULL
+  FROM t1 JOIN onto o ON o.pred = '%(rng)s' AND t1.pred = o.subj
+  WHERE t1.obj_kind != 'literal'),
+t2 AS (SELECT * FROM t1 UNION ALL SELECT * FROM typed),
+supert AS (
+  SELECT t2.subj, '%(type)s', sc.b, 'uri', CAST(NULL AS VARCHAR)
+  FROM t2 JOIN sc ON t2.pred = '%(type)s' AND t2.obj_value = sc.a),
+allt AS (
+  SELECT * FROM t2 UNION ALL SELECT * FROM supert
+  UNION ALL SELECT a, '%(sp)s', b, 'uri', NULL FROM sp
+  UNION ALL SELECT a, '%(sc)s', b, 'uri', NULL FROM sc)
+SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang FROM allt""" % {
+    "sp": "http://www.w3.org/2000/01/rdf-schema#subPropertyOf",
+    "sc": "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+    "dom": "http://www.w3.org/2000/01/rdf-schema#domain",
+    "rng": "http://www.w3.org/2000/01/rdf-schema#range",
+    "type": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+}
+
 _GRAPH_ALGO_ORACLES = {
     "graph_pagerank": _PAGERANK_ORACLE,
     "graph_khop": _KHOP_ORACLE,
+    "rdfs_entailment": _RDFS_ENTAILMENT_ORACLE,
 }
 
 _SPARQL_ORACLES = {
@@ -2203,6 +2261,42 @@ def q_trig_ingest(spark, sf_dir):
     return read_trig_quads(spark, write_fixture_dir(TRIG_DOCS))
 
 
+def q_rdfs_entailment(spark, sf_dir):
+    """RDFS entailment materialization (engine extension — classic KG
+    construction step the reference leaves to callers): the TPC-H triples
+    view plus an 11-triple ontology (subPropertyOf / subClassOf chains,
+    domain, range) forward-chained to the full ρdf closure.  Scale shape:
+    closure computed on the schema slice only, applied to instance
+    triples in one broadcast-join pass — no instance-sized iteration.
+    Oracle = recursive-CTE transitive closures + rule joins."""
+    from .operators.rdfs import (
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASS,
+        RDFS_SUBPROP,
+        rdfs_closure,
+    )
+
+    onto = [
+        (REL_NATION, RDFS_SUBPROP, "urn:rel:locatedIn"),
+        ("urn:rel:locatedIn", RDFS_SUBPROP, "urn:rel:related"),
+        (REL_REGION, RDFS_SUBPROP, "urn:rel:locatedIn"),
+        (REL_NATION, RDFS_DOMAIN, "urn:class:Agent"),
+        (REL_NATION, RDFS_RANGE, "urn:class:Nation"),
+        (REL_REGION, RDFS_DOMAIN, "urn:class:Nation"),
+        (REL_REGION, RDFS_RANGE, "urn:class:Region"),
+        ("urn:class:Nation", RDFS_SUBCLASS, "urn:class:Place"),
+        ("urn:class:Region", RDFS_SUBCLASS, "urn:class:Place"),
+        ("urn:class:Place", RDFS_SUBCLASS, "urn:class:Entity"),
+        (SKOS_PREFLABEL, RDFS_SUBPROP, RDFS_LABEL),
+    ]
+    onto_df = spark.createDataFrame(
+        [(s, p, o, "uri", None) for s, p, o in onto],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+    return rdfs_closure(tpch_triples(spark, sf_dir).unionByName(onto_df))
+
+
 def q_sparql_dataset_ingest(spark, sf_dir):
     """End-to-end RDF DATASET integration: all five supported formats
     (.rdf .nt .ttl .nq .trig) ingested from ONE directory into a unified
@@ -3167,6 +3261,7 @@ QUERIES = {
     "graph_literal_values": q_graph_literal_values,
     "graph_pagerank": q_graph_pagerank,
     "graph_khop": q_graph_khop,
+    "rdfs_entailment": q_rdfs_entailment,
     "sparql_select_bgp": q_sparql_select_bgp,
     "sparql_select_bgp_stats": q_sparql_select_bgp_stats,
     "sparql_optional": q_sparql_optional,

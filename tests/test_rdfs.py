@@ -1,0 +1,121 @@
+"""RDFS entailment materialization (operators/rdfs.py): rule coverage,
+local vs distributed schema-closure agreement, vocabulary-redefinition
+guard, and the broadcast plan shape."""
+
+import pytest
+
+from meresco_rdf_spark.operators.rdfs import (
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASS,
+    RDFS_SUBPROP,
+    RdfsVocabularyRedefined,
+    _transitive_closure_local,
+    rdfs_closure,
+)
+
+pytestmark = pytest.mark.spark
+
+SCHEMA = ("subj string, pred string, obj_value string, obj_kind string, "
+          "obj_lang string")
+
+ROWS = [
+    # ontology: 2-level class chain, 2-level property chain, dom+rng
+    ("ex:Nation", RDFS_SUBCLASS, "ex:Place", "uri", None),
+    ("ex:Place", RDFS_SUBCLASS, "ex:Entity", "uri", None),
+    ("ex:inRegion", RDFS_SUBPROP, "ex:locatedIn", "uri", None),
+    ("ex:locatedIn", RDFS_SUBPROP, "ex:related", "uri", None),
+    ("ex:inRegion", RDFS_DOMAIN, "ex:Nation", "uri", None),
+    ("ex:locatedIn", RDFS_RANGE, "ex:Region", "uri", None),
+    # instance
+    ("urn:n1", "ex:inRegion", "urn:r1", "uri", None),
+    ("urn:n1", "ex:name", "Holland", "literal", None),
+]
+
+EXPECTED_NEW = {
+    ("ex:Nation", RDFS_SUBCLASS, "ex:Entity", "uri", None),   # rdfs11
+    ("ex:inRegion", RDFS_SUBPROP, "ex:related", "uri", None),  # rdfs5
+    ("urn:n1", "ex:locatedIn", "urn:r1", "uri", None),         # rdfs7
+    ("urn:n1", "ex:related", "urn:r1", "uri", None),           # rdfs7 2-hop
+    ("urn:n1", RDF_TYPE, "ex:Nation", "uri", None),            # rdfs2
+    ("urn:n1", RDF_TYPE, "ex:Place", "uri", None),             # rdfs9 chain
+    ("urn:n1", RDF_TYPE, "ex:Entity", "uri", None),
+    # rdfs3 fires through the INHERITED ex:locatedIn predicate
+    ("urn:r1", RDF_TYPE, "ex:Region", "uri", None),
+}
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_rdfs_closure_all_rules(spark):
+    got = {tuple(r) for r in rdfs_closure(df(spark, ROWS)).collect()}
+    assert got == {tuple(r) for r in ROWS} | EXPECTED_NEW
+    # literal objects are never range-typed
+    assert not any(s == "Holland" for s, *_ in got)
+
+
+def test_distributed_schema_path_agrees(spark):
+    local = {tuple(r) for r in rdfs_closure(df(spark, ROWS)).collect()}
+    dist = {tuple(r) for r in
+            rdfs_closure(df(spark, ROWS), local_threshold=0).collect()}
+    assert dist == local
+
+
+def test_explicit_types_climb_hierarchy(spark):
+    rows = [
+        ("ex:A", RDFS_SUBCLASS, "ex:B", "uri", None),
+        ("urn:x", RDF_TYPE, "ex:A", "uri", None),
+    ]
+    got = {tuple(r) for r in rdfs_closure(df(spark, rows)).collect()}
+    assert ("urn:x", RDF_TYPE, "ex:B", "uri", None) in got
+
+
+def test_keep_schema_false_omits_closure_pairs(spark):
+    rows = [
+        ("ex:A", RDFS_SUBCLASS, "ex:B", "uri", None),
+        ("ex:B", RDFS_SUBCLASS, "ex:C", "uri", None),
+        ("urn:x", RDF_TYPE, "ex:A", "uri", None),
+    ]
+    got = {tuple(r) for r in
+           rdfs_closure(df(spark, rows), keep_schema=False).collect()}
+    # derived types present, derived schema pair absent
+    assert ("urn:x", RDF_TYPE, "ex:C", "uri", None) in got
+    assert ("ex:A", RDFS_SUBCLASS, "ex:C", "uri", None) not in got
+
+
+def test_idempotent(spark):
+    once = rdfs_closure(df(spark, ROWS))
+    twice = {tuple(r) for r in rdfs_closure(once).collect()}
+    assert twice == {tuple(r) for r in once.collect()}
+
+
+def test_cycle_yields_reflexive_pairs(spark):
+    assert _transitive_closure_local([("a", "b"), ("b", "a")]) == [
+        ("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+    rows = [
+        ("ex:A", RDFS_SUBCLASS, "ex:B", "uri", None),
+        ("ex:B", RDFS_SUBCLASS, "ex:A", "uri", None),
+        ("urn:x", RDF_TYPE, "ex:A", "uri", None),
+    ]
+    got = {tuple(r) for r in rdfs_closure(df(spark, rows)).collect()}
+    assert ("urn:x", RDF_TYPE, "ex:B", "uri", None) in got
+
+
+def test_vocabulary_redefinition_rejected_both_paths(spark):
+    rows = ROWS + [("ex:p", RDFS_SUBPROP, RDFS_SUBCLASS, "uri", None)]
+    with pytest.raises(RdfsVocabularyRedefined):
+        rdfs_closure(df(spark, rows))
+    with pytest.raises(RdfsVocabularyRedefined):
+        rdfs_closure(df(spark, rows), local_threshold=0)
+
+
+def test_plan_is_broadcast_with_single_shuffle(spark):
+    out = rdfs_closure(df(spark, ROWS))
+    out.count()  # let AQE finalize
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

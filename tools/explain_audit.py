@@ -393,6 +393,21 @@ def main() -> None:
         and "collect_list" not in p and "collect_set" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # RDFS closure: all rule composition happens schema-side, so the
+    # instance plan is 4 broadcast-join branches + exactly ONE shuffle
+    # (the final dedup) — no instance self-join, no iteration, no Python
+    from meresco_rdf_spark.entry_queries import q_rdfs_entailment
+
+    ent = q_rdfs_entailment(spark, sf_dir)
+    ent.count()
+    p = plan_of(ent)
+    results.append(check(
+        "rdfs closure: broadcast rules, 1 shuffle",
+        p.count("BroadcastHashJoin") >= 4
+        and p.count("Exchange hashpartitioning") == 1
+        and "SortMergeJoin" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
