@@ -1242,6 +1242,41 @@ SELECT t.obj_value AS nname, t.obj_kind AS nname_kind,
   CAST(NULL AS VARCHAR) AS n_lang
 FROM triples t JOIN cnt c ON c.nat = t.subj
 WHERE t.pred = '{rdfs}'""",
+    "sparql_update_graphs": """
+WITH {cte},
+quads0 AS (
+  SELECT CASE WHEN subj LIKE 'urn:cust:%' THEN 'urn:g:cust'
+              WHEN subj LIKE 'urn:supp:%' THEN 'urn:g:supp' END AS context,
+         subj, pred, obj_value, obj_kind, obj_lang
+  FROM triples),
+-- MOVE GRAPH urn:g:supp TO urn:g:vendors
+quads1 AS (
+  SELECT CASE WHEN context = 'urn:g:supp' THEN 'urn:g:vendors'
+              ELSE context END AS context,
+         subj, pred, obj_value, obj_kind, obj_lang
+  FROM quads0),
+-- WITH urn:g:cust: DELETE names there, INSERT rdfs:label into urn:g:names
+moved AS (
+  SELECT subj, obj_value, obj_kind, obj_lang FROM quads1
+  WHERE context = 'urn:g:cust' AND pred = '{foaf}'),
+quads2 AS (
+  SELECT * FROM quads1
+  WHERE NOT (context IS NOT DISTINCT FROM 'urn:g:cust'
+             AND pred = '{foaf}')
+  UNION
+  SELECT 'urn:g:names', subj, '{rdfs}', obj_value, obj_kind, obj_lang
+  FROM moved),
+-- INSERT DATA: one GRAPH row + one default-graph row
+quads3 AS (
+  SELECT * FROM quads2
+  UNION
+  SELECT * FROM (VALUES
+    ('urn:g:meta', 'urn:ds:1', '{dcterms}', 'TPC-H quads', 'literal',
+     CAST(NULL AS VARCHAR)),
+    (CAST(NULL AS VARCHAR), 'urn:ds:1', '{rdfs}', 'dataset', 'literal',
+     'en')) AS v(context, subj, pred, obj_value, obj_kind, obj_lang))
+SELECT DISTINCT context, subj, pred, obj_value, obj_kind, obj_lang
+FROM quads3""",
     "sparql_update": """
 WITH {cte},
 sel AS (
@@ -2297,6 +2332,35 @@ def q_rdfs_entailment(spark, sf_dir):
     return rdfs_closure(tpch_triples(spark, sf_dir).unionByName(onto_df))
 
 
+def q_sparql_update_graphs(spark, sf_dir):
+    """SPARQL 1.1 Update over NAMED GRAPHS (quad relation), three
+    operations chained: MOVE a graph, a WITH-scoped DELETE/INSERT that
+    rehomes customer names into a fresh graph, and quad-form INSERT DATA
+    (GRAPH block + default-graph row).  Immutable chaining — each step
+    is a pure transform of the previous state, so the composition is one
+    lazy plan.  Oracle = the same three set operations in SQL."""
+    from .sparql import sparql_update_quads
+
+    quads = tpch_triples(spark, sf_dir).withColumn(
+        "context",
+        F.when(F.col("subj").startswith("urn:cust:"), F.lit("urn:g:cust"))
+        .when(F.col("subj").startswith("urn:supp:"), F.lit("urn:g:supp"))
+        .otherwise(F.lit(None).cast("string")))
+    q1 = sparql_update_quads(
+        quads, "MOVE GRAPH <urn:g:supp> TO GRAPH <urn:g:vendors>")
+    q2 = sparql_update_quads(q1, """
+        WITH <urn:g:cust>
+        DELETE {{ ?s <{foaf}> ?n }}
+        INSERT {{ GRAPH <urn:g:names> {{ ?s <{rdfs}> ?n }} }}
+        WHERE {{ ?s <{foaf}> ?n }}""".format(foaf=FOAF_NAME,
+                                             rdfs=RDFS_LABEL))
+    return sparql_update_quads(q2, """
+        INSERT DATA {{
+          GRAPH <urn:g:meta> {{ <urn:ds:1> <{dct}> "TPC-H quads" }}
+          <urn:ds:1> <{rdfs}> "dataset"@en .
+        }}""".format(dct=DCTERMS_TITLE, rdfs=RDFS_LABEL))
+
+
 def q_sparql_dataset_ingest(spark, sf_dir):
     """End-to-end RDF DATASET integration: all five supported formats
     (.rdf .nt .ttl .nq .trig) ingested from ONE directory into a unified
@@ -3208,6 +3272,7 @@ QUERIES = {
     "nq_ingest": q_nq_ingest,
     "trig_ingest": q_trig_ingest,
     "sparql_dataset_ingest": q_sparql_dataset_ingest,
+    "sparql_update_graphs": q_sparql_update_graphs,
     "nt_roundtrip": q_nt_roundtrip,
     "ttl_roundtrip": q_ttl_roundtrip,
     "nq_roundtrip": q_nq_roundtrip,

@@ -20,9 +20,10 @@ from .compiler import (
     sparql_describe,
     sparql_select,
     sparql_update,
+    sparql_update_quads,
     sparql_update_sets,
 )
 
 __all__ = ["parse_query", "sparql_ask", "sparql_construct",
            "sparql_describe", "sparql_select", "sparql_update",
-           "sparql_update_sets"]
+           "sparql_update_quads", "sparql_update_sets"]

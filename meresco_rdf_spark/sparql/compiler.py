@@ -1653,31 +1653,34 @@ def _instantiate_template(df: DataFrame, vars_: Set[str],
 # UPDATE (INSERT DATA / DELETE DATA / DELETE WHERE / DELETE-INSERT WHERE)
 # ---------------------------------------------------------------------------
 
+def _ground_row(s, p, o) -> tuple:
+    """One ground (constant-only) template triple -> a 5-tuple row."""
+    if isinstance(s, Iri):
+        subj = s.uri
+    elif isinstance(s, BNodeRef):
+        subj = s.label
+    else:
+        raise SparqlCompileError("invalid ground subject %r" % (s,))
+    if not isinstance(p, Iri):
+        raise SparqlCompileError("invalid ground predicate %r" % (p,))
+    if isinstance(o, Iri):
+        obj = (o.uri, "uri", None)
+    elif isinstance(o, BNodeRef):
+        obj = (o.label, "bnode", None)
+    elif isinstance(o, Lit):
+        obj = (o.value, "literal", o.lang)
+    else:
+        raise SparqlCompileError("invalid ground object %r" % (o,))
+    return (subj, p.uri) + obj
+
+
 def _ground_template_df(spark, template) -> DataFrame:
     """Ground (constant-only) template -> a local 5-column triples frame.
     Driver-literal data: never larger than the request text, so the
     anti-join/union it feeds always broadcasts it."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    rows = []
-    for s, p, o in template:
-        if isinstance(s, Iri):
-            subj = s.uri
-        elif isinstance(s, BNodeRef):
-            subj = s.label
-        else:
-            raise SparqlCompileError("invalid ground subject %r" % (s,))
-        if not isinstance(p, Iri):
-            raise SparqlCompileError("invalid ground predicate %r" % (p,))
-        if isinstance(o, Iri):
-            obj = (o.uri, "uri", None)
-        elif isinstance(o, BNodeRef):
-            obj = (o.label, "bnode", None)
-        elif isinstance(o, Lit):
-            obj = (o.value, "literal", o.lang)
-        else:
-            raise SparqlCompileError("invalid ground object %r" % (o,))
-        rows.append((subj, p.uri) + obj)
+    rows = [_ground_row(s, p, o) for s, p, o in template]
     schema = StructType([StructField(c, StringType(), True)
                          for c in ("subj", "pred", "obj_value",
                                    "obj_kind", "obj_lang")])
@@ -1700,6 +1703,11 @@ def sparql_update_sets(triples: DataFrame, request: str,
     ast = parse_query(request)
     if not isinstance(ast, UpdateQuery):
         raise SparqlCompileError("not an update request; use sparql_select")
+    if ast.uses_quads():
+        raise SparqlCompileError(
+            "request uses named-graph update forms (WITH / GRAPH "
+            "templates / graph management); use sparql_update_quads on a "
+            "quad relation")
     if pattern_stats is not None and total_triples is None:
         total_triples = pattern_stats.get("__total__")
     spark = triples.sparkSession
@@ -1743,4 +1751,159 @@ def sparql_update(triples: DataFrame, request: str,
         out = remove_triples(out, dels)
     if ins is not None:
         out = add_triples(out, ins)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quad-aware UPDATE (WITH / GRAPH templates / graph management)
+# ---------------------------------------------------------------------------
+
+_QUAD_COLS = ["context", "subj", "pred", "obj_value", "obj_kind", "obj_lang"]
+
+
+def _require_quads(df: DataFrame, what: str) -> None:
+    if "context" not in df.columns:
+        raise SparqlCompileError(
+            "%s requires a quad relation (a 'context' column); triple "
+            "relations have a single unnamed graph" % what)
+
+
+def _apply_graph_manage(quads: DataFrame, m) -> DataFrame:
+    """CLEAR/DROP/CREATE/ADD/COPY/MOVE as pure column transforms.  With
+    no graph catalog, graphs exist implicitly (CREATE is a no-op and
+    DROP ≡ CLEAR — the documented difference is catalog bookkeeping);
+    SILENT is likewise moot, never an error path."""
+    ctx = F.col("context")
+    if m.op == "CREATE":
+        return quads
+    if m.op in ("CLEAR", "DROP"):
+        if m.src == "ALL":
+            return quads.limit(0)
+        if m.src == "NAMED":
+            return quads.filter(ctx.isNull())
+        if m.src == "DEFAULT":
+            return quads.filter(ctx.isNotNull())
+        return quads.filter(~ctx.eqNullSafe(F.lit(m.src)))
+
+    # ADD / COPY / MOVE — src/dst are IRIs or 'DEFAULT'
+    def graph_pred(label):
+        return ctx.isNull() if label == "DEFAULT" else ctx.eqNullSafe(
+            F.lit(label))
+
+    if m.src == m.dst:
+        return quads  # spec: same-graph ADD/COPY/MOVE is a no-op
+    dst_value = (F.lit(None).cast("string") if m.dst == "DEFAULT"
+                 else F.lit(m.dst))
+    moved = quads.filter(graph_pred(m.src)).withColumn("context", dst_value)
+    if m.op == "ADD":
+        return quads.unionByName(moved).dropDuplicates(_QUAD_COLS)
+    remaining = quads.filter(~graph_pred(m.dst))
+    if m.op == "MOVE":
+        remaining = remaining.filter(~graph_pred(m.src))
+    return remaining.unionByName(moved)
+
+
+def _with_dataset(quads: DataFrame, with_graph: Opt[str]) -> DataFrame:
+    """Update §3.1.3 WITH: the WHERE clause's default graph becomes the
+    WITH graph; named graphs stay visible to GRAPH patterns."""
+    if with_graph is None:
+        return quads
+    ctx = F.col("context")
+    dflt = (quads.filter(ctx.eqNullSafe(F.lit(with_graph)))
+            .withColumn("context", _null_str()))
+    return dflt.unionByName(quads.filter(ctx.isNotNull()))
+
+
+def _instantiate_quads(df: DataFrame, vars_: Set[str], template,
+                       graphs, with_graph: Opt[str],
+                       what: str) -> DataFrame:
+    """Template + per-pattern graph labels -> deduplicated 6-column quad
+    relation (context = pattern's GRAPH label, else the WITH graph,
+    else NULL = default graph)."""
+    pieces = []
+    by_label: Dict = {}
+    for pat, label in zip(template, graphs):
+        by_label.setdefault(label if label is not None else with_graph,
+                            []).append(pat)
+    for label, pats in by_label.items():
+        frame = _instantiate_template(df, vars_, pats, what=what)
+        pieces.append(frame.select(
+            (F.lit(label).cast("string") if label is not None
+             else _null_str()).alias("context"), *frame.columns))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(_QUAD_COLS)
+
+
+def _ground_quads_df(spark, template, graphs) -> DataFrame:
+    """Ground quad template -> a local 6-column frame (driver-literal)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    rows = [(label,) + _ground_row(s, p, o)
+            for (s, p, o), label in zip(template, graphs)]
+    schema = StructType([StructField(c, StringType(), True)
+                         for c in _QUAD_COLS])
+    return spark.createDataFrame(rows, schema).dropDuplicates()
+
+
+def remove_quads(quads: DataFrame, dels: DataFrame) -> DataFrame:
+    """Null-safe set difference on the full 6-column quad key."""
+    cond = None
+    for c in _QUAD_COLS:
+        eq = quads[c].eqNullSafe(dels[c])
+        cond = eq if cond is None else cond & eq
+    return quads.join(dels, cond, "left_anti")
+
+
+def sparql_update_quads(quads: DataFrame, request: str,
+                        pattern_stats: Opt[Dict[str, int]] = None,
+                        total_triples: Opt[int] = None) -> DataFrame:
+    """Execute a SPARQL 1.1 Update request against a QUAD relation and
+    return the new quad state (immutable semantics, like
+    ``sparql_update``).  Handles everything the triple form does PLUS
+    the named-graph forms: ``WITH <g>``, ``GRAPH <g> { }`` blocks in
+    templates and QuadData, and CLEAR / DROP / CREATE / ADD / COPY /
+    MOVE graph management.
+
+    Scale shape: management ops are pure filters/projections (one scan,
+    no shuffle except ADD's set-dedup); template updates follow the
+    triple path — template-instantiated delete sets broadcast into a
+    null-safe anti-join, inserts are one union + 6-column dedup."""
+    ast = parse_query(request)
+    if not isinstance(ast, UpdateQuery):
+        raise SparqlCompileError("not an update request; use sparql_select")
+    _require_quads(quads, "sparql_update_quads")
+    quads = quads.select(*_QUAD_COLS)
+    if ast.manage is not None:
+        return _apply_graph_manage(quads, ast.manage)
+    if pattern_stats is not None and total_triples is None:
+        total_triples = pattern_stats.get("__total__")
+    spark = quads.sparkSession
+
+    if ast.where is None:
+        dels = (_ground_quads_df(spark, ast.delete_template,
+                                 ast.delete_graphs)
+                if ast.delete_template else None)
+        ins = (_ground_quads_df(spark, ast.insert_template,
+                                ast.insert_graphs)
+               if ast.insert_template else None)
+    else:
+        dataset = _with_dataset(quads, ast.with_graph)
+        df, vars_ = _compile_group(dataset, ast.where, pattern_stats,
+                                   total_triples)
+        dels = (_instantiate_quads(df, vars_, ast.delete_template,
+                                   ast.delete_graphs, ast.with_graph,
+                                   what="DELETE")
+                if ast.delete_template else None)
+        ins = (_instantiate_quads(df, vars_, ast.insert_template,
+                                  ast.insert_graphs, ast.with_graph,
+                                  what="INSERT")
+               if ast.insert_template else None)
+
+    out = quads
+    if dels is not None:
+        out = remove_quads(out, dels)
+    if ins is not None:
+        out = out.unionByName(ins).dropDuplicates(_QUAD_COLS)
     return out

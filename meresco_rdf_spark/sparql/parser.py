@@ -319,16 +319,43 @@ class SelectQuery:
 
 
 @dataclass
+class GraphManage:
+    """SPARQL 1.1 Update graph-management operation over a quad relation:
+    CLEAR / DROP / CREATE / ADD / COPY / MOVE.  ``src``/``dst`` are graph
+    IRIs or the markers ``"DEFAULT"`` / ``"NAMED"`` / ``"ALL"`` (markers
+    are spelled upper-case and cannot collide with IRIs, which always
+    contain ``:``)."""
+    op: str
+    src: Opt[str] = None
+    dst: Opt[str] = None
+    silent: bool = False
+
+
+@dataclass
 class UpdateQuery:
     """SPARQL 1.1 Update request (single operation):
-    ``INSERT DATA`` / ``DELETE DATA`` (ground templates, no WHERE),
-    ``DELETE WHERE`` (the pattern doubles as the delete template), and
-    the full ``DELETE {} INSERT {} WHERE {}`` form (either template
-    optional, at least one present)."""
+    ``INSERT DATA`` / ``DELETE DATA`` (ground quad templates, no WHERE),
+    ``DELETE WHERE`` (the pattern doubles as the delete template),
+    the full ``(WITH <g>)? DELETE {} INSERT {} WHERE {}`` form (either
+    template optional, at least one present), and the graph-management
+    forms (``manage`` set, everything else None).
+
+    ``delete_graphs`` / ``insert_graphs`` run parallel to the templates:
+    one graph IRI per pattern (None = the WITH graph, or the default
+    graph when no WITH)."""
     delete_template: Opt[List[TriplePattern]] = None
     insert_template: Opt[List[TriplePattern]] = None
     where: Opt[GroupPattern] = None
     data_form: bool = False
+    delete_graphs: Opt[List[Opt[str]]] = None
+    insert_graphs: Opt[List[Opt[str]]] = None
+    with_graph: Opt[str] = None
+    manage: Opt[GraphManage] = None
+
+    def uses_quads(self) -> bool:
+        return (self.manage is not None or self.with_graph is not None
+                or any(g is not None for g in (self.delete_graphs or []))
+                or any(g is not None for g in (self.insert_graphs or [])))
 
 
 # ---------------------------------------------------------------------------
@@ -443,8 +470,11 @@ class _Parser:
             return self._ask_query()
         if self.at_kw("DESCRIBE"):
             return self._describe_query()
-        if self.at_kw("INSERT") or self.at_kw("DELETE"):
+        if self.at_kw("INSERT") or self.at_kw("DELETE") or self.at_kw("WITH"):
             return self._update_query()
+        if any(self.at_kw(w) for w in
+               ("CLEAR", "DROP", "CREATE", "ADD", "COPY", "MOVE")):
+            return self._manage_query()
         query = self._select_body()
         self._end()
         return query
@@ -722,53 +752,176 @@ class _Parser:
                 if isinstance(t, BNodeRef) and not allow_bnodes:
                     self.fail("blank nodes are not allowed in %s" % what)
 
+    def _graph_ref(self, allow_markers: bool = False) -> str:
+        """'GRAPH'? iri, or (when allowed) DEFAULT / NAMED / ALL."""
+        if allow_markers:
+            for marker in ("DEFAULT", "NAMED", "ALL"):
+                if self.at_kw(marker):
+                    self.next()
+                    return marker
+        if self.at_kw("GRAPH"):
+            self.next()
+        term = self.term(position="subject")
+        if not isinstance(term, Iri):
+            self.fail("expected a graph IRI")
+        return term.uri
+
+    def _manage_query(self) -> UpdateQuery:
+        """Graph management: CLEAR/DROP (GRAPH iri | DEFAULT | NAMED |
+        ALL), CREATE GRAPH iri, ADD/COPY/MOVE src TO dst."""
+        _, op, _ = self.next()
+        op = op.upper()
+        silent = False
+        if self.at_kw("SILENT"):
+            self.next()
+            silent = True
+        if op in ("CLEAR", "DROP"):
+            src = self._graph_ref(allow_markers=True)
+            self._end()
+            return UpdateQuery(manage=GraphManage(op, src=src,
+                                                  silent=silent))
+        if op == "CREATE":
+            self.eat_kw("GRAPH")
+            term = self.term(position="subject")
+            if not isinstance(term, Iri):
+                self.fail("expected a graph IRI")
+            self._end()
+            return UpdateQuery(manage=GraphManage(op, src=term.uri,
+                                                  silent=silent))
+        # ADD / COPY / MOVE
+        src = self._graph_ref(allow_markers=True)
+        if src in ("NAMED", "ALL"):
+            self.fail("%s source must be a graph IRI or DEFAULT" % op)
+        self.eat_kw("TO")
+        dst = self._graph_ref(allow_markers=True)
+        if dst in ("NAMED", "ALL"):
+            self.fail("%s destination must be a graph IRI or DEFAULT" % op)
+        self._end()
+        return UpdateQuery(manage=GraphManage(op, src=src, dst=dst,
+                                              silent=silent))
+
+    def _quad_template(self, what: str
+                       ) -> Tuple[List[TriplePattern], List[Opt[str]]]:
+        """'{' (triples | 'GRAPH' iri '{' triples '}')* '}' — a QUAD
+        template: each pattern carries its graph label (None = the
+        enclosing WITH graph / default graph).  Graph labels must be
+        constant IRIs (variable graph targets in templates are not
+        supported — fail loudly, don't mis-insert)."""
+        self.eat_op("{")
+        patterns: List[TriplePattern] = []
+        graphs: List[Opt[str]] = []
+
+        def collect(block: TriplesBlock, label: Opt[str]) -> None:
+            if block.alts or any(isinstance(p, PATH_PREDS)
+                                 for _, p, _ in block.patterns):
+                self.fail("property paths are not allowed in a %s "
+                          "template" % what)
+            if any(isinstance(t, Var) and t.name.startswith("_path")
+                   for pat in block.patterns for t in pat):
+                self.fail("path sequences are not allowed in a %s "
+                          "template" % what)
+            patterns.extend(block.patterns)
+            graphs.extend([label] * len(block.patterns))
+
+        while not self.at_op("}"):
+            if self.at_kw("GRAPH"):
+                self.next()
+                term = self.term(position="subject")
+                if not isinstance(term, Iri):
+                    self.fail("%s template GRAPH label must be a constant "
+                              "IRI" % what)
+                self.eat_op("{")
+                inner = TriplesBlock()
+                while not self.at_op("}"):
+                    subj = self.term(position="subject")
+                    self._predicate_object_list(inner, subj)
+                    if self.at_op("."):
+                        self.next()
+                self.eat_op("}")
+                collect(inner, term.uri)
+                if self.at_op("."):
+                    self.next()
+                continue
+            block = TriplesBlock()
+            subj = self.term(position="subject")
+            self._predicate_object_list(block, subj)
+            if self.at_op("."):
+                self.next()
+            collect(block, None)
+        self.eat_op("}")
+        if not patterns:
+            self.fail("empty %s template" % what)
+        return patterns, graphs
+
     def _update_query(self) -> UpdateQuery:
         """SPARQL 1.1 Update, single operation:
         'INSERT'|'DELETE' 'DATA' QuadData
         | 'DELETE' 'WHERE' GroupGraphPattern
-        | ('DELETE' Template)? ('INSERT' Template)? 'WHERE' Group"""
+        | ('WITH' iri)? ('DELETE' QuadTpl)? ('INSERT' QuadTpl)?
+          'WHERE' Group"""
+        with_graph: Opt[str] = None
+        if self.at_kw("WITH"):
+            self.next()
+            term = self.term(position="subject")
+            if not isinstance(term, Iri):
+                self.fail("WITH takes a graph IRI")
+            with_graph = term.uri
+            if not (self.at_kw("DELETE") or self.at_kw("INSERT")):
+                self.fail("WITH must be followed by DELETE or INSERT")
         if self.at_kw("DELETE"):
             self.next()
             if self.at_kw("DATA"):
+                if with_graph is not None:
+                    self.fail("WITH is not allowed with DELETE DATA")
                 self.next()
-                tpl = self._template("DELETE DATA")
+                tpl, graphs = self._quad_template("DELETE DATA")
                 # spec §3.1.2: bnodes are scoped labels, meaningless to
                 # delete by — disallowed
                 self._check_ground(tpl, "DELETE DATA", allow_bnodes=False)
                 self._end()
-                return UpdateQuery(delete_template=tpl, data_form=True)
+                return UpdateQuery(delete_template=tpl, data_form=True,
+                                   delete_graphs=graphs)
             if self.at_kw("WHERE"):
-                self.next()
-                where = self.group_graph_pattern()
-                tpl = self._plain_bgp_template(where, "DELETE WHERE")
-                self._end()
-                return UpdateQuery(delete_template=tpl, where=where)
-            delete_t = self._template("DELETE")
+                if with_graph is None:
+                    self.next()
+                    where = self.group_graph_pattern()
+                    tpl = self._plain_bgp_template(where, "DELETE WHERE")
+                    self._end()
+                    return UpdateQuery(delete_template=tpl, where=where)
+                self.fail("WITH requires an explicit DELETE template")
+            delete_t, delete_g = self._quad_template("DELETE")
             self._no_template_bnodes(delete_t, "DELETE")
-            insert_t = None
+            insert_t = insert_g = None
             if self.at_kw("INSERT"):
                 self.next()
-                insert_t = self._template("INSERT")
+                insert_t, insert_g = self._quad_template("INSERT")
             self.eat_kw("WHERE")
             where = self.group_graph_pattern()
             self._end()
             return UpdateQuery(delete_template=delete_t,
-                               insert_template=insert_t, where=where)
+                               insert_template=insert_t, where=where,
+                               delete_graphs=delete_g,
+                               insert_graphs=insert_g,
+                               with_graph=with_graph)
         self.eat_kw("INSERT")
         if self.at_kw("DATA"):
+            if with_graph is not None:
+                self.fail("WITH is not allowed with INSERT DATA")
             self.next()
-            tpl = self._template("INSERT DATA")
+            tpl, graphs = self._quad_template("INSERT DATA")
             # bnode labels in INSERT DATA are kept verbatim (deterministic;
             # the caller owns label freshness — documented deviation from
             # the spec's per-request relabeling)
             self._check_ground(tpl, "INSERT DATA", allow_bnodes=True)
             self._end()
-            return UpdateQuery(insert_template=tpl, data_form=True)
-        insert_t = self._template("INSERT")
+            return UpdateQuery(insert_template=tpl, data_form=True,
+                               insert_graphs=graphs)
+        insert_t, insert_g = self._quad_template("INSERT")
         self.eat_kw("WHERE")
         where = self.group_graph_pattern()
         self._end()
-        return UpdateQuery(insert_template=insert_t, where=where)
+        return UpdateQuery(insert_template=insert_t, where=where,
+                           insert_graphs=insert_g, with_graph=with_graph)
 
     def _no_template_bnodes(self, template: List[TriplePattern],
                             what: str) -> None:

@@ -1955,3 +1955,123 @@ def test_group_by_expression(small_graph):
         GROUP BY (strlen(?n)) ORDER BY ?c
     """)
     assert sorted(int(r["c"]) for r in out2.collect()) == [1, 1, 1]
+
+
+# ------------------------------------------------- quad-aware UPDATE
+
+QUAD_SCHEMA = ("context string, subj string, pred string, obj_value string, "
+               "obj_kind string, obj_lang string")
+
+QUAD_ROWS = [
+    (None, "urn:s1", "urn:p", "default", "literal", None),
+    ("urn:g:a", "urn:s2", "urn:p", "in-a", "literal", None),
+    ("urn:g:a", "urn:s2", "urn:q", "urn:o", "uri", None),
+    ("urn:g:b", "urn:s3", "urn:p", "in-b", "literal", None),
+]
+
+
+def _quads(spark):
+    return spark.createDataFrame(QUAD_ROWS, QUAD_SCHEMA)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_update_clear_drop_forms(spark):
+    from meresco_rdf_spark.sparql import sparql_update_quads as upd
+
+    quads, all_rows = _quads(spark), set(map(tuple, QUAD_ROWS))
+    assert _rows(upd(quads, "CLEAR GRAPH <urn:g:a>")) == {
+        r for r in all_rows if r[0] != "urn:g:a"}
+    assert _rows(upd(quads, "CLEAR DEFAULT")) == {
+        r for r in all_rows if r[0] is not None}
+    assert _rows(upd(quads, "DROP NAMED")) == {
+        r for r in all_rows if r[0] is None}
+    assert _rows(upd(quads, "CLEAR ALL")) == set()
+    assert _rows(upd(quads, "CREATE GRAPH <urn:new>")) == all_rows
+
+
+def test_update_add_copy_move(spark):
+    from meresco_rdf_spark.sparql import sparql_update_quads as upd
+
+    quads = _quads(spark)
+    # COPY replaces the destination graph
+    got = _rows(upd(quads, "COPY GRAPH <urn:g:a> TO GRAPH <urn:g:b>"))
+    assert ("urn:g:b", "urn:s2", "urn:p", "in-a", "literal", None) in got
+    assert ("urn:g:b", "urn:s3", "urn:p", "in-b", "literal", None) not in got
+    assert ("urn:g:a", "urn:s2", "urn:p", "in-a", "literal", None) in got
+    # MOVE empties the source and replaces the destination
+    got = _rows(upd(quads, "MOVE GRAPH <urn:g:a> TO DEFAULT"))
+    assert (None, "urn:s2", "urn:p", "in-a", "literal", None) in got
+    assert not any(g == "urn:g:a" for g, *_ in got)
+    assert (None, "urn:s1", "urn:p", "default", "literal", None) not in got
+    # ADD unions into the destination
+    got = _rows(upd(quads, "ADD GRAPH <urn:g:a> TO DEFAULT"))
+    assert (None, "urn:s1", "urn:p", "default", "literal", None) in got
+    assert (None, "urn:s2", "urn:p", "in-a", "literal", None) in got
+    # same-graph is a no-op
+    assert _rows(upd(quads, "MOVE GRAPH <urn:g:a> TO GRAPH <urn:g:a>")) \
+        == set(map(tuple, QUAD_ROWS))
+
+
+def test_update_quad_data_forms(spark):
+    from meresco_rdf_spark.sparql import sparql_update_quads as upd
+
+    quads = _quads(spark)
+    got = _rows(upd(quads, 'INSERT DATA { GRAPH <urn:g:c> '
+                           '{ <urn:s9> <urn:p> "nine" } '
+                           '<urn:s0> <urn:p> "zero" . }'))
+    assert ("urn:g:c", "urn:s9", "urn:p", "nine", "literal", None) in got
+    assert (None, "urn:s0", "urn:p", "zero", "literal", None) in got
+    assert len(got) == len(QUAD_ROWS) + 2
+    got = _rows(upd(quads, 'DELETE DATA { GRAPH <urn:g:a> '
+                           '{ <urn:s2> <urn:p> "in-a" } }'))
+    assert ("urn:g:a", "urn:s2", "urn:p", "in-a", "literal", None) not in got
+    assert len(got) == len(QUAD_ROWS) - 1
+
+
+def test_update_with_scopes_where_and_targets(spark):
+    from meresco_rdf_spark.sparql import sparql_update_quads as upd
+
+    quads = _quads(spark)
+    got = _rows(upd(quads, """
+        WITH <urn:g:a> DELETE { ?s <urn:p> ?o }
+        INSERT { GRAPH <urn:g:new> { ?s <urn:p> ?o } }
+        WHERE { ?s <urn:p> ?o }"""))
+    assert ("urn:g:a", "urn:s2", "urn:p", "in-a", "literal", None) not in got
+    assert ("urn:g:new", "urn:s2", "urn:p", "in-a", "literal", None) in got
+    # other graphs and the true default graph untouched
+    assert (None, "urn:s1", "urn:p", "default", "literal", None) in got
+    assert ("urn:g:b", "urn:s3", "urn:p", "in-b", "literal", None) in got
+    # the WITH graph stays visible to explicit GRAPH patterns
+    got = _rows(upd(quads, """
+        WITH <urn:g:b> INSERT { ?s <urn:tag> "both" }
+        WHERE { GRAPH <urn:g:a> { ?s <urn:q> ?o } }"""))
+    assert ("urn:g:b", "urn:s2", "urn:tag", "both", "literal", None) in got
+
+
+def test_update_quad_guards(spark):
+    from meresco_rdf_spark.sparql import sparql_update, sparql_update_quads
+    from meresco_rdf_spark.sparql.compiler import SparqlCompileError
+
+    quads = _quads(spark)
+    with pytest.raises(SparqlCompileError, match="quad"):
+        sparql_update(quads.drop("context"), "CLEAR GRAPH <urn:g:a>")
+    with pytest.raises(SparqlCompileError, match="quad relation"):
+        sparql_update_quads(quads.drop("context"), "CLEAR ALL")
+    # plain (triple-form) updates still run through the quad API
+    got = _rows(sparql_update_quads(
+        quads, 'INSERT DATA { <urn:s9> <urn:p> "nine" }'))
+    assert (None, "urn:s9", "urn:p", "nine", "literal", None) in got
+
+
+def test_update_parser_manage_errors(spark):
+    from meresco_rdf_spark.sparql.parser import SparqlSyntaxError, parse_query
+
+    for bad in ("ADD NAMED TO GRAPH <urn:g>",
+                "WITH <urn:g> INSERT DATA { <urn:s> <urn:p> <urn:o> }",
+                "WITH <urn:g> SELECT ?s WHERE { ?s ?p ?o }",
+                "COPY GRAPH <urn:a> TO ALL"):
+        with pytest.raises(SparqlSyntaxError):
+            parse_query(bad)
