@@ -128,6 +128,7 @@ def main() -> None:
         "similarity_ivf_arrow",
         "events_sessions", "events_asof_signup", "events_quantiles",
         "pricing_summary", "pricing_pivot", "pricing_cube",
+        "rdfs_entailment", "sparql_update_graphs",
     ]
     for name in heads:
         fn = eq.QUERIES[name]
