@@ -285,3 +285,61 @@ def test_datetime_accessors_agree_with_python_datetime(spark, items):
         want_sec = dt.second + dt.microsecond / 1e6
         assert abs(float(r["sec"]) - want_sec) < 1e-9
         assert r["tzs"] == off
+
+
+@settings(max_examples=200, deadline=None)
+@given(subj=_nt_uri, pred=_nt_uri, value=_nt_text, lang=_nt_lang,
+       graph=st.one_of(st.none(), _nt_uri))
+def test_nquads_literal_line_roundtrip(subj, pred, value, lang, graph):
+    """N-Quads line round-trip for arbitrary literal values, with and
+    without the 4th graph term (mirror of the N-Triples property)."""
+    from meresco_rdf_spark.model import Literal
+    from meresco_rdf_spark.rdfxml.nquads import parse_nquads_line
+
+    def esc(s):
+        return (s.replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("\n", "\\n").replace("\r", "\\r")
+                 .replace("\t", "\\t"))
+
+    line = '<%s> <%s> "%s"%s%s .' % (
+        esc(subj), esc(pred), esc(value),
+        "@" + lang if lang else "",
+        " <%s>" % esc(graph) if graph else "")
+    assert parse_nquads_line(line) == (
+        graph, subj, pred, Literal(value, lang=lang))
+
+
+@settings(max_examples=60, deadline=None)
+@given(triples=st.lists(st.tuples(SUBJECTS, PREDICATES, OBJECTS),
+                  min_size=1, max_size=8),
+       graph=_nt_uri)
+def test_trig_graph_block_equals_turtle_tagged(triples, graph):
+    """Any Turtle statement sequence wrapped in GRAPH <g> { } parses to
+    the same triples as plain Turtle, each tagged with g — and the same
+    text at top level parses to default-graph (None) quads."""
+    from meresco_rdf_spark.model import BNode
+    from meresco_rdf_spark.rdfxml.nquads import parse_nquads_line  # noqa: F401
+    from meresco_rdf_spark.rdfxml.trig import parse_trig
+    from meresco_rdf_spark.rdfxml.turtle import parse_turtle
+
+    def encode(s, p, o):
+        def term(t):
+            if isinstance(t, Uri):
+                return "<%s>" % t.value
+            v = (t.value.replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("\n", "\\n").replace("\r", "\\r")
+                 .replace("\t", "\\t"))
+            return '"%s"%s' % (v, "@" + t.lang if t.lang else "")
+        return "<%s> <%s> %s ." % (s, p, term(o))
+
+    doc = "\n".join(encode(*t) for t in triples)
+    BNode.nextGenId = 0
+    plain = set(parse_turtle(doc).triples())
+    BNode.nextGenId = 0
+    wrapped = parse_trig("GRAPH <%s> {\n%s\n}" % (graph, doc))
+    assert {(g,) + (s, p, o) for g, s, p, o in wrapped} \
+        == {(graph, s, p, o) for s, p, o in plain}
+    BNode.nextGenId = 0
+    toplevel = parse_trig(doc)
+    assert {(g,) + (s, p, o) for g, s, p, o in toplevel} \
+        == {(None, s, p, o) for s, p, o in plain}
