@@ -3129,6 +3129,40 @@ def q_stream_merge_triples(spark, sf_dir):
         "subj", "pred", "obj_value", "obj_kind", "obj_lang")
 
 
+def q_stream_nq_ingest(spark, sf_dir):
+    """Streaming named-graph ingest end-to-end: the TPC-H quad split
+    written as six ``.nq`` slice files, streamed one file per
+    micro-batch through the SAME column-expression parser the batch
+    path uses, MERGEd exactly-once (null-safe 6-column anti-join,
+    replay-idempotent foreachBatch) into a parquet quad table.  Oracle
+    = the batch quads relation — six successive merges must converge to
+    exactly the batch parse, including default-graph NULL contexts."""
+    import os
+    import tempfile
+
+    from .sinks.nquads_sink import write_nquads
+    from .streaming.quad_stream import (
+        read_nquads_stream,
+        run_nquads_to_quad_table,
+    )
+
+    quads = tpch_triples(spark, sf_dir).withColumn(
+        "context",
+        F.when(F.col("subj").startswith("urn:cust:"), F.lit("urn:g:cust"))
+        .when(F.col("subj").startswith("urn:supp:"), F.lit("urn:g:supp"))
+        .otherwise(F.lit(None).cast("string")))
+    base = tempfile.mkdtemp(prefix="stream_nq_")
+    in_dir = os.path.join(base, "in")
+    write_nquads(quads, in_dir, num_files=6)
+    stream = read_nquads_stream(spark, in_dir, glob="*.txt",
+                                max_files_per_trigger=1)
+    table = os.path.join(base, "quad_table")
+    q = run_nquads_to_quad_table(stream, table,
+                                 os.path.join(base, "ckpt"))
+    q.awaitTermination(600)
+    return spark.read.parquet(table)
+
+
 def q_similarity_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
@@ -3303,6 +3337,7 @@ QUERIES = {
     "stream_stateful_scores": q_stream_stateful_scores,
     "stream_dedup_fps": q_stream_dedup_fps,
     "stream_merge_triples": q_stream_merge_triples,
+    "stream_nq_ingest": q_stream_nq_ingest,
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified": q_sample_stratified,
     "pack_sequences": q_pack_sequences,
@@ -3466,6 +3501,11 @@ SELECT CASE WHEN subj LIKE 'urn:cust:%' THEN 'urn:g:cust'
             WHEN subj LIKE 'urn:supp:%' THEN 'urn:g:supp' END AS context,
        subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
     "trig_roundtrip": _fmt("""
+WITH {cte}
+SELECT CASE WHEN subj LIKE 'urn:cust:%' THEN 'urn:g:cust'
+            WHEN subj LIKE 'urn:supp:%' THEN 'urn:g:supp' END AS context,
+       subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
+    "stream_nq_ingest": _fmt("""
 WITH {cte}
 SELECT CASE WHEN subj LIKE 'urn:cust:%' THEN 'urn:g:cust'
             WHEN subj LIKE 'urn:supp:%' THEN 'urn:g:supp' END AS context,

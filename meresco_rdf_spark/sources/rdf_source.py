@@ -246,28 +246,15 @@ def _parse_nq_lines_python(batches) -> Iterator:
         yield pd.DataFrame(out)
 
 
-def read_nquads_quads(spark: SparkSession, path: str,
-                      keep_errors: bool = False,
-                      glob: str = "*.nq") -> DataFrame:
-    """N-Quads files -> quad DataFrame: ``context`` = the 4th (graph)
-    term, NULL when absent = the default graph — exactly the quad-relation
-    shape the SPARQL ``GRAPH`` / ``FROM NAMED`` support consumes
-    (sparql/compiler.py: default graph = context-IS-NULL rows).
-
-    Engine extension (the reference has no quad model; its per-file
-    contexts, graphcomponent.py:80, are the nearest analogue).  Scale
-    shape identical to ``read_ntriples_triples``: line-splittable
-    ``spark.read.text`` scan, pure-JVM regex parse for escape-free lines,
-    Arrow-batched exact-Python fallback for the rest, unioned back with
-    no shuffle."""
-    lines = (
-        spark.read.format("text")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .select(F.col("value").alias("line"))
-        .filter((F.trim("line") != "") & ~F.trim("line").startswith("#"))
-    )
+def nquads_lines_to_quads(lines: DataFrame,
+                          keep_errors: bool = False) -> DataFrame:
+    """Parse a one-column (``line``) relation of N-Quads lines into the
+    quad shape.  Pure transformations (JVM regex fast path + Arrow
+    escape fallback), so it works identically on batch AND streaming
+    DataFrames — ``streaming.quad_stream`` feeds it ``readStream``
+    lines."""
+    lines = lines.filter(
+        (F.trim("line") != "") & ~F.trim("line").startswith("#"))
     clean = lines.filter(~F.col("line").contains("\\"))
     dirty = lines.filter(F.col("line").contains("\\"))
 
@@ -308,6 +295,29 @@ def read_nquads_quads(spark: SparkSession, path: str,
     if keep_errors:
         return quads
     return quads.filter(F.col("error").isNull()).drop("error")
+
+
+def read_nquads_quads(spark: SparkSession, path: str,
+                      keep_errors: bool = False,
+                      glob: str = "*.nq") -> DataFrame:
+    """N-Quads files -> quad DataFrame: ``context`` = the 4th (graph)
+    term, NULL when absent = the default graph — exactly the quad-relation
+    shape the SPARQL ``GRAPH`` / ``FROM NAMED`` support consumes
+    (sparql/compiler.py: default graph = context-IS-NULL rows).
+
+    Engine extension (the reference has no quad model; its per-file
+    contexts, graphcomponent.py:80, are the nearest analogue).  Scale
+    shape identical to ``read_ntriples_triples``: line-splittable
+    ``spark.read.text`` scan, pure-JVM regex parse for escape-free lines,
+    Arrow-batched exact-Python fallback for the rest, unioned back with
+    no shuffle."""
+    lines = (
+        spark.read.format("text")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(F.col("value").alias("line")))
+    return nquads_lines_to_quads(lines, keep_errors=keep_errors)
 
 
 def _parse_turtle_documents(batches) -> Iterator:
