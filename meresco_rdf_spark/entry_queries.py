@@ -3400,6 +3400,71 @@ QUERIES = {
 }
 
 
+# Queries with a driver-written green CORRECTNESS_r02 row (frozen list —
+# provenance, not config).  The reorder below keeps every entry but moves
+# anything NOT in this set to the front, so a budget-capped driver run
+# always covers never-driver-verified queries (including everything new
+# this round) before re-proving the proven.
+_R02_GREEN = frozenset({
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "graph_add_dedup",
+    "graph_adjacency_topk",
+    "graph_bgp",
+    "graph_connected_components",
+    "graph_diff",
+    "graph_find_labels",
+    "graph_in_degree",
+    "graph_iterate",
+    "graph_khop",
+    "graph_literal_values",
+    "graph_merge",
+    "graph_objects",
+    "graph_pagerank",
+    "graph_remove",
+    "graph_scan_masked",
+    "sparql_agg_expr",
+    "sparql_aggregate",
+    "sparql_arithmetic",
+    "sparql_ask",
+    "sparql_construct",
+    "sparql_describe",
+    "sparql_group_concat",
+    "sparql_having",
+    "sparql_json_encode",
+    "sparql_minus",
+    "sparql_negated_set",
+    "sparql_not_exists",
+    "sparql_optional",
+    "sparql_path_alt_plus",
+    "sparql_path_inverse",
+    "sparql_path_seq",
+    "sparql_scalar_funcs",
+    "sparql_select_bgp",
+    "sparql_select_bgp_stats",
+    "sparql_subquery",
+    "sparql_union",
+    "sparql_update",
+    "sparql_values_bind",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality",
+    "text_simhash",
+    "text_token_count",
+})
+
+QUERIES = {name: QUERIES[name] for group in (
+    [n for n in QUERIES if n not in _R02_GREEN],
+    [n for n in QUERIES if n in _R02_GREEN],
+) for name in group}
+
+
+
 def _fmt(sql: str) -> str:
     return sql.format(
         cte=TRIPLES_CTE, foaf=FOAF_NAME, rdfs=RDFS_LABEL,
