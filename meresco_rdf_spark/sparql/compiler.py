@@ -1822,6 +1822,8 @@ def _instantiate_quads(df: DataFrame, vars_: Set[str], template,
     else NULL = default graph)."""
     pieces = []
     by_label: Dict = {}
+    if graphs is None:  # DELETE WHERE: the pattern doubles as template
+        graphs = [None] * len(template)
     for pat, label in zip(template, graphs):
         by_label.setdefault(label if label is not None else with_graph,
                             []).append(pat)

@@ -2075,3 +2075,17 @@ def test_update_parser_manage_errors(spark):
                 "COPY GRAPH <urn:a> TO ALL"):
         with pytest.raises(SparqlSyntaxError):
             parse_query(bad)
+
+
+def test_update_quads_delete_where(spark):
+    # DELETE WHERE through the quad API: pattern doubles as template,
+    # targeting the default graph (no WITH, no GRAPH block)
+    from meresco_rdf_spark.sparql import sparql_update_quads
+
+    quads = _quads(spark)
+    got = _rows(sparql_update_quads(quads,
+                                    "DELETE WHERE { ?s <urn:p> ?o }"))
+    # only the DEFAULT-graph <urn:p> row is matched and deleted
+    assert (None, "urn:s1", "urn:p", "default", "literal", None) not in got
+    assert ("urn:g:a", "urn:s2", "urn:p", "in-a", "literal", None) in got
+    assert len(got) == len(QUAD_ROWS) - 1
