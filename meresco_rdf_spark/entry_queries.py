@@ -2329,7 +2329,9 @@ def q_rdfs_entailment(spark, sf_dir):
         [(s, p, o, "uri", None) for s, p, o in onto],
         "subj string, pred string, obj_value string, obj_kind string, "
         "obj_lang string")
-    return rdfs_closure(tpch_triples(spark, sf_dir).unionByName(onto_df))
+    # schema passed explicitly: the realistic scale shape (no instance
+    # scan to mine the ontology); output identical to closing the union.
+    return rdfs_closure(tpch_triples(spark, sf_dir), schema_triples=onto_df)
 
 
 def q_sparql_update_graphs(spark, sf_dir):

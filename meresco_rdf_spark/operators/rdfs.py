@@ -118,9 +118,22 @@ def _with_identity(pairs: List[Tuple[str, str]],
 
 def rdfs_closure(triples: DataFrame,
                  local_threshold: int = 1_000_000,
-                 keep_schema: bool = True) -> DataFrame:
+                 keep_schema: bool = True,
+                 schema_triples: DataFrame = None) -> DataFrame:
     """Materialize the RDFS closure of a 5-column triples relation.
     Output: the input plus all inferred triples, deduplicated.
+
+    ``schema_triples`` — the realistic entry point at scale: the caller
+    usually HAS the ontology as its own small relation, so passing it
+    here skips the full instance scan that otherwise mines the schema
+    slice out of ``triples`` (a pure serial-fraction tax when instance
+    data is TB-sized and the ontology is KB-sized).  Rows in it that are
+    not RDFS vocabulary are ignored for rule composition but unioned
+    into the output, so the result equals
+    ``rdfs_closure(triples ∪ schema_triples)`` provided ``triples``
+    itself carries no RDFS vocabulary (when given, ``schema_triples``
+    is the ONLY source of rules — instance-side schema rows are treated
+    as plain data).
 
     ``local_threshold`` gates the driver-local schema closure; schema
     slices beyond it use the distributed semi-naive loop — in practice
@@ -129,7 +142,9 @@ def rdfs_closure(triples: DataFrame,
     cols = ["subj", "pred", "obj_value", "obj_kind", "obj_lang"]
     triples = triples.select(*cols)
 
-    schema = (triples
+    schema_src = (triples if schema_triples is None
+                  else schema_triples.select(*cols))
+    schema = (schema_src
               .filter(F.col("pred").isin(*_SCHEMA_PREDS)
                       & (F.col("obj_kind") != "literal"))
               .select("subj", "pred", "obj_value"))
@@ -225,6 +240,8 @@ def rdfs_closure(triples: DataFrame,
         .select(*uri_triple(F.col("subj"), F.col("b"))))
 
     parts = [triples, inherited, typed_dom, typed_rng, super_types]
+    if schema_triples is not None:
+        parts.append(schema_triples.select(*cols))
     if keep_schema:                                     # rdfs5 / rdfs11
         for pred, pairs in ((RDFS_SUBPROP, sp_df), (RDFS_SUBCLASS, sc_df)):
             parts.append(pairs.select(

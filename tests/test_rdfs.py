@@ -86,6 +86,19 @@ def test_keep_schema_false_omits_closure_pairs(spark):
     assert ("ex:A", RDFS_SUBCLASS, "ex:C", "uri", None) not in got
 
 
+def test_separate_schema_triples_equals_union_closure(spark):
+    onto, instance = ROWS[:6], ROWS[6:]
+    unioned = {tuple(r) for r in rdfs_closure(df(spark, ROWS)).collect()}
+    split = {tuple(r) for r in
+             rdfs_closure(df(spark, instance),
+                          schema_triples=df(spark, onto)).collect()}
+    assert split == unioned
+    # the vocabulary-redefinition guard fires on the explicit schema too
+    bad = onto + [("ex:p", RDFS_SUBPROP, RDFS_SUBCLASS, "uri", None)]
+    with pytest.raises(RdfsVocabularyRedefined):
+        rdfs_closure(df(spark, instance), schema_triples=df(spark, bad))
+
+
 def test_idempotent(spark):
     once = rdfs_closure(df(spark, ROWS))
     twice = {tuple(r) for r in rdfs_closure(once).collect()}
