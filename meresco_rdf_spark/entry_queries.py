@@ -1000,10 +1000,64 @@ SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang FROM allt""" % {
     "type": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
 }
 
+# owl:sameAs smushing: independent recursive-CTE components + min-label
+# + rewrite joins (the operator's CC run is forced distributed, so this
+# cross-checks the large/small-star implementation too).
+_SAMEAS_SMUSH_ORACLE = """
+WITH RECURSIVE {cte},
+links AS (
+  SELECT 'urn:ext:nation:' || n_nationkey AS a,
+         'urn:nation:' || n_nationkey AS b FROM nation
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, 'urn:alt:nation:' || n_nationkey
+  FROM nation WHERE n_nationkey % 2 = 0
+),
+extra AS (
+  SELECT 'urn:cust:' || c_custkey AS subj, 'urn:rel:memberOf' AS pred,
+         'urn:ext:nation:' || c_nationkey AS obj_value, 'uri' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang
+  FROM customer WHERE c_custkey % 2 = 1
+),
+data AS (SELECT * FROM triples UNION ALL SELECT * FROM extra),
+sym AS (SELECT a, b FROM links UNION SELECT b, a FROM links),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT node, min(m) AS component FROM (
+    SELECT a AS node, b AS m FROM reach
+    UNION ALL SELECT a, a FROM sym
+  ) GROUP BY node
+),
+mapping AS (
+  SELECT node AS alias, component AS canonical FROM comp
+  WHERE node != component
+),
+rewritten AS (
+  SELECT COALESCE(ms.canonical, d.subj) AS subj, d.pred,
+         CASE WHEN d.obj_kind = 'uri' AND mo.canonical IS NOT NULL
+              THEN mo.canonical ELSE d.obj_value END AS obj_value,
+         d.obj_kind, d.obj_lang
+  FROM data d
+  LEFT JOIN mapping ms ON ms.alias = d.subj
+  LEFT JOIN mapping mo ON mo.alias = d.obj_value AND d.obj_kind = 'uri'
+),
+links_out AS (
+  SELECT canonical AS subj, 'http://www.w3.org/2002/07/owl#sameAs' AS pred,
+         alias AS obj_value, 'uri' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang
+  FROM mapping
+)
+SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang
+FROM (SELECT * FROM rewritten UNION ALL SELECT * FROM links_out)"""
+
 _GRAPH_ALGO_ORACLES = {
     "graph_pagerank": _PAGERANK_ORACLE,
     "graph_khop": _KHOP_ORACLE,
     "rdfs_entailment": _RDFS_ENTAILMENT_ORACLE,
+    "kg_sameas_smush": _SAMEAS_SMUSH_ORACLE,
 }
 
 _SPARQL_ORACLES = {
@@ -2334,6 +2388,48 @@ def q_rdfs_entailment(spark, sf_dir):
     return rdfs_closure(tpch_triples(spark, sf_dir), schema_triples=onto_df)
 
 
+def q_kg_sameas_smush(spark, sf_dir):
+    """owl:sameAs canonicalization (engine extension — the identity-
+    resolution step every KG-construction pipeline needs downstream of
+    entity linking; no reference counterpart).  The TPC-H triples view
+    plus (a) sameAs chains over three spellings of each nation IRI
+    (``urn:alt:`` <-> ``urn:nation:`` <-> ``urn:ext:``, even keys get
+    the 3-node chain) and (b) alias-USING membership edges for odd
+    customers, smushed onto min-IRI representatives with provenance
+    links kept.  ``local_threshold=0`` forces the distributed
+    alternating-star components path, so the oracle (recursive-CTE
+    closure + min-label + rewrite joins) independently cross-checks it.
+    Scale shape: CC touches only the link relation; the corpus sees two
+    map joins (AQE-broadcast when small) and one dedup exchange."""
+    from .operators.sameas import OWL_SAMEAS, sameas_canonicalize
+
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+
+    def uri_rows(df, s, p, o):
+        return df.select(
+            s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    nkey = F.col("n_nationkey").cast("string")
+    links = uri_rows(
+        nation, F.concat(F.lit("urn:ext:nation:"), nkey), OWL_SAMEAS,
+        F.concat(F.lit("urn:nation:"), nkey),
+    ).unionByName(uri_rows(
+        nation.filter(F.col("n_nationkey") % 2 == 0),
+        F.concat(F.lit("urn:nation:"), nkey), OWL_SAMEAS,
+        F.concat(F.lit("urn:alt:nation:"), nkey)))
+    extra = uri_rows(
+        cust.filter(F.col("c_custkey") % 2 == 1),
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")),
+        "urn:rel:memberOf",
+        F.concat(F.lit("urn:ext:nation:"), F.col("c_nationkey").cast("string")))
+    data = (tpch_triples(spark, sf_dir)
+            .unionByName(extra).unionByName(links))
+    return sameas_canonicalize(data, keep_links=True, local_threshold=0)
+
+
 def q_sparql_update_graphs(spark, sf_dir):
     """SPARQL 1.1 Update over NAMED GRAPHS (quad relation), three
     operations chained: MOVE a graph, a WITH-scoped DELETE/INSERT that
@@ -3364,6 +3460,7 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_khop": q_graph_khop,
     "rdfs_entailment": q_rdfs_entailment,
+    "kg_sameas_smush": q_kg_sameas_smush,
     "sparql_select_bgp": q_sparql_select_bgp,
     "sparql_select_bgp_stats": q_sparql_select_bgp_stats,
     "sparql_optional": q_sparql_optional,
