@@ -128,7 +128,7 @@ def main() -> None:
         "similarity_ivf_arrow",
         "events_sessions", "events_asof_signup", "events_quantiles",
         "pricing_summary", "pricing_pivot", "pricing_cube",
-        "rdfs_entailment", "sparql_update_graphs",
+        "rdfs_entailment", "sparql_update_graphs", "kg_sameas_smush",
     ]
     for name in heads:
         fn = eq.QUERIES[name]

@@ -960,6 +960,9 @@ onto(subj, pred, obj_value) AS (VALUES
 base AS (
   SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples
   UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, '%(type)s', 'urn:class:Nation',
+         'uri', CAST(NULL AS VARCHAR) FROM nation
+  UNION ALL
   SELECT subj, pred, obj_value, 'uri', CAST(NULL AS VARCHAR) FROM onto),
 sp(a, b) AS (
   SELECT subj, obj_value FROM onto WHERE pred = '%(sp)s'
@@ -2357,8 +2360,12 @@ def q_rdfs_entailment(spark, sf_dir):
     domain, range) forward-chained to the full ρdf closure.  Scale shape:
     closure computed on the schema slice only, applied to instance
     triples in one broadcast-join pass — no instance-sized iteration.
+    Explicit per-nation rdf:type rows keep the rdfs9-on-explicit rule
+    branch live in the plan (the TPC-H view itself emits no types, so
+    Catalyst would otherwise fold that join away).
     Oracle = recursive-CTE transitive closures + rule joins."""
     from .operators.rdfs import (
+        RDF_TYPE,
         RDFS_DOMAIN,
         RDFS_RANGE,
         RDFS_SUBCLASS,
@@ -2383,9 +2390,18 @@ def q_rdfs_entailment(spark, sf_dir):
         [(s, p, o, "uri", None) for s, p, o in onto],
         "subj string, pred string, obj_value string, obj_kind string, "
         "obj_lang string")
+    nation = _read(spark, sf_dir, "nation")
+    explicit_types = nation.select(
+        F.concat(F.lit("urn:nation:"),
+                 F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit("urn:class:Nation").alias("obj_value"),
+        F.lit("uri").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    instance = tpch_triples(spark, sf_dir).unionByName(explicit_types)
     # schema passed explicitly: the realistic scale shape (no instance
     # scan to mine the ontology); output identical to closing the union.
-    return rdfs_closure(tpch_triples(spark, sf_dir), schema_triples=onto_df)
+    return rdfs_closure(instance, schema_triples=onto_df)
 
 
 def q_kg_sameas_smush(spark, sf_dir):

@@ -30,8 +30,11 @@ pre-composed into effective schema relations::
 
 so the instance relation is scanned ONCE PER RULE (four narrow
 broadcast-join branches Catalyst can pipeline), never iterated, never
-joined to itself; the only instance-sized shuffle is the final
-deduplication.  The schema closure runs driver-local under a size gate
+joined to itself; the only instance-sized shuffles are the two final
+deduplications — a 2-column one for derived (entity, class) pairs and
+a 5-column one for everything else (disjoint by construction, so their
+union needs no third pass).  The schema closure runs driver-local
+under a size gate
 (the adaptive discipline of ``kg.canonicalize``); above the gate a
 semi-naive DataFrame iteration with ``localCheckpoint`` takes over.
 """
@@ -218,40 +221,59 @@ def rdfs_closure(triples: DataFrame,
         rng_df = compose_df(compose_df(sp_refl_df, rng_e), sc_refl_df)
 
     # ---- instance-side application: 4 broadcast-join branches ----------
-    def uri_triple(subj_col, obj_col):
-        return [subj_col.alias("subj"), F.lit(RDF_TYPE).alias("pred"),
-                obj_col.alias("obj_value"), F.lit("uri").alias("obj_kind"),
-                F.lit(None).cast("string").alias("obj_lang")]
-
+    # The three typing rules emit (entity, class) PAIRS — pred/kind/lang
+    # are constants — so their dedup exchange carries 2 narrow columns,
+    # not 5.  Rule fan-out multiplies rows (every instance row fires
+    # once per composed dom/rng class), so the typing branches dominate
+    # the shuffled volume; at 24M synthetic triples the split cuts the
+    # exchanged bytes roughly in half.  Disjointness makes the final
+    # union globally distinct without a third dedup: inherited rows can
+    # never be rdf:type (the vocabulary guard rejects subPropertyOf
+    # chains into the RDFS/rdf vocabulary), and input rows that ARE
+    # well-formed rdf:type rows are routed into the narrow branch.
+    typed_dom = (                                       # rdfs2 (+7, +9)
+        triples.join(F.broadcast(dom_df), triples["pred"] == dom_df["a"])
+        .select("subj", F.col("b").alias("obj_value")))
+    typed_rng = (                                       # rdfs3 (+7, +9)
+        triples.filter(F.col("obj_kind") != "literal")
+        .join(F.broadcast(rng_df), triples["pred"] == rng_df["a"])
+        .select(F.col("obj_value").alias("subj"),
+                F.col("b").alias("obj_value")))
+    super_types = (                                     # rdfs9 on explicit
+        triples.filter(F.col("pred") == RDF_TYPE)
+        .join(F.broadcast(sc_df), triples["obj_value"] == sc_df["a"])
+        .select("subj", F.col("b").alias("obj_value")))
     inherited = (                                       # rdfs7
         triples.join(F.broadcast(sp_df), triples["pred"] == sp_df["a"])
         .select("subj", F.col("b").alias("pred"),
                 "obj_value", "obj_kind", "obj_lang"))
-    typed_dom = (                                       # rdfs2 (+7, +9)
-        triples.join(F.broadcast(dom_df), triples["pred"] == dom_df["a"])
-        .select(*uri_triple(F.col("subj"), F.col("b"))))
-    typed_rng = (                                       # rdfs3 (+7, +9)
-        triples.filter(F.col("obj_kind") != "literal")
-        .join(F.broadcast(rng_df), triples["pred"] == rng_df["a"])
-        .select(*uri_triple(F.col("obj_value"), F.col("b"))))
-    super_types = (                                     # rdfs9 on explicit
-        triples.filter(F.col("pred") == RDF_TYPE)
-        .join(F.broadcast(sc_df), triples["obj_value"] == sc_df["a"])
-        .select(*uri_triple(F.col("subj"), F.col("b"))))
 
-    parts = [triples, inherited, typed_dom, typed_rng, super_types]
+    wf_type = ((F.col("pred") == RDF_TYPE)
+               & (F.col("obj_kind") == "uri") & F.col("obj_lang").isNull())
+    narrow = [triples.filter(wf_type).select("subj", "obj_value"),
+              typed_dom, typed_rng, super_types]
+    wide = [triples.filter(~wf_type), inherited]
     if schema_triples is not None:
-        parts.append(schema_triples.select(*cols))
+        st = schema_triples.select(*cols)
+        narrow.append(st.filter(wf_type).select("subj", "obj_value"))
+        wide.append(st.filter(~wf_type))
     if keep_schema:                                     # rdfs5 / rdfs11
         for pred, pairs in ((RDFS_SUBPROP, sp_df), (RDFS_SUBCLASS, sc_df)):
-            parts.append(pairs.select(
+            wide.append(pairs.select(
                 *[F.col("a").alias("subj"), F.lit(pred).alias("pred"),
                   F.col("b").alias("obj_value"),
                   F.lit("uri").alias("obj_kind"),
                   F.lit(None).cast("string").alias("obj_lang")]))
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    # the single instance-sized shuffle in the whole plan
-    return out.dropDuplicates(cols)
+    narrow_union = narrow[0]
+    for p in narrow[1:]:
+        narrow_union = narrow_union.unionByName(p)
+    typed = (narrow_union.dropDuplicates(["subj", "obj_value"])
+             .select("subj", F.lit(RDF_TYPE).alias("pred"), "obj_value",
+                     F.lit("uri").alias("obj_kind"),
+                     F.lit(None).cast("string").alias("obj_lang")))
+    wide_union = wide[0]
+    for p in wide[1:]:
+        wide_union = wide_union.unionByName(p)
+    # the only two instance-sized shuffles in the whole plan
+    return wide_union.dropDuplicates(cols).unionByName(typed)

@@ -125,10 +125,11 @@ def test_vocabulary_redefinition_rejected_both_paths(spark):
         rdfs_closure(df(spark, rows), local_threshold=0)
 
 
-def test_plan_is_broadcast_with_single_shuffle(spark):
+def test_plan_is_broadcast_with_two_dedup_shuffles(spark):
     out = rdfs_closure(df(spark, ROWS))
     out.count()  # let AQE finalize
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

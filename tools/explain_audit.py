@@ -394,17 +394,33 @@ def main() -> None:
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
     # RDFS closure: all rule composition happens schema-side, so the
-    # instance plan is 4 broadcast-join branches + exactly ONE shuffle
-    # (the final dedup) — no instance self-join, no iteration, no Python
+    # instance plan is 4 broadcast-join branches + exactly TWO shuffles
+    # (the narrow (entity, class) dedup and the wide remainder dedup) —
+    # no instance self-join, no iteration, no Python
     from meresco_rdf_spark.entry_queries import q_rdfs_entailment
 
     ent = q_rdfs_entailment(spark, sf_dir)
     ent.count()
     p = plan_of(ent)
     results.append(check(
-        "rdfs closure: broadcast rules, 1 shuffle",
+        "rdfs closure: broadcast rules, 2 dedup shuffles",
         p.count("BroadcastHashJoin") >= 4
-        and p.count("Exchange hashpartitioning") == 1
+        and p.count("Exchange hashpartitioning") == 2
+        and "SortMergeJoin" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
+    # sameAs smushing: components run over the LINK relation only; the
+    # corpus sees two broadcast map joins (AQE: the alias->canonical map
+    # is small) and the one final set-dedup exchange — never a
+    # sort-merge join against the mapping, never Python
+    from meresco_rdf_spark.entry_queries import q_kg_sameas_smush
+
+    sm = q_kg_sameas_smush(spark, sf_dir)
+    sm.count()
+    p = plan_of(sm)
+    results.append(check(
+        "sameas smush: broadcast map joins, no SMJ, no python",
+        p.count("BroadcastHashJoin") >= 2
         and "SortMergeJoin" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
