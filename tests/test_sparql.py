@@ -1974,7 +1974,7 @@ def _quads(spark):
     return spark.createDataFrame(QUAD_ROWS, QUAD_SCHEMA)
 
 
-def _rows(df):
+def _rowset(df):
     return {tuple(r) for r in df.collect()}
 
 
@@ -1982,14 +1982,14 @@ def test_update_clear_drop_forms(spark):
     from meresco_rdf_spark.sparql import sparql_update_quads as upd
 
     quads, all_rows = _quads(spark), set(map(tuple, QUAD_ROWS))
-    assert _rows(upd(quads, "CLEAR GRAPH <urn:g:a>")) == {
+    assert _rowset(upd(quads, "CLEAR GRAPH <urn:g:a>")) == {
         r for r in all_rows if r[0] != "urn:g:a"}
-    assert _rows(upd(quads, "CLEAR DEFAULT")) == {
+    assert _rowset(upd(quads, "CLEAR DEFAULT")) == {
         r for r in all_rows if r[0] is not None}
-    assert _rows(upd(quads, "DROP NAMED")) == {
+    assert _rowset(upd(quads, "DROP NAMED")) == {
         r for r in all_rows if r[0] is None}
-    assert _rows(upd(quads, "CLEAR ALL")) == set()
-    assert _rows(upd(quads, "CREATE GRAPH <urn:new>")) == all_rows
+    assert _rowset(upd(quads, "CLEAR ALL")) == set()
+    assert _rowset(upd(quads, "CREATE GRAPH <urn:new>")) == all_rows
 
 
 def test_update_add_copy_move(spark):
@@ -1997,21 +1997,21 @@ def test_update_add_copy_move(spark):
 
     quads = _quads(spark)
     # COPY replaces the destination graph
-    got = _rows(upd(quads, "COPY GRAPH <urn:g:a> TO GRAPH <urn:g:b>"))
+    got = _rowset(upd(quads, "COPY GRAPH <urn:g:a> TO GRAPH <urn:g:b>"))
     assert ("urn:g:b", "urn:s2", "urn:p", "in-a", "literal", None) in got
     assert ("urn:g:b", "urn:s3", "urn:p", "in-b", "literal", None) not in got
     assert ("urn:g:a", "urn:s2", "urn:p", "in-a", "literal", None) in got
     # MOVE empties the source and replaces the destination
-    got = _rows(upd(quads, "MOVE GRAPH <urn:g:a> TO DEFAULT"))
+    got = _rowset(upd(quads, "MOVE GRAPH <urn:g:a> TO DEFAULT"))
     assert (None, "urn:s2", "urn:p", "in-a", "literal", None) in got
     assert not any(g == "urn:g:a" for g, *_ in got)
     assert (None, "urn:s1", "urn:p", "default", "literal", None) not in got
     # ADD unions into the destination
-    got = _rows(upd(quads, "ADD GRAPH <urn:g:a> TO DEFAULT"))
+    got = _rowset(upd(quads, "ADD GRAPH <urn:g:a> TO DEFAULT"))
     assert (None, "urn:s1", "urn:p", "default", "literal", None) in got
     assert (None, "urn:s2", "urn:p", "in-a", "literal", None) in got
     # same-graph is a no-op
-    assert _rows(upd(quads, "MOVE GRAPH <urn:g:a> TO GRAPH <urn:g:a>")) \
+    assert _rowset(upd(quads, "MOVE GRAPH <urn:g:a> TO GRAPH <urn:g:a>")) \
         == set(map(tuple, QUAD_ROWS))
 
 
@@ -2019,13 +2019,13 @@ def test_update_quad_data_forms(spark):
     from meresco_rdf_spark.sparql import sparql_update_quads as upd
 
     quads = _quads(spark)
-    got = _rows(upd(quads, 'INSERT DATA { GRAPH <urn:g:c> '
+    got = _rowset(upd(quads, 'INSERT DATA { GRAPH <urn:g:c> '
                            '{ <urn:s9> <urn:p> "nine" } '
                            '<urn:s0> <urn:p> "zero" . }'))
     assert ("urn:g:c", "urn:s9", "urn:p", "nine", "literal", None) in got
     assert (None, "urn:s0", "urn:p", "zero", "literal", None) in got
     assert len(got) == len(QUAD_ROWS) + 2
-    got = _rows(upd(quads, 'DELETE DATA { GRAPH <urn:g:a> '
+    got = _rowset(upd(quads, 'DELETE DATA { GRAPH <urn:g:a> '
                            '{ <urn:s2> <urn:p> "in-a" } }'))
     assert ("urn:g:a", "urn:s2", "urn:p", "in-a", "literal", None) not in got
     assert len(got) == len(QUAD_ROWS) - 1
@@ -2035,7 +2035,7 @@ def test_update_with_scopes_where_and_targets(spark):
     from meresco_rdf_spark.sparql import sparql_update_quads as upd
 
     quads = _quads(spark)
-    got = _rows(upd(quads, """
+    got = _rowset(upd(quads, """
         WITH <urn:g:a> DELETE { ?s <urn:p> ?o }
         INSERT { GRAPH <urn:g:new> { ?s <urn:p> ?o } }
         WHERE { ?s <urn:p> ?o }"""))
@@ -2045,7 +2045,7 @@ def test_update_with_scopes_where_and_targets(spark):
     assert (None, "urn:s1", "urn:p", "default", "literal", None) in got
     assert ("urn:g:b", "urn:s3", "urn:p", "in-b", "literal", None) in got
     # the WITH graph stays visible to explicit GRAPH patterns
-    got = _rows(upd(quads, """
+    got = _rowset(upd(quads, """
         WITH <urn:g:b> INSERT { ?s <urn:tag> "both" }
         WHERE { GRAPH <urn:g:a> { ?s <urn:q> ?o } }"""))
     assert ("urn:g:b", "urn:s2", "urn:tag", "both", "literal", None) in got
@@ -2061,7 +2061,7 @@ def test_update_quad_guards(spark):
     with pytest.raises(SparqlCompileError, match="quad relation"):
         sparql_update_quads(quads.drop("context"), "CLEAR ALL")
     # plain (triple-form) updates still run through the quad API
-    got = _rows(sparql_update_quads(
+    got = _rowset(sparql_update_quads(
         quads, 'INSERT DATA { <urn:s9> <urn:p> "nine" }'))
     assert (None, "urn:s9", "urn:p", "nine", "literal", None) in got
 
@@ -2083,7 +2083,7 @@ def test_update_quads_delete_where(spark):
     from meresco_rdf_spark.sparql import sparql_update_quads
 
     quads = _quads(spark)
-    got = _rows(sparql_update_quads(quads,
+    got = _rowset(sparql_update_quads(quads,
                                     "DELETE WHERE { ?s <urn:p> ?o }"))
     # only the DEFAULT-graph <urn:p> row is matched and deleted
     assert (None, "urn:s1", "urn:p", "default", "literal", None) not in got
