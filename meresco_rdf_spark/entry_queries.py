@@ -2095,6 +2095,79 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}""".format(
         nq_lim=n_queries, dot=dot, nq=nq, nc=nc, k=k)
 
 
+def _ivf_kmeans_sql(k: int = 5, n_queries: int = 16, n_pivots: int = 8,
+                    n_iter: int = 2, probes: int = 2,
+                    scale: int = 1 << 20) -> str:
+    """Trained-IVF oracle: the SAME fixed-point Lloyd algorithm as
+    ``textops.kmeans`` written as chained CTEs — exact int64 arithmetic
+    on the 2^-20 grid makes the iterative training order-independent,
+    so DuckDB reproduces the distributed result bit-for-bit (see the
+    kmeans module docstring for the headroom audit; every dot product
+    stays below 2^48, exactly representable in list_dot_product's
+    DOUBLE).  ``//`` in DuckDB truncates toward zero, matching the
+    operator's _trunc_div."""
+    def assign(src: str, cents: str, name: str) -> str:
+        return """
+{name} AS (
+  SELECT id, v, bucket FROM (
+    SELECT e.id, e.v, p.bucket,
+           row_number() OVER (PARTITION BY e.id ORDER BY
+             list_dot_product(p.c, p.c) - 2 * list_dot_product(e.v, p.c),
+             p.bucket) AS rn
+    FROM {src} e CROSS JOIN {cents} p) WHERE rn = 1)""".format(
+            name=name, src=src, cents=cents)
+
+    steps = []
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        steps.append(assign("emb", prev, "a%d" % i))
+        steps.append("""
+s{i} AS (
+  SELECT bucket, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+  FROM (SELECT bucket, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM a{i})
+  GROUP BY bucket, pos),
+c{i} AS (
+  SELECT p.bucket,
+         CASE WHEN count(s.pos) = 0 THEN any_value(p.c)
+              ELSE list(s.s // s.n ORDER BY s.pos) END AS c
+  FROM {prev} p LEFT JOIN s{i} s USING (bucket) GROUP BY p.bucket)""".format(
+            i=i, prev=prev))
+        prev = "c%d" % i
+    steps.append(assign("emb", prev, "af"))
+    return """
+WITH emb AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS bucket, v AS c
+  FROM emb QUALIFY row_number() OVER (ORDER BY id) <= {n_pivots}),{steps},
+qv AS (SELECT id AS query_id, v AS q FROM emb WHERE id < {n_queries}),
+qp AS (
+  SELECT query_id, bucket FROM (
+    SELECT q.query_id, p.bucket,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(p.c, p.c) - 2 * list_dot_product(q.q, p.c),
+             p.bucket) AS rn
+    FROM qv q CROSS JOIN {final} p) WHERE rn <= {probes}),
+cand AS (
+  SELECT qp.query_id, a.id AS neighbor_id,
+         CAST(list_dot_product(a.v, a.v)
+              - 2 * list_dot_product(a.v, q.q) AS BIGINT) AS dist
+  FROM qp JOIN af a USING (bucket)
+  JOIN qv q ON q.query_id = qp.query_id
+  WHERE a.id != qp.query_id)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY dist, neighbor_id) AS rank
+  FROM cand) WHERE rank <= {k}""".format(
+        scale=scale, n_pivots=n_pivots, n_queries=n_queries,
+        probes=probes, k=k, final=prev,
+        steps=",".join(steps))
+
+
 # ==========================================================================
 # events sessionization (window functions) + pricing summary (agg)
 # ==========================================================================
@@ -3315,6 +3388,24 @@ def q_similarity_ivf_arrow(spark, sf_dir):
                         "rank", F.col("rank").cast("long"))
 
 
+def q_similarity_ivf_kmeans(spark, sf_dir):
+    """TRAINED IVF (engine extension; ANN scale path with a learned
+    coarse quantizer): fixed-point Lloyd k-means (8 centroids, 2
+    iterations on the 2^-20 integer grid — exact int64 arithmetic, so
+    the iterative training is order-independent and hash-reproducible),
+    then probe-2 integer-L2 top-5 over 16 query vectors.  Oracle = the
+    identical integer algorithm as chained CTEs in DuckDB: the
+    fixed-point PageRank discipline applied to ANN training."""
+    from .textops.kmeans import ivf_kmeans_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16).withColumnRenamed(
+        "vec_id", "query_id")
+    return ivf_kmeans_topk(emb, queries, k=5, n_pivots=8, n_iter=2,
+                           probes=2).withColumn(
+                               "rank", F.col("rank").cast("long"))
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -3477,6 +3568,7 @@ QUERIES = {
     "graph_khop": q_graph_khop,
     "rdfs_entailment": q_rdfs_entailment,
     "kg_sameas_smush": q_kg_sameas_smush,
+    "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "sparql_select_bgp": q_sparql_select_bgp,
     "sparql_select_bgp_stats": q_sparql_select_bgp_stats,
     "sparql_optional": q_sparql_optional,
@@ -3612,6 +3704,7 @@ FROM f""" % _NORM,
     "similarity_lsh_topk": _lsh_topk_sql(),
     "similarity_ivf_topk": _ivf_topk_sql(),
     "similarity_ivf_arrow": _ivf_topk_sql(),
+    "similarity_ivf_kmeans": _ivf_kmeans_sql(),
     "events_sessions": _EVENTS_SESSIONS_SQL,
     "events_asof_signup": """
 WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tsu

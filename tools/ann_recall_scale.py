@@ -65,6 +65,24 @@ def main() -> None:
         recall = len(got & exact) / max(len(exact), 1)
         out["strategies"][name] = {"recall": round(recall, 3),
                                    "cand_frac_approx": round(cand_frac, 4)}
+
+    # trained vs untrained coarse quantizer, metric held fixed (exact
+    # integer L2; probes=n_pivots is exhaustive so it IS the truth set):
+    # n_iter=0 keeps the init centroids (first n_pivots data vectors),
+    # n_iter=3 is Lloyd-trained — the delta is what training buys at the
+    # same probe budget.
+    from meresco_rdf_spark.textops.kmeans import ivf_kmeans_topk
+
+    exact_l2 = topk_set(ivf_kmeans_topk(emb, queries, k=k, n_pivots=64,
+                                        n_iter=3, probes=64))
+    for n_iter in (0, 3):
+        for p in (4, 8):
+            got = topk_set(ivf_kmeans_topk(emb, queries, k=k, n_pivots=64,
+                                           n_iter=n_iter, probes=p))
+            recall = len(got & exact_l2) / max(len(exact_l2), 1)
+            out["strategies"]["kmeans64_i%d_p%d" % (n_iter, p)] = {
+                "recall": round(recall, 3),
+                "cand_frac_approx": round(p / 64.0, 4)}
     print(json.dumps(out))
     spark.stop()
 

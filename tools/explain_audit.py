@@ -424,6 +424,21 @@ def main() -> None:
         and "SortMergeJoin" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # trained IVF search: the (query_id, bucket) probe relation is the
+    # explicit broadcast side of the candidate join (never sort-merge
+    # against the corpus), and all Python is Arrow-batched
+    from meresco_rdf_spark.entry_queries import q_similarity_ivf_kmeans
+
+    km = q_similarity_ivf_kmeans(spark, sf_dir)
+    km.count()
+    p = plan_of(km)
+    results.append(check(
+        "ivf kmeans: broadcast probe join, arrow-only python",
+        p.count("BroadcastHashJoin") >= 1
+        and "SortMergeJoin" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
