@@ -1060,6 +1060,9 @@ _GRAPH_ALGO_ORACLES = {
     "graph_pagerank": _PAGERANK_ORACLE,
     "graph_khop": _KHOP_ORACLE,
     "rdfs_entailment": _RDFS_ENTAILMENT_ORACLE,
+    # incremental maintenance must converge to the batch closure: the
+    # SAME oracle checks the streamed table
+    "stream_rdfs_maintain": _RDFS_ENTAILMENT_ORACLE,
     "kg_sameas_smush": _SAMEAS_SMUSH_ORACLE,
 }
 
@@ -2426,24 +2429,14 @@ def q_trig_ingest(spark, sf_dir):
     return read_trig_quads(spark, write_fixture_dir(TRIG_DOCS))
 
 
-def q_rdfs_entailment(spark, sf_dir):
-    """RDFS entailment materialization (engine extension — classic KG
-    construction step the reference leaves to callers): the TPC-H triples
-    view plus an 11-triple ontology (subPropertyOf / subClassOf chains,
-    domain, range) forward-chained to the full ρdf closure.  Scale shape:
-    closure computed on the schema slice only, applied to instance
-    triples in one broadcast-join pass — no instance-sized iteration.
-    Explicit per-nation rdf:type rows keep the rdfs9-on-explicit rule
-    branch live in the plan (the TPC-H view itself emits no types, so
-    Catalyst would otherwise fold that join away).
-    Oracle = recursive-CTE transitive closures + rule joins."""
+def _rdfs_onto_df(spark):
+    """The 11-triple test ontology shared by the batch and streaming
+    RDFS driver queries (mirrored verbatim in the oracle's VALUES)."""
     from .operators.rdfs import (
-        RDF_TYPE,
         RDFS_DOMAIN,
         RDFS_RANGE,
         RDFS_SUBCLASS,
         RDFS_SUBPROP,
-        rdfs_closure,
     )
 
     onto = [
@@ -2459,10 +2452,19 @@ def q_rdfs_entailment(spark, sf_dir):
         ("urn:class:Place", RDFS_SUBCLASS, "urn:class:Entity"),
         (SKOS_PREFLABEL, RDFS_SUBPROP, RDFS_LABEL),
     ]
-    onto_df = spark.createDataFrame(
+    return spark.createDataFrame(
         [(s, p, o, "uri", None) for s, p, o in onto],
         "subj string, pred string, obj_value string, obj_kind string, "
         "obj_lang string")
+
+
+def _rdfs_instance(spark, sf_dir):
+    """TPC-H triples plus explicit per-nation rdf:type rows — the
+    explicit types keep the rdfs9-on-explicit rule branch live in the
+    plan (the TPC-H view itself emits no types, so Catalyst would
+    otherwise fold that join away)."""
+    from .operators.rdfs import RDF_TYPE
+
     nation = _read(spark, sf_dir, "nation")
     explicit_types = nation.select(
         F.concat(F.lit("urn:nation:"),
@@ -2471,10 +2473,55 @@ def q_rdfs_entailment(spark, sf_dir):
         F.lit("urn:class:Nation").alias("obj_value"),
         F.lit("uri").alias("obj_kind"),
         F.lit(None).cast("string").alias("obj_lang"))
-    instance = tpch_triples(spark, sf_dir).unionByName(explicit_types)
+    return tpch_triples(spark, sf_dir).unionByName(explicit_types)
+
+
+def q_rdfs_entailment(spark, sf_dir):
+    """RDFS entailment materialization (engine extension — classic KG
+    construction step the reference leaves to callers): the TPC-H triples
+    view plus an 11-triple ontology (subPropertyOf / subClassOf chains,
+    domain, range) forward-chained to the full ρdf closure.  Scale shape:
+    closure computed on the schema slice only, applied to instance
+    triples in one broadcast-join pass — no instance-sized iteration.
+    Oracle = recursive-CTE transitive closures + rule joins."""
+    from .operators.rdfs import rdfs_closure
+
     # schema passed explicitly: the realistic scale shape (no instance
     # scan to mine the ontology); output identical to closing the union.
-    return rdfs_closure(instance, schema_triples=onto_df)
+    return rdfs_closure(_rdfs_instance(spark, sf_dir),
+                        schema_triples=_rdfs_onto_df(spark))
+
+
+def q_stream_rdfs_maintain(spark, sf_dir):
+    """Incremental entailment maintenance end-to-end: the SAME instance
+    relation as ``rdfs_entailment`` written as four ``.nq`` slice files,
+    streamed one file per micro-batch, each batch closed independently
+    (fixed schema ⇒ closure distributes over union: every instance rule
+    is a per-row broadcast map, no instance-instance joins) and MERGEd
+    exactly-once into a parquet table.  Oracle = the batch
+    ``rdfs_entailment`` recursive-CTE oracle VERBATIM — four successive
+    per-batch closures must converge to exactly the batch closure,
+    whatever the slicing."""
+    import os
+    import tempfile
+
+    from .sinks.nquads_sink import write_nquads
+    from .streaming.quad_stream import read_nquads_stream
+    from .streaming.rdfs_stream import run_rdfs_maintenance
+
+    instance = _rdfs_instance(spark, sf_dir).withColumn(
+        "context", F.lit(None).cast("string"))
+    base = tempfile.mkdtemp(prefix="stream_rdfs_")
+    in_dir = os.path.join(base, "in")
+    write_nquads(instance, in_dir, num_files=4)
+    stream = read_nquads_stream(spark, in_dir, glob="*.txt",
+                                max_files_per_trigger=1)
+    table = os.path.join(base, "closed_table")
+    q = run_rdfs_maintenance(
+        stream.drop("context"), _rdfs_onto_df(spark), table,
+        os.path.join(base, "ckpt"))
+    q.awaitTermination(600)
+    return spark.read.parquet(table)
 
 
 def q_kg_sameas_smush(spark, sf_dir):
@@ -3569,6 +3616,7 @@ QUERIES = {
     "rdfs_entailment": q_rdfs_entailment,
     "kg_sameas_smush": q_kg_sameas_smush,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+    "stream_rdfs_maintain": q_stream_rdfs_maintain,
     "sparql_select_bgp": q_sparql_select_bgp,
     "sparql_select_bgp_stats": q_sparql_select_bgp_stats,
     "sparql_optional": q_sparql_optional,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 QUAD_COLS = ["context", "subj", "pred", "obj_value", "obj_kind",
@@ -65,8 +66,8 @@ def run_nquads_to_quad_table(quads: DataFrame, table_path: str,
                 eq = fresh[c].eqNullSafe(current[c])
                 cond = eq if cond is None else cond & eq
             fresh = fresh.join(current, cond, "left_anti")
-        except Exception:  # first batch: no table yet
-            pass
+        except AnalysisException:  # first batch: no table yet
+            pass  # (real read errors — corrupt files etc. — propagate)
         fresh.write.mode("append").parquet(table_path)
 
     return (quads.writeStream.foreachBatch(merge)

@@ -133,3 +133,90 @@ def test_plan_is_broadcast_with_two_dedup_shuffles(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# incremental maintenance (streaming/rdfs_stream.py)
+# --------------------------------------------------------------------------
+
+def _onto_instance_split():
+    onto = [r for r in ROWS if r[1] in (RDFS_SUBCLASS, RDFS_SUBPROP,
+                                        RDFS_DOMAIN, RDFS_RANGE)]
+    inst = [r for r in ROWS if r not in onto] + [
+        ("urn:n2", "ex:inRegion", "urn:r2", "uri", None),
+        ("urn:n3", "ex:locatedIn", "urn:r1", "uri", None),
+        ("urn:n3", RDF_TYPE, "ex:Nation", "uri", None),
+    ]
+    return onto, inst
+
+
+def _write_slices(spark, tmp_path, rows, n_slices):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from meresco_rdf_spark.sinks.nquads_sink import write_nquads
+
+    in_dir = os.path.join(str(tmp_path), "in")
+    quads = df(spark, rows).withColumn(
+        "context", F.lit(None).cast("string"))
+    write_nquads(quads, in_dir, num_files=n_slices)
+    return in_dir
+
+
+def _run_maintenance(spark, tmp_path, in_dir, onto, name="t"):
+    import os
+
+    from meresco_rdf_spark.streaming.quad_stream import read_nquads_stream
+    from meresco_rdf_spark.streaming.rdfs_stream import run_rdfs_maintenance
+
+    table = os.path.join(str(tmp_path), name, "table")
+    q = run_rdfs_maintenance(
+        read_nquads_stream(spark, in_dir, glob="*.txt",
+                           max_files_per_trigger=1).drop("context"),
+        df(spark, onto), table,
+        os.path.join(str(tmp_path), name, "ckpt"))
+    q.awaitTermination(300)
+    return table
+
+
+def test_stream_maintenance_equals_batch_closure(spark, tmp_path):
+    onto, inst = _onto_instance_split()
+    in_dir = _write_slices(spark, tmp_path, inst, n_slices=3)
+    table = _run_maintenance(spark, tmp_path, in_dir, onto)
+    got = {tuple(r) for r in spark.read.parquet(table).collect()}
+    batch = {tuple(r) for r in rdfs_closure(
+        df(spark, inst), schema_triples=df(spark, onto)).collect()}
+    assert got == batch
+
+
+def test_stream_maintenance_replay_is_noop(spark, tmp_path):
+    import os
+
+    onto, inst = _onto_instance_split()
+    in_dir = _write_slices(spark, tmp_path, inst, n_slices=2)
+    table = _run_maintenance(spark, tmp_path, in_dir, onto, name="a")
+    n1 = spark.read.parquet(table).count()
+    # replay the SAME input against the SAME table from a fresh
+    # checkpoint: the anti-join MERGE must append nothing
+    from meresco_rdf_spark.streaming.quad_stream import read_nquads_stream
+    from meresco_rdf_spark.streaming.rdfs_stream import run_rdfs_maintenance
+
+    q = run_rdfs_maintenance(
+        read_nquads_stream(spark, in_dir, glob="*.txt",
+                           max_files_per_trigger=1).drop("context"),
+        df(spark, onto), table,
+        os.path.join(str(tmp_path), "a", "ckpt2"))
+    q.awaitTermination(300)
+    assert spark.read.parquet(table).count() == n1
+
+
+def test_stream_maintenance_rejects_schema_on_stream(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    onto, inst = _onto_instance_split()
+    poisoned = inst + [("ex:Region", RDFS_SUBCLASS, "ex:Place",
+                        "uri", None)]
+    in_dir = _write_slices(spark, tmp_path, poisoned, n_slices=1)
+    with pytest.raises(StreamingQueryException, match="fixed schema"):
+        _run_maintenance(spark, tmp_path, in_dir, onto)
