@@ -1003,6 +1003,63 @@ SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang FROM allt""" % {
     "type": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
 }
 
+# OWL-lite closure: orbit expansion as UNION branches (inverseOf both
+# directions, symmetric swap), transitive predicate as a recursive CTE;
+# contains-closure derived by swapping the within-closure (closure
+# commutes with inversion — the same algebra the operator relies on).
+_OWL_ENTAILMENT_ORACLE = """
+WITH RECURSIVE inst(subj, pred, obj_value, obj_kind, obj_lang) AS (
+  SELECT 'urn:cust:' || c_custkey, 'urn:rel:within',
+         'urn:nation:' || c_nationkey, 'uri', CAST(NULL AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'urn:supp:' || s_suppkey, 'urn:rel:within',
+         'urn:nation:' || s_nationkey, 'uri', NULL FROM supplier
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, 'urn:rel:within',
+         'urn:region:' || n_regionkey, 'uri', NULL FROM nation
+  UNION ALL
+  SELECT 'urn:region:' || n_regionkey, 'urn:rel:contains',
+         'urn:nation:' || n_nationkey, 'uri', NULL FROM nation
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, 'urn:rel:adjacentTo',
+         'urn:nation:' || ((n_nationkey + 1) % 25), 'uri', NULL FROM nation
+),
+expanded AS (
+  SELECT * FROM inst
+  UNION SELECT obj_value, 'urn:rel:contains', subj, 'uri',
+               CAST(NULL AS VARCHAR)
+  FROM inst WHERE pred = 'urn:rel:within'
+  UNION SELECT obj_value, 'urn:rel:within', subj, 'uri', NULL
+  FROM inst WHERE pred = 'urn:rel:contains'
+  UNION SELECT obj_value, 'urn:rel:adjacentTo', subj, 'uri', NULL
+  FROM inst WHERE pred = 'urn:rel:adjacentTo'
+),
+w(a, b) AS (SELECT subj, obj_value FROM expanded
+            WHERE pred = 'urn:rel:within'),
+wc(a, b) AS (
+  SELECT a, b FROM w
+  UNION
+  SELECT wc.a, w.b FROM wc JOIN w ON wc.b = w.a
+),
+onto(subj, pred, obj_value, obj_kind, obj_lang) AS (
+  SELECT * FROM (VALUES
+    ('urn:rel:within', 'http://www.w3.org/2002/07/owl#inverseOf',
+     'urn:rel:contains', 'uri', CAST(NULL AS VARCHAR)),
+    ('urn:rel:within', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+     'http://www.w3.org/2002/07/owl#TransitiveProperty', 'uri', NULL),
+    ('urn:rel:adjacentTo',
+     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+     'http://www.w3.org/2002/07/owl#SymmetricProperty', 'uri', NULL))
+)
+SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang FROM (
+  SELECT * FROM expanded
+  UNION ALL SELECT a, 'urn:rel:within', b, 'uri', CAST(NULL AS VARCHAR)
+  FROM wc
+  UNION ALL SELECT b, 'urn:rel:contains', a, 'uri', NULL FROM wc
+  UNION ALL SELECT * FROM onto
+)"""
+
 # owl:sameAs smushing: independent recursive-CTE components + min-label
 # + rewrite joins (the operator's CC run is forced distributed, so this
 # cross-checks the large/small-star implementation too).
@@ -1064,6 +1121,7 @@ _GRAPH_ALGO_ORACLES = {
     # SAME oracle checks the streamed table
     "stream_rdfs_maintain": _RDFS_ENTAILMENT_ORACLE,
     "kg_sameas_smush": _SAMEAS_SMUSH_ORACLE,
+    "owl_entailment": _OWL_ENTAILMENT_ORACLE,
 }
 
 _SPARQL_ORACLES = {
@@ -1270,6 +1328,19 @@ SELECT '{{"r":{{"type":"uri","value":"' || subj
        || '"}},"rname":{{"type":"literal","value":"' || obj_value
        || '"}}}}' AS binding_json
 FROM triples WHERE pred = '{skos_pref}'""",
+    "sparql_results_csv": """
+WITH {cte}
+SELECT t1.subj || ',' || t1.obj_value || ',' || t2.obj_value AS csv_line
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.pred = '{rdfs}'
+WHERE t1.pred = '{rel_region}'""",
+    "sparql_results_tsv": """
+WITH {cte}
+SELECT '<' || t1.subj || '>' || chr(9) || '"' || t2.obj_value || '"@'
+       || t2.obj_lang || chr(9) AS tsv_line
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.pred = '{rdfs}'
+WHERE t1.pred = '{rel_region}'""",
     "sparql_negated_set": """
 WITH {cte}
 SELECT t1.subj AS s,
@@ -2566,6 +2637,108 @@ def q_kg_sameas_smush(spark, sf_dir):
     return sameas_canonicalize(data, keep_links=True, local_threshold=0)
 
 
+def q_owl_entailment(spark, sf_dir):
+    """OWL-lite entailment materialization (engine extension — the
+    property-logic companion of ``rdfs_entailment``): a geography
+    hierarchy over the TPC-H tables — customer/supplier ``within``
+    nation, nation ``within`` region, explicit reverse ``contains``
+    rows, and an ``adjacentTo`` ring over nations — closed under
+    ``owl:inverseOf`` (within <-> contains), ``owl:TransitiveProperty``
+    (within, hence contains), and ``owl:SymmetricProperty``
+    (adjacentTo).  Scale shape: inverse/symmetric interaction is
+    pre-composed schema-side into one broadcast orbit join; only the
+    declared-transitive predicate pays the semi-naive instance
+    closure.  Oracle = orbit UNION branches + a recursive CTE."""
+    from .operators.owl import (
+        OWL_INVERSE_OF,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        RDF_TYPE,
+        owl_closure,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+
+    def uri_rows(df, s, p, o):
+        return df.select(
+            s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    nkey = F.col("n_nationkey").cast("string")
+    inst = (
+        uri_rows(cust,
+                 F.concat(F.lit("urn:cust:"),
+                          F.col("c_custkey").cast("string")),
+                 "urn:rel:within",
+                 F.concat(F.lit("urn:nation:"),
+                          F.col("c_nationkey").cast("string")))
+        .unionByName(uri_rows(
+            supp,
+            F.concat(F.lit("urn:supp:"), F.col("s_suppkey").cast("string")),
+            "urn:rel:within",
+            F.concat(F.lit("urn:nation:"),
+                     F.col("s_nationkey").cast("string"))))
+        .unionByName(uri_rows(
+            nation, F.concat(F.lit("urn:nation:"), nkey), "urn:rel:within",
+            F.concat(F.lit("urn:region:"),
+                     F.col("n_regionkey").cast("string"))))
+        .unionByName(uri_rows(
+            nation,
+            F.concat(F.lit("urn:region:"),
+                     F.col("n_regionkey").cast("string")),
+            "urn:rel:contains", F.concat(F.lit("urn:nation:"), nkey)))
+        .unionByName(uri_rows(
+            nation, F.concat(F.lit("urn:nation:"), nkey), "urn:rel:adjacentTo",
+            F.concat(F.lit("urn:nation:"),
+                     ((F.col("n_nationkey") + 1) % 25).cast("string")))))
+    onto = spark.createDataFrame(
+        [("urn:rel:within", OWL_INVERSE_OF, "urn:rel:contains", "uri", None),
+         ("urn:rel:within", RDF_TYPE, OWL_TRANSITIVE, "uri", None),
+         ("urn:rel:adjacentTo", RDF_TYPE, OWL_SYMMETRIC, "uri", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+    return owl_closure(inst, schema_triples=onto)
+
+
+def q_sparql_results_csv(spark, sf_dir):
+    """W3C SPARQL 1.1 Results CSV encode: a SELECT over the triples
+    view streamed as raw-string CSV data lines (RFC 4180 quoting when
+    needed) — pure column expressions, one line per solution."""
+    from .sinks.sparql_csv_sink import encode_csv
+    from .sparql import sparql_select
+
+    sol = sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?n ?r ?nname WHERE {{
+            ?n <{rel_region}> ?r .
+            ?n rdfs:label ?nname .
+        }}
+    """.format(rel_region=REL_REGION))
+    return encode_csv(sol)
+
+
+def q_sparql_results_tsv(spark, sf_dir):
+    """W3C SPARQL 1.1 Results TSV encode: terms in full SPARQL syntax
+    (<iri>, "literal"@lang) with an unbound OPTIONAL variable encoded
+    as the empty field — the lossless text results format."""
+    from .sinks.sparql_csv_sink import encode_tsv
+    from .sparql import sparql_select
+
+    sol = sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?nname ?pl WHERE {{
+            ?n <{rel_region}> ?r .
+            ?n rdfs:label ?nname .
+            OPTIONAL {{ ?n skos:prefLabel ?pl }}
+        }}
+    """.format(rel_region=REL_REGION))
+    return encode_tsv(sol)
+
+
 def q_sparql_update_graphs(spark, sf_dir):
     """SPARQL 1.1 Update over NAMED GRAPHS (quad relation), three
     operations chained: MOVE a graph, a WITH-scoped DELETE/INSERT that
@@ -3617,6 +3790,9 @@ QUERIES = {
     "kg_sameas_smush": q_kg_sameas_smush,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "stream_rdfs_maintain": q_stream_rdfs_maintain,
+    "owl_entailment": q_owl_entailment,
+    "sparql_results_csv": q_sparql_results_csv,
+    "sparql_results_tsv": q_sparql_results_tsv,
     "sparql_select_bgp": q_sparql_select_bgp,
     "sparql_select_bgp_stats": q_sparql_select_bgp_stats,
     "sparql_optional": q_sparql_optional,

@@ -1,0 +1,236 @@
+"""OWL-lite entailment materialization (operators/owl.py):
+inverseOf / SymmetricProperty / TransitiveProperty closure semantics,
+orbit pre-composition, the quadratic-pattern guard, and parity with a
+pure-Python fixpoint reference."""
+
+import pytest
+
+from meresco_rdf_spark.operators.owl import (
+    OWL_INVERSE_OF,
+    OWL_SYMMETRIC,
+    OWL_TRANSITIVE,
+    RDF_TYPE,
+    OwlUnsupportedPattern,
+    _orbits,
+    owl_closure,
+)
+
+U = "uri"
+
+
+def df(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string")
+
+
+def rowset(frame):
+    return {tuple(r) for r in frame.collect()}
+
+
+def axiom_inv(p, q):
+    return (p, OWL_INVERSE_OF, q, U, None)
+
+
+def axiom_type(p, cls):
+    return (p, RDF_TYPE, cls, U, None)
+
+
+# --------------------------------------------------------------------------
+# pure-Python fixpoint reference (naive chase to convergence)
+# --------------------------------------------------------------------------
+
+def naive_owl_fixpoint(instance, axioms):
+    inv = set()
+    sym, trans = set(), set()
+    for s, p, o, k, l in axioms:
+        if p == OWL_INVERSE_OF:
+            inv.add((s, o))
+            inv.add((o, s))
+        elif p == RDF_TYPE and o == OWL_SYMMETRIC:
+            sym.add(s)
+        elif p == RDF_TYPE and o == OWL_TRANSITIVE:
+            trans.add(s)
+    closure = set(instance)
+    while True:
+        new = set()
+        for s, p, o, k, l in closure:
+            for a, b in inv:
+                if p == a and k != "literal":
+                    kind = "bnode" if s.startswith("_:") else "uri"
+                    new.add((o, b, s, kind, None))
+            if p in sym and k != "literal":
+                kind = "bnode" if s.startswith("_:") else "uri"
+                new.add((o, p, s, kind, None))
+        for s, p, o, k, l in list(closure | new):
+            if p in trans and k != "literal":
+                for s2, p2, o2, k2, l2 in list(closure | new):
+                    if p2 == p and s2 == o and k2 != "literal":
+                        new.add((s, p, o2, k2, None))
+        if new <= closure:
+            return closure
+        closure |= new
+
+
+# --------------------------------------------------------------------------
+# orbit pre-composition
+# --------------------------------------------------------------------------
+
+def test_orbit_inverse_pair():
+    o = _orbits([("ex:within", "ex:contains")], [])
+    assert o["ex:within"] == [("ex:contains", True), ("ex:within", False)]
+    assert o["ex:contains"] == [("ex:contains", False), ("ex:within", True)]
+
+
+def test_orbit_symmetric_self():
+    o = _orbits([], ["ex:adj"])
+    assert o["ex:adj"] == [("ex:adj", False), ("ex:adj", True)]
+
+
+def test_orbit_inverse_of_symmetric_chains():
+    # p inv q, q symmetric: one (s p o) entails all four forms
+    o = _orbits([("ex:p", "ex:q")], ["ex:q"])
+    assert o["ex:p"] == [("ex:p", False), ("ex:p", True),
+                         ("ex:q", False), ("ex:q", True)]
+
+
+# --------------------------------------------------------------------------
+# rule semantics
+# --------------------------------------------------------------------------
+
+def test_inverse_of_emits_swapped(spark):
+    inst = [("urn:a", "ex:within", "urn:b", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [axiom_inv("ex:within", "ex:contains")])))
+    assert ("urn:b", "ex:contains", "urn:a", U, None) in out
+    assert ("urn:a", "ex:within", "urn:b", U, None) in out
+
+
+def test_inverse_works_both_directions(spark):
+    inst = [("urn:a", "ex:contains", "urn:b", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [axiom_inv("ex:within", "ex:contains")])))
+    assert ("urn:b", "ex:within", "urn:a", U, None) in out
+
+
+def test_symmetric_emits_both_orientations(spark):
+    inst = [("urn:a", "ex:adj", "urn:b", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [axiom_type("ex:adj", OWL_SYMMETRIC)])))
+    assert ("urn:b", "ex:adj", "urn:a", U, None) in out
+
+
+def test_literal_objects_never_swap(spark):
+    inst = [("urn:a", "ex:adj", "five", "literal", None),
+            ("urn:a", "ex:within", "label", "literal", "en")]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            axiom_type("ex:adj", OWL_SYMMETRIC),
+            axiom_inv("ex:within", "ex:contains")])))
+    subjects = {r[0] for r in out}
+    assert "five" not in subjects and "label" not in subjects
+    # the forward rows survive untouched
+    assert ("urn:a", "ex:adj", "five", "literal", None) in out
+
+
+def test_bnode_subject_swaps_with_bnode_kind(spark):
+    inst = [("_:b0", "ex:within", "urn:b", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [axiom_inv("ex:within", "ex:contains")])))
+    assert ("urn:b", "ex:contains", "_:b0", "bnode", None) in out
+
+
+def test_transitive_chain_closes(spark):
+    inst = [("urn:1", "ex:part", "urn:2", U, None),
+            ("urn:2", "ex:part", "urn:3", U, None),
+            ("urn:3", "ex:part", "urn:4", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [axiom_type("ex:part", OWL_TRANSITIVE)])))
+    assert ("urn:1", "ex:part", "urn:4", U, None) in out
+    assert ("urn:1", "ex:part", "urn:3", U, None) in out
+    assert ("urn:2", "ex:part", "urn:4", U, None) in out
+
+
+def test_transitive_inverse_also_closed(spark):
+    # closure(inv(E)) == inv(closure(E)): derived whole-of edges exist
+    inst = [("urn:1", "ex:part", "urn:2", U, None),
+            ("urn:2", "ex:part", "urn:3", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            axiom_type("ex:part", OWL_TRANSITIVE),
+            axiom_inv("ex:part", "ex:whole")])))
+    assert ("urn:3", "ex:whole", "urn:1", U, None) in out
+
+
+def test_passthrough_untouched_predicates(spark):
+    inst = [("urn:a", "ex:label", "A", "literal", "en"),
+            ("urn:a", "ex:within", "urn:b", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [axiom_inv("ex:within", "ex:contains")])))
+    assert ("urn:a", "ex:label", "A", "literal", "en") in out
+
+
+def test_no_axioms_is_identity_plus_dedup(spark):
+    inst = [("urn:a", "ex:p", "urn:b", U, None),
+            ("urn:a", "ex:p", "urn:b", U, None)]
+    out = owl_closure(df(spark, inst))
+    assert out.count() == 1
+
+
+def test_schema_rows_ride_into_output(spark):
+    inst = [("urn:a", "ex:within", "urn:b", U, None)]
+    schema = [axiom_inv("ex:within", "ex:contains")]
+    out = rowset(owl_closure(df(spark, inst),
+                             schema_triples=df(spark, schema)))
+    assert tuple(schema[0]) in out
+
+
+def test_symmetric_transitive_rejected(spark):
+    inst = [("urn:a", "ex:adj", "urn:b", U, None)]
+    with pytest.raises(OwlUnsupportedPattern, match="clique"):
+        owl_closure(df(spark, inst), schema_triples=df(spark, [
+            axiom_type("ex:adj", OWL_SYMMETRIC),
+            axiom_type("ex:adj", OWL_TRANSITIVE)]))
+
+
+def test_self_inverse_transitive_rejected(spark):
+    inst = [("urn:a", "ex:p", "urn:b", U, None)]
+    with pytest.raises(OwlUnsupportedPattern, match="clique"):
+        owl_closure(df(spark, inst), schema_triples=df(spark, [
+            axiom_inv("ex:p", "ex:p"),
+            axiom_type("ex:p", OWL_TRANSITIVE)]))
+
+
+def test_axioms_mined_from_instance_when_no_schema_arg(spark):
+    inst = [("urn:a", "ex:within", "urn:b", U, None),
+            axiom_inv("ex:within", "ex:contains")]
+    out = rowset(owl_closure(df(spark, inst)))
+    assert ("urn:b", "ex:contains", "urn:a", U, None) in out
+
+
+def test_parity_with_naive_fixpoint(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = ["urn:n%d" % i for i in range(12)]
+    inst = []
+    for _ in range(40):
+        p = rng.choice(["ex:part", "ex:within", "ex:adj", "ex:other"])
+        inst.append((rng.choice(nodes), p, rng.choice(nodes), U, None))
+    inst.append(("urn:n0", "ex:other", "txt", "literal", None))
+    axioms = [axiom_type("ex:part", OWL_TRANSITIVE),
+              axiom_inv("ex:part", "ex:whole"),
+              axiom_type("ex:adj", OWL_SYMMETRIC)]
+    got = rowset(owl_closure(df(spark, inst),
+                             schema_triples=df(spark, axioms)))
+    want = naive_owl_fixpoint(set(inst), axioms) | set(
+        tuple(a) for a in axioms)
+    assert got == want

@@ -87,7 +87,21 @@ cpus = {cpus}
 n = {n_triples}
 spark = get_spark(app_name="scaling-rdfs-%d" % cpus,
                   master="local[%d]" % cpus, shuffle_partitions=cpus,
-                  extra_conf={{"spark.locality.wait": "0"}})
+                  extra_conf={{
+                      "spark.locality.wait": "0",
+                      # pin file-split sizing level-independently: local
+                      # mode sizes splits by totalBytes/defaultParallelism,
+                      # so local[2] would read 4x-coarser map partitions
+                      # than local[8] and do measurably LESS shuffle work
+                      # (bigger map partitions dedup more map-side) — a
+                      # local-mode artifact; a real cluster's
+                      # maxPartitionBytes is one fixed number regardless of
+                      # executor count.  minPartitionNum=1 disables the
+                      # parallelism divisor; 32m splits give both levels
+                      # the identical physical plan.
+                      "spark.sql.files.minPartitionNum": "1",
+                      "spark.sql.files.maxPartitionBytes": "33554432",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 triples = spark.read.parquet({path!r})
 # the realistic entry point: ontology is its own KB-sized relation, so

@@ -439,6 +439,22 @@ def main() -> None:
         and "BatchEvalPython" not in p
         and "ArrowEvalPython" in p))
 
+    # OWL closure: inverse/symmetric interaction is ONE broadcast orbit
+    # join over the instance scan (never a sort-merge join, never
+    # Python); the transitive rounds ran eagerly into checkpointed
+    # RDDs, so the final plan is branches + exactly one dedup exchange
+    from meresco_rdf_spark.entry_queries import q_owl_entailment
+
+    ow = q_owl_entailment(spark, sf_dir)
+    ow.count()
+    p = plan_of(ow)
+    results.append(check(
+        "owl closure: broadcast orbit join, 1 dedup shuffle",
+        p.count("BroadcastHashJoin") >= 1
+        and p.count("Exchange hashpartitioning") == 1
+        and "SortMergeJoin" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
