@@ -1122,6 +1122,9 @@ _GRAPH_ALGO_ORACLES = {
     "stream_rdfs_maintain": _RDFS_ENTAILMENT_ORACLE,
     "kg_sameas_smush": _SAMEAS_SMUSH_ORACLE,
     "owl_entailment": _OWL_ENTAILMENT_ORACLE,
+    # incremental maintenance must converge to the batch closure: the
+    # SAME oracle checks the streamed table
+    "stream_owl_maintain": _OWL_ENTAILMENT_ORACLE,
 }
 
 _SPARQL_ORACLES = {
@@ -2637,26 +2640,28 @@ def q_kg_sameas_smush(spark, sf_dir):
     return sameas_canonicalize(data, keep_links=True, local_threshold=0)
 
 
-def q_owl_entailment(spark, sf_dir):
-    """OWL-lite entailment materialization (engine extension — the
-    property-logic companion of ``rdfs_entailment``): a geography
-    hierarchy over the TPC-H tables — customer/supplier ``within``
-    nation, nation ``within`` region, explicit reverse ``contains``
-    rows, and an ``adjacentTo`` ring over nations — closed under
-    ``owl:inverseOf`` (within <-> contains), ``owl:TransitiveProperty``
-    (within, hence contains), and ``owl:SymmetricProperty``
-    (adjacentTo).  Scale shape: inverse/symmetric interaction is
-    pre-composed schema-side into one broadcast orbit join; only the
-    declared-transitive predicate pays the semi-naive instance
-    closure.  Oracle = orbit UNION branches + a recursive CTE."""
+def _owl_onto_df(spark):
+    """The 3-axiom test ontology shared by the batch and streaming OWL
+    driver queries (mirrored verbatim in the oracle)."""
     from .operators.owl import (
         OWL_INVERSE_OF,
         OWL_SYMMETRIC,
         OWL_TRANSITIVE,
         RDF_TYPE,
-        owl_closure,
     )
 
+    return spark.createDataFrame(
+        [("urn:rel:within", OWL_INVERSE_OF, "urn:rel:contains", "uri", None),
+         ("urn:rel:within", RDF_TYPE, OWL_TRANSITIVE, "uri", None),
+         ("urn:rel:adjacentTo", RDF_TYPE, OWL_SYMMETRIC, "uri", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+
+
+def _owl_instance(spark, sf_dir):
+    """Geography hierarchy over the TPC-H tables: customer/supplier
+    ``within`` nation, nation ``within`` region, explicit reverse
+    ``contains`` rows, an ``adjacentTo`` ring over nations."""
     cust = _read(spark, sf_dir, "customer")
     supp = _read(spark, sf_dir, "supplier")
     nation = _read(spark, sf_dir, "nation")
@@ -2694,13 +2699,55 @@ def q_owl_entailment(spark, sf_dir):
             nation, F.concat(F.lit("urn:nation:"), nkey), "urn:rel:adjacentTo",
             F.concat(F.lit("urn:nation:"),
                      ((F.col("n_nationkey") + 1) % 25).cast("string")))))
-    onto = spark.createDataFrame(
-        [("urn:rel:within", OWL_INVERSE_OF, "urn:rel:contains", "uri", None),
-         ("urn:rel:within", RDF_TYPE, OWL_TRANSITIVE, "uri", None),
-         ("urn:rel:adjacentTo", RDF_TYPE, OWL_SYMMETRIC, "uri", None)],
-        "subj string, pred string, obj_value string, obj_kind string, "
-        "obj_lang string")
-    return owl_closure(inst, schema_triples=onto)
+    return inst
+
+
+def q_owl_entailment(spark, sf_dir):
+    """OWL-lite entailment materialization (engine extension — the
+    property-logic companion of ``rdfs_entailment``): the geography
+    hierarchy closed under ``owl:inverseOf`` (within <-> contains),
+    ``owl:TransitiveProperty`` (within, hence contains), and
+    ``owl:SymmetricProperty`` (adjacentTo).  Scale shape:
+    inverse/symmetric interaction is pre-composed schema-side into one
+    broadcast orbit join; only the declared-transitive predicate pays
+    the semi-naive instance closure.  Oracle = orbit UNION branches +
+    a recursive CTE."""
+    from .operators.owl import owl_closure
+
+    return owl_closure(_owl_instance(spark, sf_dir),
+                       schema_triples=_owl_onto_df(spark))
+
+
+def q_stream_owl_maintain(spark, sf_dir):
+    """Incremental OWL maintenance end-to-end: the SAME instance
+    relation as ``owl_entailment`` written as four ``.nq`` slice files,
+    streamed one file per micro-batch.  Transitive closure does NOT
+    distribute over union (a later batch's edge can join two
+    earlier-batch paths), so each batch runs the SEEDED semi-naive
+    delta closure against the accumulated table, then MERGEs
+    exactly-once.  Oracle = the batch ``owl_entailment`` oracle
+    VERBATIM — whatever the slicing, the maintained table must equal
+    the batch closure."""
+    import os
+    import tempfile
+
+    from .sinks.nquads_sink import write_nquads
+    from .streaming.owl_stream import run_owl_maintenance
+    from .streaming.quad_stream import read_nquads_stream
+
+    instance = _owl_instance(spark, sf_dir).withColumn(
+        "context", F.lit(None).cast("string"))
+    base = tempfile.mkdtemp(prefix="stream_owl_")
+    in_dir = os.path.join(base, "in")
+    write_nquads(instance, in_dir, num_files=4)
+    stream = read_nquads_stream(spark, in_dir, glob="*.txt",
+                                max_files_per_trigger=1)
+    table = os.path.join(base, "closed_table")
+    q = run_owl_maintenance(
+        stream.drop("context"), _owl_onto_df(spark), table,
+        os.path.join(base, "ckpt"))
+    q.awaitTermination(600)
+    return spark.read.parquet(table)
 
 
 def q_sparql_results_csv(spark, sf_dir):
@@ -2737,6 +2784,21 @@ def q_sparql_results_tsv(spark, sf_dir):
         }}
     """.format(rel_region=REL_REGION))
     return encode_tsv(sol)
+
+
+def q_sparql_update_load(spark, sf_dir):
+    """SPARQL 1.1 Update LOAD: a ``file:`` document IRI pulled through
+    the five-format multi-source reader and re-homed INTO GRAPH — the
+    update form that turns the ingest matrix into a query-language
+    primitive.  Oracle = the quad relation UNION the hand-transcribed
+    fixture rows with the destination context applied."""
+    from .sources.driver_fixtures import NT_DOCS, write_fixture_dir
+    from .sparql import sparql_update_quads
+
+    path = write_fixture_dir(NT_DOCS)
+    return sparql_update_quads(
+        tpch_quads(spark, sf_dir),
+        "LOAD <file://%s> INTO GRAPH <urn:g:loaded>" % path)
 
 
 def q_sparql_update_graphs(spark, sf_dir):
@@ -3791,8 +3853,10 @@ QUERIES = {
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "stream_rdfs_maintain": q_stream_rdfs_maintain,
     "owl_entailment": q_owl_entailment,
+    "stream_owl_maintain": q_stream_owl_maintain,
     "sparql_results_csv": q_sparql_results_csv,
     "sparql_results_tsv": q_sparql_results_tsv,
+    "sparql_update_load": q_sparql_update_load,
     "sparql_select_bgp": q_sparql_select_bgp,
     "sparql_select_bgp_stats": q_sparql_select_bgp_stats,
     "sparql_optional": q_sparql_optional,
@@ -4085,6 +4149,34 @@ FROM named
 LEFT JOIN supplier ON named.g = 'urn:graph:supp'
   AND named.s = 'urn:supp:' || supplier.s_suppkey
 WHERE named.n LIKE '%7'"""
+
+# UPDATE LOAD: the tpch quad relation UNION the fixture rows re-homed
+# into the destination graph (set semantics)
+ORACLES["sparql_update_load"] = """
+WITH quads AS (
+  SELECT 'urn:graph:cust' AS context, 'urn:cust:' || c_custkey AS subj,
+         '%(foaf)s' AS pred, c_name AS obj_value, 'literal' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang FROM customer
+  UNION ALL
+  SELECT 'urn:graph:supp', 'urn:supp:' || s_suppkey, '%(foaf)s', s_name,
+         'literal', NULL FROM supplier
+  UNION ALL
+  SELECT 'urn:graph:supp', 'urn:supp:' || s_suppkey, '%(rel_nation)s',
+         'urn:nation:' || s_nationkey, 'uri', NULL FROM supplier
+  UNION ALL
+  SELECT CAST(NULL AS VARCHAR), 'urn:nation:' || n_nationkey, '%(rdfs)s',
+         n_name, 'literal', 'en' FROM nation
+),
+loaded AS (
+  SELECT 'urn:g:loaded' AS context, subj, pred, obj_value, obj_kind,
+         obj_lang
+  FROM (%(fixture)s)
+)
+SELECT DISTINCT context, subj, pred, obj_value, obj_kind, obj_lang
+FROM (SELECT * FROM quads UNION ALL SELECT * FROM loaded)""" % {
+    "foaf": FOAF_NAME, "rel_nation": REL_NATION, "rdfs": RDFS_LABEL,
+    "fixture": _driver_fixture_sql("nt"),
+}
 
 # dateTime accessors: components read straight off the lexical form the
 # query itself constructs (substr positions are fixed for the

@@ -1769,13 +1769,41 @@ def _require_quads(df: DataFrame, what: str) -> None:
 
 
 def _apply_graph_manage(quads: DataFrame, m) -> DataFrame:
-    """CLEAR/DROP/CREATE/ADD/COPY/MOVE as pure column transforms.  With
-    no graph catalog, graphs exist implicitly (CREATE is a no-op and
-    DROP ≡ CLEAR — the documented difference is catalog bookkeeping);
-    SILENT is likewise moot, never an error path."""
+    """CLEAR/DROP/CREATE/ADD/COPY/MOVE/LOAD as pure column transforms.
+    With no graph catalog, graphs exist implicitly (CREATE is a no-op
+    and DROP ≡ CLEAR — the documented difference is catalog
+    bookkeeping); SILENT never swallows errors on those forms.  LOAD
+    supports ``file:`` document IRIs (no network in this engine): the
+    document goes through the five-format multi-source reader, every
+    loaded quad is re-homed to the destination graph (the spec loads
+    "the graph" of the document; intrinsic TriG/N-Quads labels are
+    subsumed by INTO GRAPH), and set semantics dedupe the union.
+    SILENT turns a failed/unsupported LOAD into the spec's no-op."""
     ctx = F.col("context")
     if m.op == "CREATE":
         return quads
+    if m.op == "LOAD":
+        from ..sources.rdf_source import read_rdf_directory
+
+        try:
+            uri = m.src
+            if uri.startswith("file://"):
+                path = uri[len("file://"):]
+            elif uri.startswith("file:"):
+                path = uri[len("file:"):]
+            else:
+                raise SparqlCompileError(
+                    "LOAD supports file: IRIs only (no network fetch "
+                    "in this engine): %r" % uri)
+            loaded = read_rdf_directory(quads.sparkSession, path)
+        except Exception:
+            if m.silent:
+                return quads
+            raise
+        dst_value = (F.lit(None).cast("string") if m.dst == "DEFAULT"
+                     else F.lit(m.dst))
+        loaded = loaded.withColumn("context", dst_value).select(*_QUAD_COLS)
+        return quads.unionByName(loaded).dropDuplicates(_QUAD_COLS)
     if m.op in ("CLEAR", "DROP"):
         if m.src == "ALL":
             return quads.limit(0)

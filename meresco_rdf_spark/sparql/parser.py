@@ -473,7 +473,7 @@ class _Parser:
         if self.at_kw("INSERT") or self.at_kw("DELETE") or self.at_kw("WITH"):
             return self._update_query()
         if any(self.at_kw(w) for w in
-               ("CLEAR", "DROP", "CREATE", "ADD", "COPY", "MOVE")):
+               ("CLEAR", "DROP", "CREATE", "ADD", "COPY", "MOVE", "LOAD")):
             return self._manage_query()
         query = self._select_body()
         self._end()
@@ -768,13 +768,29 @@ class _Parser:
 
     def _manage_query(self) -> UpdateQuery:
         """Graph management: CLEAR/DROP (GRAPH iri | DEFAULT | NAMED |
-        ALL), CREATE GRAPH iri, ADD/COPY/MOVE src TO dst."""
+        ALL), CREATE GRAPH iri, ADD/COPY/MOVE src TO dst, and
+        LOAD doc-iri (INTO GRAPH iri)?."""
         _, op, _ = self.next()
         op = op.upper()
         silent = False
         if self.at_kw("SILENT"):
             self.next()
             silent = True
+        if op == "LOAD":
+            doc = self.term(position="subject")
+            if not isinstance(doc, Iri):
+                self.fail("expected a document IRI after LOAD")
+            dst = "DEFAULT"
+            if self.at_kw("INTO"):
+                self.next()
+                self.eat_kw("GRAPH")
+                g = self.term(position="subject")
+                if not isinstance(g, Iri):
+                    self.fail("expected a graph IRI after INTO GRAPH")
+                dst = g.uri
+            self._end()
+            return UpdateQuery(manage=GraphManage(op, src=doc.uri, dst=dst,
+                                                  silent=silent))
         if op in ("CLEAR", "DROP"):
             src = self._graph_ref(allow_markers=True)
             self._end()

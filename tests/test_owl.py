@@ -216,6 +216,101 @@ def test_axioms_mined_from_instance_when_no_schema_arg(spark):
     assert ("urn:b", "ex:contains", "urn:a", U, None) in out
 
 
+# --------------------------------------------------------------------------
+# incremental maintenance (streaming/owl_stream.py)
+# --------------------------------------------------------------------------
+
+CHAIN_AXIOMS = [axiom_type("ex:part", OWL_TRANSITIVE),
+                axiom_inv("ex:part", "ex:whole"),
+                axiom_type("ex:adj", OWL_SYMMETRIC)]
+CHAIN_INST = [("urn:1", "ex:part", "urn:2", U, None),
+              ("urn:2", "ex:part", "urn:3", U, None),
+              ("urn:3", "ex:part", "urn:4", U, None),
+              ("urn:4", "ex:part", "urn:5", U, None),
+              ("urn:a", "ex:adj", "urn:b", U, None),
+              ("urn:1", "ex:label", "one", "literal", "en")]
+
+
+def _write_chain_slices(spark, tmp_path, rows, n_slices):
+    """One edge per slice file: transitive paths exist ONLY across
+    micro-batches, so per-batch closure alone would under-infer —
+    exactly what the seeded delta closure must repair."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from meresco_rdf_spark.sinks.nquads_sink import write_nquads
+
+    in_dir = os.path.join(str(tmp_path), "in")
+    os.makedirs(in_dir)
+    per = max(1, len(rows) // n_slices)
+    for i in range(n_slices):
+        chunk = rows[i * per: len(rows) if i == n_slices - 1
+                     else (i + 1) * per]
+        quads = df(spark, chunk).withColumn(
+            "context", F.lit(None).cast("string"))
+        write_nquads(quads, os.path.join(in_dir, "slice%d" % i),
+                     num_files=1)
+    return in_dir
+
+
+def _run_owl_maintenance(spark, tmp_path, in_dir, axioms, name="t"):
+    import os
+
+    from meresco_rdf_spark.streaming.owl_stream import run_owl_maintenance
+    from meresco_rdf_spark.streaming.quad_stream import read_nquads_stream
+
+    table = os.path.join(str(tmp_path), name, "table")
+    q = run_owl_maintenance(
+        read_nquads_stream(spark, in_dir, glob="*.txt",
+                           max_files_per_trigger=1).drop("context"),
+        df(spark, axioms), table,
+        os.path.join(str(tmp_path), name, "ckpt"))
+    q.awaitTermination(300)
+    return table
+
+
+def test_stream_owl_equals_batch_closure_cross_batch_paths(spark, tmp_path):
+    in_dir = _write_chain_slices(spark, tmp_path, CHAIN_INST, n_slices=5)
+    table = _run_owl_maintenance(spark, tmp_path, in_dir, CHAIN_AXIOMS)
+    got = {tuple(r) for r in spark.read.parquet(table).collect()}
+    batch = {tuple(r) for r in owl_closure(
+        df(spark, CHAIN_INST),
+        schema_triples=df(spark, CHAIN_AXIOMS)).collect()}
+    assert got == batch
+    # the cross-batch derivation specifically: 1 -> 5 spans 4 slices
+    assert ("urn:1", "ex:part", "urn:5", U, None) in got
+    assert ("urn:5", "ex:whole", "urn:1", U, None) in got
+
+
+def test_stream_owl_replay_is_noop(spark, tmp_path):
+    import os
+
+    from meresco_rdf_spark.streaming.owl_stream import run_owl_maintenance
+    from meresco_rdf_spark.streaming.quad_stream import read_nquads_stream
+
+    in_dir = _write_chain_slices(spark, tmp_path, CHAIN_INST, n_slices=2)
+    table = _run_owl_maintenance(spark, tmp_path, in_dir, CHAIN_AXIOMS,
+                                 name="a")
+    n1 = spark.read.parquet(table).count()
+    q = run_owl_maintenance(
+        read_nquads_stream(spark, in_dir, glob="*.txt",
+                           max_files_per_trigger=1).drop("context"),
+        df(spark, CHAIN_AXIOMS), table,
+        os.path.join(str(tmp_path), "a", "ckpt2"))
+    q.awaitTermination(300)
+    assert spark.read.parquet(table).count() == n1
+
+
+def test_stream_owl_rejects_axioms_on_stream(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    poisoned = CHAIN_INST + [axiom_type("ex:other", OWL_TRANSITIVE)]
+    in_dir = _write_chain_slices(spark, tmp_path, poisoned, n_slices=1)
+    with pytest.raises(StreamingQueryException, match="fixed\\s+schema"):
+        _run_owl_maintenance(spark, tmp_path, in_dir, CHAIN_AXIOMS)
+
+
 def test_parity_with_naive_fixpoint(spark):
     import random
 

@@ -2077,6 +2077,40 @@ def test_update_parser_manage_errors(spark):
             parse_query(bad)
 
 
+def test_update_load_file_into_graph(spark, tmp_path):
+    from meresco_rdf_spark.sparql import sparql_update_quads as upd
+
+    doc = tmp_path / "doc.nt"
+    doc.write_text('<urn:s9> <urn:p> "loaded" .\n'
+                   '<urn:s9> <urn:q> <urn:o9> .\n')
+    quads = _quads(spark)
+    got = _rowset(upd(quads, "LOAD <file://%s> INTO GRAPH <urn:g:new>"
+                      % doc))
+    assert ("urn:g:new", "urn:s9", "urn:p", "loaded", "literal", None) in got
+    assert ("urn:g:new", "urn:s9", "urn:q", "urn:o9", "uri", None) in got
+    assert set(map(tuple, QUAD_ROWS)) <= got
+    assert len(got) == len(QUAD_ROWS) + 2
+    # no INTO GRAPH -> the default graph; intrinsic labels subsumed
+    got = _rowset(upd(quads, "LOAD <file:%s>" % doc))
+    assert (None, "urn:s9", "urn:p", "loaded", "literal", None) in got
+
+
+def test_update_load_silent_and_errors(spark, tmp_path):
+    from meresco_rdf_spark.sparql import sparql_update_quads as upd
+    from meresco_rdf_spark.sparql.compiler import SparqlCompileError
+
+    quads = _quads(spark)
+    # non-file scheme refused loudly...
+    with pytest.raises(SparqlCompileError, match="file:"):
+        upd(quads, "LOAD <http://example.org/doc.nt>")
+    # ...but SILENT turns any load failure into the spec's no-op
+    assert _rowset(upd(quads, "LOAD SILENT <http://example.org/doc.nt>")) \
+        == set(map(tuple, QUAD_ROWS))
+    assert _rowset(upd(
+        quads, "LOAD SILENT <file://%s/absent.nt> INTO GRAPH <urn:g>"
+        % tmp_path)) == set(map(tuple, QUAD_ROWS))
+
+
 def test_update_quads_delete_where(spark):
     # DELETE WHERE through the quad API: pattern doubles as template,
     # targeting the default graph (no WITH, no GRAPH block)
