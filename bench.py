@@ -129,7 +129,7 @@ def main() -> None:
         "events_sessions", "events_asof_signup", "events_quantiles",
         "pricing_summary", "pricing_pivot", "pricing_cube",
         "rdfs_entailment", "sparql_update_graphs", "kg_sameas_smush",
-        "similarity_ivf_kmeans",
+        "similarity_ivf_kmeans", "owl_entailment",
     ]
     for name in heads:
         fn = eq.QUERIES[name]

@@ -11,9 +11,12 @@ high concurrency; per-process slowdown at the high level IS the
 hardware ceiling any Spark-side efficiency number on this host must
 be read against.
 
-Usage: python tools/bench_host_ceiling.py [low] [high] [repeats]
+Usage: python tools/bench_host_ceiling.py [low] [high] [repeats] [mode]
+mode = "cpu" (default: sha256 burn, core-local, catches SMT/turbo) or
+"mem" (large-array streaming, catches the shared memory bus — the
+roofline that shuffle-heavy stages actually hit).
 Prints one JSON line:
-  {"low": N, "high": M, "wall_low": s, "wall_high": s,
+  {"mode": ..., "low": N, "high": M, "wall_low": s, "wall_high": s,
    "ceiling": wall_low / wall_high}
 ceiling = the efficiency an ideal linearly-scaling job would measure
 going from `low`-way to `high`-way parallelism on this host (1.0 =
@@ -35,12 +38,24 @@ for i in range(6_000_000):
 print(h[:4].hex())
 """
 
+# streaming over an array far beyond L3: every pass reads+writes the
+# whole buffer through the shared bus — the shuffle-write/read analog
+MEM_BURN = r"""
+import numpy as np
+a = np.arange(60_000_000, dtype=np.int64)  # ~480 MB
+s = 0
+for _ in range(12):
+    a += 1
+    s += int(a[::4_096].sum())
+print(s % 97)
+"""
 
-def run_level(n_procs: int, repeats: int) -> float:
+
+def run_level(n_procs: int, repeats: int, burn: str = BURN) -> float:
     walls = []
     for _ in range(repeats):
         t0 = time.monotonic()
-        procs = [subprocess.Popen([sys.executable, "-c", BURN],
+        procs = [subprocess.Popen([sys.executable, "-c", burn],
                                   stdout=subprocess.DEVNULL)
                  for _ in range(n_procs)]
         for p in procs:
@@ -54,14 +69,16 @@ def main() -> None:
     low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    mode = sys.argv[4] if len(sys.argv) > 4 else "cpu"
+    burn = {"cpu": BURN, "mem": MEM_BURN}[mode]
 
-    run_level(low, 1)  # warm the interpreter/page cache
-    wall_low = run_level(low, repeats)    # `low` procs, one unit each
-    wall_high = run_level(high, repeats)  # `high` procs, one unit each
+    run_level(low, 1, burn)  # warm the interpreter/page cache
+    wall_low = run_level(low, repeats, burn)    # one unit per proc
+    wall_high = run_level(high, repeats, burn)  # one unit per proc
     # per-process wall at `high`-way concurrency vs `low`-way: an ideal
     # host runs both in the same time (each process has its own core)
     print(json.dumps({
-        "low": low, "high": high,
+        "mode": mode, "low": low, "high": high,
         "wall_low": round(wall_low, 3), "wall_high": round(wall_high, 3),
         "ceiling": round(wall_low / wall_high, 3),
     }))
