@@ -4,7 +4,7 @@ Grammar (case-insensitive keywords):
 
     Query        := Prefix* Select Where Modifiers
     Prefix       := 'PREFIX' PNAME_NS IRIREF
-    Select       := 'SELECT' 'DISTINCT'? ( Var+ | '*' )
+    Select       := 'SELECT' ('DISTINCT' | 'REDUCED')? ( Var+ | '*' )
     Where        := 'WHERE'? GroupGraphPattern
     GroupGraphPattern := '{' ( TriplesBlock | Filter | Optional | Group
                                ('UNION' Group)* )* '}'
@@ -486,6 +486,11 @@ class _Parser:
         self.eat_kw("SELECT")
         distinct = False
         if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        elif self.at_kw("REDUCED"):
+            # §18.2.4.3 permits any amount of duplicate elimination for
+            # REDUCED, including all of it — compile as DISTINCT
             self.next()
             distinct = True
         variables: Union[str, List[str]]

@@ -198,6 +198,18 @@ def test_distinct_order_limit_offset(small_graph):
     assert [r["s"] for r in out.collect()] == ["urn:alice", "urn:bob"]
 
 
+def test_reduced_eliminates_duplicates(small_graph):
+    # §18.2.4.3 allows REDUCED to eliminate any number of duplicates;
+    # this engine eliminates all of them (same plan as DISTINCT)
+    q = parse_query("SELECT REDUCED ?s WHERE { ?s ?p ?o }")
+    assert q.distinct
+    out = sparql_select(small_graph, """
+        SELECT REDUCED ?s WHERE { ?s ?p ?o } ORDER BY ?s
+    """)
+    rows = [r["s"] for r in out.collect()]
+    assert rows == sorted(set(rows))
+
+
 def test_subject_bnode_kind(small_graph):
     out = sparql_select(small_graph, "SELECT ?s WHERE { ?s <urn:p:name> ?n }")
     kinds = {r["s"]: r["s_kind"] for r in out.collect()}
