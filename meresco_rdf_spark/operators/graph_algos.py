@@ -122,7 +122,8 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int,
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
             break
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        # shallow union of checkpointed deltas — one barrier per hop
+        visited = visited.unionByName(new)
         frontier = new.select("node")
     return visited
 

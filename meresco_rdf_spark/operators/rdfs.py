@@ -123,7 +123,9 @@ def _transitive_closure_df(edges: DataFrame) -> DataFrame:
             if grown.isEmpty():
                 return closure
             delta = grown
-            closure = closure.unionByName(grown).localCheckpoint()
+            # deltas are checkpointed; the accumulated closure stays a
+            # shallow lazy union of them (one barrier per round)
+            closure = closure.unionByName(grown)
 
 
 def _compose(left: List[Tuple[str, str]],

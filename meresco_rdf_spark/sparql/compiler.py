@@ -120,6 +120,11 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
     saved = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
+        # One materialization barrier per round: only the frontier delta
+        # is checkpointed; the accumulated closure stays a shallow lazy
+        # union of already-checkpointed deltas (same discipline as
+        # operators.owl._transitive_closure_edges — the anti-join scans
+        # the same bytes, we skip rewriting the closure every round).
         closure = start.localCheckpoint(eager=True)
         frontier = closure
         while True:
@@ -141,7 +146,7 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
                 .localCheckpoint(eager=True))
             if new.isEmpty():
                 return closure
-            closure = closure.unionByName(new).localCheckpoint(eager=True)
+            closure = closure.unionByName(new)
             frontier = new
     finally:
         spark.conf.set("spark.sql.constraintPropagation.enabled", saved)
@@ -1522,7 +1527,8 @@ def sparql_describe(triples: DataFrame, query: str,
                .localCheckpoint(eager=True))
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        # shallow union of checkpointed deltas — one barrier per round
+        seen = seen.unionByName(nxt)
         frontier = nxt
     return out.dropDuplicates(
         ["subj", "pred", "obj_value", "obj_kind", "obj_lang"])

@@ -75,7 +75,12 @@ def _incremental_closure(all_edges: DataFrame, seed: DataFrame,
     with _no_constraint_propagation(all_edges.sparkSession):
         acc = all_edges.dropDuplicates(_EDGE_COLS).localCheckpoint()
         delta = seed.dropDuplicates(_EDGE_COLS).localCheckpoint()
-        derived = None
+        # One barrier per round (the delta checkpoint); ``acc`` grows as
+        # a shallow lazy union of already-checkpointed deltas, so the
+        # fwd/bwd joins and the anti-join scan the same bytes without
+        # rewriting the whole accumulated set every round (mirrors
+        # operators.owl._transitive_closure_edges).
+        deltas = []
         for _ in range(max_rounds):
             fwd = (delta.alias("l")
                    .join(acc.alias("r"),
@@ -100,15 +105,17 @@ def _incremental_closure(all_edges: DataFrame, seed: DataFrame,
             if grown.isEmpty():
                 break
             delta = grown
-            acc = acc.unionByName(grown).localCheckpoint()
-            derived = (grown if derived is None
-                       else derived.unionByName(grown).localCheckpoint())
+            deltas.append(grown)
+            acc = acc.unionByName(grown)
         else:
             raise OwlUnsupportedPattern(
                 "incremental transitive closure did not converge within "
                 "%d rounds" % max_rounds)
-    if derived is None:
+    if not deltas:
         return all_edges.limit(0)
+    derived = deltas[0]
+    for d in deltas[1:]:
+        derived = derived.unionByName(d)
     return derived
 
 
