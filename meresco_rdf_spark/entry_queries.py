@@ -1113,6 +1113,144 @@ links_out AS (
 SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang
 FROM (SELECT * FROM rewritten UNION ALL SELECT * FROM links_out)"""
 
+# owl:equivalentProperty/equivalentClass entailment: rename/swap UNION
+# branches (the orbit), a class-rename join, and a recursive CTE for the
+# transitive predicate's orbit — mirrors the engine's one-broadcast-join
+# + semi-naive-closure plan declaratively.
+_OWL_EQUIV_ORACLE = """
+WITH RECURSIVE inst(subj, pred, obj_value, obj_kind, obj_lang) AS (
+  SELECT 'urn:cust:' || c_custkey, 'urn:rel:within',
+         'urn:nation:' || c_nationkey, 'uri', CAST(NULL AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'urn:supp:' || s_suppkey, 'urn:rel:locatedIn',
+         'urn:nation:' || s_nationkey, 'uri', NULL FROM supplier
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, 'urn:rel:within',
+         'urn:region:' || n_regionkey, 'uri', NULL FROM nation
+  UNION ALL
+  SELECT 'urn:supp:' || s_suppkey,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         CASE WHEN s_suppkey % 2 = 0 THEN 'urn:class:Corp'
+              ELSE 'urn:class:Firm' END, 'uri', NULL FROM supplier
+),
+expanded AS (
+  SELECT * FROM inst
+  UNION SELECT subj, 'urn:rel:within', obj_value, 'uri',
+               CAST(NULL AS VARCHAR)
+  FROM inst WHERE pred = 'urn:rel:locatedIn'
+  UNION SELECT subj, 'urn:rel:locatedIn', obj_value, 'uri', NULL
+  FROM inst WHERE pred = 'urn:rel:within'
+  UNION SELECT obj_value, 'urn:rel:contains', subj, 'uri', NULL
+  FROM inst WHERE pred IN ('urn:rel:within', 'urn:rel:locatedIn')
+),
+classes(c, d) AS (
+  SELECT * FROM (VALUES
+    ('urn:class:Corp', 'urn:class:Company'),
+    ('urn:class:Corp', 'urn:class:Firm'),
+    ('urn:class:Company', 'urn:class:Corp'),
+    ('urn:class:Company', 'urn:class:Firm'),
+    ('urn:class:Firm', 'urn:class:Corp'),
+    ('urn:class:Firm', 'urn:class:Company'))
+),
+typed AS (
+  SELECT e.subj, e.pred, cl.d AS obj_value, 'uri' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang
+  FROM expanded e JOIN classes cl ON e.obj_value = cl.c
+  WHERE e.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+),
+w(a, b) AS (SELECT subj, obj_value FROM expanded
+            WHERE pred = 'urn:rel:within'),
+wc(a, b) AS (
+  SELECT a, b FROM w
+  UNION
+  SELECT wc.a, w.b FROM wc JOIN w ON wc.b = w.a
+),
+onto(subj, pred, obj_value, obj_kind, obj_lang) AS (
+  SELECT * FROM (VALUES
+    ('urn:rel:locatedIn', 'http://www.w3.org/2002/07/owl#equivalentProperty',
+     'urn:rel:within', 'uri', CAST(NULL AS VARCHAR)),
+    ('urn:rel:within', 'http://www.w3.org/2002/07/owl#inverseOf',
+     'urn:rel:contains', 'uri', NULL),
+    ('urn:rel:within', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+     'http://www.w3.org/2002/07/owl#TransitiveProperty', 'uri', NULL),
+    ('urn:class:Corp', 'http://www.w3.org/2002/07/owl#equivalentClass',
+     'urn:class:Company', 'uri', NULL),
+    ('urn:class:Company', 'http://www.w3.org/2002/07/owl#equivalentClass',
+     'urn:class:Firm', 'uri', NULL))
+)
+SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang FROM (
+  SELECT * FROM expanded
+  UNION ALL SELECT * FROM typed
+  UNION ALL SELECT a, 'urn:rel:within', b, 'uri', CAST(NULL AS VARCHAR)
+  FROM wc
+  UNION ALL SELECT a, 'urn:rel:locatedIn', b, 'uri', NULL FROM wc
+  UNION ALL SELECT b, 'urn:rel:contains', a, 'uri', NULL FROM wc
+  UNION ALL SELECT * FROM onto
+)"""
+
+# Functional / InverseFunctionalProperty key links + smush: GROUP BY key
+# stars (exactly the operator's min-member emission), recursive-CTE
+# closure + min-label components, rewrite joins.
+_KEY_SAMEAS_ORACLE = """
+WITH RECURSIVE data(subj, pred, obj_value, obj_kind, obj_lang) AS (
+  SELECT 'urn:cust:' || c_custkey, 'urn:key:acct',
+         CAST(c_custkey % 500 AS VARCHAR), 'literal',
+         CAST(NULL AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'urn:cust:' || c_custkey, 'urn:rel:memberOf',
+         'urn:nation:' || c_nationkey, 'uri', NULL FROM customer
+  UNION ALL
+  SELECT 'urn:supp:' || s_suppkey, 'urn:rel:homeNation',
+         'urn:nation:' || s_nationkey, 'uri', NULL FROM supplier
+  UNION ALL
+  SELECT 'urn:supp:' || s_suppkey, 'urn:rel:homeNation',
+         'urn:alt:nation:' || s_nationkey, 'uri', NULL FROM supplier
+),
+ifp_groups AS (
+  SELECT obj_value AS v, min(subj) AS rep FROM data
+  WHERE pred = 'urn:key:acct' GROUP BY obj_value
+),
+ifp_links AS (
+  SELECT DISTINCT g.rep AS a, d.subj AS b
+  FROM data d JOIN ifp_groups g ON d.obj_value = g.v
+  WHERE d.pred = 'urn:key:acct' AND d.subj != g.rep
+),
+fp_groups AS (
+  SELECT subj AS s, min(obj_value) AS rep FROM data
+  WHERE pred = 'urn:rel:homeNation' GROUP BY subj
+),
+fp_links AS (
+  SELECT DISTINCT g.rep AS a, d.obj_value AS b
+  FROM data d JOIN fp_groups g ON d.subj = g.s
+  WHERE d.pred = 'urn:rel:homeNation' AND d.obj_value != g.rep
+),
+links AS (SELECT a, b FROM ifp_links UNION SELECT a, b FROM fp_links),
+sym AS (SELECT a, b FROM links UNION SELECT b, a FROM links),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT node, min(m) AS component FROM (
+    SELECT a AS node, b AS m FROM reach
+    UNION ALL SELECT a, a FROM sym
+  ) GROUP BY node
+),
+mapping AS (
+  SELECT node AS alias, component AS canonical FROM comp
+  WHERE node != component
+)
+SELECT DISTINCT COALESCE(ms.canonical, d.subj) AS subj, d.pred,
+       CASE WHEN d.obj_kind = 'uri' AND mo.canonical IS NOT NULL
+            THEN mo.canonical ELSE d.obj_value END AS obj_value,
+       d.obj_kind, d.obj_lang
+FROM data d
+LEFT JOIN mapping ms ON ms.alias = d.subj
+LEFT JOIN mapping mo ON mo.alias = d.obj_value AND d.obj_kind = 'uri'"""
+
 _GRAPH_ALGO_ORACLES = {
     "graph_pagerank": _PAGERANK_ORACLE,
     "graph_khop": _KHOP_ORACLE,
@@ -1121,7 +1259,9 @@ _GRAPH_ALGO_ORACLES = {
     # SAME oracle checks the streamed table
     "stream_rdfs_maintain": _RDFS_ENTAILMENT_ORACLE,
     "kg_sameas_smush": _SAMEAS_SMUSH_ORACLE,
+    "kg_key_sameas": _KEY_SAMEAS_ORACLE,
     "owl_entailment": _OWL_ENTAILMENT_ORACLE,
+    "owl_equiv_entailment": _OWL_EQUIV_ORACLE,
     # incremental maintenance must converge to the batch closure: the
     # SAME oracle checks the streamed table
     "stream_owl_maintain": _OWL_ENTAILMENT_ORACLE,
@@ -2750,6 +2890,127 @@ def q_stream_owl_maintain(spark, sf_dir):
     return spark.read.parquet(table)
 
 
+def q_owl_equiv_entailment(spark, sf_dir):
+    """OWL equivalence axioms (engine extension): suppliers assert
+    ``urn:rel:locatedIn`` where customers assert ``urn:rel:within`` —
+    ``owl:equivalentProperty`` unifies them (an orientation-preserving
+    rename in the SAME pre-composed orbit join as inverseOf/symmetry,
+    so transitivity declared on ``within`` closes MIXED-predicate
+    chains); supplier ``rdf:type`` rows split across a Corp ≡ Company ≡
+    Firm ``owl:equivalentClass`` chain close via one broadcast rename
+    join over the type rows.  Scale shape: still one broadcast orbit
+    join + one broadcast class join; only ``within``'s orbit pays the
+    semi-naive closure.  Oracle = rename/swap UNION branches + class
+    rename join + a recursive CTE."""
+    from .operators.owl import (
+        OWL_EQUIV_CLASS,
+        OWL_EQUIV_PROPERTY,
+        OWL_INVERSE_OF,
+        OWL_TRANSITIVE,
+        RDF_TYPE,
+        owl_closure,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+
+    def uri_rows(df, s, p, o):
+        return df.select(
+            s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    skey = F.col("s_suppkey").cast("string")
+    inst = (
+        uri_rows(cust,
+                 F.concat(F.lit("urn:cust:"),
+                          F.col("c_custkey").cast("string")),
+                 "urn:rel:within",
+                 F.concat(F.lit("urn:nation:"),
+                          F.col("c_nationkey").cast("string")))
+        .unionByName(uri_rows(
+            supp, F.concat(F.lit("urn:supp:"), skey), "urn:rel:locatedIn",
+            F.concat(F.lit("urn:nation:"),
+                     F.col("s_nationkey").cast("string"))))
+        .unionByName(uri_rows(
+            nation,
+            F.concat(F.lit("urn:nation:"),
+                     F.col("n_nationkey").cast("string")),
+            "urn:rel:within",
+            F.concat(F.lit("urn:region:"),
+                     F.col("n_regionkey").cast("string"))))
+        .unionByName(uri_rows(
+            supp, F.concat(F.lit("urn:supp:"), skey), RDF_TYPE,
+            F.when(F.col("s_suppkey") % 2 == 0, F.lit("urn:class:Corp"))
+            .otherwise(F.lit("urn:class:Firm")))))
+    onto = spark.createDataFrame(
+        [("urn:rel:locatedIn", OWL_EQUIV_PROPERTY, "urn:rel:within",
+          "uri", None),
+         ("urn:rel:within", OWL_INVERSE_OF, "urn:rel:contains",
+          "uri", None),
+         ("urn:rel:within", RDF_TYPE, OWL_TRANSITIVE, "uri", None),
+         ("urn:class:Corp", OWL_EQUIV_CLASS, "urn:class:Company",
+          "uri", None),
+         ("urn:class:Company", OWL_EQUIV_CLASS, "urn:class:Firm",
+          "uri", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+    return owl_closure(inst, schema_triples=onto)
+
+
+def q_kg_key_sameas(spark, sf_dir):
+    """Functional-key identity resolution (engine extension — the
+    linked-data key rules): customers sharing an
+    ``owl:InverseFunctionalProperty`` account literal merge; each
+    supplier asserting TWO spellings of its ``owl:FunctionalProperty``
+    home nation merges the spellings.  ``owl_key_links`` emits the
+    per-key STAR (min-member, other) — linear output, one window
+    exchange per rule side — and ``sameas_canonicalize`` (components
+    forced distributed) completes and rewrites.  Oracle = GROUP BY key
+    stars + recursive-CTE closure + rewrite joins."""
+    from .operators.owl import (
+        OWL_FUNCTIONAL,
+        OWL_INV_FUNCTIONAL,
+        RDF_TYPE,
+        owl_key_sameas_triples,
+    )
+    from .operators.sameas import sameas_canonicalize
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+
+    def rows(df, s, p, o, kind):
+        return df.select(
+            s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj_value"),
+            F.lit(kind).alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    ckey = F.col("c_custkey").cast("string")
+    skey = F.col("s_suppkey").cast("string")
+    nkey = F.col("s_nationkey").cast("string")
+    data = (
+        rows(cust, F.concat(F.lit("urn:cust:"), ckey), "urn:key:acct",
+             (F.col("c_custkey") % 500).cast("string"), "literal")
+        .unionByName(rows(
+            cust, F.concat(F.lit("urn:cust:"), ckey), "urn:rel:memberOf",
+            F.concat(F.lit("urn:nation:"),
+                     F.col("c_nationkey").cast("string")), "uri"))
+        .unionByName(rows(
+            supp, F.concat(F.lit("urn:supp:"), skey), "urn:rel:homeNation",
+            F.concat(F.lit("urn:nation:"), nkey), "uri"))
+        .unionByName(rows(
+            supp, F.concat(F.lit("urn:supp:"), skey), "urn:rel:homeNation",
+            F.concat(F.lit("urn:alt:nation:"), nkey), "uri")))
+    schema = spark.createDataFrame(
+        [("urn:key:acct", RDF_TYPE, OWL_INV_FUNCTIONAL, "uri", None),
+         ("urn:rel:homeNation", RDF_TYPE, OWL_FUNCTIONAL, "uri", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+    links = owl_key_sameas_triples(data, schema_triples=schema)
+    return sameas_canonicalize(data.unionByName(links), local_threshold=0)
+
+
 def q_sparql_results_csv(spark, sf_dir):
     """W3C SPARQL 1.1 Results CSV encode: a SELECT over the triples
     view streamed as raw-string CSV data lines (RFC 4180 quoting when
@@ -3853,6 +4114,8 @@ QUERIES = {
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "stream_rdfs_maintain": q_stream_rdfs_maintain,
     "owl_entailment": q_owl_entailment,
+    "owl_equiv_entailment": q_owl_equiv_entailment,
+    "kg_key_sameas": q_kg_key_sameas,
     "stream_owl_maintain": q_stream_owl_maintain,
     "sparql_results_csv": q_sparql_results_csv,
     "sparql_results_tsv": q_sparql_results_tsv,

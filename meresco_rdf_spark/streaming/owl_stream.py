@@ -51,6 +51,7 @@ from ..operators.owl import (
     RDF_TYPE,
     OwlUnsupportedPattern,
     _transitive_closure_edges,
+    class_expand,
     compile_owl_schema,
     orbit_expand,
     transitive_edges,
@@ -62,9 +63,13 @@ _EDGE_COLS = ["pred", "a", "b", "b_kind"]
 
 
 def _is_axiom():
-    return ((F.col("pred") == OWL_INVERSE_OF)
+    from ..operators.owl import (
+        _AXIOM_CLASSES, OWL_EQUIV_CLASS, OWL_EQUIV_PROPERTY)
+
+    return (F.col("pred").isin(OWL_INVERSE_OF, OWL_EQUIV_PROPERTY,
+                               OWL_EQUIV_CLASS)
             | ((F.col("pred") == RDF_TYPE)
-               & F.col("obj_value").isin(OWL_SYMMETRIC, OWL_TRANSITIVE)))
+               & F.col("obj_value").isin(*_AXIOM_CLASSES)))
 
 
 def _incremental_closure(all_edges: DataFrame, seed: DataFrame,
@@ -151,6 +156,10 @@ def run_owl_maintenance(instance_stream: DataFrame,
                 "schema -- re-run the batch closure after schema changes"
                 % n_axioms)
         expanded = orbit_expand(batch, schema)
+        if schema.class_rows:
+            # class equivalence is a per-row rename -> distributes over
+            # union; per-batch expansion exactly maintains the closure
+            expanded = expanded.unionByName(class_expand(batch, schema))
         try:
             current = spark.read.parquet(table_path)
         except AnalysisException:  # first batch: no table yet

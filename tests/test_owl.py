@@ -6,6 +6,10 @@ pure-Python fixpoint reference."""
 import pytest
 
 from meresco_rdf_spark.operators.owl import (
+    OWL_EQUIV_CLASS,
+    OWL_EQUIV_PROPERTY,
+    OWL_FUNCTIONAL,
+    OWL_INV_FUNCTIONAL,
     OWL_INVERSE_OF,
     OWL_SYMMETRIC,
     OWL_TRANSITIVE,
@@ -13,6 +17,7 @@ from meresco_rdf_spark.operators.owl import (
     OwlUnsupportedPattern,
     _orbits,
     owl_closure,
+    owl_key_links,
 )
 
 U = "uri"
@@ -309,6 +314,226 @@ def test_stream_owl_rejects_axioms_on_stream(spark, tmp_path):
     in_dir = _write_chain_slices(spark, tmp_path, poisoned, n_slices=1)
     with pytest.raises(StreamingQueryException, match="fixed\\s+schema"):
         _run_owl_maintenance(spark, tmp_path, in_dir, CHAIN_AXIOMS)
+
+
+# --------------------------------------------------------------------------
+# equivalence axioms + functional keys (owl:equivalentProperty /
+# owl:equivalentClass / owl:FunctionalProperty / InverseFunctionalProperty)
+# --------------------------------------------------------------------------
+
+def test_orbit_equivalent_property_renames():
+    o = _orbits([], [], [("ex:p", "ex:q")])
+    assert o["ex:p"] == [("ex:p", False), ("ex:q", False)]
+    assert o["ex:q"] == [("ex:p", False), ("ex:q", False)]
+
+
+def test_orbit_equiv_composes_with_inverse():
+    # p ≡ q, q inverseOf r: (s p o) also entails (o r s)
+    o = _orbits([("ex:q", "ex:r")], [], [("ex:p", "ex:q")])
+    assert ("ex:r", True) in o["ex:p"]
+    assert ("ex:q", False) in o["ex:p"]
+
+
+def test_equiv_property_emits_renamed(spark):
+    inst = [("urn:a", "ex:locatedIn", "urn:b", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            ("ex:locatedIn", OWL_EQUIV_PROPERTY, "ex:within", U, None)])))
+    assert ("urn:a", "ex:within", "urn:b", U, None) in out
+    assert ("urn:a", "ex:locatedIn", "urn:b", U, None) in out
+
+
+def test_equiv_property_transitive_propagates(spark):
+    # mixed-predicate chain closes because p ≡ q makes them one relation
+    inst = [("urn:1", "ex:p", "urn:2", U, None),
+            ("urn:2", "ex:q", "urn:3", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            ("ex:p", OWL_EQUIV_PROPERTY, "ex:q", U, None),
+            axiom_type("ex:q", OWL_TRANSITIVE)])))
+    assert ("urn:1", "ex:p", "urn:3", U, None) in out
+    assert ("urn:1", "ex:q", "urn:3", U, None) in out
+
+
+def test_equiv_of_symmetric_transitive_rejected(spark):
+    inst = [("urn:a", "ex:p", "urn:b", U, None)]
+    with pytest.raises(OwlUnsupportedPattern, match="clique"):
+        owl_closure(df(spark, inst), schema_triples=df(spark, [
+            ("ex:p", OWL_EQUIV_PROPERTY, "ex:q", U, None),
+            axiom_type("ex:q", OWL_SYMMETRIC),
+            axiom_type("ex:p", OWL_TRANSITIVE)]))
+
+
+def test_equiv_class_expands_types_through_chain(spark):
+    inst = [("urn:x", RDF_TYPE, "ex:Corp", U, None),
+            ("urn:x", "ex:label", "x", "literal", None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            ("ex:Corp", OWL_EQUIV_CLASS, "ex:Company", U, None),
+            ("ex:Company", OWL_EQUIV_CLASS, "ex:Firm", U, None)])))
+    assert ("urn:x", RDF_TYPE, "ex:Company", U, None) in out
+    assert ("urn:x", RDF_TYPE, "ex:Firm", U, None) in out
+    # non-type rows and unrelated classes untouched
+    assert ("urn:x", "ex:label", "x", "literal", None) in out
+
+
+def test_equiv_class_works_both_directions(spark):
+    inst = [("urn:y", RDF_TYPE, "ex:Firm", U, None)]
+    out = rowset(owl_closure(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            ("ex:Corp", OWL_EQUIV_CLASS, "ex:Firm", U, None)])))
+    assert ("urn:y", RDF_TYPE, "ex:Corp", U, None) in out
+
+
+def test_rdf_type_property_axiom_rejected(spark):
+    inst = [("urn:a", "ex:p", "urn:b", U, None)]
+    with pytest.raises(OwlUnsupportedPattern, match="rdf:type"):
+        owl_closure(df(spark, inst), schema_triples=df(spark, [
+            (RDF_TYPE, OWL_INVERSE_OF, "ex:typeOf", U, None)]))
+
+
+def test_equiv_class_over_axiom_vocab_rejected(spark):
+    inst = [("urn:a", "ex:p", "urn:b", U, None)]
+    with pytest.raises(OwlUnsupportedPattern, match="vocabulary"):
+        owl_closure(df(spark, inst), schema_triples=df(spark, [
+            ("ex:MyClass", OWL_EQUIV_CLASS, OWL_TRANSITIVE, U, None)]))
+
+
+def test_functional_links_are_star_shaped(spark):
+    inst = [("urn:s", "ex:hq", "urn:c", U, None),
+            ("urn:s", "ex:hq", "urn:a", U, None),
+            ("urn:s", "ex:hq", "urn:b", U, None),
+            ("urn:other", "ex:hq", "urn:z", U, None)]
+    links = {tuple(r) for r in owl_key_links(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            axiom_type("ex:hq", OWL_FUNCTIONAL)])).collect()}
+    # star from the min object; the lone group emits nothing
+    assert links == {("urn:a", "urn:b"), ("urn:a", "urn:c")}
+
+
+def test_functional_skips_literal_objects(spark):
+    inst = [("urn:s", "ex:hq", "urn:a", U, None),
+            ("urn:s", "ex:hq", "HQ", "literal", None)]
+    links = {tuple(r) for r in owl_key_links(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            axiom_type("ex:hq", OWL_FUNCTIONAL)])).collect()}
+    assert links == set()
+
+
+def test_inverse_functional_literal_keys(spark):
+    # the mbox case: a literal key merges subjects, and a uri object of
+    # equal spelling is a DIFFERENT key (kind rides the grouping)
+    inst = [("urn:a", "ex:mbox", "x@y.z", "literal", None),
+            ("urn:b", "ex:mbox", "x@y.z", "literal", None),
+            ("urn:c", "ex:mbox", "x@y.z", U, None)]
+    links = {tuple(r) for r in owl_key_links(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            axiom_type("ex:mbox", OWL_INV_FUNCTIONAL)])).collect()}
+    assert links == {("urn:a", "urn:b")}
+
+
+def test_key_links_found_through_orbit(spark):
+    # p functional, p inverseOf q, data arrives in q-form only:
+    # q is inverse-functional by propagation, so the links still appear
+    inst = [("urn:o1", "ex:q", "urn:s", U, None),
+            ("urn:o2", "ex:q", "urn:s", U, None)]
+    links = {tuple(r) for r in owl_key_links(
+        df(spark, inst),
+        schema_triples=df(spark, [
+            axiom_inv("ex:p", "ex:q"),
+            axiom_type("ex:p", OWL_FUNCTIONAL)])).collect()}
+    assert links == {("urn:o1", "urn:o2")}
+
+
+def test_key_sameas_smush_composition(spark):
+    from meresco_rdf_spark.operators.owl import owl_key_sameas_triples
+    from meresco_rdf_spark.operators.sameas import sameas_canonicalize
+
+    inst = [("urn:a", "ex:mbox", "x@y.z", "literal", None),
+            ("urn:b", "ex:mbox", "x@y.z", "literal", None),
+            ("urn:a", "ex:name", "A", "literal", None),
+            ("urn:b", "ex:knows", "urn:q", U, None)]
+    schema = [axiom_type("ex:mbox", OWL_INV_FUNCTIONAL)]
+    data = df(spark, inst)
+    links = owl_key_sameas_triples(data, schema_triples=df(spark, schema))
+    out = rowset(sameas_canonicalize(data.unionByName(links)))
+    # everything collapses onto urn:a (min IRI)
+    assert ("urn:a", "ex:knows", "urn:q", U, None) in out
+    assert all(r[0] != "urn:b" for r in out)
+
+
+def test_stream_owl_maintains_class_equivalence(spark, tmp_path):
+    axioms = CHAIN_AXIOMS + [
+        ("ex:Corp", OWL_EQUIV_CLASS, "ex:Company", U, None)]
+    inst = CHAIN_INST + [("urn:1", RDF_TYPE, "ex:Corp", U, None),
+                         ("urn:2", RDF_TYPE, "ex:Company", U, None)]
+    in_dir = _write_chain_slices(spark, tmp_path, inst, n_slices=4)
+    table = _run_owl_maintenance(spark, tmp_path, in_dir, axioms,
+                                 name="cls")
+    got = {tuple(r) for r in spark.read.parquet(table).collect()}
+    batch = {tuple(r) for r in owl_closure(
+        df(spark, inst), schema_triples=df(spark, axioms)).collect()}
+    assert got == batch
+    assert ("urn:1", RDF_TYPE, "ex:Company", U, None) in got
+    assert ("urn:2", RDF_TYPE, "ex:Corp", U, None) in got
+
+
+def naive_owl_fixpoint_eq(instance, axioms):
+    """The naive chase extended with the equivalence renames."""
+    closure = naive_owl_fixpoint(instance, axioms)
+    ep, ec = set(), set()
+    for s, p, o, k, l in axioms:
+        if p == OWL_EQUIV_PROPERTY:
+            ep |= {(s, o), (o, s)}
+        elif p == OWL_EQUIV_CLASS:
+            ec |= {(s, o), (o, s)}
+    while True:
+        new = set()
+        for s, p, o, k, l in closure:
+            for a, b in ep:
+                if p == a:
+                    new.add((s, b, o, k, l))
+            if p == RDF_TYPE:
+                for a, b in ec:
+                    if o == a:
+                        new.add((s, RDF_TYPE, b, "uri", None))
+        if new <= closure:
+            return closure
+        closure |= new
+        # renames can feed inverse/symmetric/transitive rules and back
+        closure = naive_owl_fixpoint(closure, axioms)
+
+
+def test_parity_with_naive_fixpoint_equivalence(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = ["urn:n%d" % i for i in range(10)]
+    classes = ["ex:C1", "ex:C2", "ex:C3", "ex:Other"]
+    inst = []
+    for _ in range(30):
+        p = rng.choice(["ex:p", "ex:q", "ex:r", "ex:other"])
+        inst.append((rng.choice(nodes), p, rng.choice(nodes), U, None))
+    for _ in range(10):
+        inst.append((rng.choice(nodes), RDF_TYPE, rng.choice(classes),
+                     U, None))
+    axioms = [("ex:p", OWL_EQUIV_PROPERTY, "ex:q", U, None),
+              axiom_inv("ex:q", "ex:r"),
+              axiom_type("ex:r", OWL_TRANSITIVE),
+              ("ex:C1", OWL_EQUIV_CLASS, "ex:C2", U, None),
+              ("ex:C2", OWL_EQUIV_CLASS, "ex:C3", U, None)]
+    got = rowset(owl_closure(df(spark, inst),
+                             schema_triples=df(spark, axioms)))
+    want = naive_owl_fixpoint_eq(set(inst), axioms) | set(
+        tuple(a) for a in axioms)
+    assert got == want
 
 
 def test_parity_with_naive_fixpoint(spark):

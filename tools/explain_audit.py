@@ -455,6 +455,50 @@ def main() -> None:
         and "SortMergeJoin" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # owl equivalence: class rename must be a broadcast join; the orbit
+    # join stays broadcast; still exactly one dedup exchange
+    from meresco_rdf_spark.entry_queries import q_owl_equiv_entailment
+
+    oe = q_owl_equiv_entailment(spark, sf_dir)
+    oe.count()
+    p = plan_of(oe)
+    results.append(check(
+        "owl equivalence: broadcast orbit+class joins, 1 dedup shuffle",
+        p.count("BroadcastHashJoin") >= 2
+        and p.count("Exchange hashpartitioning") == 1
+        and "SortMergeJoin" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
+    # functional-key links: star emission is pure window state — no
+    # instance-instance join anywhere on the link-derivation path
+    from meresco_rdf_spark.operators.owl import owl_key_links
+
+    schema_df = spark.createDataFrame(
+        [("urn:key:acct",
+          "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+          "http://www.w3.org/2002/07/owl#InverseFunctionalProperty",
+          "uri", None),
+         ("urn:rel:homeNation",
+          "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+          "http://www.w3.org/2002/07/owl#FunctionalProperty",
+          "uri", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+    inst = spark.createDataFrame(
+        [("urn:a", "urn:key:acct", "k1", "literal", None),
+         ("urn:b", "urn:key:acct", "k1", "literal", None),
+         ("urn:s", "urn:rel:homeNation", "urn:n1", "uri", None),
+         ("urn:s", "urn:rel:homeNation", "urn:n2", "uri", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+    kl = owl_key_links(inst, schema_triples=schema_df)
+    p = plan_of(kl)
+    results.append(check(
+        "owl key links: window stars only, no joins, no python",
+        "Window" in p
+        and "Join" not in p and "CartesianProduct" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
