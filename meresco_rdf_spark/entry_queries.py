@@ -1484,6 +1484,16 @@ SELECT '<' || t1.subj || '>' || chr(9) || '"' || t2.obj_value || '"@'
 FROM triples t1
 JOIN triples t2 ON t2.subj = t1.subj AND t2.pred = '{rdfs}'
 WHERE t1.pred = '{rel_region}'""",
+    "sparql_results_xml": """
+WITH {cte}
+SELECT '<result><binding name="n"><uri>' || t1.subj || '</uri></binding>'
+    || '<binding name="nname"><literal xml:lang="en">' || t2.obj_value
+    || '</literal></binding>'
+    || '<binding name="tag"><literal>&lt;' || t2.obj_value
+    || ' &amp; co&gt;</literal></binding></result>' AS xml_line
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.subj AND t2.pred = '{rdfs}'
+WHERE t1.pred = '{rel_region}'""",
     "sparql_negated_set": """
 WITH {cte}
 SELECT t1.subj AS s,
@@ -3047,6 +3057,28 @@ def q_sparql_results_tsv(spark, sf_dir):
     return encode_tsv(sol)
 
 
+def q_sparql_results_xml(spark, sf_dir):
+    """W3C SPARQL 1.1 Results XML encode (the fourth and last results
+    format): uri / lang-literal bindings, a BIND-computed literal
+    carrying every XML special (escape path exercised), and an unbound
+    OPTIONAL variable whose ``<binding>`` element is omitted — one
+    ``<result>`` fragment per row, pure column expressions."""
+    from .sinks.sparql_xml_sink import encode_xml
+    from .sparql import sparql_select
+
+    sol = sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?nname ?tag ?pl WHERE {{
+            ?n <{rel_region}> ?r .
+            ?n rdfs:label ?nname .
+            BIND(CONCAT("<", ?nname, " & co>") AS ?tag)
+            OPTIONAL {{ ?n skos:prefLabel ?pl }}
+        }}
+    """.format(rel_region=REL_REGION))
+    return encode_xml(sol)
+
+
 def q_sparql_update_load(spark, sf_dir):
     """SPARQL 1.1 Update LOAD: a ``file:`` document IRI pulled through
     the five-format multi-source reader and re-homed INTO GRAPH — the
@@ -4119,6 +4151,7 @@ QUERIES = {
     "stream_owl_maintain": q_stream_owl_maintain,
     "sparql_results_csv": q_sparql_results_csv,
     "sparql_results_tsv": q_sparql_results_tsv,
+    "sparql_results_xml": q_sparql_results_xml,
     "sparql_update_load": q_sparql_update_load,
     "sparql_select_bgp": q_sparql_select_bgp,
     "sparql_select_bgp_stats": q_sparql_select_bgp_stats,

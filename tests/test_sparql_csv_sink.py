@@ -106,3 +106,86 @@ def test_tsv_document_and_header(spark):
     df = sol(spark, [("v", "literal", None)])
     assert results_tsv(df) == "?x\n\"v\"\n"
     assert tsv_header(["a", "b"]) == "?a\t?b"
+
+
+# --------------------------------------------------------------------------
+# XML results format (sinks/sparql_xml_sink.py)
+# --------------------------------------------------------------------------
+
+from meresco_rdf_spark.sinks.sparql_xml_sink import (  # noqa: E402
+    XML_EPILOG,
+    boolean_xml,
+    encode_xml,
+    results_xml,
+    xml_prolog,
+)
+
+
+def test_xml_term_kinds(spark):
+    df = sol(spark, [("http://ex/a", "uri", None),
+                     ("hello", "literal", None),
+                     ("bonjour", "literal", "fr"),
+                     ("_:b0", "bnode", None)])
+    got = sorted(lines(encode_xml(df)))
+    assert ('<result><binding name="x"><uri>http://ex/a</uri>'
+            "</binding></result>") in got
+    assert ('<result><binding name="x"><literal>hello</literal>'
+            "</binding></result>") in got
+    assert ('<result><binding name="x"><literal xml:lang="fr">bonjour'
+            "</literal></binding></result>") in got
+    assert ('<result><binding name="x"><bnode>_:b0</bnode>'
+            "</binding></result>") in got
+
+
+def test_xml_escapes_markup(spark):
+    df = sol(spark, [("a <b> & c", "literal", None)])
+    assert lines(encode_xml(df)) == [
+        '<result><binding name="x"><literal>a &lt;b&gt; &amp; c'
+        "</literal></binding></result>"]
+
+
+def test_xml_unbound_binding_omitted(spark):
+    df = spark.createDataFrame(
+        [("http://ex/a", "uri", None, None, None, None)],
+        "x string, x_kind string, x_lang string, "
+        "y string, y_kind string, y_lang string")
+    assert lines(encode_xml(df)) == [
+        '<result><binding name="x"><uri>http://ex/a</uri>'
+        "</binding></result>"]
+
+
+def test_xml_scalar_aggregate_is_plain_literal(spark):
+    df = spark.createDataFrame([("g", 3)], "k string, n bigint")
+    assert lines(encode_xml(df)) == [
+        '<result><binding name="k"><literal>g</literal></binding>'
+        '<binding name="n"><literal>3</literal></binding></result>']
+
+
+def test_xml_document_parses_and_roundtrips(spark):
+    from xml.etree import ElementTree as etree
+
+    df = spark.createDataFrame(
+        [("http://ex/a", "uri", None, "A <&>", "literal", "en"),
+         ("_:b", "bnode", None, None, None, None)],
+        "x string, x_kind string, x_lang string, "
+        "y string, y_kind string, y_lang string")
+    doc = etree.fromstring(results_xml(df))
+    ns = {"s": "http://www.w3.org/2005/sparql-results#"}
+    assert [v.get("name") for v in doc.findall(".//s:variable", ns)] == [
+        "x", "y"]
+    results = doc.findall(".//s:result", ns)
+    assert len(results) == 2
+    lits = doc.findall(".//s:literal", ns)
+    assert [l.text for l in lits] == ["A <&>"]
+    assert lits[0].get(
+        "{http://www.w3.org/XML/1998/namespace}lang") == "en"
+    # unbound y on the bnode row: that result has exactly one binding
+    by_count = sorted(len(r.findall("s:binding", ns)) for r in results)
+    assert by_count == [1, 2]
+    assert results_xml(df).endswith(XML_EPILOG)
+    assert xml_prolog(["a"]).startswith('<?xml version="1.0"?>')
+
+
+def test_xml_boolean_document():
+    assert "<boolean>true</boolean>" in boolean_xml(True)
+    assert "<boolean>false</boolean>" in boolean_xml(False)
