@@ -2653,6 +2653,38 @@ def q_trig_ingest(spark, sf_dir):
     return read_trig_quads(spark, write_fixture_dir(TRIG_DOCS))
 
 
+def q_jsonld_ingest(spark, sf_dir):
+    """S1 (.jsonld branch, engine extension): JSON-LD subset parse —
+    the serialization REST APIs and schema.org publishers emit.  Local
+    ``@context`` (terms, prefixes, @vocab, @base, @type:@id coercion,
+    @container:@list), value objects (datatype dropped per the
+    reference literal model), nested bnode nodes, @list desugar and a
+    named ``@graph`` block; graph labels land in ``context`` (NULL =
+    default graph).  Per-document mapInPandas (one JSON value is not
+    line-splittable).  Oracle = VALUES relation of the hand-transcribed
+    expected quads."""
+    from .sources.driver_fixtures import JSONLD_DOCS, write_fixture_dir
+    from .sources.rdf_source import read_jsonld_quads
+
+    return read_jsonld_quads(spark, write_fixture_dir(JSONLD_DOCS))
+
+
+def q_jsonld_roundtrip(spark, sf_dir):
+    """K-side .jsonld egress + S-side ingest identity: the TPC-H triples
+    view written as NDJSON expanded form (one self-contained node object
+    per statement — ZERO exchanges, JVM-exact JSON escaping via the
+    to_json slice) and parsed back through the NDJSON fallback — oracle
+    is the original triples CTE, hash-checking the full round trip."""
+    import tempfile
+
+    from .sinks.jsonld_sink import write_jsonld
+    from .sources.rdf_source import read_jsonld_quads
+
+    base = tempfile.mkdtemp(prefix="jsonld_roundtrip_")
+    write_jsonld(tpch_triples(spark, sf_dir), base, num_files=8)
+    return read_jsonld_quads(spark, base, glob="*.txt").drop("context")
+
+
 def _rdfs_onto_df(spark):
     """The 11-triple test ontology shared by the batch and streaming
     RDFS driver queries (mirrored verbatim in the oracle's VALUES)."""
@@ -3124,15 +3156,17 @@ def q_sparql_update_graphs(spark, sf_dir):
 
 
 def q_sparql_dataset_ingest(spark, sf_dir):
-    """End-to-end RDF DATASET integration: all five supported formats
-    (.rdf .nt .ttl .nq .trig) ingested from ONE directory into a unified
-    quad relation, then queried as a SPARQL dataset — per-named-graph
-    triple counts via GRAPH ?g.  Exercises that per-file provenance
-    contexts (triple formats) and intrinsic graph labels (quad formats,
-    incl. a shared label spanning .nq and .trig, and bnode graph labels)
-    are all the same thing to the GRAPH machinery.  Oracle = UNION of
-    the five hand-transcribed fixture relations, grouped the same way."""
+    """End-to-end RDF DATASET integration: all six supported formats
+    (.rdf .nt .ttl .nq .trig .jsonld) ingested from ONE directory into a
+    unified quad relation, then queried as a SPARQL dataset —
+    per-named-graph triple counts via GRAPH ?g.  Exercises that per-file
+    provenance contexts (triple formats) and intrinsic graph labels
+    (quad formats, incl. a shared label spanning .nq and .trig, and
+    bnode graph labels) are all the same thing to the GRAPH machinery.
+    Oracle = UNION of the six hand-transcribed fixture relations,
+    grouped the same way."""
     from .sources.driver_fixtures import (
+        JSONLD_DOCS,
         NQ_DOCS,
         NT_DOCS,
         RDF_DOCS,
@@ -3144,7 +3178,8 @@ def q_sparql_dataset_ingest(spark, sf_dir):
     from .sparql import sparql_select
 
     base = write_fixture_dir(
-        {**RDF_DOCS, **NT_DOCS, **TTL_DOCS, **NQ_DOCS, **TRIG_DOCS})
+        {**RDF_DOCS, **NT_DOCS, **TTL_DOCS, **NQ_DOCS, **TRIG_DOCS,
+         **JSONLD_DOCS})
     quads = read_rdf_directory(spark, base)
     return sparql_select(quads, """
         SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
@@ -3560,11 +3595,16 @@ def _driver_fixture_sql(kind: str) -> str:
 
     from .sources.driver_fixtures import EXPECTED_TTL_ROWS
 
-    from .sources.driver_fixtures import EXPECTED_NQ_ROWS, EXPECTED_TRIG_ROWS
+    from .sources.driver_fixtures import (
+        EXPECTED_JSONLD_ROWS,
+        EXPECTED_NQ_ROWS,
+        EXPECTED_TRIG_ROWS,
+    )
 
     rows = {"rdf": EXPECTED_RDF_ROWS, "nt": EXPECTED_NT_ROWS,
             "ttl": EXPECTED_TTL_ROWS, "nq": EXPECTED_NQ_ROWS,
-            "trig": EXPECTED_TRIG_ROWS}[kind]
+            "trig": EXPECTED_TRIG_ROWS,
+            "jsonld": EXPECTED_JSONLD_ROWS}[kind]
     return values_cte(rows)
 
 
@@ -4083,6 +4123,8 @@ QUERIES = {
     "rdf_ingest_dir": q_rdf_ingest_dir,
     "nt_ingest": q_nt_ingest,
     "ttl_ingest": q_ttl_ingest,
+    "jsonld_ingest": q_jsonld_ingest,
+    "jsonld_roundtrip": q_jsonld_roundtrip,
     "nq_ingest": q_nq_ingest,
     "trig_ingest": q_trig_ingest,
     "sparql_dataset_ingest": q_sparql_dataset_ingest,
@@ -4322,6 +4364,7 @@ FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, prob)""",
     "ttl_ingest": _driver_fixture_sql("ttl"),
     "nq_ingest": _driver_fixture_sql("nq"),
     "trig_ingest": _driver_fixture_sql("trig"),
+    "jsonld_ingest": _driver_fixture_sql("jsonld"),
     "sparql_dataset_ingest": """
 WITH all_quads AS (
   %s
@@ -4332,7 +4375,8 @@ SELECT context AS g,
   count(*)::BIGINT AS n
 FROM all_quads WHERE context IS NOT NULL
 GROUP BY 1, 2, 3""" % "\n  UNION ALL ".join(
-        _driver_fixture_sql(k) for k in ("rdf", "nt", "ttl", "nq", "trig")),
+        _driver_fixture_sql(k)
+        for k in ("rdf", "nt", "ttl", "nq", "trig", "jsonld")),
     "sparql_json_decode": """
 SELECT n_nationkey AS row_id, 'urn:nation:' || n_nationkey AS obj_value,
        'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang FROM nation
@@ -4350,6 +4394,9 @@ SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
     "ttl_roundtrip": _fmt("""
+WITH {cte}
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
+    "jsonld_roundtrip": _fmt("""
 WITH {cte}
 SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples"""),
     "nq_roundtrip": _fmt("""

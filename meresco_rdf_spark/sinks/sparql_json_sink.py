@@ -73,6 +73,11 @@ def head_document(variables: Sequence[str]) -> str:
                       separators=(",", ":"))
 
 
+def boolean_document(value: bool) -> str:
+    """The ASK-result document (no bindings, one boolean member)."""
+    return '{"head":{},"boolean":%s}' % ("true" if value else "false")
+
+
 def results_document(df: DataFrame,
                      variables: Optional[Sequence[str]] = None) -> str:
     """TEST-SCALE helper: collect the full W3C results document as one

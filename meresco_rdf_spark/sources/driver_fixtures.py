@@ -117,11 +117,38 @@ GRAPH <urn:graph:a> {
 graph _:g0 { <urn:t:s4> dct:title "In bnode graph" . }
 """
 
+JSONLD_DOC = """{
+  "@context": {
+    "dct": "http://purl.org/dc/terms/",
+    "title": "dct:title",
+    "rel": {"@id": "dct:relation", "@type": "@id"},
+    "subjects": {"@id": "dct:subject", "@type": "@id",
+                 "@container": "@list"},
+    "@vocab": "http://example.org/voc/",
+    "@base": "http://example.org/"
+  },
+  "@graph": [
+    {"@id": "book/1",
+     "@type": "http://xmlns.com/foaf/0.1/Document",
+     "title": "JSON-LD Title",
+     "label": {"@value": "Nederlands", "@language": "nl"},
+     "extent": {"@value": 42,
+                "@type": "http://www.w3.org/2001/XMLSchema#int"},
+     "rel": "book/2",
+     "creator": {"name": "Anon Author"}},
+    {"@id": "book/2", "subjects": ["s/a", "s/b"]},
+    {"@id": "urn:graph:a",
+     "@graph": [{"@id": "book/3", "title": "In graph A"}]}
+  ]
+}
+"""
+
 RDF_DOCS = {"doc1.rdf": DOC1, "doc2.rdf": DOC2}
 NT_DOCS = {"fixture.nt": NT_DOC}
 TTL_DOCS = {"fixture.ttl": TTL_DOC}
 NQ_DOCS = {"fixture.nq": NQ_DOC}
 TRIG_DOCS = {"fixture.trig": TRIG_DOC}
+JSONLD_DOCS = {"fixture.jsonld": JSONLD_DOC}
 
 
 def _scope(context: str) -> str:
@@ -257,6 +284,36 @@ EXPECTED_TRIG_ROWS = [
     ("urn:graph:b", _TRIG_JOE, DCTERMS + "title", "Joe", "literal", None),
     (None, "urn:t:s3", DCTERMS + "identifier", "isbn", "literal", None),
     (_TRIG_G0, "urn:t:s4", DCTERMS + "title", "In bnode graph",
+     "literal", None),
+]
+
+
+# JSON-LD fixture transcription.  context = graph label (NULL = default
+# graph); bnodes follow the per-document counter + rescoping discipline
+# (nested node object first, then the two @list cells).
+_JEX = "http://example.org/"
+_JVOC = _JEX + "voc/"
+_JB0 = _scope("file:fixture.jsonld") + ":id0"  # anonymous creator node
+_JC1 = _scope("file:fixture.jsonld") + ":id1"  # list cell 1
+_JC2 = _scope("file:fixture.jsonld") + ":id2"  # list cell 2
+
+EXPECTED_JSONLD_ROWS = [
+    (None, _JEX + "book/1", RDF + "type", FOAF + "Document", "uri", None),
+    (None, _JEX + "book/1", DCTERMS + "title", "JSON-LD Title",
+     "literal", None),
+    (None, _JEX + "book/1", _JVOC + "label", "Nederlands", "literal",
+     "nl"),
+    (None, _JEX + "book/1", _JVOC + "extent", "42", "literal", None),
+    (None, _JEX + "book/1", DCTERMS + "relation", _JEX + "book/2",
+     "uri", None),
+    (None, _JB0, _JVOC + "name", "Anon Author", "literal", None),
+    (None, _JEX + "book/1", _JVOC + "creator", _JB0, "bnode", None),
+    (None, _JEX + "book/2", DCTERMS + "subject", _JC1, "bnode", None),
+    (None, _JC1, RDF + "first", _JEX + "s/a", "uri", None),
+    (None, _JC1, RDF + "rest", _JC2, "bnode", None),
+    (None, _JC2, RDF + "first", _JEX + "s/b", "uri", None),
+    (None, _JC2, RDF + "rest", RDF + "nil", "uri", None),
+    ("urn:graph:a", _JEX + "book/3", DCTERMS + "title", "In graph A",
      "literal", None),
 ]
 

@@ -463,17 +463,91 @@ def read_trig_quads(spark: SparkSession, path: str,
     return quads.filter(F.col("error").isNull()).drop("error")
 
 
+def _parse_jsonld_documents(batches) -> Iterator:
+    """mapInPandas worker: (context, jsonld) batches -> quad rows.  Graph
+    labels (rescoped when bnodes) land in ``context``, NULL = default
+    graph — same contract as the TriG worker."""
+    import pandas as pd
+
+    from ..model import BNode
+    from ..rdfxml.jsonld import parse_jsonld_quads
+
+    for batch in batches:
+        out = {k: [] for k in ("context", "subj", "pred", "obj_value",
+                               "obj_kind", "obj_lang", "error")}
+
+        def emit(context, subj, pred, value, kind, lang, error=None):
+            out["context"].append(context)
+            out["subj"].append(subj)
+            out["pred"].append(pred)
+            out["obj_value"].append(value)
+            out["obj_kind"].append(kind)
+            out["obj_lang"].append(lang)
+            out["error"].append(error)
+
+        for file_ctx, text in zip(batch["context"], batch["jsonld"]):
+            try:
+                BNode.nextGenId = 0
+                quads = parse_jsonld_quads(text)
+                scope = "_:d" + _stable_hash(file_ctx)
+                for graph, s, p, o in quads:
+                    subj, pred, value, kind, lang = node_to_row(s, p, o)
+                    if graph is not None and graph.startswith("_:"):
+                        graph = scope + graph[1:]
+                    if subj.startswith("_:"):
+                        subj = scope + subj[1:]
+                    if kind == "bnode":
+                        value = scope + value[1:]
+                    emit(graph, subj, pred, value, kind, lang)
+            except Exception as exc:  # quarantine, don't fail the job
+                emit(file_ctx, None, None, None, "error", None,
+                     "%s: %s" % (type(exc).__name__, exc))
+        yield pd.DataFrame(out)
+
+
+def read_jsonld_quads(spark: SparkSession, path: str,
+                      keep_errors: bool = False,
+                      glob: str = "*.jsonld") -> DataFrame:
+    """JSON-LD files -> quad DataFrame: ``context`` = the ``@graph``
+    label under an ``@id`` (NULL = default graph) — the SPARQL
+    ``GRAPH``/``FROM NAMED`` quad shape, same contract as
+    ``read_trig_quads``.
+
+    Scale shape: a JSON-LD document is one JSON value, so it is NOT
+    line-splittable — parallelism comes from the file count, one
+    Arrow-batched ``mapInPandas`` over whole documents.  The NDJSON
+    shards ``sinks.jsonld_sink`` writes (one node object per line) go
+    through the same path: the parser falls back to per-line decoding,
+    so sharded corpora parallelize by shard file."""
+    docs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            F.concat(F.lit("file:"),
+                     F.element_at(F.split(F.col("path"), "/"), -1)
+                     ).alias("context"),
+            F.decode(F.col("content"), "utf-8").alias("jsonld"))
+    )
+    quads = docs.mapInPandas(
+        _parse_jsonld_documents, schema=TRIPLE_WITH_CONTEXT_SCHEMA)
+    if keep_errors:
+        return quads
+    return quads.filter(F.col("error").isNull()).drop("error")
+
+
 def read_rdf_directory(spark: SparkSession, path: str,
                        keep_errors: bool = False) -> DataFrame:
     """Mixed-extension multi-source ingest (reference ``iterRdfSources``,
     graphcomponent.py:58-80): ``.rdf`` documents through the XML parser,
     ``.nt`` files through the line parser, ``.ttl`` documents through the
-    Turtle parser, ``.nq``/``.trig`` through the quad parsers — one
-    unified quad relation.  Triple formats carry per-file provenance
-    contexts (``file:<basename>``); quad formats carry their intrinsic
-    graph labels (NULL = default graph).  Both context flavors are named
-    graphs to the SPARQL ``GRAPH`` machinery, so the union is directly
-    queryable as a dataset."""
+    Turtle parser, ``.nq``/``.trig``/``.jsonld`` through the quad
+    parsers — one unified quad relation.  Triple formats carry per-file
+    provenance contexts (``file:<basename>``); quad formats carry their
+    intrinsic graph labels (NULL = default graph).  Both context flavors
+    are named graphs to the SPARQL ``GRAPH`` machinery, so the union is
+    directly queryable as a dataset."""
     return (
         read_rdfxml_triples(spark, path, keep_errors=keep_errors)
         .unionByName(read_ntriples_triples(spark, path,
@@ -483,7 +557,9 @@ def read_rdf_directory(spark: SparkSession, path: str,
         .unionByName(read_nquads_quads(spark, path,
                                        keep_errors=keep_errors))
         .unionByName(read_trig_quads(spark, path,
-                                     keep_errors=keep_errors)))
+                                     keep_errors=keep_errors))
+        .unionByName(read_jsonld_quads(spark, path,
+                                       keep_errors=keep_errors)))
 
 
 def file_sources(directory: str) -> list[tuple[str, str, str]]:

@@ -1067,6 +1067,14 @@ class _Parser:
             elif self.at_kw("OPTIONAL"):
                 self.next()
                 group.parts.append(OptionalPattern(self.group_graph_pattern()))
+            elif self.at_kw("SERVICE"):
+                # without this a SERVICE clause dies as a generic
+                # "expected ..." — name the unsupported feature instead
+                self.fail(
+                    "SERVICE (federated query) is not supported: this "
+                    "engine evaluates against its own triple relations; "
+                    "ingest the remote data (read_rdf_directory / LOAD) "
+                    "and query it as a named graph instead")
             elif self.at_kw("GRAPH"):
                 self.next()
                 gterm = self.term(position="subject")

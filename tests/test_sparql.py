@@ -79,6 +79,13 @@ def test_parse_errors_have_positions():
         parse_query("SELECT ?s WHERE { ?s foaf:name ?n }")
 
 
+def test_service_clause_named_in_error():
+    with pytest.raises(SparqlSyntaxError, match="SERVICE .*not supported"):
+        parse_query("""SELECT ?s WHERE {
+            SERVICE <http://example.org/sparql> { ?s ?p ?o }
+        }""")
+
+
 # ---------------------------------------------------------------------------
 # compiler semantics on a small graph
 # ---------------------------------------------------------------------------

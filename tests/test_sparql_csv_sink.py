@@ -189,3 +189,13 @@ def test_xml_document_parses_and_roundtrips(spark):
 def test_xml_boolean_document():
     assert "<boolean>true</boolean>" in boolean_xml(True)
     assert "<boolean>false</boolean>" in boolean_xml(False)
+
+
+def test_json_boolean_document():
+    import json
+
+    from meresco_rdf_spark.sinks.sparql_json_sink import boolean_document
+
+    assert json.loads(boolean_document(True)) == {"head": {},
+                                                  "boolean": True}
+    assert json.loads(boolean_document(False))["boolean"] is False

@@ -393,6 +393,16 @@ def main() -> None:
         and "collect_list" not in p and "collect_set" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # JSON-LD sink: one self-contained node object per statement — pure
+    # projection like the N-Quads sink, no exchange, no Python
+    from meresco_rdf_spark.sinks.jsonld_sink import jsonld_lines
+
+    p = plan_of(jsonld_lines(quads))
+    results.append(check(
+        "jsonld sink: pure projection, no exchange",
+        "Exchange" not in p and "ArrowEvalPython" not in p
+        and "BatchEvalPython" not in p))
+
     # RDFS closure: all rule composition happens schema-side, so the
     # instance plan is 4 broadcast-join branches + exactly TWO shuffles
     # (the narrow (entity, class) dedup and the wide remainder dedup) —
