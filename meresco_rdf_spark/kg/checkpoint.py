@@ -110,15 +110,18 @@ def record_done(spark: SparkSession, manifest_path: str, bucket: int,
 
 def drop_stale_buckets(spark: SparkSession, out_dir: str,
                        manifest_path: str, live_buckets: set[int],
-                       run_id: str) -> list[int]:
-    """Delete raw_triples subtrees for buckets absent from the CURRENT
-    input (every conversation deleted, or never existed) and tombstone
-    them in the manifest.  Without this, a fully-deleted bucket's parquet
-    survives and its rows resurrect in the global phase — breaking the
-    'changed input invalidates the bucket' lineage contract."""
+                       run_id: str,
+                       roots: tuple[str, ...] = ("raw_triples",
+                                                 "label_counts")) -> list[int]:
+    """Delete per-bucket checkpoint subtrees (raw triples AND label
+    counts) for buckets absent from the CURRENT input (every conversation
+    deleted, or never existed) and tombstone them in the manifest.
+    Without this, a fully-deleted bucket's parquet survives and its rows
+    resurrect in the global phase — breaking the 'changed input
+    invalidates the bucket' lineage contract."""
     import shutil
 
-    raw_root = os.path.join(out_dir, "raw_triples")
+    raw_root = os.path.join(out_dir, roots[0])
     if not os.path.isdir(raw_root):
         return []
     stale = []
@@ -127,7 +130,10 @@ def drop_stale_buckets(spark: SparkSession, out_dir: str,
             continue
         bucket = int(name.split("=", 1)[1])
         if bucket not in live_buckets:
-            shutil.rmtree(os.path.join(raw_root, name))
+            for root in roots:
+                sub = os.path.join(out_dir, root, name)
+                if os.path.isdir(sub):
+                    shutil.rmtree(sub)
             stale.append(bucket)
     if stale:
         rows = [(b, "deleted", 0, 0, 0, "", run_id, time.time(), None)

@@ -279,6 +279,32 @@ def pipeline_triples(mentions: DataFrame, canon: DataFrame) -> DataFrame:
 
     # label triples keyed on the canonical entity (aggregations -> unique)
     counts = m.groupBy("canonical_uri", "surface").agg(F.count("*").alias("n"))
+    labels = label_triples_from_counts(counts)
+
+    return (
+        bnode_triples
+        .unionByName(conv_edges)
+        .unionByName(labels)
+        .unionByName(sameas_triples(canon))
+    )
+
+
+def label_triples_from_counts(counts: DataFrame) -> DataFrame:
+    """``(canonical_uri, surface, n)`` occurrence counts -> the per-entity
+    label triples: the globally most frequent raw surface becomes
+    ``foaf:name`` (ties broken by surface string), every other form
+    ``skos:altLabel``.
+
+    Shared by ``pipeline_triples`` (counts aggregated from the canonical
+    mention stream) and ``pipeline.run_checkpointed`` (counts re-aggregated
+    from per-bucket label-count checkpoints) so the election stays in
+    lockstep across both execution paths — the election MUST run after
+    canonicalization, on totals across the whole corpus: electing per
+    surface-form or per bucket gives merged entities several competing
+    ``foaf:name`` rows.
+
+    Two hash aggregations (both partial-aggregatable), output unique by
+    construction — no dedup shuffle."""
     best = counts.groupBy("canonical_uri").agg(
         F.min_by("surface", F.struct(
             (-F.col("n")).alias("neg"), F.col("surface"))).alias("best_surface"))
@@ -297,14 +323,7 @@ def pipeline_triples(mentions: DataFrame, canon: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("obj_lang"))
         .dropDuplicates(["subj", "obj_value"])
     )
-
-    return (
-        bnode_triples
-        .unionByName(conv_edges)
-        .unionByName(names)
-        .unionByName(alts)
-        .unionByName(sameas_triples(canon))
-    )
+    return names.unionByName(alts)
 
 
 KG_USED_TOOL = KG + "usedTool"    # conversation -> Uri(tool)
@@ -351,31 +370,3 @@ def structure_triples(transcripts: DataFrame) -> DataFrame:
     return tool_edges.unionByName(turn_counts)
 
 
-def surface_label_triples(mentions: DataFrame) -> DataFrame:
-    """Surface-entity label triples: the most frequent raw surface per
-    normalized key becomes ``foaf:name`` (the reference's top label
-    predicate, _uris.py:28-35), every other raw form ``skos:altLabel``.
-
-    One hash-agg keyed (surface_key, surface) then one keyed surface_key
-    (both partial-aggregatable; ties broken by (-count, surface))."""
-    counts = mentions.groupBy("surface_key", "surface").agg(
-        F.count("*").alias("n"))
-    best = counts.groupBy("surface_key").agg(
-        F.min_by("surface", F.struct(
-            (-F.col("n")).alias("neg"), F.col("surface"))).alias("best_surface"))
-    surf_uri = F.concat(
-        F.lit(SURFACE_URI_PREFIX), F.replace(F.col("surface_key"), F.lit(" "), F.lit("-")))
-    names = best.select(
-        surf_uri.alias("subj"), F.lit(FOAF_NAME).alias("pred"),
-        F.col("best_surface").alias("obj_value"),
-        F.lit("literal").alias("obj_kind"), F.lit(None).cast("string").alias("obj_lang"))
-    alts = (
-        counts.join(best, "surface_key")
-        .filter(F.col("surface") != F.col("best_surface"))
-        .select(
-            surf_uri.alias("subj"), F.lit(SKOS_ALTLABEL).alias("pred"),
-            F.col("surface").alias("obj_value"),
-            F.lit("literal").alias("obj_kind"),
-            F.lit(None).cast("string").alias("obj_lang"))
-    )
-    return names.unionByName(alts)

@@ -1,9 +1,10 @@
 """End-to-end KG construction pipeline (the north_star flagship).
 
 transcripts -> detect_mentions (Arrow-batched, conv-partitioned)
-            -> mention_triples + surface_label_triples (codegen fan-out)
+            -> mention_triples (codegen fan-out)
             -> canonical_surface_map (MinHash-LSH + connected components)
-            -> rewrite_triples (+ owl:sameAs provenance)
+            -> label_triples_from_counts (corpus-wide foaf:name election
+               per canonical entity) + rewrite_triples (+ owl:sameAs)
             -> [optional] materialized triple/adjacency tables + manifest
 
 ``run_pipeline`` is the lazy composition (returns DataFrames — callers
@@ -32,7 +33,11 @@ from .checkpoint import (
     pending_buckets,
     record_done,
 )
-from .extract import detect_mentions, mention_triples, surface_label_triples
+from .extract import (
+    detect_mentions,
+    label_triples_from_counts,
+    mention_triples,
+)
 from .materialize import write_adjacency_table, write_triple_table
 
 TRIPLE_COLS = ["subj", "pred", "obj_value", "obj_kind", "obj_lang"]
@@ -79,11 +84,17 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
     """Bucket-wise resumable materialization.
 
     Each conv-bucket runs the conv-local stages independently and lands in
-    its own output subtree + manifest row; canonicalization runs over the
-    union of per-bucket surfaces at the end (it is global by nature).  A
-    re-run processes only buckets whose manifest row is missing or whose
-    input fingerprint changed — the idempotency lever is that every id in
-    the pipeline is deterministic in the input rows.
+    its own output subtrees (``raw_triples/bucket=N`` mention fan-out +
+    ``label_counts/bucket=N`` surface-occurrence counts) + manifest row;
+    canonicalization AND the foaf:name/skos:altLabel election run over
+    the union of per-bucket checkpoints at the end (both are global by
+    nature — electing labels per bucket would give merged entities
+    several competing names).  A re-run processes only buckets whose
+    manifest row is missing or whose input fingerprint changed — the
+    idempotency lever is that every id in the pipeline is deterministic
+    in the input rows.  The final table is row-identical to
+    ``run_pipeline(transcripts).triples`` however the work was sliced
+    across runs (pytest-pinned).
 
     Returns summary metrics.  At sandbox scale buckets are processed in a
     driver loop (n_buckets is small); each iteration is a fully
@@ -113,13 +124,26 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
         # populated cache lets those branches race and re-run the Arrow
         # extraction (same race run_pipeline pre-empts with count())
         n_mentions = mentions.count()
-        triples = (
-            mention_triples(mentions)
-            .unionByName(surface_label_triples(mentions))
-            .dropDuplicates(TRIPLE_COLS)
-        )
+        # per-bucket raw triples = the mention fan-out only.  Bnode-subject
+        # rows are unique by construction (conv-scoped sha1 bnodes, one row
+        # per predicate); the conv->surface kg:mentions edges repeat per
+        # mention, so only they pay a (narrow) dedup.  Label election is
+        # NOT bucket-local: the foaf:name/skos:altLabel choice needs
+        # corpus-wide counts per CANONICAL entity, so each bucket
+        # checkpoints its (surface_key, surface, n) counts and the global
+        # phase elects after canonicalization (label_triples_from_counts
+        # — the exact aggregation run_pipeline uses).
+        raw = mention_triples(mentions)
+        bnode_rows = raw.filter(F.col("subj").startswith("_:"))
+        edge_rows = (raw.filter(~F.col("subj").startswith("_:"))
+                     .dropDuplicates(["subj", "obj_value"]))
+        triples = bnode_rows.unionByName(edge_rows)
         bucket_path = os.path.join(out_dir, "raw_triples", "bucket=%d" % bucket)
         triples.write.mode("overwrite").parquet(bucket_path)
+        label_counts = mentions.groupBy("surface_key", "surface").agg(
+            F.count("*").alias("n"))
+        label_counts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "label_counts", "bucket=%d" % bucket))
         n_triples = spark.read.parquet(bucket_path).count()
         mentions.unpersist()
         n_turns, fingerprint = fps.get(bucket, (0, ""))
@@ -159,22 +183,34 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
         }
     raw = spark.read.parquet(raw_root)
     raw_cols = raw.select(*TRIPLE_COLS)
-    surfaces = (
-        raw_cols.filter(F.col("subj").startswith("urn:surface:"))
-        .select(
-            F.replace(
-                F.expr("substring(subj, %d)" % (len("urn:surface:") + 1)),
-                F.lit("-"), F.lit(" ")).alias("surface_key"))
-        .dropDuplicates(["surface_key"])
-    )
+    # surface keys come from the label-count checkpoints VERBATIM — never
+    # reverse-engineered from the urn:surface: slug, whose '-' for ' '
+    # substitution is lossy for keys that themselves contain hyphens
+    # ('m-curie' and 'm curie' share a slug)
+    label_counts = spark.read.parquet(os.path.join(out_dir, "label_counts"))
+    surfaces = label_counts.select("surface_key").dropDuplicates(
+        ["surface_key"])
     canon = canonical_surface_map(surfaces, threshold=jaccard_threshold).persist()
+    # corpus-wide label election per canonical entity: re-aggregate the
+    # per-bucket counts (partial sums -> one narrow exchange), map keys to
+    # canonical entities through the broadcast map, elect via the same
+    # helper run_pipeline uses — both paths emit identical label rows
+    canon_b = F.broadcast(canon.select("surface_key", "canonical_uri"))
+    entity_counts = (
+        label_counts.groupBy("surface_key", "surface").agg(
+            F.sum("n").alias("n"))
+        .join(canon_b, "surface_key")
+        .groupBy("canonical_uri", "surface").agg(F.sum("n").alias("n"))
+    )
+    labels = label_triples_from_counts(entity_counts)
     # selective dedup: bnode-subject triples (the overwhelming majority —
     # 6 rows per mention) are unique by construction (bnode ids are
     # conv-scoped sha1s, convs never span buckets, one row per predicate),
-    # so only the non-bnode fraction (surface labels + conv edges +
-    # sameAs — repeated across buckets) pays the full-width dedup
-    # shuffle.  At corpus scale this shrinks the global exchange from
-    # O(all triples) to O(labels + edges).
+    # so only the non-bnode fraction (conv edges + sameAs — mergeable
+    # across surfaces after rewrite) pays the dedup shuffle; label rows
+    # are unique by construction (aggregation output) and skip it too.
+    # At corpus scale this shrinks the global exchange from O(all triples)
+    # to O(edges).
     rewritten = (
         rewrite_triples(raw_cols, canon, dedup=False)
         .unionByName(sameas_triples(canon))
@@ -184,7 +220,7 @@ def run_checkpointed(spark: SparkSession, transcripts: DataFrame,
         rewritten.filter(~F.col("subj").startswith("_:"))
         .dropDuplicates(TRIPLE_COLS)
     )
-    final = bnode_part.unionByName(rest)
+    final = bnode_part.unionByName(rest).unionByName(labels)
     write_triple_table(final, os.path.join(out_dir, "triples"),
                        buckets=table_buckets)
     write_adjacency_table(final, os.path.join(out_dir, "adjacency"),

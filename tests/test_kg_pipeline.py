@@ -23,10 +23,11 @@ from meresco_rdf_spark.kg.extract import (
     KG_SURFACE,
     OA_ANNOTATION,
     RDF_TYPE,
+    SKOS_ALTLABEL,
     detect_mentions,
+    label_triples_from_counts,
     mention_triples,
     normalize_surface,
-    surface_label_triples,
 )
 from meresco_rdf_spark.kg.materialize import adjacency, write_triple_table
 from meresco_rdf_spark.kg.pipeline import (
@@ -136,15 +137,34 @@ class TestMentionTriples:
         assert one == two  # re-run identical (resume idempotency)
         assert len(one) == 2  # distinct per conversation scope
 
-    def test_surface_labels_prefer_most_frequent_form(self, spark):
-        t = make_transcripts(spark, [
-            ("c1", 0, "Marie Curie and Marie Curie met."),
-            ("c2", 0, "Curie, Marie wrote."),
-        ])
-        m = detect_mentions(t)
+    def test_label_election_prefers_most_frequent_form(self, spark):
+        counts = spark.createDataFrame(
+            [("urn:e1", "Marie Curie", 2), ("urn:e1", "Curie, Marie", 1),
+             ("urn:e1", "Aurie", 2), ("urn:e2", "Solo", 1)],
+            "canonical_uri string, surface string, n long")
         rows = {(r.subj, r.pred, r.obj_value)
-                for r in surface_label_triples(m).collect()}
-        assert ("urn:surface:marie-curie", FOAF_NAME, "Marie Curie") in rows
+                for r in label_triples_from_counts(counts).collect()}
+        # count 2 beats count 1; the 2-2 tie breaks on the surface string
+        assert ("urn:e1", FOAF_NAME, "Aurie") in rows
+        assert ("urn:e1", SKOS_ALTLABEL, "Marie Curie") in rows
+        assert ("urn:e1", SKOS_ALTLABEL, "Curie, Marie") in rows
+        assert ("urn:e2", FOAF_NAME, "Solo") in rows
+        assert len(rows) == 4
+
+    def test_checkpointed_equals_single_shot_pipeline(self, spark, tmp_path):
+        """The resumable path must be ROW-IDENTICAL to run_pipeline
+        however the work is sliced: labels especially — per-bucket
+        election would give merged entities competing foaf:name rows."""
+        t = synthesize_transcripts(spark, 40, 6)
+        out = str(tmp_path / "kg")
+        half = t.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+        run_checkpointed(spark, half, out, n_buckets=4, table_buckets=4)
+        run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
+        final = spark.read.parquet(
+            os.path.join(out, "triples")).drop("subj_bucket")
+        pipe = run_pipeline(t).triples
+        assert final.exceptAll(pipe).count() == 0
+        assert pipe.exceptAll(final).count() == 0
 
 
 class TestCanonicalize:
