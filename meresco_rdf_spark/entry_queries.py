@@ -3728,6 +3728,78 @@ def q_kg_e2e_sparql(spark, sf_dir):
     """)
 
 
+def q_kg_checkpoint_resume(spark, sf_dir):
+    """North-rule resumability proven at query time ('resumable from
+    per-partition checkpoints carrying lineage and triple-count metrics'):
+    the checkpointed pipeline first runs over the even-hash HALF of the
+    conversations, then resumes over the FULL input against the same
+    output directory.  Because mod-4 bucket ids determine mod-2 parity,
+    run 1 fills exactly buckets {0, 2} and the resume must skip both
+    (their input fingerprints are unchanged) and process only {1, 3} —
+    asserted in-query from the run metrics, so a broken resume turns the
+    row red.  The returned frame is the final ON-DISK triple table, which
+    the oracle pins to the committed golden of the single-shot pipeline:
+    resume slicing must not change a single row."""
+    import os
+    import tempfile
+
+    from .kg.pipeline import run_checkpointed
+
+    t = _synth_transcripts(spark)
+    half = t.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    out = os.path.join(tempfile.mkdtemp(prefix="kg_ckpt_"), "kg")
+    r1 = run_checkpointed(spark, half, out, n_buckets=4, table_buckets=4)
+    r2 = run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
+    if r1["buckets_processed"] != 2 or r2["buckets_processed"] != 2 \
+            or r2["buckets_skipped"] != 2:
+        raise AssertionError(
+            "resume did not skip completed buckets: run1=%s run2=%s"
+            % (r1, r2))
+    return spark.read.parquet(os.path.join(out, "triples")).drop("subj_bucket")
+
+
+def q_kg_shacl_report(spark, sf_dir):
+    """SHACL-core validation over the pipeline-built KG: the shapes graph
+    is authored in standard SHACL/Turtle, parsed by our own Turtle parser
+    (shapes_from_graph), and compiled to the declarative plan of
+    operators/shacl.py.  The mention-annotation shape conforms (its
+    branches return empty — the oracle computes them too, so emptiness is
+    checked, not assumed); the entity shape flags lang-less foaf:name
+    labels (languageIn) and multi-altLabel entities (maxCount).  Oracle =
+    the same constraint algebra in SQL over the committed golden."""
+    from .operators.shacl import shapes_from_graph, validate
+    from .rdfxml.turtle import iter_turtle
+
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix kg: <http://data.example.org/kg#> .
+    @prefix oa: <http://www.w3.org/ns/oa#> .
+    @prefix foaf: <http://xmlns.com/foaf/0.1/> .
+    @prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+
+    <urn:shape:Annotation> a sh:NodeShape ;
+      sh:targetClass oa:Annotation ;
+      sh:property [ sh:path kg:candidate ; sh:minCount 1 ; sh:maxCount 1 ;
+                    sh:nodeKind sh:IRI ; sh:pattern "^urn:surface:" ] ;
+      sh:property [ sh:path kg:score ; sh:minCount 1 ; sh:maxCount 1 ;
+                    sh:nodeKind sh:Literal ;
+                    sh:pattern "^[0-9]+[.][0-9]$" ] ;
+      sh:property [ sh:path kg:conversation ; sh:minCount 1 ;
+                    sh:maxCount 1 ; sh:nodeKind sh:IRI ] ;
+      sh:property [ sh:path kg:turn ; sh:minCount 1 ; sh:maxCount 1 ] .
+
+    <urn:shape:Entity> a sh:NodeShape ;
+      sh:targetSubjectsOf foaf:name ;
+      sh:property [ sh:path foaf:name ; sh:minCount 1 ; sh:maxCount 1 ;
+                    sh:languageIn ("en" "nl") ] ;
+      sh:property [ sh:path skos:altLabel ; sh:maxCount 1 ] ;
+      sh:property [ sh:path owl:sameAs ; sh:nodeKind sh:IRI ] .
+    """
+    return validate(_pipeline_result(spark).triples,
+                    shapes_from_graph(iter_turtle(shapes_ttl)))
+
+
 def q_kg_rdfxml_shards(spark, sf_dir):
     """K1 distributed: serialize the pipeline's per-conversation triple
     closures to RDF/XML shards (deterministic serializer, fixture-parity
@@ -4110,6 +4182,8 @@ QUERIES = {
     "kg_canonical_map": q_kg_canonical_map,
     "kg_entity_labels": q_kg_entity_labels,
     "kg_rdfxml_shards": q_kg_rdfxml_shards,
+    "kg_checkpoint_resume": q_kg_checkpoint_resume,
+    "kg_shacl_report": q_kg_shacl_report,
     "stream_mention_rate": q_stream_mention_rate,
     "kg_sparql_entities": q_kg_sparql_entities,
     "kg_structure_triples": q_kg_structure_triples,
@@ -4492,6 +4566,103 @@ FROM named
 LEFT JOIN supplier ON named.g = 'urn:graph:supp'
   AND named.s = 'urn:supp:' || supplier.s_suppkey
 WHERE named.n LIKE '%7'"""
+
+# checkpoint/resume: the final on-disk table after a half-then-full
+# resumable run must be ROW-IDENTICAL to the single-shot pipeline's
+# committed golden — resume slicing must not change a single row
+ORACLES["kg_checkpoint_resume"] = (
+    "SELECT * FROM read_parquet('/root/repo/tests/golden/kg_triples.parquet')")
+
+# SHACL report: the same constraint algebra in SQL over the committed
+# golden — every declared branch is recomputed (focus resolution, value
+# join, per-value checks, zero-case-aware cardinality), so conforming
+# branches are CHECKED empty rather than assumed
+ORACLES["kg_shacl_report"] = """
+WITH g AS (
+  SELECT * FROM read_parquet('/root/repo/tests/golden/kg_triples.parquet')
+),
+focus AS (
+  SELECT 'urn:shape:Annotation' AS shape_id, subj AS focus FROM g
+   WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+     AND obj_value = 'http://www.w3.org/ns/oa#Annotation'
+  UNION ALL
+  SELECT DISTINCT 'urn:shape:Entity', subj FROM g
+   WHERE pred = 'http://xmlns.com/foaf/0.1/name'
+),
+props(shape_id, path, min_count, max_count) AS (VALUES
+  ('urn:shape:Annotation', 'http://data.example.org/kg#candidate',    1, 1),
+  ('urn:shape:Annotation', 'http://data.example.org/kg#score',        1, 1),
+  ('urn:shape:Annotation', 'http://data.example.org/kg#conversation', 1, 1),
+  ('urn:shape:Annotation', 'http://data.example.org/kg#turn',         1, 1),
+  ('urn:shape:Entity', 'http://xmlns.com/foaf/0.1/name',              1, 1),
+  ('urn:shape:Entity', 'http://www.w3.org/2004/02/skos/core#altLabel',
+   NULL, 1)
+),
+vals AS (
+  SELECT f.shape_id, f.focus, g.pred AS path,
+         g.obj_value, g.obj_kind, g.obj_lang
+  FROM g JOIN focus f ON g.subj = f.focus
+  WHERE (f.shape_id = 'urn:shape:Annotation' AND g.pred IN (
+           'http://data.example.org/kg#candidate',
+           'http://data.example.org/kg#score',
+           'http://data.example.org/kg#conversation',
+           'http://data.example.org/kg#turn'))
+     OR (f.shape_id = 'urn:shape:Entity' AND g.pred IN (
+           'http://xmlns.com/foaf/0.1/name',
+           'http://www.w3.org/2004/02/skos/core#altLabel',
+           'http://www.w3.org/2002/07/owl#sameAs'))
+),
+value_viol AS (
+  SELECT shape_id, focus, path, 'nodeKind' AS "constraint",
+         obj_value AS "value"
+  FROM vals
+  WHERE (shape_id = 'urn:shape:Annotation'
+         AND path IN ('http://data.example.org/kg#candidate',
+                      'http://data.example.org/kg#conversation')
+         AND obj_kind <> 'uri')
+     OR (shape_id = 'urn:shape:Annotation'
+         AND path = 'http://data.example.org/kg#score'
+         AND obj_kind <> 'literal')
+     OR (shape_id = 'urn:shape:Entity'
+         AND path = 'http://www.w3.org/2002/07/owl#sameAs'
+         AND obj_kind <> 'uri')
+  UNION ALL
+  SELECT shape_id, focus, path, 'pattern', obj_value FROM vals
+  WHERE shape_id = 'urn:shape:Annotation'
+    AND ((path = 'http://data.example.org/kg#candidate'
+          AND (obj_kind = 'bnode'
+               OR NOT regexp_matches(obj_value, '^urn:surface:')))
+      OR (path = 'http://data.example.org/kg#score'
+          AND (obj_kind = 'bnode'
+               OR NOT regexp_matches(obj_value, '^[0-9]+[.][0-9]$'))))
+  UNION ALL
+  SELECT shape_id, focus, path, 'languageIn', obj_value FROM vals
+  WHERE shape_id = 'urn:shape:Entity'
+    AND path = 'http://xmlns.com/foaf/0.1/name'
+    AND NOT (obj_kind = 'literal'
+             AND COALESCE(obj_lang IN ('en', 'nl'), FALSE))
+),
+counts AS (
+  SELECT shape_id, focus, path, count(*) AS cnt
+  FROM vals GROUP BY shape_id, focus, path
+),
+card AS (
+  SELECT f.shape_id, f.focus, p.path,
+         COALESCE(c.cnt, 0) AS cnt, p.min_count, p.max_count
+  FROM focus f
+  JOIN props p ON p.shape_id = f.shape_id
+  LEFT JOIN counts c
+    ON c.shape_id = f.shape_id AND c.focus = f.focus AND c.path = p.path
+),
+card_viol AS (
+  SELECT shape_id, focus, path, 'minCount' AS "constraint",
+         CAST(cnt AS VARCHAR) AS "value"
+  FROM card WHERE cnt < min_count
+  UNION ALL
+  SELECT shape_id, focus, path, 'maxCount', CAST(cnt AS VARCHAR)
+  FROM card WHERE cnt > max_count
+)
+SELECT * FROM value_viol UNION ALL SELECT * FROM card_viol"""
 
 # UPDATE LOAD: the tpch quad relation UNION the fixture rows re-homed
 # into the destination graph (set semantics)

@@ -1,0 +1,385 @@
+"""SHACL-core validation over the distributed triple relation.
+
+The data-quality gate a KG construction pipeline runs before publishing:
+shapes declare what well-formed entities look like (cardinalities, node
+kinds, value patterns, class membership), the validator emits a
+violations report.  Engine extension — the reference has no validation
+counterpart — covering the SHACL-core constraint subset that is
+meaningful under the reference's literal model (no datatypes on
+literals, SURVEY.md §1.2):
+
+- targets:     ``sh:targetClass``, ``sh:targetSubjectsOf``
+- cardinality: ``sh:minCount``, ``sh:maxCount``
+- node kind:   ``sh:nodeKind`` (sh:IRI / sh:Literal / sh:BlankNode)
+- values:      ``sh:pattern``, ``sh:in``, ``sh:hasValue``, ``sh:class``
+- languages:   ``sh:languageIn``, ``sh:uniqueLang``
+
+Anything else in a shapes graph raises ``ShaclUnsupported`` loudly
+(same boundary discipline as ``operators/owl.py``): a constraint that
+is silently ignored is a validator that lies.
+
+Shapes are control-plane data (a shapes graph is KB-sized — authored by
+hand, never derived from the corpus), so they arrive either as Python
+dicts or as a SHACL shapes graph parsed by ``shapes_from_graph`` (which
+accepts the in-memory triple stream of our own Turtle/RDF-XML parsers
+and walks ``rdf:first/rest`` lists driver-side).
+
+Scale shape of ``validate`` — everything is literal-driven and
+single-pass per constraint family, sized for a corpus-scale triple
+table and a KB-scale shapes set:
+
+1. focus resolution: one pass over the (pushdown-filtered) rdf:type /
+   path slices per target — no dedup for ``targetClass`` (the triple
+   relation has set semantics, so one typing row per subject), one
+   narrow dedup for ``targetSubjectsOf``;
+2. value collection: ONE join of the path-filtered triples onto the
+   focus relation, keyed subj — co-located on a subj-bucketed table;
+3. value-level constraints (nodeKind/pattern/in/languageIn): a single
+   projection over the joined relation — per row, an array of failed
+   constraint names built from a literal when-chain, exploded; NO
+   per-constraint scan, no exchange;
+4. count-level constraints (min/max/hasValue): one partial-aggregatable
+   groupBy (shape, focus, path); the zero-count case (minCount/hasValue
+   over absent paths) comes from a left join of the BROADCAST literal
+   expectation relation cross the focus set — never a scan of the
+   corpus;
+5. ``sh:class``: one extra join of the class-constrained value slice
+   against the rdf:type slice (anti-join semantics via left + null
+   filter); ``sh:uniqueLang``: one extra narrow groupBy including the
+   lang column, only when declared.
+
+``sh:class`` checks DIRECT rdf:type rows; run ``operators.rdfs_closure``
+first for rdfs:subClassOf semantics (SHACL's "SHACL instance of").
+
+Report columns: ``shape_id, focus, path, constraint, value`` — value is
+the offending term for value-level constraints and the stringified
+count for cardinality constraints.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+SH = "http://www.w3.org/ns/shacl#"
+SH_NODE_SHAPE = SH + "NodeShape"
+_NODE_KINDS = {SH + "IRI": "uri", SH + "Literal": "literal",
+               SH + "BlankNode": "bnode"}
+
+REPORT_COLS = ["shape_id", "focus", "path", "constraint", "value"]
+
+_PROP_KEYS = ("path", "min_count", "max_count", "node_kind", "pattern",
+              "in", "class", "has_value", "language_in", "unique_lang")
+
+
+class ShaclUnsupported(ValueError):
+    """A shapes-graph construct outside the supported SHACL-core subset."""
+
+
+# --------------------------------------------------------------------------
+# shapes-graph parsing (driver-side; shapes graphs are KB-sized)
+# --------------------------------------------------------------------------
+
+def _term(node) -> tuple:
+    """Model node -> (value, kind, lang)."""
+    kind = type(node).__name__.lower()
+    if kind == "bnode":
+        return node.value, "bnode", None
+    if kind == "literal":
+        return node.value, "literal", getattr(node, "lang", None)
+    return node.value, "uri", None
+
+
+def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
+    """Parse a SHACL shapes graph into validate()'s shape dicts.
+
+    Accepts the ``(subj, pred, node)`` stream our pure parsers yield
+    (``iter_turtle`` / ``parse_rdfxml(...).triples()``).  Shapes are
+    subjects typed ``sh:NodeShape``; constraint kinds outside the
+    supported subset raise ``ShaclUnsupported``."""
+    by_subj: dict = {}
+    for s, p, o in shape_triples:
+        by_subj.setdefault(s, []).append((p, _term(o)))
+
+    def rdf_list(head: str) -> List[str]:
+        out: List[str] = []
+        node = head
+        while node != RDF_NIL:
+            entries = dict(by_subj.get(node, []))
+            if RDF_FIRST not in entries:
+                raise ShaclUnsupported("malformed RDF list at %s" % node)
+            out.append(entries[RDF_FIRST][0])
+            node = entries.get(RDF_REST, (RDF_NIL,))[0]
+        return out
+
+    shapes = []
+    for subj, po in by_subj.items():
+        if (RDF_TYPE, (SH_NODE_SHAPE, "uri", None)) not in po:
+            continue
+        shape = {"id": subj, "properties": []}
+        for p, (val, kind, _lang) in po:
+            if p == RDF_TYPE:
+                continue
+            elif p == SH + "targetClass":
+                shape["target_class"] = val
+            elif p == SH + "targetSubjectsOf":
+                shape["target_subjects_of"] = val
+            elif p == SH + "property":
+                shape["properties"].append(_parse_property(by_subj, val, rdf_list))
+            else:
+                raise ShaclUnsupported("unsupported shape predicate %s" % p)
+        if "target_class" not in shape and "target_subjects_of" not in shape:
+            raise ShaclUnsupported("shape %s declares no target" % subj)
+        shapes.append(shape)
+    if not shapes:
+        raise ShaclUnsupported("shapes graph contains no sh:NodeShape")
+    return shapes
+
+
+def _parse_property(by_subj: dict, node: str, rdf_list) -> dict:
+    prop: dict = {}
+    for p, (val, kind, _lang) in by_subj.get(node, []):
+        if p == SH + "path":
+            if kind != "uri":
+                raise ShaclUnsupported(
+                    "only IRI paths are supported (got %s)" % val)
+            prop["path"] = val
+        elif p == SH + "minCount":
+            prop["min_count"] = int(val)
+        elif p == SH + "maxCount":
+            prop["max_count"] = int(val)
+        elif p == SH + "nodeKind":
+            if val not in _NODE_KINDS:
+                raise ShaclUnsupported("unsupported sh:nodeKind %s" % val)
+            prop["node_kind"] = _NODE_KINDS[val]
+        elif p == SH + "pattern":
+            prop["pattern"] = val
+        elif p == SH + "in":
+            prop["in"] = rdf_list(val)
+        elif p == SH + "class":
+            prop["class"] = val
+        elif p == SH + "hasValue":
+            prop["has_value"] = val
+        elif p == SH + "languageIn":
+            prop["language_in"] = rdf_list(val)
+        elif p == SH + "uniqueLang":
+            prop["unique_lang"] = val == "true"
+        else:
+            raise ShaclUnsupported("unsupported property constraint %s" % p)
+    if "path" not in prop:
+        raise ShaclUnsupported("property shape %s has no sh:path" % node)
+    return prop
+
+
+def _check_shapes(shapes: List[dict]) -> None:
+    for shape in shapes:
+        if not shape.get("id"):
+            raise ShaclUnsupported("shape without id")
+        unknown = set(shape) - {"id", "target_class", "target_subjects_of",
+                                "properties"}
+        if unknown:
+            raise ShaclUnsupported(
+                "unsupported shape keys %s in %s"
+                % (sorted(unknown), shape["id"]))
+        if not shape.get("target_class") and not shape.get("target_subjects_of"):
+            raise ShaclUnsupported("shape %s declares no target" % shape["id"])
+        for prop in shape.get("properties", ()):
+            unknown = set(prop) - set(_PROP_KEYS)
+            if unknown:
+                raise ShaclUnsupported(
+                    "unsupported constraint keys %s in shape %s"
+                    % (sorted(unknown), shape["id"]))
+            if not prop.get("path"):
+                raise ShaclUnsupported("property without path in %s" % shape["id"])
+
+
+# --------------------------------------------------------------------------
+# validation
+# --------------------------------------------------------------------------
+
+def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
+             ) -> DataFrame:
+    """Violations report for ``shapes`` over the triple relation (empty
+    frame = conforms).  See the module docstring for the plan shape."""
+    if not isinstance(shapes, list) or (shapes and not isinstance(shapes[0], dict)):
+        shapes = shapes_from_graph(shapes)
+    _check_shapes(shapes)
+    spark = triples.sparkSession
+
+    # -- focus resolution ---------------------------------------------------
+    focus_parts = []
+    for shape in shapes:
+        sid = F.lit(shape["id"]).alias("shape_id")
+        if shape.get("target_class"):
+            focus_parts.append(
+                triples.filter(
+                    (F.col("pred") == RDF_TYPE)
+                    & (F.col("obj_value") == shape["target_class"]))
+                .select(sid, F.col("subj").alias("focus")))
+        else:
+            focus_parts.append(
+                triples.filter(F.col("pred") == shape["target_subjects_of"])
+                .select(sid, F.col("subj").alias("focus"))
+                .dropDuplicates(["shape_id", "focus"]))
+    focus = focus_parts[0]
+    for part in focus_parts[1:]:
+        focus = focus.unionByName(part)
+
+    # -- value collection: one subj-keyed join ------------------------------
+    declared = [(shape["id"], prop) for shape in shapes
+                for prop in shape.get("properties", ())]
+    all_paths = sorted({prop["path"] for _, prop in declared})
+    in_scope = None
+    for sid, prop in declared:
+        cond = (F.col("shape_id") == sid) & (F.col("pred") == prop["path"])
+        in_scope = cond if in_scope is None else (in_scope | cond)
+    vals = (
+        triples.filter(F.col("pred").isin(all_paths))
+        .join(focus, triples["subj"] == focus["focus"])
+        .filter(in_scope)
+        .select("shape_id", "focus", F.col("pred").alias("path"),
+                "obj_value", "obj_kind", "obj_lang")
+    )
+
+    reports = []
+
+    # -- value-level constraints: one projection, no exchange ---------------
+    fail_branches = []
+    for sid, prop in declared:
+        here = (F.col("shape_id") == sid) & (F.col("path") == prop["path"])
+        if prop.get("node_kind"):
+            fail_branches.append(F.when(
+                here & (F.col("obj_kind") != prop["node_kind"]),
+                F.lit("nodeKind")))
+        if prop.get("pattern"):
+            fail_branches.append(F.when(
+                here & ((F.col("obj_kind") == "bnode")
+                        | ~F.col("obj_value").rlike(prop["pattern"])),
+                F.lit("pattern")))
+        if prop.get("in") is not None:
+            fail_branches.append(F.when(
+                here & ~F.col("obj_value").isin(prop["in"]),
+                F.lit("in")))
+        if prop.get("language_in") is not None:
+            # coalesce: a lang-less literal has obj_lang NULL, and
+            # NULL.isin(...) is NULL — which a bare when() would silently
+            # skip instead of flagging
+            ok_lang = (F.col("obj_kind") == "literal") & F.coalesce(
+                F.col("obj_lang").isin(prop["language_in"]), F.lit(False))
+            fail_branches.append(F.when(here & ~ok_lang, F.lit("languageIn")))
+    if fail_branches:
+        reports.append(
+            vals.select(
+                "shape_id", "focus", "path",
+                F.col("obj_value").alias("value"),
+                F.explode(F.array_compact(
+                    F.array(*fail_branches))).alias("constraint"))
+            .select(*REPORT_COLS))
+
+    # -- cardinality + hasValue: one groupBy, zero-case via broadcast -------
+    expect_rows = [
+        (sid, prop["path"], prop.get("min_count"), prop.get("max_count"),
+         prop.get("has_value"))
+        for sid, prop in declared
+        if prop.get("min_count") is not None
+        or prop.get("max_count") is not None
+        or prop.get("has_value") is not None
+    ]
+    if expect_rows:
+        expected = F.broadcast(spark.createDataFrame(
+            expect_rows,
+            "shape_id string, path string, min_count int, max_count int, "
+            "has_value string"))
+        hit_exprs = None
+        for sid, prop in declared:
+            if prop.get("has_value") is None:
+                continue
+            cond = ((F.col("shape_id") == sid)
+                    & (F.col("path") == prop["path"])
+                    & (F.col("obj_value") == prop["has_value"]))
+            hit_exprs = cond if hit_exprs is None else (hit_exprs | cond)
+        counts = vals.groupBy("shape_id", "focus", "path").agg(
+            F.count("*").alias("cnt"),
+            F.max((hit_exprs if hit_exprs is not None else F.lit(False))
+                  .cast("int")).alias("has_hit"))
+        per_focus = (
+            focus.join(expected, "shape_id")
+            .join(counts, ["shape_id", "focus", "path"], "left")
+            .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+            .withColumn("has_hit", F.coalesce(F.col("has_hit"), F.lit(0)))
+        )
+        card = per_focus.select(
+            "shape_id", "focus", "path",
+            F.col("cnt").cast("string").alias("value"),
+            F.explode(F.array_compact(F.array(
+                F.when(F.col("cnt") < F.col("min_count"), F.lit("minCount")),
+                F.when(F.col("cnt") > F.col("max_count"), F.lit("maxCount")),
+                F.when(F.col("has_value").isNotNull() & (F.col("has_hit") == 0),
+                       F.lit("hasValue")),
+            ))).alias("constraint"))
+        reports.append(card.select(*REPORT_COLS))
+
+    # -- sh:class: one join against the rdf:type slice ----------------------
+    class_cond, class_expr = None, F.lit(None).cast("string")
+    for sid, prop in declared:
+        if prop.get("class") is None:
+            continue
+        here = (F.col("shape_id") == sid) & (F.col("path") == prop["path"])
+        class_cond = here if class_cond is None else (class_cond | here)
+        class_expr = F.when(here, F.lit(prop["class"])).otherwise(class_expr)
+    if class_cond is not None:
+        cvals = vals.filter(class_cond).withColumn("want_class", class_expr)
+        typed = triples.filter(F.col("pred") == RDF_TYPE).select(
+            F.col("subj").alias("inst"), F.col("obj_value").alias("cls_of"))
+        missing = (
+            cvals.join(
+                typed,
+                (cvals["obj_value"] == typed["inst"])
+                & (cvals["want_class"] == typed["cls_of"]),
+                "left")
+            .filter(F.col("inst").isNull()
+                    | (F.col("obj_kind") == "literal"))
+            .select("shape_id", "focus", "path",
+                    F.col("obj_value").alias("value"),
+                    F.lit("class").alias("constraint"))
+        )
+        reports.append(missing.select(*REPORT_COLS))
+
+    # -- sh:uniqueLang: narrow lang-keyed groupBy, only when declared -------
+    ul_cond = None
+    for sid, prop in declared:
+        if not prop.get("unique_lang"):
+            continue
+        here = (F.col("shape_id") == sid) & (F.col("path") == prop["path"])
+        ul_cond = here if ul_cond is None else (ul_cond | here)
+    if ul_cond is not None:
+        dup_langs = (
+            vals.filter(ul_cond & (F.col("obj_kind") == "literal")
+                        & F.col("obj_lang").isNotNull())
+            .groupBy("shape_id", "focus", "path", "obj_lang")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .select("shape_id", "focus", "path",
+                    F.col("obj_lang").alias("value"),
+                    F.lit("uniqueLang").alias("constraint"))
+        )
+        reports.append(dup_langs.select(*REPORT_COLS))
+
+    if not reports:
+        return spark.createDataFrame(
+            [], ", ".join("%s string" % c for c in REPORT_COLS))
+    out = reports[0]
+    for part in reports[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def conforms(triples: DataFrame, shapes) -> bool:
+    """True when the report is empty (control-plane limit-1 probe)."""
+    return validate(triples, shapes).isEmpty()
