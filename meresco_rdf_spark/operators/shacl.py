@@ -8,11 +8,17 @@ counterpart — covering the SHACL-core constraint subset that is
 meaningful under the reference's literal model (no datatypes on
 literals, SURVEY.md §1.2):
 
-- targets:     ``sh:targetClass``, ``sh:targetSubjectsOf``
+- targets:     ``sh:targetClass``, ``sh:targetSubjectsOf``,
+               ``sh:targetObjectsOf``, ``sh:targetNode``
 - cardinality: ``sh:minCount``, ``sh:maxCount``
-- node kind:   ``sh:nodeKind`` (sh:IRI / sh:Literal / sh:BlankNode)
-- values:      ``sh:pattern``, ``sh:in``, ``sh:hasValue``, ``sh:class``
+- node kind:   ``sh:nodeKind`` (sh:IRI / sh:Literal / sh:BlankNode and
+               the three two-kind unions)
+- values:      ``sh:pattern``, ``sh:in``, ``sh:hasValue``, ``sh:class``,
+               ``sh:minLength``, ``sh:maxLength``
 - languages:   ``sh:languageIn``, ``sh:uniqueLang``
+- pairs:       ``sh:equals``, ``sh:disjoint``, ``sh:lessThan``,
+               ``sh:lessThanOrEquals`` (lexical order — the reference's
+               literal model is untyped strings, SURVEY.md §1.2)
 
 Anything else in a shapes graph raises ``ShaclUnsupported`` loudly
 (same boundary discipline as ``operators/owl.py``): a constraint that
@@ -46,7 +52,12 @@ table and a KB-scale shapes set:
 5. ``sh:class``: one extra join of the class-constrained value slice
    against the rdf:type slice (anti-join semantics via left + null
    filter); ``sh:uniqueLang``: one extra narrow groupBy including the
-   lang column, only when declared.
+   lang column, only when declared;
+6. property pairs (equals/disjoint/lessThan*): per declared pair, a
+   focus-keyed join of the two path slices — both sides already narrow
+   (three columns), both hash-partitioned on the same focus key, and
+   pair constraints are rare in real shapes graphs (the loop is over
+   the KB-sized shapes set, never the corpus).
 
 ``sh:class`` checks DIRECT rdf:type rows; run ``operators.rdfs_closure``
 first for rdfs:subClassOf semantics (SHACL's "SHACL instance of").
@@ -69,13 +80,27 @@ RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 SH = "http://www.w3.org/ns/shacl#"
 SH_NODE_SHAPE = SH + "NodeShape"
-_NODE_KINDS = {SH + "IRI": "uri", SH + "Literal": "literal",
-               SH + "BlankNode": "bnode"}
+_NODE_KINDS = {SH + "IRI": ("uri",), SH + "Literal": ("literal",),
+               SH + "BlankNode": ("bnode",),
+               SH + "BlankNodeOrIRI": ("bnode", "uri"),
+               SH + "BlankNodeOrLiteral": ("bnode", "literal"),
+               SH + "IRIOrLiteral": ("uri", "literal")}
 
 REPORT_COLS = ["shape_id", "focus", "path", "constraint", "value"]
 
 _PROP_KEYS = ("path", "min_count", "max_count", "node_kind", "pattern",
-              "in", "class", "has_value", "language_in", "unique_lang")
+              "in", "class", "has_value", "language_in", "unique_lang",
+              "min_length", "max_length",
+              "equals", "disjoint", "less_than", "less_than_or_equals")
+
+# pair-constraint key -> SHACL constraint-component name in the report
+_PAIR_KEYS = (("equals", "equals"), ("disjoint", "disjoint"),
+              ("less_than", "lessThan"),
+              ("less_than_or_equals", "lessThanOrEquals"))
+
+_TARGET_KEYS = frozenset(
+    {"target_class", "target_subjects_of", "target_objects_of",
+     "target_node"})
 
 
 class ShaclUnsupported(ValueError):
@@ -130,11 +155,15 @@ def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
                 shape["target_class"] = val
             elif p == SH + "targetSubjectsOf":
                 shape["target_subjects_of"] = val
+            elif p == SH + "targetObjectsOf":
+                shape["target_objects_of"] = val
+            elif p == SH + "targetNode":
+                shape.setdefault("target_node", []).append(val)
             elif p == SH + "property":
                 shape["properties"].append(_parse_property(by_subj, val, rdf_list))
             else:
                 raise ShaclUnsupported("unsupported shape predicate %s" % p)
-        if "target_class" not in shape and "target_subjects_of" not in shape:
+        if not _TARGET_KEYS & set(shape):
             raise ShaclUnsupported("shape %s declares no target" % subj)
         shapes.append(shape)
     if not shapes:
@@ -154,6 +183,18 @@ def _parse_property(by_subj: dict, node: str, rdf_list) -> dict:
             prop["min_count"] = int(val)
         elif p == SH + "maxCount":
             prop["max_count"] = int(val)
+        elif p == SH + "minLength":
+            prop["min_length"] = int(val)
+        elif p == SH + "maxLength":
+            prop["max_length"] = int(val)
+        elif p == SH + "equals":
+            prop["equals"] = val
+        elif p == SH + "disjoint":
+            prop["disjoint"] = val
+        elif p == SH + "lessThan":
+            prop["less_than"] = val
+        elif p == SH + "lessThanOrEquals":
+            prop["less_than_or_equals"] = val
         elif p == SH + "nodeKind":
             if val not in _NODE_KINDS:
                 raise ShaclUnsupported("unsupported sh:nodeKind %s" % val)
@@ -181,13 +222,12 @@ def _check_shapes(shapes: List[dict]) -> None:
     for shape in shapes:
         if not shape.get("id"):
             raise ShaclUnsupported("shape without id")
-        unknown = set(shape) - {"id", "target_class", "target_subjects_of",
-                                "properties"}
+        unknown = set(shape) - _TARGET_KEYS - {"id", "properties"}
         if unknown:
             raise ShaclUnsupported(
                 "unsupported shape keys %s in %s"
                 % (sorted(unknown), shape["id"]))
-        if not shape.get("target_class") and not shape.get("target_subjects_of"):
+        if not any(shape.get(k) for k in _TARGET_KEYS):
             raise ShaclUnsupported("shape %s declares no target" % shape["id"])
         for prop in shape.get("properties", ()):
             unknown = set(prop) - set(_PROP_KEYS)
@@ -216,17 +256,39 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
     focus_parts = []
     for shape in shapes:
         sid = F.lit(shape["id"]).alias("shape_id")
+        mine = []
         if shape.get("target_class"):
-            focus_parts.append(
+            mine.append(
                 triples.filter(
                     (F.col("pred") == RDF_TYPE)
                     & (F.col("obj_value") == shape["target_class"]))
                 .select(sid, F.col("subj").alias("focus")))
-        else:
-            focus_parts.append(
+        if shape.get("target_subjects_of"):
+            mine.append(
                 triples.filter(F.col("pred") == shape["target_subjects_of"])
                 .select(sid, F.col("subj").alias("focus"))
                 .dropDuplicates(["shape_id", "focus"]))
+        if shape.get("target_objects_of"):
+            mine.append(
+                triples.filter(F.col("pred") == shape["target_objects_of"])
+                .select(sid, F.col("obj_value").alias("focus"))
+                .dropDuplicates(["shape_id", "focus"]))
+        if shape.get("target_node"):
+            # explicit nodes are focus nodes whether or not they appear in
+            # the data (SHACL: a targetNode with a minCount that finds no
+            # triples MUST still yield the zero-count violation)
+            mine.append(F.broadcast(spark.createDataFrame(
+                [(shape["id"], n) for n in shape["target_node"]],
+                "shape_id string, focus string")))
+        if len(mine) > 1:
+            # a focus node reachable through several targets must be
+            # checked ONCE — duplicate focus rows would double every
+            # per-focus count.  Only multi-target shapes pay this dedup.
+            part = mine[0]
+            for extra in mine[1:]:
+                part = part.unionByName(extra)
+            mine = [part.dropDuplicates(["shape_id", "focus"])]
+        focus_parts.append(mine[0])
     focus = focus_parts[0]
     for part in focus_parts[1:]:
         focus = focus.unionByName(part)
@@ -234,11 +296,19 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
     # -- value collection: one subj-keyed join ------------------------------
     declared = [(shape["id"], prop) for shape in shapes
                 for prop in shape.get("properties", ())]
-    all_paths = sorted({prop["path"] for _, prop in declared})
-    in_scope = None
-    for sid, prop in declared:
-        cond = (F.col("shape_id") == sid) & (F.col("pred") == prop["path"])
-        in_scope = cond if in_scope is None else (in_scope | cond)
+    # pair constraints compare against a SECOND path, whose values must
+    # ride the same value-collection join even when no property shape
+    # declares it directly
+    pair_decls = [(sid, prop["path"], prop[key], cname)
+                  for sid, prop in declared
+                  for key, cname in _PAIR_KEYS if prop.get(key)]
+    scope_pairs = {(sid, prop["path"]) for sid, prop in declared}
+    scope_pairs.update((sid, other) for sid, _, other, _ in pair_decls)
+    all_paths = sorted({path for _, path in scope_pairs})
+    in_scope = F.lit(False)  # shapes may declare targets but no properties
+    for sid, path in sorted(scope_pairs):
+        cond = (F.col("shape_id") == sid) & (F.col("pred") == path)
+        in_scope = in_scope | cond
     vals = (
         triples.filter(F.col("pred").isin(all_paths))
         .join(focus, triples["subj"] == focus["focus"])
@@ -254,9 +324,22 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
     for sid, prop in declared:
         here = (F.col("shape_id") == sid) & (F.col("path") == prop["path"])
         if prop.get("node_kind"):
+            kinds = prop["node_kind"]
+            if isinstance(kinds, str):
+                kinds = (kinds,)
             fail_branches.append(F.when(
-                here & (F.col("obj_kind") != prop["node_kind"]),
+                here & ~F.col("obj_kind").isin(list(kinds)),
                 F.lit("nodeKind")))
+        if prop.get("min_length") is not None:
+            fail_branches.append(F.when(
+                here & ((F.col("obj_kind") == "bnode")
+                        | (F.length("obj_value") < prop["min_length"])),
+                F.lit("minLength")))
+        if prop.get("max_length") is not None:
+            fail_branches.append(F.when(
+                here & ((F.col("obj_kind") == "bnode")
+                        | (F.length("obj_value") > prop["max_length"])),
+                F.lit("maxLength")))
         if prop.get("pattern"):
             fail_branches.append(F.when(
                 here & ((F.col("obj_kind") == "bnode")
@@ -370,6 +453,32 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
                     F.lit("uniqueLang").alias("constraint"))
         )
         reports.append(dup_langs.select(*REPORT_COLS))
+
+    # -- property pairs: one focus-keyed join per declared pair -------------
+    # (pair constraints are rare and shapes are KB-sized, so a literal-
+    # driven loop; each join is narrow and keyed on the focus node).
+    # equals is checked in BOTH directions; the report path is the
+    # declaring property's path for both (sh:resultPath semantics).
+    # lessThan/lessThanOrEquals compare pairs lexically — the reference's
+    # literal model is untyped strings.
+    for sid, p, q, cname in pair_decls:
+        l = (vals.filter((F.col("shape_id") == sid) & (F.col("path") == p))
+             .select("focus", F.col("obj_value").alias("v")))
+        r = (vals.filter((F.col("shape_id") == sid) & (F.col("path") == q))
+             .select("focus", F.col("obj_value").alias("v")))
+        if cname == "equals":
+            bad = (l.join(r, ["focus", "v"], "left_anti")
+                   .unionByName(r.join(l, ["focus", "v"], "left_anti")))
+        elif cname == "disjoint":
+            bad = l.join(r, ["focus", "v"], "left_semi")
+        else:
+            pairs = l.join(r.withColumnRenamed("v", "w"), "focus")
+            keep = (F.col("v") < F.col("w")) if cname == "lessThan" \
+                else (F.col("v") <= F.col("w"))
+            bad = pairs.filter(~keep).select("focus", "v")
+        reports.append(bad.select(
+            F.lit(sid).alias("shape_id"), "focus", F.lit(p).alias("path"),
+            F.lit(cname).alias("constraint"), F.col("v").alias("value")))
 
     if not reports:
         return spark.createDataFrame(

@@ -64,7 +64,7 @@ class TestShapesFromGraph:
         props = {p["path"]: p for p in person_shape["properties"]}
         assert props["urn:ex:name"]["min_count"] == 1
         assert props["urn:ex:name"]["max_count"] == 1
-        assert props["urn:ex:name"]["node_kind"] == "literal"
+        assert props["urn:ex:name"]["node_kind"] == ("literal",)
         assert props["urn:ex:knows"]["class"] == "urn:ex:Person"
         assert props["urn:ex:id"]["pattern"] == "^P[0-9]+$"
         tag_shape = shapes["urn:ex:TagShape"]
@@ -85,7 +85,7 @@ class TestShapesFromGraph:
     def test_unsupported_node_kind_raises(self):
         ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
         <urn:s> a sh:NodeShape ; sh:targetClass <urn:C> ;
-          sh:property [ sh:path <urn:p> ; sh:nodeKind sh:BlankNodeOrIRI ] ."""
+          sh:property [ sh:path <urn:p> ; sh:nodeKind sh:Anything ] ."""
         with pytest.raises(ShaclUnsupported, match="nodeKind"):
             shapes_from_graph(iter_turtle(ttl))
 
@@ -198,3 +198,136 @@ class TestValidate:
                 ("urn:ex:t9", "urn:ex:status", "active", "literal", None)]
         got = self.report(spark, rows)
         assert not any(sid == "urn:ex:PersonShape" for sid, *_ in got)
+
+
+PAIR_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <urn:ex:> .
+
+ex:EventShape a sh:NodeShape ;
+  sh:targetClass ex:Event ;
+  sh:property [ sh:path ex:start ; sh:lessThan ex:end ] ;
+  sh:property [ sh:path ex:code ; sh:minLength 3 ; sh:maxLength 5 ;
+                sh:equals ex:alias ] ;
+  sh:property [ sh:path ex:draftTag ; sh:disjoint ex:tag ] ;
+  sh:property [ sh:path ex:seq ; sh:lessThanOrEquals ex:cap ] ;
+  sh:property [ sh:path ex:ref ; sh:nodeKind sh:BlankNodeOrIRI ] .
+
+ex:PinnedShape a sh:NodeShape ;
+  sh:targetNode ex:pinned ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+
+ex:UsedShape a sh:NodeShape ;
+  sh:targetObjectsOf ex:uses ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+
+
+class TestExtendedConstraints:
+    def report(self, spark, rows, ttl=PAIR_TTL):
+        df = validate(tri(spark, rows), shapes_from_graph(iter_turtle(ttl)))
+        return {(r.shape_id, r.focus, r.path, r.constraint, r.value)
+                for r in df.collect()}
+
+    def ev(self, extra):
+        return [("urn:ex:e1", RDF_TYPE, "urn:ex:Event", "uri", None)] + [
+            ("urn:ex:e1", "urn:ex:" + p, v, k, None) for p, v, k in extra]
+
+    def test_parses_new_keys(self):
+        shapes = {s["id"]: s for s in shapes_from_graph(iter_turtle(PAIR_TTL))}
+        props = {p["path"]: p
+                 for p in shapes["urn:ex:EventShape"]["properties"]}
+        assert props["urn:ex:start"]["less_than"] == "urn:ex:end"
+        assert props["urn:ex:code"]["min_length"] == 3
+        assert props["urn:ex:code"]["max_length"] == 5
+        assert props["urn:ex:code"]["equals"] == "urn:ex:alias"
+        assert props["urn:ex:draftTag"]["disjoint"] == "urn:ex:tag"
+        assert props["urn:ex:seq"]["less_than_or_equals"] == "urn:ex:cap"
+        assert props["urn:ex:ref"]["node_kind"] == ("bnode", "uri")
+        assert shapes["urn:ex:PinnedShape"]["target_node"] == ["urn:ex:pinned"]
+        assert (shapes["urn:ex:UsedShape"]["target_objects_of"]
+                == "urn:ex:uses")
+
+    def test_conforming_event_is_clean(self, spark):
+        rows = self.ev([("start", "a", "literal"), ("end", "b", "literal"),
+                        ("code", "ABC", "literal"),
+                        ("alias", "ABC", "literal"),
+                        ("draftTag", "x", "literal"), ("tag", "y", "literal"),
+                        ("seq", "5", "literal"), ("cap", "5", "literal"),
+                        ("ref", "urn:ex:other", "uri")]) + [
+            # PinnedShape's targetNode is ALWAYS in focus — satisfy it
+            ("urn:ex:pinned", "urn:ex:name", "pin", "literal", None)]
+        assert self.report(spark, rows) == set()
+
+    def test_less_than_flags_each_bad_pair(self, spark):
+        rows = self.ev([("start", "b", "literal"), ("end", "a", "literal"),
+                        ("end", "b", "literal")])
+        got = self.report(spark, rows)
+        # 'b' < 'a' fails and 'b' < 'b' fails -> the pair loop reports per
+        # offending pair, both carried as value 'b'
+        assert ("urn:ex:EventShape", "urn:ex:e1", "urn:ex:start",
+                "lessThan", "b") in got
+
+    def test_less_than_or_equals(self, spark):
+        rows = self.ev([("seq", "7", "literal"), ("cap", "5", "literal")])
+        assert ("urn:ex:EventShape", "urn:ex:e1", "urn:ex:seq",
+                "lessThanOrEquals", "7") in self.report(spark, rows)
+        rows_ok = self.ev([("seq", "5", "literal"), ("cap", "5", "literal")])
+        assert not any(c == "lessThanOrEquals" for *_, c, _v
+                       in self.report(spark, rows_ok))
+
+    def test_equals_both_directions(self, spark):
+        rows = self.ev([("code", "ABC", "literal"),
+                        ("alias", "ABD", "literal")])
+        got = self.report(spark, rows)
+        # ABC missing from alias AND ABD missing from code — both reported
+        # on the declaring path
+        assert ("urn:ex:EventShape", "urn:ex:e1", "urn:ex:code",
+                "equals", "ABC") in got
+        assert ("urn:ex:EventShape", "urn:ex:e1", "urn:ex:code",
+                "equals", "ABD") in got
+
+    def test_disjoint(self, spark):
+        rows = self.ev([("draftTag", "shared", "literal"),
+                        ("tag", "shared", "literal")])
+        assert ("urn:ex:EventShape", "urn:ex:e1", "urn:ex:draftTag",
+                "disjoint", "shared") in self.report(spark, rows)
+
+    def test_min_max_length(self, spark):
+        rows = self.ev([("code", "AB", "literal")])
+        assert ("urn:ex:EventShape", "urn:ex:e1", "urn:ex:code",
+                "minLength", "AB") in self.report(spark, rows)
+        rows2 = self.ev([("code", "ABCDEF", "literal"),
+                         ("alias", "ABCDEF", "literal")])
+        assert ("urn:ex:EventShape", "urn:ex:e1", "urn:ex:code",
+                "maxLength", "ABCDEF") in self.report(spark, rows2)
+
+    def test_node_kind_union(self, spark):
+        rows = self.ev([("ref", "_:b1", "bnode"),
+                        ("ref", "plain", "literal")])
+        got = self.report(spark, rows)
+        assert ("urn:ex:EventShape", "urn:ex:e1", "urn:ex:ref",
+                "nodeKind", "plain") in got
+        assert not any(v == "_:b1" for *_, v in got)
+
+    def test_target_node_zero_count(self, spark):
+        # ex:pinned never appears in the data: targetNode must still put
+        # it in focus and flag the missing ex:name
+        rows = [("urn:ex:other", "urn:ex:name", "x", "literal", None)]
+        assert ("urn:ex:PinnedShape", "urn:ex:pinned", "urn:ex:name",
+                "minCount", "0") in self.report(spark, rows)
+
+    def test_target_objects_of(self, spark):
+        rows = [("urn:ex:a", "urn:ex:uses", "urn:ex:tool", "uri", None)]
+        assert ("urn:ex:UsedShape", "urn:ex:tool", "urn:ex:name",
+                "minCount", "0") in self.report(spark, rows)
+
+    def test_multi_target_focus_counted_once(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s> a sh:NodeShape ; sh:targetClass <urn:ex:Person> ;
+          sh:targetSubjectsOf <urn:ex:name> ;
+          sh:property [ sh:path <urn:ex:name> ; sh:maxCount 1 ] ."""
+        # p1 matches BOTH targets; its single name must count once (no
+        # phantom maxCount from duplicated focus rows)
+        rows = person("p1", "Alice")
+        assert self.report(spark, rows, ttl) == set()
