@@ -509,6 +509,28 @@ def main() -> None:
         and "Join" not in p and "CartesianProduct" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # SHACL validate: value-level constraints are ONE pure-column
+    # projection (when-chain + explode — no Python, ever); the
+    # cardinality expectation relation and zero-case path ride an
+    # explicit BroadcastExchange; nothing in the constraint algebra
+    # introduces a cartesian product
+    from meresco_rdf_spark.operators.shacl import validate
+    shacl_shapes = [
+        {"id": "urn:shape:audit", "target_subjects_of": "urn:rel:nation",
+         "properties": [
+             {"path": "urn:rel:nation", "min_count": 1, "max_count": 1,
+              "node_kind": ("uri",), "pattern": "^urn:nation:"},
+             {"path": "urn:rel:region", "equals": "urn:rel:nation"},
+         ]}]
+    rep = validate(tpch_triples(spark, sf_dir), shacl_shapes)
+    p = plan_of(rep)
+    results.append(check(
+        "shacl: broadcast expectation, no python, no cartesian",
+        "BroadcastExchange" in p
+        and "Generate explode" in p
+        and "CartesianProduct" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
