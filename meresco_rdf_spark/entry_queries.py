@@ -3800,6 +3800,64 @@ def q_kg_shacl_report(spark, sf_dir):
                     shapes_from_graph(iter_turtle(shapes_ttl)))
 
 
+def q_kg_snapshot_merge(spark, sf_dir):
+    """The SAME merge algebra as ``graph_merge`` executed through the
+    snapshot-versioned COW table (``kg/snapshots.py``) instead of the
+    in-place bucket swap — plus the isolation guarantees the in-place
+    path cannot give, asserted in-query so a regression turns the row
+    red: a reader resolved BEFORE the merge still sees the v1 rowset
+    afterwards (immutable data files), time travel to v1 equals that
+    reader, untouched buckets' manifest entries are reused verbatim from
+    the parent (copy-on-write actually copied nothing it didn't have
+    to), and the commit CAS rejects a duplicate version.  Returns the
+    current snapshot; oracle = the merge in SQL (same as graph_merge)."""
+    import tempfile
+
+    from .kg.snapshots import (
+        SnapshotConflict,
+        _commit_manifest,
+        _fs,
+        read_snapshot,
+        snapshot_create,
+        snapshot_merge,
+        snapshot_versions,
+    )
+
+    base = tpch_triples(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kg_snap_") + "/table"
+    m1 = snapshot_create(spark, base, root, buckets=8)
+    v1_reader = read_snapshot(spark, root)  # resolved pre-merge
+    v1_rows = v1_reader.count()
+
+    region = _read(spark, sf_dir, "region")
+    region_uri = F.concat(F.lit("urn:region:"),
+                          F.col("r_regionkey").cast("string"))
+    adds = region.select(
+        region_uri.alias("subj"), F.lit(SKOS_ALTLABEL).alias("pred"),
+        F.lower(F.col("r_name")).alias("obj_value"),
+        F.lit("literal").alias("obj_kind"), F.lit("en").alias("obj_lang"))
+    deletes = base.filter(F.col("pred") == REL_REGION)
+    m2 = snapshot_merge(spark, root, adds=adds, deletes=deletes)
+
+    if v1_reader.count() != v1_rows:  # isolation: pre-merge reader intact
+        raise AssertionError("pre-merge reader saw the merge")
+    if read_snapshot(spark, root, version=1).count() != v1_rows:
+        raise AssertionError("time travel to v1 broken")
+    untouched = [b for b in m2["buckets"]
+                 if int(b) not in m2["buckets_touched"]]
+    if any(m2["buckets"][b] != m1["buckets"][b] for b in untouched):
+        raise AssertionError("COW rewrote an untouched bucket")
+    fs, hpath = _fs(spark, root)
+    try:
+        _commit_manifest(fs, hpath, root, dict(m2))
+        raise AssertionError("duplicate-version commit did not CAS-fail")
+    except SnapshotConflict:
+        pass
+    if [m["version"] for m in snapshot_versions(spark, root)] != [1, 2]:
+        raise AssertionError("lineage chain broken")
+    return read_snapshot(spark, root).drop("subj_bucket")
+
+
 def q_kg_rdfxml_shards(spark, sf_dir):
     """K1 distributed: serialize the pipeline's per-conversation triple
     closures to RDF/XML shards (deterministic serializer, fixture-parity
@@ -4184,6 +4242,7 @@ QUERIES = {
     "kg_rdfxml_shards": q_kg_rdfxml_shards,
     "kg_checkpoint_resume": q_kg_checkpoint_resume,
     "kg_shacl_report": q_kg_shacl_report,
+    "kg_snapshot_merge": q_kg_snapshot_merge,
     "stream_mention_rate": q_stream_mention_rate,
     "kg_sparql_entities": q_kg_sparql_entities,
     "kg_structure_triples": q_kg_structure_triples,
@@ -4572,6 +4631,21 @@ WHERE named.n LIKE '%7'"""
 # committed golden — resume slicing must not change a single row
 ORACLES["kg_checkpoint_resume"] = (
     "SELECT * FROM read_parquet('/root/repo/tests/golden/kg_triples.parquet')")
+
+# snapshot COW merge: same algebra as graph_merge — base EXCEPT deletes
+# UNION adds (set semantics) — executed through the versioned table; the
+# isolation/time-travel/CAS properties are asserted inside the query
+ORACLES["kg_snapshot_merge"] = _fmt("""
+WITH {cte},
+dels AS (SELECT * FROM triples WHERE pred = '{rel_region}'),
+adds AS (SELECT 'urn:region:' || r_regionkey AS subj,
+                '{skos_alt}' AS pred, lower(r_name) AS obj_value,
+                'literal' AS obj_kind, 'en' AS obj_lang FROM region)
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM (
+  (SELECT * FROM triples EXCEPT SELECT * FROM dels)
+  UNION
+  SELECT * FROM adds
+)""")
 
 # SHACL report: the same constraint algebra in SQL over the committed
 # golden — every declared branch is recomputed (focus resolution, value

@@ -229,9 +229,12 @@ def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
       rewritten).  A crash mid-swap is ROLLED FORWARD by the next merge
       (staged dirs are complete post-merge bucket content — see
       ``_roll_forward_pending_swap``), so writer crash-recovery is
-      covered; what this emulation does NOT give is snapshot isolation
-      for concurrent readers during the swap — that is what an Iceberg
-      catalog's atomic commits add at scale.
+      covered; what this in-place emulation does NOT give is snapshot
+      isolation for concurrent readers during the swap — for that, use
+      the copy-on-write table in ``kg/snapshots.py`` (immutable data
+      dirs + atomic manifest CAS = isolation, time travel, optimistic
+      concurrency), at the cost of retaining superseded files until
+      ``expire_snapshots``.
 
     Returns {"buckets_touched": [...], "rows_after": per-touched-bucket
     count}.  Idempotent: re-running the same merge is a no-op."""

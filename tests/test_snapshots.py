@@ -1,0 +1,182 @@
+"""Snapshot-versioned triple tables: COW merge semantics, atomic-commit
+CAS, reader isolation, time travel, emptied/new buckets, expiry."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meresco_rdf_spark.kg.materialize import with_subj_bucket
+from meresco_rdf_spark.kg.snapshots import (
+    SnapshotConflict,
+    SnapshotNotFound,
+    _commit_manifest,
+    _fs,
+    expire_snapshots,
+    read_snapshot,
+    snapshot_create,
+    snapshot_merge,
+    snapshot_versions,
+)
+
+SCHEMA = ("subj string, pred string, obj_value string, obj_kind string, "
+          "obj_lang string")
+
+
+def tri(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def rowset(df):
+    return {(r.subj, r.pred, r.obj_value, r.obj_kind, r.obj_lang)
+            for r in df.select(
+                "subj", "pred", "obj_value", "obj_kind", "obj_lang")
+            .collect()}
+
+
+def base_rows(n=40):
+    return [("urn:s:%d" % i, "urn:p:label", "name %d" % i, "literal", None)
+            for i in range(n)] + [
+        ("urn:s:%d" % i, "urn:p:ref", "urn:s:%d" % ((i + 1) % n), "uri",
+         None) for i in range(n)]
+
+
+class TestSnapshotTable:
+    def test_create_read_roundtrip(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        df = tri(spark, base_rows())
+        m = snapshot_create(spark, df, root, buckets=4)
+        assert m["version"] == 1 and m["total_rows"] == 80
+        got = read_snapshot(spark, root)
+        assert rowset(got) == rowset(df)
+        # subj_bucket recovered via partition discovery and correct
+        chk = with_subj_bucket(df, 4).collect()
+        want = {(r.subj, r.pred, r.subj_bucket) for r in chk}
+        assert {(r.subj, r.pred, r.subj_bucket) for r in got.collect()} \
+            == want
+
+    def test_merge_semantics_and_cow_reuse(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        df = tri(spark, base_rows())
+        snapshot_create(spark, df, root, buckets=4)
+        adds = tri(spark, [
+            ("urn:s:0", "urn:p:alt", "zero", "literal", "en"),
+            # set-semantics leg: re-adding an existing row must not dup
+            ("urn:s:1", "urn:p:label", "name 1", "literal", None)])
+        deletes = tri(spark, [
+            ("urn:s:2", "urn:p:label", "name 2", "literal", None),
+            # no-op delete leg
+            ("urn:s:2", "urn:p:label", "GONE", "literal", None)])
+        m2 = snapshot_merge(spark, root, adds=adds, deletes=deletes)
+        want = ((rowset(df) - rowset(deletes)) | rowset(adds))
+        assert rowset(read_snapshot(spark, root)) == want
+        assert m2["total_rows"] == len(want)
+        # copy-on-write: untouched buckets' manifest entries point at the
+        # PARENT's data directory (no rewrite happened)
+        m1 = snapshot_versions(spark, root)[0]
+        untouched = [b for b in m2["buckets"]
+                     if int(b) not in m2["buckets_touched"]]
+        assert untouched, "test needs at least one untouched bucket"
+        for b in untouched:
+            assert m2["buckets"][b] == m1["buckets"][b]
+        for b in m2["buckets_touched"]:
+            assert m2["buckets"][str(b)] != m1["buckets"].get(str(b))
+
+    def test_reader_isolation_and_time_travel(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        df = tri(spark, base_rows())
+        snapshot_create(spark, df, root, buckets=4)
+        reader = read_snapshot(spark, root)  # resolved BEFORE the merge
+        snapshot_merge(spark, root, deletes=df)  # empty the whole table
+        # the pre-merge reader still sees v1 in full (immutable files)
+        assert reader.count() == 80
+        assert rowset(reader) == rowset(df)
+        # current is empty; time travel reopens v1
+        assert read_snapshot(spark, root).count() == 0
+        assert rowset(read_snapshot(spark, root, version=1)) == rowset(df)
+
+    def test_emptied_bucket_leaves_manifest(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        df = tri(spark, base_rows())
+        snapshot_create(spark, df, root, buckets=4)
+        bucketed = with_subj_bucket(df, 4)
+        victim = bucketed.select("subj_bucket").first().subj_bucket
+        dels = bucketed.filter(F.col("subj_bucket") == victim).drop(
+            "subj_bucket")
+        m2 = snapshot_merge(spark, root, deletes=dels)
+        assert str(victim) not in m2["buckets"]
+        cur = read_snapshot(spark, root)
+        assert cur.filter(F.col("subj_bucket") == victim).count() == 0
+        assert cur.count() == 80 - dels.count()
+
+    def test_add_into_previously_empty_bucket(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        df = tri(spark, base_rows(4))
+        bucketed = with_subj_bucket(df, 4)
+        present = {r.subj_bucket for r in bucketed.collect()}
+        snapshot_create(
+            spark, bucketed.filter(
+                F.col("subj_bucket") == min(present)).drop("subj_bucket"),
+            root, buckets=4)
+        other = bucketed.filter(F.col("subj_bucket") != min(present)).drop(
+            "subj_bucket")
+        assert other.count() > 0
+        snapshot_merge(spark, root, adds=other)
+        assert rowset(read_snapshot(spark, root)) == rowset(df)
+
+    def test_commit_conflict_raises(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        snapshot_create(spark, tri(spark, base_rows(4)), root, buckets=2)
+        fs, hpath = _fs(spark, root)
+        doomed = {"version": 1, "parent": None, "operation": "overwrite",
+                  "n_buckets": 2, "buckets": {}, "row_counts": {},
+                  "total_rows": 0, "created_unix": 0.0}
+        with pytest.raises(SnapshotConflict):
+            _commit_manifest(fs, hpath, root, doomed)
+        # the losing writer's temp file must not linger
+        assert not [f for f in os.listdir(os.path.join(root, "_meta"))
+                    if f.startswith(".tmp-")]
+
+    def test_merge_without_snapshot_raises(self, spark, tmp_path):
+        with pytest.raises(SnapshotNotFound):
+            snapshot_merge(spark, str(tmp_path / "none"),
+                           adds=tri(spark, base_rows(2)))
+        with pytest.raises(SnapshotNotFound):
+            read_snapshot(spark, str(tmp_path / "none"))
+
+    def test_expire_drops_history_keeps_current(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        df = tri(spark, base_rows())
+        snapshot_create(spark, df, root, buckets=4)
+        adds = tri(spark, [("urn:s:0", "urn:p:alt", "x", "literal", None)])
+        snapshot_merge(spark, root, adds=adds)
+        dels = tri(spark, [("urn:s:0", "urn:p:alt", "x", "literal", None)])
+        snapshot_merge(spark, root, deletes=dels)
+        current = rowset(read_snapshot(spark, root))
+        out = expire_snapshots(spark, root, keep_last=1)
+        assert out["expired_versions"] == [1, 2]
+        # v3's untouched buckets still reference v1 data dirs — those
+        # must SURVIVE expiry (referenced), while v2's superseded touched
+        # dir is deleted
+        assert rowset(read_snapshot(spark, root)) == current
+        with pytest.raises(SnapshotNotFound):
+            read_snapshot(spark, root, version=1)
+        data_dirs = set(os.listdir(os.path.join(root, "data")))
+        kept = snapshot_versions(spark, root)[-1]
+        referenced = {p.split("/subj_bucket=", 1)[0].split("/", 1)[1]
+                      for p in kept["buckets"].values()}
+        assert data_dirs == referenced
+
+    def test_lineage_metrics(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        df = tri(spark, base_rows())
+        snapshot_create(spark, df, root, buckets=4)
+        m2 = snapshot_merge(spark, root, adds=tri(
+            spark, [("urn:s:0", "urn:p:alt", "x", "literal", None)]))
+        assert m2["parent"] == 1 and m2["version"] == 2
+        assert m2["operation"] == "merge"
+        assert sum(m2["row_counts"].values()) == m2["total_rows"] == 81
+        vs = snapshot_versions(spark, root)
+        assert [m["version"] for m in vs] == [1, 2]

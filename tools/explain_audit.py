@@ -531,6 +531,23 @@ def main() -> None:
         and "CartesianProduct" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # snapshot table read: ONE parquet relation (not a per-bucket union)
+    # whose subj_bucket partition column still prunes — a point lookup
+    # carries a PartitionFilters entry and no Union node
+    import tempfile as _tf
+
+    from meresco_rdf_spark.kg.snapshots import read_snapshot, snapshot_create
+    snap_root = _tf.mkdtemp(prefix="audit_snap_") + "/t"
+    snapshot_create(spark, tpch_triples(spark, sf_dir), snap_root, buckets=8)
+    snap_df = read_snapshot(spark, snap_root).filter(
+        (F.col("subj_bucket") == 3) & (F.col("subj") == "urn:cust:1"))
+    p = plan_of(snap_df)
+    results.append(check(
+        "snapshot read: 1 relation, partition-pruned",
+        "Union" not in p
+        and re.search(r"PartitionFilters: \[.*subj_bucket.*= 3", p) is not None
+        and "PushedFilters: [IsNotNull(subj), EqualTo(subj,urn:cust:1)]" in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
