@@ -3758,6 +3758,34 @@ def q_kg_checkpoint_resume(spark, sf_dir):
     return spark.read.parquet(os.path.join(out, "triples")).drop("subj_bucket")
 
 
+_KG_SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix kg: <http://data.example.org/kg#> .
+@prefix oa: <http://www.w3.org/ns/oa#> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+
+<urn:shape:Annotation> a sh:NodeShape ;
+  sh:targetClass oa:Annotation ;
+  sh:property [ sh:path kg:candidate ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:nodeKind sh:IRI ; sh:pattern "^urn:surface:" ] ;
+  sh:property [ sh:path kg:score ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:nodeKind sh:Literal ;
+                sh:pattern "^[0-9]+[.][0-9]$" ] ;
+  sh:property [ sh:path kg:conversation ; sh:minCount 1 ;
+                sh:maxCount 1 ; sh:nodeKind sh:IRI ] ;
+  sh:property [ sh:path kg:turn ; sh:minCount 1 ; sh:maxCount 1 ] .
+
+<urn:shape:Entity> a sh:NodeShape ;
+  sh:targetSubjectsOf foaf:name ;
+  sh:property [ sh:path foaf:name ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:languageIn ("en" "nl") ] ;
+  sh:property [ sh:path skos:altLabel ; sh:maxCount 1 ] ;
+  sh:property [ sh:path owl:sameAs ; sh:nodeKind sh:IRI ] .
+"""
+
+
 def q_kg_shacl_report(spark, sf_dir):
     """SHACL-core validation over the pipeline-built KG: the shapes graph
     is authored in standard SHACL/Turtle, parsed by our own Turtle parser
@@ -3770,34 +3798,46 @@ def q_kg_shacl_report(spark, sf_dir):
     from .operators.shacl import shapes_from_graph, validate
     from .rdfxml.turtle import iter_turtle
 
-    shapes_ttl = """
-    @prefix sh: <http://www.w3.org/ns/shacl#> .
-    @prefix kg: <http://data.example.org/kg#> .
-    @prefix oa: <http://www.w3.org/ns/oa#> .
-    @prefix foaf: <http://xmlns.com/foaf/0.1/> .
-    @prefix skos: <http://www.w3.org/2004/02/skos/core#> .
-    @prefix owl: <http://www.w3.org/2002/07/owl#> .
-
-    <urn:shape:Annotation> a sh:NodeShape ;
-      sh:targetClass oa:Annotation ;
-      sh:property [ sh:path kg:candidate ; sh:minCount 1 ; sh:maxCount 1 ;
-                    sh:nodeKind sh:IRI ; sh:pattern "^urn:surface:" ] ;
-      sh:property [ sh:path kg:score ; sh:minCount 1 ; sh:maxCount 1 ;
-                    sh:nodeKind sh:Literal ;
-                    sh:pattern "^[0-9]+[.][0-9]$" ] ;
-      sh:property [ sh:path kg:conversation ; sh:minCount 1 ;
-                    sh:maxCount 1 ; sh:nodeKind sh:IRI ] ;
-      sh:property [ sh:path kg:turn ; sh:minCount 1 ; sh:maxCount 1 ] .
-
-    <urn:shape:Entity> a sh:NodeShape ;
-      sh:targetSubjectsOf foaf:name ;
-      sh:property [ sh:path foaf:name ; sh:minCount 1 ; sh:maxCount 1 ;
-                    sh:languageIn ("en" "nl") ] ;
-      sh:property [ sh:path skos:altLabel ; sh:maxCount 1 ] ;
-      sh:property [ sh:path owl:sameAs ; sh:nodeKind sh:IRI ] .
-    """
     return validate(_pipeline_result(spark).triples,
-                    shapes_from_graph(iter_turtle(shapes_ttl)))
+                    shapes_from_graph(iter_turtle(_KG_SHAPES_TTL)))
+
+
+def q_stream_shacl_maintain(spark, sf_dir):
+    """Incremental SHACL maintenance end-to-end: the SAME KG the batch
+    ``kg_shacl_report`` validates, written as four ``.nq`` slice files
+    and streamed one file per micro-batch into
+    ``streaming/shacl_stream.py`` — which must handle what per-batch
+    checking cannot: violations that RETRACT (a minCount satisfied by a
+    later batch), appear late (maxCount needs accumulated rows), and
+    focus that arrives after its value rows.  Only delta-affected focus
+    nodes are revalidated per trigger.  Oracle = the batch
+    ``kg_shacl_report`` constraint algebra VERBATIM — after the final
+    trigger the maintained report must equal batch validation, whatever
+    the slicing."""
+    import os
+    import tempfile
+
+    from .operators.shacl import shapes_from_graph
+    from .rdfxml.turtle import iter_turtle
+    from .sinks.nquads_sink import write_nquads
+    from .streaming.quad_stream import read_nquads_stream
+    from .streaming.shacl_stream import run_shacl_maintenance
+
+    golden = spark.read.parquet(
+        "/root/repo/tests/golden/kg_triples.parquet").withColumn(
+        "context", F.lit(None).cast("string"))
+    base = tempfile.mkdtemp(prefix="stream_shacl_")
+    in_dir = os.path.join(base, "in")
+    write_nquads(golden, in_dir, num_files=4)
+    stream = read_nquads_stream(spark, in_dir, glob="*.txt",
+                                max_files_per_trigger=1)
+    report = os.path.join(base, "report")
+    q = run_shacl_maintenance(
+        stream.drop("context"),
+        shapes_from_graph(iter_turtle(_KG_SHAPES_TTL)),
+        os.path.join(base, "table"), report, os.path.join(base, "ckpt"))
+    q.awaitTermination(600)
+    return spark.read.parquet(report)
 
 
 def q_kg_snapshot_merge(spark, sf_dir):
@@ -4243,6 +4283,7 @@ QUERIES = {
     "kg_checkpoint_resume": q_kg_checkpoint_resume,
     "kg_shacl_report": q_kg_shacl_report,
     "kg_snapshot_merge": q_kg_snapshot_merge,
+    "stream_shacl_maintain": q_stream_shacl_maintain,
     "stream_mention_rate": q_stream_mention_rate,
     "kg_sparql_entities": q_kg_sparql_entities,
     "kg_structure_triples": q_kg_structure_triples,
@@ -4737,6 +4778,10 @@ card_viol AS (
   FROM card WHERE cnt > max_count
 )
 SELECT * FROM value_viol UNION ALL SELECT * FROM card_viol"""
+
+# incremental SHACL maintenance must converge to the batch report,
+# whatever the micro-batch slicing — the batch oracle verbatim
+ORACLES["stream_shacl_maintain"] = ORACLES["kg_shacl_report"]
 
 # UPDATE LOAD: the tpch quad relation UNION the fixture rows re-homed
 # into the destination graph (set semantics)

@@ -244,9 +244,15 @@ def _check_shapes(shapes: List[dict]) -> None:
 # --------------------------------------------------------------------------
 
 def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
-             ) -> DataFrame:
+             only_focus: Optional[DataFrame] = None) -> DataFrame:
     """Violations report for ``shapes`` over the triple relation (empty
-    frame = conforms).  See the module docstring for the plan shape."""
+    frame = conforms).  See the module docstring for the plan shape.
+
+    ``only_focus`` — optional ``(shape_id, focus)`` relation restricting
+    validation to those focus nodes (semi-join after target resolution,
+    so rows naming non-focus nodes are ignored, never invented).  The
+    incremental lever: ``streaming/shacl_stream.py`` revalidates only
+    the focus nodes a micro-batch could have affected."""
     if not isinstance(shapes, list) or (shapes and not isinstance(shapes[0], dict)):
         shapes = shapes_from_graph(shapes)
     _check_shapes(shapes)
@@ -292,6 +298,10 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
     focus = focus_parts[0]
     for part in focus_parts[1:]:
         focus = focus.unionByName(part)
+    if only_focus is not None:
+        focus = focus.join(
+            only_focus.select("shape_id", "focus"),
+            ["shape_id", "focus"], "left_semi")
 
     # -- value collection: one subj-keyed join ------------------------------
     declared = [(shape["id"], prop) for shape in shapes
