@@ -536,6 +536,47 @@ def q_sparql_path_opt(spark, sf_dir):
     """.format(skos_pref=SKOS_PREFLABEL))
 
 
+def q_sparql_path_graph_var(spark, sf_dir):
+    """Property path inside GRAPH ?g: the one-or-more closure evaluated
+    per named graph in ONE job — the quad context rides the semi-naive
+    closure joins as one more key (no per-graph loop), so paths never
+    cross graph boundaries.  urn:graph:cust chains customer->nation->
+    region (two hops close to cust->region); urn:graph:supp holds only
+    supplier->nation edges, so suppliers never reach a region."""
+    from .sparql import sparql_select
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+
+    def q(df, ctx, subj, obj):
+        return df.select(
+            F.lit(ctx).alias("context"), subj.alias("subj"),
+            F.lit("urn:rel:in").alias("pred"),
+            obj.alias("obj_value"), F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    quads = (
+        q(cust, "urn:graph:cust",
+          F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")),
+          F.concat(F.lit("urn:nation:"),
+                   F.col("c_nationkey").cast("string")))
+        .unionByName(q(
+            nation, "urn:graph:cust",
+            F.concat(F.lit("urn:nation:"),
+                     F.col("n_nationkey").cast("string")),
+            F.concat(F.lit("urn:region:"),
+                     F.col("n_regionkey").cast("string"))))
+        .unionByName(q(
+            supp, "urn:graph:supp",
+            F.concat(F.lit("urn:supp:"), F.col("s_suppkey").cast("string")),
+            F.concat(F.lit("urn:nation:"),
+                     F.col("s_nationkey").cast("string")))))
+    return sparql_select(quads, """
+        SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <urn:rel:in>+ ?y } }
+    """)
+
+
 def q_sparql_path_inverse(spark, sf_dir):
     """Inverse path: the members of one nation found by traversing
     ^rel:nation from the nation node."""
@@ -1379,6 +1420,27 @@ SELECT DISTINCT n, n_kind, n_lang, v, v_kind, v_lang FROM (
   UNION
   SELECT node, kind, lang, node, kind, lang FROM terms
 )""",
+    "sparql_path_graph_var": """
+WITH RECURSIVE quads(g, src, dst) AS (
+  SELECT 'urn:graph:cust', 'urn:cust:' || c_custkey,
+         'urn:nation:' || c_nationkey FROM customer
+  UNION ALL
+  SELECT 'urn:graph:cust', 'urn:nation:' || n_nationkey,
+         'urn:region:' || n_regionkey FROM nation
+  UNION ALL
+  SELECT 'urn:graph:supp', 'urn:supp:' || s_suppkey,
+         'urn:nation:' || s_nationkey FROM supplier
+),
+walk(g, src, dst) AS (
+  SELECT g, src, dst FROM quads
+  UNION
+  SELECT w.g, w.src, e.dst
+  FROM walk w JOIN quads e ON e.g = w.g AND e.src = w.dst
+)
+SELECT DISTINCT g, 'uri' AS g_kind, CAST(NULL AS VARCHAR) AS g_lang,
+  src AS x, 'uri' AS x_kind, CAST(NULL AS VARCHAR) AS x_lang,
+  dst AS y, 'uri' AS y_kind, CAST(NULL AS VARCHAR) AS y_lang
+FROM walk""",
     "sparql_path_inverse": """
 WITH {cte}
 SELECT DISTINCT t1.obj_value AS n, t1.obj_kind AS n_kind,
@@ -4292,6 +4354,7 @@ QUERIES = {
     "sparql_datetime_funcs": q_sparql_datetime_funcs,
     "sparql_named_graphs": q_sparql_named_graphs,
     "sparql_group_order_expr": q_sparql_group_order_expr,
+    "sparql_path_graph_var": q_sparql_path_graph_var,
     # -- never driver-verified: S/K operators, analytics, streaming --------
     "graph_contains": q_graph_contains,
     "rdf_ingest_dir": q_rdf_ingest_dir,

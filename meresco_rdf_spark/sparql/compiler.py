@@ -89,7 +89,8 @@ def _pattern_vars(pattern) -> Set[str]:
 
 
 def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
-                     seed: Opt[str] = None) -> DataFrame:
+                     seed: Opt[str] = None,
+                     with_ctx: bool = False) -> DataFrame:
     """Transitive closure of the edge set {(subj, obj) : pred ∈ preds} —
     the runtime of a SPARQL ``p+`` path.  Returns
     ``(src, dst, dst_kind, dst_lang)`` for every path of length ≥ 1.
@@ -102,13 +103,22 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
     closure is seeded from that node only — reachability, not the full
     closure.  Traversal continues through uri/bnode objects only (a
     literal can terminate a path but never extends one).
+
+    With ``with_ctx`` (property path inside ``GRAPH ?g``) the relation is
+    a quad view and every frame carries a ``ctx`` column: extension joins
+    add ``ctx`` equality so paths never cross graph boundaries — one
+    closure job computes all graphs' closures at once (the context is
+    just one more join key, NOT a per-graph loop), and the output gains
+    a ``ctx`` column.
     """
+    cols = [F.col("subj").alias("src"),
+            F.col("obj_value").alias("dst"),
+            F.col("obj_kind").alias("dst_kind"),
+            F.col("obj_lang").alias("dst_lang")]
+    if with_ctx:
+        cols.append(F.col("context").alias("ctx"))
     base = (triples.filter(F.col("pred").isin(list(preds)))
-            .select(F.col("subj").alias("src"),
-                    F.col("obj_value").alias("dst"),
-                    F.col("obj_kind").alias("dst_kind"),
-                    F.col("obj_lang").alias("dst_lang"))
-            .distinct())
+            .select(*cols).distinct())
     start = base.filter(F.col("src") == seed) if seed is not None else base
     # Spark 4.1 quirk: localCheckpoint of a union whose lineage carries an
     # equality constraint (the seed filter) dies in the checkpoint's
@@ -128,22 +138,29 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
         closure = start.localCheckpoint(eager=True)
         frontier = closure
         while True:
+            join_cond = F.col("f.dst") == F.col("b.src")
+            if with_ctx:
+                join_cond = join_cond & (F.col("f.ctx") == F.col("b.ctx"))
+            out = [F.col("f.src").alias("src"),
+                   F.col("b.dst").alias("dst"),
+                   F.col("b.dst_kind").alias("dst_kind"),
+                   F.col("b.dst_lang").alias("dst_lang")]
+            if with_ctx:
+                out.append(F.col("f.ctx").alias("ctx"))
             ext = (frontier.filter(F.col("dst_kind") != "literal").alias("f")
-                   .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
-                   .select(F.col("f.src").alias("src"),
-                           F.col("b.dst").alias("dst"),
-                           F.col("b.dst_kind").alias("dst_kind"),
-                           F.col("b.dst_lang").alias("dst_lang")))
+                   .join(base.alias("b"), join_cond)
+                   .select(*out))
             c = closure.alias("c")
             e = ext.distinct().alias("e")
-            new = (e.join(
-                c,
-                (F.col("e.src") == F.col("c.src"))
-                & (F.col("e.dst") == F.col("c.dst"))
-                & (F.col("e.dst_kind") == F.col("c.dst_kind"))
-                & F.col("e.dst_lang").eqNullSafe(F.col("c.dst_lang")),
-                "left_anti")
-                .localCheckpoint(eager=True))
+            anti_cond = ((F.col("e.src") == F.col("c.src"))
+                         & (F.col("e.dst") == F.col("c.dst"))
+                         & (F.col("e.dst_kind") == F.col("c.dst_kind"))
+                         & F.col("e.dst_lang").eqNullSafe(
+                             F.col("c.dst_lang")))
+            if with_ctx:
+                anti_cond = anti_cond & (F.col("e.ctx") == F.col("c.ctx"))
+            new = (e.join(c, anti_cond, "left_anti")
+                   .localCheckpoint(eager=True))
             if new.isEmpty():
                 return closure
             closure = closure.unionByName(new)
@@ -158,19 +175,22 @@ def _src_kind() -> Column:
             .otherwise(F.lit("uri")))
 
 
-def _graph_terms(triples: DataFrame) -> DataFrame:
+def _graph_terms(triples: DataFrame, with_ctx: bool = False) -> DataFrame:
     """(node, kind, lang) for every RDF term of the graph (subjects ∪
     objects) — the zero-length-path domain (SPARQL 1.1 §18.4,
-    ZeroLengthPath over both-variable endpoints)."""
+    ZeroLengthPath over both-variable endpoints).  With ``with_ctx`` the
+    domain is per named graph: each term is listed with the ``ctx`` of
+    the graph(s) it appears in."""
+    extra = [F.col("context").alias("ctx")] if with_ctx else []
     subjects = triples.select(
         F.col("subj").alias("node"),
         F.when(F.col("subj").startswith("_:"), F.lit("bnode"))
          .otherwise(F.lit("uri")).alias("kind"),
-        _null_str().alias("lang"))
+        _null_str().alias("lang"), *extra)
     objects = triples.select(
         F.col("obj_value").alias("node"),
         F.col("obj_kind").alias("kind"),
-        F.col("obj_lang").alias("lang"))
+        F.col("obj_lang").alias("lang"), *extra)
     return subjects.unionByName(objects).distinct()
 
 
@@ -185,8 +205,9 @@ def _term_const(t) -> Opt[Tuple[str, str, Opt[str]]]:
     return None
 
 
-def _compile_path_closure(triples: DataFrame, s, p, o,
-                          plus: bool) -> Tuple[DataFrame, Set[str]]:
+def _compile_path_closure(triples: DataFrame, s, p, o, plus: bool,
+                          graph_var: Opt[str] = None
+                          ) -> Tuple[DataFrame, Set[str]]:
     """(s, p*, o) / (s, p?, o) -> bindings frame: the zero-length
     identity matches UNION the length>=1 matches (the full transitive
     closure for ``*``, the base edge set for ``?``).
@@ -196,41 +217,62 @@ def _compile_path_closure(triples: DataFrame, s, p, o,
     graph matches itself (so ``?x p* ?x`` binds every term).  The frame
     carries explicit (src, src_kind, src_lang) because zero-length
     matches can bind a LITERAL to the subject position — the uri/bnode
-    derivation used for real path sources does not apply to them."""
+    derivation used for real path sources does not apply to them.
+
+    With ``graph_var`` (path inside ``GRAPH ?g``) the relation is a quad
+    view; paths are confined to a single named graph (the context rides
+    the closure joins as one more key — ONE job evaluates every graph's
+    closure, no per-graph loop), the zero-length domain is per graph (a
+    constant endpoint matches itself in EVERY named graph; variable
+    endpoints match each graph's own terms), and ``?g`` binds from the
+    quad context."""
+    with_ctx = graph_var is not None
     seed = None
     if isinstance(s, Iri):
         seed = s.uri
     elif isinstance(s, BNodeRef):
         seed = s.label
     if plus:
-        step = _path_plus_edges(triples, p.preds, seed=seed)
+        step = _path_plus_edges(triples, p.preds, seed=seed,
+                                with_ctx=with_ctx)
     else:
+        base_cols = [F.col("subj").alias("src"),
+                     F.col("obj_value").alias("dst"),
+                     F.col("obj_kind").alias("dst_kind"),
+                     F.col("obj_lang").alias("dst_lang")]
+        if with_ctx:
+            base_cols.append(F.col("context").alias("ctx"))
         step = (triples.filter(F.col("pred").isin(list(p.preds)))
-                .select(F.col("subj").alias("src"),
-                        F.col("obj_value").alias("dst"),
-                        F.col("obj_kind").alias("dst_kind"),
-                        F.col("obj_lang").alias("dst_lang"))
-                .distinct())
+                .select(*base_cols).distinct())
         if seed is not None:
             step = step.filter(F.col("src") == seed)
+    ctx_sel = ["ctx"] if with_ctx else []
     step6 = step.select(
         "src", _src_kind().alias("src_kind"), _null_str().alias("src_lang"),
-        "dst", "dst_kind", "dst_lang")
+        "dst", "dst_kind", "dst_lang", *ctx_sel)
 
     const = _term_const(s) or _term_const(o)
     if const is not None:
         node, kind, lang = const
-        spark = triples.sparkSession
-        ident = spark.range(1).select(
-            F.lit(node).alias("node"), F.lit(kind).alias("kind"),
-            F.lit(lang).cast("string").alias("lang"))
+        if with_ctx:
+            ident = (triples.select(F.col("context").alias("ctx"))
+                     .distinct()
+                     .select(F.lit(node).alias("node"),
+                             F.lit(kind).alias("kind"),
+                             F.lit(lang).cast("string").alias("lang"),
+                             "ctx"))
+        else:
+            spark = triples.sparkSession
+            ident = spark.range(1).select(
+                F.lit(node).alias("node"), F.lit(kind).alias("kind"),
+                F.lit(lang).cast("string").alias("lang"))
     else:
-        ident = _graph_terms(triples)
+        ident = _graph_terms(triples, with_ctx=with_ctx)
     zero6 = ident.select(
         F.col("node").alias("src"), F.col("kind").alias("src_kind"),
         F.col("lang").alias("src_lang"),
         F.col("node").alias("dst"), F.col("kind").alias("dst_kind"),
-        F.col("lang").alias("dst_lang"))
+        F.col("lang").alias("dst_lang"), *ctx_sel)
     df = zero6.unionByName(step6).dropDuplicates()
 
     sc, oc = _term_const(s), _term_const(o)
@@ -245,6 +287,28 @@ def _compile_path_closure(triples: DataFrame, s, p, o,
               .filter(F.col("dst_lang").eqNullSafe(
                   F.lit(oc[2]).cast("string"))))
 
+    # GRAPH ?g: bind the graph label, or unify it with a same-named
+    # endpoint variable (GRAPH ?g { ?g p* ?x }) via an equality filter
+    gcols: List[Column] = []
+    gvars: Set[str] = set()
+    if with_ctx:
+        ctx_kind = (F.when(F.col("ctx").startswith("_:"), F.lit("bnode"))
+                    .otherwise(F.lit("uri")))
+        unified = False
+        if isinstance(s, Var) and s.name == graph_var:
+            df = df.filter((F.col("src") == F.col("ctx"))
+                           & (F.col("src_kind") == ctx_kind))
+            unified = True
+        if isinstance(o, Var) and o.name == graph_var:
+            df = df.filter((F.col("dst") == F.col("ctx"))
+                           & (F.col("dst_kind") == ctx_kind))
+            unified = True
+        if not unified:
+            v, k, lg = _var_cols(graph_var)
+            gcols = [F.col("ctx").alias(v), ctx_kind.alias(k),
+                     _null_str().alias(lg)]
+            gvars = {graph_var}
+
     if isinstance(s, Var) and isinstance(o, Var) and s.name == o.name:
         df = df.filter(
             (F.col("src") == F.col("dst"))
@@ -253,8 +317,9 @@ def _compile_path_closure(triples: DataFrame, s, p, o,
         v, k, lg = _var_cols(s.name)
         return (df.select(F.col("src").alias(v),
                           F.col("src_kind").alias(k),
-                          F.col("src_lang").alias(lg)).dropDuplicates(),
-                {s.name})
+                          F.col("src_lang").alias(lg),
+                          *gcols).dropDuplicates(),
+                {s.name} | gvars)
     cols: List[Column] = []
     vars_: Set[str] = set()
     if isinstance(s, Var):
@@ -262,25 +327,35 @@ def _compile_path_closure(triples: DataFrame, s, p, o,
         cols.extend([F.col("src").alias(v), F.col("src_kind").alias(k),
                      F.col("src_lang").alias(lg)])
         vars_.add(s.name)
-    if isinstance(o, Var):
+    if isinstance(o, Var) and o.name not in vars_:
         v, k, lg = _var_cols(o.name)
         cols.extend([F.col("dst").alias(v), F.col("dst_kind").alias(k),
                      F.col("dst_lang").alias(lg)])
         vars_.add(o.name)
+    cols.extend(gcols)
+    vars_ |= gvars
     if not cols:
         return df.limit(1).select(F.lit(1).alias("_ground")), set()
+    # no dedup needed: df is already distinct and every dropped column
+    # (a constant endpoint, or ctx when unified with an endpoint) is
+    # functionally determined by the kept ones
     return df.select(*cols), vars_
 
 
-def _compile_path_plus(triples: DataFrame, s, p: PathPlus,
-                       o) -> Tuple[DataFrame, Set[str]]:
-    """(s, p+, o) -> bindings frame over the closure relation."""
+def _compile_path_plus(triples: DataFrame, s, p: PathPlus, o,
+                       graph_var: Opt[str] = None
+                       ) -> Tuple[DataFrame, Set[str]]:
+    """(s, p+, o) -> bindings frame over the closure relation.  With
+    ``graph_var`` (path inside ``GRAPH ?g``) the closure is per named
+    graph — the quad context rides the closure joins as one more key —
+    and ``?g`` binds from it."""
+    with_ctx = graph_var is not None
     seed = None
     if isinstance(s, Iri):
         seed = s.uri
     elif isinstance(s, BNodeRef):
         seed = s.label
-    df = _path_plus_edges(triples, p.preds, seed=seed)
+    df = _path_plus_edges(triples, p.preds, seed=seed, with_ctx=with_ctx)
     if isinstance(o, Iri):
         df = (df.filter(F.col("dst") == o.uri)
               .filter(F.col("dst_kind") == "uri"))
@@ -292,6 +367,24 @@ def _compile_path_plus(triples: DataFrame, s, p: PathPlus,
               .filter(F.col("dst_kind") == "literal")
               .filter(F.col("dst_lang").eqNullSafe(
                   F.lit(o.lang).cast("string"))))
+    gcols: List[Column] = []
+    gvars: Set[str] = set()
+    if with_ctx:
+        ctx_kind = (F.when(F.col("ctx").startswith("_:"), F.lit("bnode"))
+                    .otherwise(F.lit("uri")))
+        unified = False
+        if isinstance(s, Var) and s.name == graph_var:
+            df = df.filter(F.col("src") == F.col("ctx"))
+            unified = True
+        if isinstance(o, Var) and o.name == graph_var:
+            df = df.filter((F.col("dst") == F.col("ctx"))
+                           & (F.col("dst_kind") == ctx_kind))
+            unified = True
+        if not unified:
+            v, k, lg = _var_cols(graph_var)
+            gcols = [F.col("ctx").alias(v), ctx_kind.alias(k),
+                     _null_str().alias(lg)]
+            gvars = {graph_var}
     cols: List[Column] = []
     vars_: Set[str] = set()
     if isinstance(s, Var):
@@ -313,9 +406,16 @@ def _compile_path_plus(triples: DataFrame, s, p: PathPlus,
                          F.col("dst_kind").alias(k),
                          F.col("dst_lang").alias(lg)])
             vars_.add(o.name)
+    cols.extend(gcols)
+    vars_ |= gvars
     if not cols:
         return df.limit(1).select(F.lit(1).alias("_ground")), set()
-    return df.select(*cols), vars_
+    out = df.select(*cols)
+    if gvars and not (isinstance(s, Var) or isinstance(o, Var)):
+        # ground endpoints + GRAPH ?g: one row per graph where the path
+        # holds (the projection to ctx alone can repeat per path)
+        out = out.dropDuplicates()
+    return out, vars_
 
 
 def _active_graph(triples: DataFrame, graph) -> Tuple[DataFrame, Opt[str]]:
@@ -351,16 +451,14 @@ def _compile_pattern(triples: DataFrame, pattern,
     ``graph_var`` the frame additionally binds the quad's context as that
     variable (GRAPH ?g scope)."""
     s, p, o = pattern
-    if isinstance(p, (PathPlus, PathStar, PathOpt)) and graph_var:
-        raise SparqlCompileError(
-            "property paths inside GRAPH ?%s are not supported; "
-            "use a constant graph IRI" % graph_var)
     if isinstance(p, PathPlus):
-        return _compile_path_plus(triples, s, p, o)
+        return _compile_path_plus(triples, s, p, o, graph_var=graph_var)
     if isinstance(p, PathStar):
-        return _compile_path_closure(triples, s, p, o, plus=True)
+        return _compile_path_closure(triples, s, p, o, plus=True,
+                                     graph_var=graph_var)
     if isinstance(p, PathOpt):
-        return _compile_path_closure(triples, s, p, o, plus=False)
+        return _compile_path_closure(triples, s, p, o, plus=False,
+                                     graph_var=graph_var)
     df = triples
 
     # constant filters (pushdown-eligible)

@@ -1869,20 +1869,80 @@ def test_graph_joins_with_default_graph_patterns(quad_graph):
     ]
 
 
-def test_graph_requires_quads_and_rejects_paths_in_var_graph(quad_graph):
+def test_graph_requires_quads(quad_graph):
     with pytest.raises(SparqlCompileError, match="quad relation"):
         sparql_select(quad_graph.drop("context"), """
             SELECT ?n WHERE { GRAPH ?g { ?s <urn:p:name> ?n } }
         """).collect()
-    with pytest.raises(SparqlCompileError, match="property paths inside"):
-        sparql_select(quad_graph, """
-            SELECT ?n WHERE { GRAPH ?g { ?s <urn:p:name>+ ?n } }
-        """).collect()
-    # paths under a CONSTANT graph are fine (plain filtered relation)
+    # paths under a CONSTANT graph: plain filtered relation
     out = sparql_select(quad_graph, """
         SELECT ?n WHERE { GRAPH <file:a.rdf> { ?s <urn:p:name>? ?n } }
     """)
     assert "Alice" in {r["n"] for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def quad_chain_graph(spark):
+    # per-graph sub-chains: g1 has a->b->c, g2 has a->x; a default row
+    # that must stay invisible to GRAPH ?g
+    return spark.createDataFrame([
+        ("urn:g1", "urn:a", "urn:sub", "urn:b", "uri", None),
+        ("urn:g1", "urn:b", "urn:sub", "urn:c", "uri", None),
+        ("urn:g2", "urn:a", "urn:sub", "urn:x", "uri", None),
+        (None, "urn:d", "urn:sub", "urn:e", "uri", None),
+    ], "context string, subj string, pred string, obj_value string, "
+       "obj_kind string, obj_lang string")
+
+
+def test_graph_var_path_plus_confined_per_graph(quad_chain_graph):
+    # the closure never crosses graph boundaries: a reaches c only in g1
+    rows = sparql_select(quad_chain_graph, """
+        SELECT ?g ?x WHERE { GRAPH ?g { <urn:a> <urn:sub>+ ?x } }
+    """).collect()
+    assert sorted((r["g"], r["x"]) for r in rows) == [
+        ("urn:g1", "urn:b"), ("urn:g1", "urn:c"), ("urn:g2", "urn:x")]
+
+
+def test_graph_var_path_star_zero_length_per_graph(quad_chain_graph):
+    # the constant endpoint matches itself in EVERY named graph
+    rows = sparql_select(quad_chain_graph, """
+        SELECT ?g ?x WHERE { GRAPH ?g { <urn:a> <urn:sub>* ?x } }
+    """).collect()
+    assert sorted((r["g"], r["x"]) for r in rows) == [
+        ("urn:g1", "urn:a"), ("urn:g1", "urn:b"), ("urn:g1", "urn:c"),
+        ("urn:g2", "urn:a"), ("urn:g2", "urn:x")]
+
+
+def test_graph_var_path_opt_terms_per_graph(quad_chain_graph):
+    # zero-length domain = each graph's own terms, not the union
+    rows = sparql_select(quad_chain_graph, """
+        SELECT ?g ?s ?x WHERE { GRAPH ?g { ?s <urn:sub>? ?x } }
+    """).collect()
+    got = sorted((r["g"], r["s"], r["x"]) for r in rows)
+    assert ("urn:g1", "urn:x", "urn:x") not in got
+    assert got == [
+        ("urn:g1", "urn:a", "urn:a"), ("urn:g1", "urn:a", "urn:b"),
+        ("urn:g1", "urn:b", "urn:b"), ("urn:g1", "urn:b", "urn:c"),
+        ("urn:g1", "urn:c", "urn:c"),
+        ("urn:g2", "urn:a", "urn:a"), ("urn:g2", "urn:a", "urn:x"),
+        ("urn:g2", "urn:x", "urn:x")]
+
+
+def test_graph_var_path_joins_scope_within_graph(quad_chain_graph):
+    # the bound ?g joins other patterns in the same GRAPH block
+    rows = sparql_select(quad_chain_graph, """
+        SELECT ?g ?mid WHERE {
+            GRAPH ?g { <urn:a> <urn:sub>+ ?mid . ?mid <urn:sub>+ ?end }
+        }
+    """).collect()
+    assert sorted((r["g"], r["mid"]) for r in rows) == [("urn:g1", "urn:b")]
+
+
+def test_graph_var_path_ground_endpoints_binds_graphs(quad_chain_graph):
+    rows = sparql_select(quad_chain_graph, """
+        SELECT ?g WHERE { GRAPH ?g { <urn:a> <urn:sub>+ <urn:c> } }
+    """).collect()
+    assert [r["g"] for r in rows] == ["urn:g1"]
 
 
 def test_from_merges_named_graphs_into_default(quad_graph):
