@@ -577,6 +577,27 @@ def q_sparql_path_graph_var(spark, sf_dir):
     """)
 
 
+def q_sparql_path_mixed(spark, sf_dir):
+    """Quantified paths over |, / and ^ combinations of IRIs (the
+    generalized closure: per-branch step-join edge relations, full
+    term identity in the extension joins).  Branch "hier": from one
+    nation, (rel:region|^rel:nation)+ walks up to its region and down
+    to its customers and suppliers.  Branch "conat": from one customer,
+    (^rel:nation/rel:nation)+ closes over the co-national composed
+    edge — everyone sharing the seed's nation."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        SELECT DISTINCT ?x ?via WHERE {{
+          {{ <urn:nation:0> (<{rel_region}>|^<{rel_nation}>)+ ?x .
+             BIND("hier" AS ?via) }}
+          UNION
+          {{ <urn:cust:1> (<{rel_nation}>/^<{rel_nation}>)+ ?x .
+             BIND("conat" AS ?via) }}
+        }}
+    """.format(rel_nation=REL_NATION, rel_region=REL_REGION))
+
+
 def q_sparql_path_inverse(spark, sf_dir):
     """Inverse path: the members of one nation found by traversing
     ^rel:nation from the nation node."""
@@ -1441,6 +1462,32 @@ SELECT DISTINCT g, 'uri' AS g_kind, CAST(NULL AS VARCHAR) AS g_lang,
   src AS x, 'uri' AS x_kind, CAST(NULL AS VARCHAR) AS x_lang,
   dst AS y, 'uri' AS y_kind, CAST(NULL AS VARCHAR) AS y_lang
 FROM walk""",
+    "sparql_path_mixed": """
+WITH RECURSIVE {cte},
+hier_edges(src, dst) AS (
+  SELECT subj, obj_value FROM triples WHERE pred = '{rel_region}'
+  UNION ALL
+  SELECT obj_value, subj FROM triples WHERE pred = '{rel_nation}'
+),
+hier(x) AS (
+  SELECT dst FROM hier_edges WHERE src = 'urn:nation:0'
+  UNION
+  SELECT e.dst FROM hier h JOIN hier_edges e ON e.src = h.x
+),
+conat_edges(src, dst) AS (
+  SELECT DISTINCT a.subj, b.subj
+  FROM triples a JOIN triples b ON a.obj_value = b.obj_value
+  WHERE a.pred = '{rel_nation}' AND b.pred = '{rel_nation}'
+),
+conat(x) AS (
+  SELECT dst FROM conat_edges WHERE src = 'urn:cust:1'
+  UNION
+  SELECT e.dst FROM conat c JOIN conat_edges e ON e.src = c.x
+)
+SELECT DISTINCT x, 'uri' AS x_kind, CAST(NULL AS VARCHAR) AS x_lang,
+       via, 'literal' AS via_kind, CAST(NULL AS VARCHAR) AS via_lang
+FROM (SELECT x, 'hier' AS via FROM hier
+      UNION ALL SELECT x, 'conat' AS via FROM conat)""",
     "sparql_path_inverse": """
 WITH {cte}
 SELECT DISTINCT t1.obj_value AS n, t1.obj_kind AS n_kind,
@@ -4355,6 +4402,7 @@ QUERIES = {
     "sparql_named_graphs": q_sparql_named_graphs,
     "sparql_group_order_expr": q_sparql_group_order_expr,
     "sparql_path_graph_var": q_sparql_path_graph_var,
+    "sparql_path_mixed": q_sparql_path_mixed,
     # -- never driver-verified: S/K operators, analytics, streaming --------
     "graph_contains": q_graph_contains,
     "rdf_ingest_dir": q_rdf_ingest_dir,

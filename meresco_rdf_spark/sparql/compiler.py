@@ -88,21 +88,102 @@ def _pattern_vars(pattern) -> Set[str]:
     return {t.name for t in pattern if isinstance(t, Var)}
 
 
-def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
-                     seed: Opt[str] = None,
+def _subj_kind() -> Column:
+    """Term kind of a subject column: uri or bnode, never literal."""
+    return (F.when(F.col("subj").startswith("_:"), F.lit("bnode"))
+            .otherwise(F.lit("uri")))
+
+
+def _path_base_edges(triples: DataFrame, preds: Sequence[str],
+                     branches: Sequence[Sequence[Tuple[str, str]]] = (),
                      with_ctx: bool = False) -> DataFrame:
-    """Transitive closure of the edge set {(subj, obj) : pred ∈ preds} —
-    the runtime of a SPARQL ``p+`` path.  Returns
-    ``(src, dst, dst_kind, dst_lang)`` for every path of length ≥ 1.
+    """The one-step edge relation a quantified path closes over —
+    distinct ``(src, src_kind, src_lang, dst, dst_kind, dst_lang[, ctx])``
+    rows carrying FULL term identity on both ends (an inverse step makes
+    a literal a path SOURCE, so src is not always uri/bnode).
+
+    ``preds`` (bare-IRI alternation, the common ``rdfs:subClassOf*``
+    shape): one predicate-set filter over the relation — a single scan,
+    pushdown-eligible.  ``branches`` (any ``|``/``/``/``^`` combination):
+    each branch is a sequence of ('fwd'|'inv', iri) steps compiled to a
+    chain of equi-joins on full term identity (composed edges), branches
+    unioned.  Each step filters to ONE predicate before joining, so the
+    join inputs are the per-predicate slices, never the whole relation.
+    """
+    ctx = [F.col("context").alias("ctx")] if with_ctx else []
+    if not branches:
+        return (triples.filter(F.col("pred").isin(list(preds)))
+                .select(F.col("subj").alias("src"),
+                        _subj_kind().alias("src_kind"),
+                        _null_str().alias("src_lang"),
+                        F.col("obj_value").alias("dst"),
+                        F.col("obj_kind").alias("dst_kind"),
+                        F.col("obj_lang").alias("dst_lang"), *ctx)
+                .distinct())
+
+    def atomic(direction: str, uri: str) -> DataFrame:
+        t = triples.filter(F.col("pred") == uri)
+        if direction == "fwd":
+            return t.select(
+                F.col("subj").alias("src"), _subj_kind().alias("src_kind"),
+                _null_str().alias("src_lang"),
+                F.col("obj_value").alias("dst"),
+                F.col("obj_kind").alias("dst_kind"),
+                F.col("obj_lang").alias("dst_lang"), *ctx)
+        return t.select(
+            F.col("obj_value").alias("src"),
+            F.col("obj_kind").alias("src_kind"),
+            F.col("obj_lang").alias("src_lang"),
+            F.col("subj").alias("dst"), _subj_kind().alias("dst_kind"),
+            _null_str().alias("dst_lang"), *ctx)
+
+    per_branch = []
+    for steps in branches:
+        edge = atomic(*steps[0])
+        for direction, uri in steps[1:]:
+            cond = ((F.col("l.dst") == F.col("r.src"))
+                    & (F.col("l.dst_kind") == F.col("r.src_kind"))
+                    & F.col("l.dst_lang").eqNullSafe(F.col("r.src_lang")))
+            if with_ctx:
+                cond = cond & (F.col("l.ctx") == F.col("r.ctx"))
+            sel = [F.col("l.src").alias("src"),
+                   F.col("l.src_kind").alias("src_kind"),
+                   F.col("l.src_lang").alias("src_lang"),
+                   F.col("r.dst").alias("dst"),
+                   F.col("r.dst_kind").alias("dst_kind"),
+                   F.col("r.dst_lang").alias("dst_lang")]
+            if with_ctx:
+                sel.append(F.col("l.ctx").alias("ctx"))
+            edge = (edge.alias("l")
+                    .join(atomic(direction, uri).alias("r"), cond)
+                    .select(*sel))
+        per_branch.append(edge)
+    out = per_branch[0]
+    for e in per_branch[1:]:
+        out = out.unionByName(e)
+    return out.distinct()
+
+
+def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
+                     branches: Sequence[Sequence[Tuple[str, str]]] = (),
+                     seed: Opt[Tuple[str, str, Opt[str]]] = None,
+                     with_ctx: bool = False) -> DataFrame:
+    """Transitive closure of the ``_path_base_edges`` relation — the
+    runtime of a SPARQL ``p+`` path.  Returns
+    ``(src, src_kind, src_lang, dst, dst_kind, dst_lang)`` for every
+    path of length ≥ 1.
 
     Semi-naive frontier iteration: each round extends only the NEWLY
     reached pairs by one base edge and anti-joins the accumulated closure,
     so per-round work tracks the frontier, not the closure; lineage is cut
     with ``localCheckpoint`` per round and the loop is bounded by the
-    longest simple path.  When the subject is a constant (``seed``) the
-    closure is seeded from that node only — reachability, not the full
-    closure.  Traversal continues through uri/bnode objects only (a
-    literal can terminate a path but never extends one).
+    longest simple path.  When the subject is a constant (``seed``, a
+    full (value, kind, lang) term) the closure is seeded from that node
+    only — reachability, not the full closure.  On the ``preds`` fast
+    path traversal continues through uri/bnode objects only (a literal
+    can terminate a path but never extends one); with ``branches`` the
+    extension joins on full term identity instead — an inverse step can
+    legitimately continue FROM a literal.
 
     With ``with_ctx`` (property path inside ``GRAPH ?g``) the relation is
     a quad view and every frame carries a ``ctx`` column: extension joins
@@ -111,15 +192,14 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
     just one more join key, NOT a per-graph loop), and the output gains
     a ``ctx`` column.
     """
-    cols = [F.col("subj").alias("src"),
-            F.col("obj_value").alias("dst"),
-            F.col("obj_kind").alias("dst_kind"),
-            F.col("obj_lang").alias("dst_lang")]
-    if with_ctx:
-        cols.append(F.col("context").alias("ctx"))
-    base = (triples.filter(F.col("pred").isin(list(preds)))
-            .select(*cols).distinct())
-    start = base.filter(F.col("src") == seed) if seed is not None else base
+    base = _path_base_edges(triples, preds, branches, with_ctx=with_ctx)
+    if seed is not None:
+        start = (base.filter(F.col("src") == seed[0])
+                 .filter(F.col("src_kind") == seed[1])
+                 .filter(F.col("src_lang").eqNullSafe(
+                     F.lit(seed[2]).cast("string"))))
+    else:
+        start = base
     # Spark 4.1 quirk: localCheckpoint of a union whose lineage carries an
     # equality constraint (the seed filter) dies in the checkpoint's
     # constraint rewrite ("key not found" in AttributeMap) — constraint
@@ -139,20 +219,37 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
         frontier = closure
         while True:
             join_cond = F.col("f.dst") == F.col("b.src")
+            if branches:
+                # full term identity: literal-to-literal continuation is
+                # real under inverse steps
+                join_cond = (join_cond
+                             & (F.col("f.dst_kind") == F.col("b.src_kind"))
+                             & F.col("f.dst_lang").eqNullSafe(
+                                 F.col("b.src_lang")))
             if with_ctx:
                 join_cond = join_cond & (F.col("f.ctx") == F.col("b.ctx"))
             out = [F.col("f.src").alias("src"),
+                   F.col("f.src_kind").alias("src_kind"),
+                   F.col("f.src_lang").alias("src_lang"),
                    F.col("b.dst").alias("dst"),
                    F.col("b.dst_kind").alias("dst_kind"),
                    F.col("b.dst_lang").alias("dst_lang")]
             if with_ctx:
                 out.append(F.col("f.ctx").alias("ctx"))
-            ext = (frontier.filter(F.col("dst_kind") != "literal").alias("f")
+            fr = frontier
+            if not branches:
+                # preds sources are always uri/bnode: a literal dst can
+                # never extend, prune it before the join
+                fr = fr.filter(F.col("dst_kind") != "literal")
+            ext = (fr.alias("f")
                    .join(base.alias("b"), join_cond)
                    .select(*out))
             c = closure.alias("c")
             e = ext.distinct().alias("e")
             anti_cond = ((F.col("e.src") == F.col("c.src"))
+                         & (F.col("e.src_kind") == F.col("c.src_kind"))
+                         & F.col("e.src_lang").eqNullSafe(
+                             F.col("c.src_lang"))
                          & (F.col("e.dst") == F.col("c.dst"))
                          & (F.col("e.dst_kind") == F.col("c.dst_kind"))
                          & F.col("e.dst_lang").eqNullSafe(
@@ -167,12 +264,6 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
             frontier = new
     finally:
         spark.conf.set("spark.sql.constraintPropagation.enabled", saved)
-
-
-def _src_kind() -> Column:
-    """Path sources are always subjects — uri or bnode, never literal."""
-    return (F.when(F.col("src").startswith("_:"), F.lit("bnode"))
-            .otherwise(F.lit("uri")))
 
 
 def _graph_terms(triples: DataFrame, with_ctx: bool = False) -> DataFrame:
@@ -227,29 +318,19 @@ def _compile_path_closure(triples: DataFrame, s, p, o, plus: bool,
     endpoints match each graph's own terms), and ``?g`` binds from the
     quad context."""
     with_ctx = graph_var is not None
-    seed = None
-    if isinstance(s, Iri):
-        seed = s.uri
-    elif isinstance(s, BNodeRef):
-        seed = s.label
+    seed = _term_const(s)
     if plus:
-        step = _path_plus_edges(triples, p.preds, seed=seed,
-                                with_ctx=with_ctx)
+        step6 = _path_plus_edges(triples, p.preds, p.branches, seed=seed,
+                                 with_ctx=with_ctx)
     else:
-        base_cols = [F.col("subj").alias("src"),
-                     F.col("obj_value").alias("dst"),
-                     F.col("obj_kind").alias("dst_kind"),
-                     F.col("obj_lang").alias("dst_lang")]
-        if with_ctx:
-            base_cols.append(F.col("context").alias("ctx"))
-        step = (triples.filter(F.col("pred").isin(list(p.preds)))
-                .select(*base_cols).distinct())
+        step6 = _path_base_edges(triples, p.preds, p.branches,
+                                 with_ctx=with_ctx)
         if seed is not None:
-            step = step.filter(F.col("src") == seed)
+            step6 = (step6.filter(F.col("src") == seed[0])
+                     .filter(F.col("src_kind") == seed[1])
+                     .filter(F.col("src_lang").eqNullSafe(
+                         F.lit(seed[2]).cast("string"))))
     ctx_sel = ["ctx"] if with_ctx else []
-    step6 = step.select(
-        "src", _src_kind().alias("src_kind"), _null_str().alias("src_lang"),
-        "dst", "dst_kind", "dst_lang", *ctx_sel)
 
     const = _term_const(s) or _term_const(o)
     if const is not None:
@@ -350,12 +431,8 @@ def _compile_path_plus(triples: DataFrame, s, p: PathPlus, o,
     graph — the quad context rides the closure joins as one more key —
     and ``?g`` binds from it."""
     with_ctx = graph_var is not None
-    seed = None
-    if isinstance(s, Iri):
-        seed = s.uri
-    elif isinstance(s, BNodeRef):
-        seed = s.label
-    df = _path_plus_edges(triples, p.preds, seed=seed, with_ctx=with_ctx)
+    df = _path_plus_edges(triples, p.preds, p.branches,
+                          seed=_term_const(s), with_ctx=with_ctx)
     if isinstance(o, Iri):
         df = (df.filter(F.col("dst") == o.uri)
               .filter(F.col("dst_kind") == "uri"))
@@ -374,7 +451,8 @@ def _compile_path_plus(triples: DataFrame, s, p: PathPlus, o,
                     .otherwise(F.lit("uri")))
         unified = False
         if isinstance(s, Var) and s.name == graph_var:
-            df = df.filter(F.col("src") == F.col("ctx"))
+            df = df.filter((F.col("src") == F.col("ctx"))
+                           & (F.col("src_kind") == ctx_kind))
             unified = True
         if isinstance(o, Var) and o.name == graph_var:
             df = df.filter((F.col("dst") == F.col("ctx"))
@@ -389,17 +467,18 @@ def _compile_path_plus(triples: DataFrame, s, p: PathPlus, o,
     vars_: Set[str] = set()
     if isinstance(s, Var):
         v, k, lg = _var_cols(s.name)
-        cols.extend([
-            F.col("src").alias(v),
-            F.when(F.col("src").startswith("_:"), F.lit("bnode"))
-             .otherwise(F.lit("uri")).alias(k),
-            _null_str().alias(lg)])
+        cols.extend([F.col("src").alias(v),
+                     F.col("src_kind").alias(k),
+                     F.col("src_lang").alias(lg)])
         vars_.add(s.name)
     if isinstance(o, Var):
         if isinstance(s, Var) and o.name == s.name:
-            # cyclic reachability ?x p+ ?x: non-literal by construction
-            df = (df.filter(F.col("dst_kind") != "literal")
-                  .filter(F.col("dst") == F.col("src")))
+            # cyclic reachability ?x p+ ?x: full term identity (a
+            # literal can cycle through an inverse step)
+            df = (df.filter(F.col("dst") == F.col("src"))
+                  .filter(F.col("dst_kind") == F.col("src_kind"))
+                  .filter(F.col("dst_lang").eqNullSafe(
+                      F.col("src_lang"))))
         else:
             v, k, lg = _var_cols(o.name)
             cols.extend([F.col("dst").alias(v),

@@ -27,12 +27,14 @@ Property paths (predicate position): sequence ``p1/p2`` (desugared into
 chained patterns over fresh internal variables), inverse ``^p`` (subject/
 object swap), alternation ``p1|p2`` (desugared to UNION branches),
 negated property sets ``!p`` / ``!(p1|p2)`` (a NOT-IN predicate filter,
-no variable bound), and the quantifiers over an IRI or an alternation
-of IRIs: one-or-more ``p+`` (``PathPlus`` — the compiler runs an
+no variable bound), and the quantifiers over an IRI, an alternation of
+IRIs, or any ``|``/``/``/``^`` combination of IRIs (DNF ``branches`` of
+fwd/inv steps — e.g. ``(skos:broader|^skos:narrower)+``, ``(p/q)*``,
+``^p+``): one-or-more ``p+`` (``PathPlus`` — the compiler runs an
 iterative closure), zero-or-more ``p*`` (``PathStar`` — the closure
 UNION the zero-length identity matches per SPARQL 1.1 §18.4), and
-zero-or-one ``p?`` (``PathOpt``).  Nested quantifiers are rejected with
-a clear error.
+zero-or-one ``p?`` (``PathOpt``).  Nested quantifiers and negated sets
+inside a quantified group are rejected with a clear error.
 
 Aggregates: ``SELECT ?g (COUNT(?v) AS ?n) ... GROUP BY ?g`` with
 COUNT (incl. ``*`` and DISTINCT) / SUM / AVG / MIN / MAX / SAMPLE /
@@ -124,26 +126,37 @@ class BNodeRef:
     label: str
 
 
+PathBranches = Tuple[Tuple[Tuple[str, str], ...], ...]
+
+
 @dataclass(frozen=True)
 class PathPlus:
-    """One-or-more path over one predicate IRI or an alternation of IRIs:
-    the compiler materializes the transitive closure of the edge set."""
+    """One-or-more path over one predicate IRI or an alternation of IRIs
+    (``preds`` — the compiler's single-filter fast path), or over any
+    ``|``/``/``/``^`` combination of IRIs (``branches`` — DNF: one tuple
+    of ('fwd'|'inv', iri) steps per alternation branch; the compiler
+    builds the step-join edge relation and closes over it).  Exactly one
+    of the two is non-empty."""
     preds: Tuple[str, ...]
+    branches: PathBranches = ()
 
 
 @dataclass(frozen=True)
 class PathStar:
     """Zero-or-more path ``p*``: the transitive closure UNION the
     zero-length identity matches (every RDF term in the graph bound to
-    itself; a constant endpoint contributes its own identity row)."""
+    itself; a constant endpoint contributes its own identity row).
+    ``preds``/``branches`` as in ``PathPlus``."""
     preds: Tuple[str, ...]
+    branches: PathBranches = ()
 
 
 @dataclass(frozen=True)
 class PathOpt:
     """Zero-or-one path ``p?``: the base edge set UNION the zero-length
-    identity matches."""
+    identity matches.  ``preds``/``branches`` as in ``PathPlus``."""
     preds: Tuple[str, ...]
+    branches: PathBranches = ()
 
 
 @dataclass(frozen=True)
@@ -1236,27 +1249,46 @@ class _Parser:
 
     _QUANT_TAG = {"+": "plus", "*": "star", "?": "opt"}
 
-    def _path_quantifier(self, inverse: bool) -> Opt[str]:
+    def _path_quantifier(self) -> Opt[str]:
         """Consume a trailing path quantifier (+ * ?) if present and
-        return its step tag; inverse quantified paths are rejected."""
+        return its step tag."""
         for op, tag in self._QUANT_TAG.items():
             if self.at_op(op):
                 self.next()
-                if inverse:
-                    self.fail("inverse of a %s path is not supported" % op)
                 return tag
         return None
 
-    def _quant_preds(self, inner: List[List[tuple]], quant: str) -> tuple:
-        """A quantifier applies to an IRI or an alternation of IRIs —
-        flatten the parenthesized group's DNF branches into the IRI set."""
-        preds = []
+    def _quant_group(self, inner: List[List[tuple]], quant: str,
+                     inverse: bool) -> Tuple[tuple, tuple]:
+        """Normalize the group a quantifier applies to into
+        ``(preds, branches)``: an alternation of bare IRIs folds to the
+        ``preds`` fast path (one predicate-set filter), any other
+        ``|``/``/``/``^`` combination becomes DNF ``branches`` of
+        ('fwd'|'inv', iri) steps.  ``^(group)quant`` inverts every
+        branch (reverse the step order, flip each step's direction) —
+        the closure of reversed edges IS the reversed closure.  Nested
+        quantifiers and negated sets stay unsupported."""
+        branches = []
         for br in inner:
-            if len(br) != 1 or br[0][0] != "fwd":
-                self.fail("%s applies to an IRI or an alternation "
-                          "of IRIs only" % quant)
-            preds.append(br[0][1].uri)
-        return tuple(preds)
+            steps = []
+            for step in br:
+                if step[0] == "fwd":
+                    steps.append(("fwd", step[1].uri))
+                elif step[0] == "inv":
+                    steps.append(("inv", step[1].uri))
+                else:
+                    self.fail(
+                        "%s applies to |, / and ^ combinations of IRIs "
+                        "only (no nested quantifiers or negated sets)"
+                        % quant)
+            branches.append(tuple(steps))
+        if inverse:
+            flip = {"fwd": "inv", "inv": "fwd"}
+            branches = [tuple((flip[d], u) for d, u in reversed(br))
+                        for br in branches]
+        if all(len(br) == 1 and br[0][0] == "fwd" for br in branches):
+            return tuple(br[0][1] for br in branches), ()
+        return (), tuple(branches)
 
     def _path_elt(self) -> tuple:
         if self.at_op("*"):
@@ -1294,9 +1326,10 @@ class _Parser:
             self.next()
             inner = self.parse_path()
             self.eat_op(")")
-            tag = self._path_quantifier(inverse)
+            tag = self._path_quantifier()
             if tag is not None:
-                return (tag, self._quant_preds(inner, tag))
+                preds, branches = self._quant_group(inner, tag, inverse)
+                return (tag, preds, branches)
             if len(inner) == 1 and len(inner[0]) == 1:
                 step = inner[0][0]
                 if inverse:
@@ -1310,9 +1343,12 @@ class _Parser:
             # bare group: expanded into DNF branches by parse_path
             return ("alt", inner)
         iri = self._path_iri()
-        tag = self._path_quantifier(inverse)
+        tag = self._path_quantifier()
         if tag is not None:
-            return (tag, (iri.uri,))
+            if inverse:
+                # ^p+ = (^p)+: closure over the reversed edge set
+                return (tag, (), ((("inv", iri.uri),),))
+            return (tag, (iri.uri,), ())
         return ("inv", iri) if inverse else ("fwd", iri)
 
     def _path_iri(self) -> Iri:
@@ -1350,11 +1386,11 @@ class _Parser:
             elif tag == "neg":
                 pats.append((cur, NegatedSet(step[1]), nxt))
             elif tag == "star":
-                pats.append((cur, PathStar(step[1]), nxt))
+                pats.append((cur, PathStar(step[1], step[2]), nxt))
             elif tag == "opt":
-                pats.append((cur, PathOpt(step[1]), nxt))
+                pats.append((cur, PathOpt(step[1], step[2]), nxt))
             else:  # plus
-                pats.append((cur, PathPlus(step[1]), nxt))
+                pats.append((cur, PathPlus(step[1], step[2]), nxt))
             cur = nxt
         return pats
 

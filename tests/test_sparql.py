@@ -502,6 +502,78 @@ def test_path_star_const_const_zero_length(spark):
     assert {r["o"] for r in out.collect()} == {"urn:2"}
 
 
+@pytest.fixture(scope="module")
+def mixed_path_graph(spark):
+    # a -p-> b -q-> c -p-> d, plus two subjects sharing a literal object
+    return triples_df(spark, [
+        ("urn:a", "urn:p", Uri("urn:b")),
+        ("urn:b", "urn:q", Uri("urn:c")),
+        ("urn:c", "urn:p", Uri("urn:d")),
+        ("urn:x", "urn:p", Literal("lit1")),
+        ("urn:y", "urn:p", Literal("lit1")),
+        ("urn:z", "urn:p", Literal("lit1", lang="en")),
+    ])
+
+
+def test_path_plus_over_sequence_group(mixed_path_graph):
+    # (p/q)+ composes the two-step edge before closing: only a->c exists
+    out = sparql_select(mixed_path_graph, """
+        SELECT ?x ?y WHERE { ?x (<urn:p>/<urn:q>)+ ?y }
+    """)
+    assert {(r["x"], r["y"]) for r in out.collect()} == {("urn:a", "urn:c")}
+
+
+def test_path_plus_over_inverse_group_and_sugar(mixed_path_graph):
+    # (^p)+ from b reaches a; ^p+ is the same closure over reversed edges
+    for q in ("SELECT ?x WHERE { <urn:b> (^<urn:p>)+ ?x }",
+              "SELECT ?x WHERE { <urn:b> ^<urn:p>+ ?x }"):
+        out = sparql_select(mixed_path_graph, q)
+        assert {r["x"] for r in out.collect()} == {"urn:a"}
+
+
+def test_path_plus_literal_continuation_full_term_identity(mixed_path_graph):
+    # (p/^p)+: x and y meet at the shared plain literal "lit1"; z's
+    # "lit1"@en is a DIFFERENT term, so z never joins them
+    out = sparql_select(mixed_path_graph, """
+        SELECT ?x ?y WHERE { ?x (<urn:p>/^<urn:p>)+ ?y .
+                             FILTER(?x != ?y) }
+    """)
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    assert got == {("urn:x", "urn:y"), ("urn:y", "urn:x")}
+
+
+def test_path_star_and_opt_over_sequence_group(mixed_path_graph):
+    star = sparql_select(mixed_path_graph, """
+        SELECT ?y WHERE { <urn:a> (<urn:p>/<urn:q>)* ?y }
+    """)
+    assert {r["y"] for r in star.collect()} == {"urn:a", "urn:c"}
+    opt = sparql_select(mixed_path_graph, """
+        SELECT ?y WHERE { <urn:a> (<urn:p>/<urn:q>)? ?y }
+    """)
+    assert {r["y"] for r in opt.collect()} == {"urn:a", "urn:c"}
+
+
+def test_path_plus_mixed_direction_alternation(spark):
+    # (in|^in)+ from a seed walks the component in both directions
+    g = triples_df(spark, [
+        ("urn:c1", "urn:in", Uri("urn:n1")),
+        ("urn:c2", "urn:in", Uri("urn:n1")),
+        ("urn:c3", "urn:in", Uri("urn:n2")),
+    ])
+    out = sparql_select(g, """
+        SELECT ?x WHERE { <urn:c1> (<urn:in>|^<urn:in>)+ ?x }
+    """)
+    assert {r["x"] for r in out.collect()} == {"urn:n1", "urn:c1", "urn:c2"}
+
+
+def test_path_quantified_group_rejects_nested_quantifiers_and_negation():
+    for q in ("SELECT ?x ?y WHERE { ?x (<urn:p>+/<urn:q>)+ ?y }",
+              "SELECT ?x ?y WHERE { ?x (!<urn:p>)* ?y }"):
+        with pytest.raises(SparqlSyntaxError,
+                           match="combinations of IRIs only"):
+            parse_query(q)
+
+
 # ---------------------------------------------------------------------------
 # aggregates
 # ---------------------------------------------------------------------------
