@@ -3911,6 +3911,40 @@ def q_kg_shacl_report(spark, sf_dir):
                     shapes_from_graph(iter_turtle(_KG_SHAPES_TTL)))
 
 
+_PATH_SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+
+<urn:shape:NationSize> a sh:NodeShape ;
+  sh:targetObjectsOf <urn:rel:nation> ;
+  sh:property [ sh:path [ sh:inversePath <urn:rel:nation> ] ;
+                sh:minCount 65 ] .
+
+<urn:shape:MemberGeo> a sh:NodeShape ;
+  sh:targetSubjectsOf <urn:rel:nation> ;
+  sh:property [ sh:path ( <urn:rel:nation>
+                          <http://www.w3.org/2000/01/rdf-schema#label> ) ;
+                sh:pattern "^[A-M]" ] ;
+  sh:property [ sh:path ( <urn:rel:nation> <urn:rel:region> ) ;
+                sh:minCount 1 ; sh:nodeKind sh:IRI ] .
+"""
+
+
+def q_kg_shacl_paths(spark, sf_dir):
+    """SHACL property paths (§2.3.1) over the TPC-H graph relation:
+    sh:inversePath counts a nation's members (custs+supps reaching it
+    through ^rel:nation — small nations violate minCount 65 at sf0.01),
+    and a sequence path walks member -> nation -> rdfs:label so the
+    pattern constraint fires on members of N-Z nations.  The second
+    sequence path (nation/region) conforms — computed, not assumed.
+    Each non-IRI path compiles to its own (focus -> value) edge
+    relation; counting is SET semantics (distinct value nodes)."""
+    from .operators.shacl import shapes_from_graph, validate
+    from .rdfxml.turtle import iter_turtle
+
+    return validate(tpch_triples(spark, sf_dir),
+                    shapes_from_graph(iter_turtle(_PATH_SHAPES_TTL)))
+
+
 def q_stream_shacl_maintain(spark, sf_dir):
     """Incremental SHACL maintenance end-to-end: the SAME KG the batch
     ``kg_shacl_report`` validates, written as four ``.nq`` slice files
@@ -4391,6 +4425,7 @@ QUERIES = {
     "kg_rdfxml_shards": q_kg_rdfxml_shards,
     "kg_checkpoint_resume": q_kg_checkpoint_resume,
     "kg_shacl_report": q_kg_shacl_report,
+    "kg_shacl_paths": q_kg_shacl_paths,
     "kg_snapshot_merge": q_kg_snapshot_merge,
     "stream_shacl_maintain": q_stream_shacl_maintain,
     "stream_mention_rate": q_stream_mention_rate,
@@ -4803,6 +4838,29 @@ SELECT subj, pred, obj_value, obj_kind, obj_lang FROM (
 # golden — every declared branch is recomputed (focus resolution, value
 # join, per-value checks, zero-case-aware cardinality), so conforming
 # branches are CHECKED empty rather than assumed
+ORACLES["kg_shacl_paths"] = _fmt("""
+WITH {cte},
+members AS (
+  SELECT DISTINCT subj, obj_value AS nation FROM triples
+  WHERE pred = '{rel_nation}'
+),
+sizes AS (SELECT nation, COUNT(*) AS cnt FROM members GROUP BY nation),
+labels AS (
+  SELECT subj AS nation, obj_value AS label FROM triples
+  WHERE pred = '{rdfs}'
+)
+SELECT shape_id, focus, path, "constraint", value FROM (
+  SELECT 'urn:shape:NationSize' AS shape_id, nation AS focus,
+         '^{rel_nation}' AS path, 'minCount' AS "constraint",
+         CAST(cnt AS VARCHAR) AS value
+  FROM sizes WHERE cnt < 65
+  UNION ALL
+  SELECT 'urn:shape:MemberGeo', m.subj, '{rel_nation}/{rdfs}',
+         'pattern', l.label
+  FROM members m JOIN labels l ON l.nation = m.nation
+  WHERE NOT regexp_matches(l.label, '^[A-M]')
+)""")
+
 ORACLES["kg_shacl_report"] = """
 WITH g AS (
   SELECT * FROM read_parquet('/root/repo/tests/golden/kg_triples.parquet')

@@ -88,7 +88,8 @@ _NODE_KINDS = {SH + "IRI": ("uri",), SH + "Literal": ("literal",),
 
 REPORT_COLS = ["shape_id", "focus", "path", "constraint", "value"]
 
-_PROP_KEYS = ("path", "min_count", "max_count", "node_kind", "pattern",
+_PROP_KEYS = ("path", "path_expr",
+              "min_count", "max_count", "node_kind", "pattern",
               "in", "class", "has_value", "language_in", "unique_lang",
               "min_length", "max_length",
               "equals", "disjoint", "less_than", "less_than_or_equals")
@@ -132,16 +133,19 @@ def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
     for s, p, o in shape_triples:
         by_subj.setdefault(s, []).append((p, _term(o)))
 
-    def rdf_list(head: str) -> List[str]:
-        out: List[str] = []
+    def rdf_list_terms(head: str) -> List[tuple]:
+        out: List[tuple] = []
         node = head
         while node != RDF_NIL:
             entries = dict(by_subj.get(node, []))
             if RDF_FIRST not in entries:
                 raise ShaclUnsupported("malformed RDF list at %s" % node)
-            out.append(entries[RDF_FIRST][0])
+            out.append(entries[RDF_FIRST][:2])
             node = entries.get(RDF_REST, (RDF_NIL,))[0]
         return out
+
+    def rdf_list(head: str) -> List[str]:
+        return [v for v, _k in rdf_list_terms(head)]
 
     shapes = []
     for subj, po in by_subj.items():
@@ -160,7 +164,8 @@ def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
             elif p == SH + "targetNode":
                 shape.setdefault("target_node", []).append(val)
             elif p == SH + "property":
-                shape["properties"].append(_parse_property(by_subj, val, rdf_list))
+                shape["properties"].append(_parse_property(
+                    by_subj, val, rdf_list, rdf_list_terms))
             else:
                 raise ShaclUnsupported("unsupported shape predicate %s" % p)
         if not _TARGET_KEYS & set(shape):
@@ -171,14 +176,88 @@ def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
     return shapes
 
 
-def _parse_property(by_subj: dict, node: str, rdf_list) -> dict:
+_PATH_QUANTS = {SH + "zeroOrMorePath": "zero_or_more",
+                SH + "oneOrMorePath": "one_or_more",
+                SH + "zeroOrOnePath": "zero_or_one"}
+
+
+def _parse_path_node(by_subj: dict, val: str, kind: str,
+                     rdf_list_terms) -> tuple:
+    """SHACL property-path structure (§2.3.1) -> nested expr tuple:
+    ('iri', uri) | ('inv', sub) | ('seq', (sub, ...)) |
+    ('alt', (sub, ...)) | ('zero_or_more'|'one_or_more'|'zero_or_one',
+    sub).  Predicate paths are plain IRIs; everything else is a blank
+    node carrying sh:inversePath / sh:alternativePath / sh:*Path or an
+    RDF list (sequence path)."""
+    if kind == "uri":
+        return ("iri", val)
+    if kind != "bnode":
+        raise ShaclUnsupported(
+            "sh:path must be an IRI or a path structure (got %s)" % val)
+    entries = by_subj.get(val, [])
+    d = {p: t for p, t in entries}
+    if RDF_FIRST in d:
+        parts = tuple(
+            _parse_path_node(by_subj, v, k, rdf_list_terms)
+            for v, k in rdf_list_terms(val))
+        if len(parts) < 2:
+            raise ShaclUnsupported(
+                "sequence path needs at least two elements")
+        return ("seq", parts)
+    if SH + "inversePath" in d:
+        v, k = d[SH + "inversePath"][:2]
+        return ("inv", _parse_path_node(by_subj, v, k, rdf_list_terms))
+    if SH + "alternativePath" in d:
+        head = d[SH + "alternativePath"][0]
+        parts = tuple(
+            _parse_path_node(by_subj, v, k, rdf_list_terms)
+            for v, k in rdf_list_terms(head))
+        if len(parts) < 2:
+            raise ShaclUnsupported(
+                "alternative path needs at least two elements")
+        return ("alt", parts)
+    for pred, tag in _PATH_QUANTS.items():
+        if pred in d:
+            v, k = d[pred][:2]
+            return (tag, _parse_path_node(by_subj, v, k, rdf_list_terms))
+    raise ShaclUnsupported("unsupported path structure at %s" % val)
+
+
+def _render_path(expr: tuple) -> str:
+    """Canonical SPARQL-syntax rendering of a path expr — the report's
+    ``path`` column and the dedup key for shared path relations."""
+    tag = expr[0]
+    if tag == "iri":
+        return expr[1]
+
+    def wrap(e: tuple) -> str:
+        r = _render_path(e)
+        return r if e[0] == "iri" else "(%s)" % r
+
+    if tag == "inv":
+        return "^" + wrap(expr[1])
+    if tag == "seq":
+        return "/".join(wrap(e) for e in expr[1])
+    if tag == "alt":
+        return "|".join(wrap(e) for e in expr[1])
+    return wrap(expr[1]) + {"zero_or_more": "*", "one_or_more": "+",
+                            "zero_or_one": "?"}[tag]
+
+
+def _parse_property(by_subj: dict, node: str, rdf_list,
+                    rdf_list_terms=None) -> dict:
     prop: dict = {}
     for p, (val, kind, _lang) in by_subj.get(node, []):
         if p == SH + "path":
-            if kind != "uri":
+            if kind == "uri":
+                prop["path"] = val
+            elif rdf_list_terms is None:
                 raise ShaclUnsupported(
                     "only IRI paths are supported (got %s)" % val)
-            prop["path"] = val
+            else:
+                expr = _parse_path_node(by_subj, val, kind, rdf_list_terms)
+                prop["path"] = _render_path(expr)
+                prop["path_expr"] = expr
         elif p == SH + "minCount":
             prop["min_count"] = int(val)
         elif p == SH + "maxCount":
@@ -242,6 +321,71 @@ def _check_shapes(shapes: List[dict]) -> None:
 # --------------------------------------------------------------------------
 # validation
 # --------------------------------------------------------------------------
+
+def _path_edges_expr(triples: DataFrame, expr: tuple):
+    """Compile a path expr to its (focus -> value) edge relation:
+    ``(src, src_kind, src_lang, dst, dst_kind, dst_lang)`` distinct
+    rows, plus a ``zero`` flag — True when the path also matches the
+    empty walk (the focus node is then one of its own value nodes; the
+    flag BUBBLES through composition instead of materializing identity
+    rows, so ``p/q*`` becomes ``p/q+ UNION p`` and only the top level
+    ever adds the focus itself).  Quantifiers reuse the SPARQL
+    compiler's semi-naive ``closure_of_edges`` on full term identity —
+    an inverse step legitimately makes a literal a path source."""
+    from ..sparql.compiler import closure_of_edges
+
+    tag = expr[0]
+    subj_kind = (F.when(F.col("subj").startswith("_:"), F.lit("bnode"))
+                 .otherwise(F.lit("uri")))
+    if tag == "iri":
+        return (triples.filter(F.col("pred") == expr[1]).select(
+            F.col("subj").alias("src"), subj_kind.alias("src_kind"),
+            F.lit(None).cast("string").alias("src_lang"),
+            F.col("obj_value").alias("dst"),
+            F.col("obj_kind").alias("dst_kind"),
+            F.col("obj_lang").alias("dst_lang")).distinct(), False)
+    if tag == "inv":
+        e, z = _path_edges_expr(triples, expr[1])
+        return (e.select(
+            F.col("dst").alias("src"), F.col("dst_kind").alias("src_kind"),
+            F.col("dst_lang").alias("src_lang"),
+            F.col("src").alias("dst"), F.col("src_kind").alias("dst_kind"),
+            F.col("src_lang").alias("dst_lang")), z)
+    if tag == "alt":
+        parts = [_path_edges_expr(triples, e) for e in expr[1]]
+        out = parts[0][0]
+        for e, _z in parts[1:]:
+            out = out.unionByName(e)
+        return out.distinct(), any(z for _e, z in parts)
+    if tag == "seq":
+        cur, zcur = _path_edges_expr(triples, expr[1][0])
+        for sub in expr[1][1:]:
+            nxt, znxt = _path_edges_expr(triples, sub)
+            cond = ((F.col("l.dst") == F.col("r.src"))
+                    & (F.col("l.dst_kind") == F.col("r.src_kind"))
+                    & F.col("l.dst_lang").eqNullSafe(F.col("r.src_lang")))
+            joined = (cur.alias("l").join(nxt.alias("r"), cond)
+                      .select(F.col("l.src").alias("src"),
+                              F.col("l.src_kind").alias("src_kind"),
+                              F.col("l.src_lang").alias("src_lang"),
+                              F.col("r.dst").alias("dst"),
+                              F.col("r.dst_kind").alias("dst_kind"),
+                              F.col("r.dst_lang").alias("dst_lang")))
+            if znxt:
+                joined = joined.unionByName(cur)
+            if zcur:
+                joined = joined.unionByName(nxt)
+            cur, zcur = joined.distinct(), zcur and znxt
+        return cur, zcur
+    e, z = _path_edges_expr(triples, expr[1])
+    if tag == "one_or_more":
+        return closure_of_edges(e), z
+    if tag == "zero_or_more":
+        return closure_of_edges(e), True
+    if tag == "zero_or_one":
+        return e, True
+    raise ShaclUnsupported("unknown path expr %r" % (tag,))
+
 
 def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
              only_focus: Optional[DataFrame] = None) -> DataFrame:
@@ -314,9 +458,21 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
                   for key, cname in _PAIR_KEYS if prop.get(key)]
     scope_pairs = {(sid, prop["path"]) for sid, prop in declared}
     scope_pairs.update((sid, other) for sid, _, other, _ in pair_decls)
-    all_paths = sorted({path for _, path in scope_pairs})
+    # non-IRI sh:path structures compile to their own (focus -> value)
+    # relation; the common all-IRI case stays on the single fused join
+    path_exprs: dict = {}
+    for _, prop in declared:
+        expr = prop.get("path_expr", ("iri", prop["path"]))
+        if path_exprs.setdefault(prop["path"], expr) != expr:
+            raise ShaclUnsupported(
+                "path string %r names two different path structures"
+                % prop["path"])
+    complex_exprs = {p: e for p, e in path_exprs.items() if e[0] != "iri"}
+    simple_pairs = {(sid, p) for sid, p in scope_pairs
+                    if p not in complex_exprs}
+    all_paths = sorted({path for _, path in simple_pairs})
     in_scope = F.lit(False)  # shapes may declare targets but no properties
-    for sid, path in sorted(scope_pairs):
+    for sid, path in sorted(simple_pairs):
         cond = (F.col("shape_id") == sid) & (F.col("pred") == path)
         in_scope = in_scope | cond
     vals = (
@@ -326,6 +482,29 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
         .select("shape_id", "focus", F.col("pred").alias("path"),
                 "obj_value", "obj_kind", "obj_lang")
     )
+    for path_str in sorted(complex_exprs):
+        sids = sorted(sid for sid, p in scope_pairs if p == path_str)
+        foc = focus.filter(F.col("shape_id").isin(sids))
+        edges, zero = _path_edges_expr(triples, complex_exprs[path_str])
+        part = (edges.join(foc, edges["src"] == foc["focus"])
+                .select("shape_id", "focus",
+                        F.lit(path_str).alias("path"),
+                        F.col("dst").alias("obj_value"),
+                        F.col("dst_kind").alias("obj_kind"),
+                        F.col("dst_lang").alias("obj_lang")))
+        if zero:
+            # the empty walk: every focus node is one of its own value
+            # nodes (focus kind derived; focus rows are never literals)
+            part = part.unionByName(foc.select(
+                "shape_id", "focus", F.lit(path_str).alias("path"),
+                F.col("focus").alias("obj_value"),
+                F.when(F.col("focus").startswith("_:"), F.lit("bnode"))
+                 .otherwise(F.lit("uri")).alias("obj_kind"),
+                F.lit(None).cast("string").alias("obj_lang")))
+        # SHACL counts VALUE NODES (a set): a value reachable along
+        # several walks — or via both a cycle and the empty walk —
+        # counts once
+        vals = vals.unionByName(part.dropDuplicates())
 
     reports = []
 

@@ -200,13 +200,44 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
                      F.lit(seed[2]).cast("string"))))
     else:
         start = base
+    return closure_of_edges(base, start=start,
+                            full_term_join=bool(branches),
+                            prune_literal_dst=not branches,
+                            with_ctx=with_ctx)
+
+
+def closure_of_edges(base: DataFrame, start: Opt[DataFrame] = None,
+                     full_term_join: bool = True,
+                     prune_literal_dst: bool = False,
+                     with_ctx: bool = False) -> DataFrame:
+    """Transitive closure of a distinct 6-column edge relation
+    ``(src, src_kind, src_lang, dst, dst_kind, dst_lang[, ctx])`` — the
+    shared runtime of quantified SPARQL paths and SHACL zero/one-or-more
+    property paths.  ``start`` (default: ``base``) is the length-1 seed
+    frame, possibly filtered to one source node (reachability).
+
+    ``full_term_join``: extension joins match on full (value, kind,
+    lang) term identity — required when edges can START at a literal
+    (inverse steps).  With it off, joins on value only, which is exact
+    when every source is uri/bnode (bare-predicate edge sets), and
+    ``prune_literal_dst`` drops literal-destination frontier rows
+    before the join (a literal can terminate but never extend).
+
+    Semi-naive frontier iteration: each round extends only the NEWLY
+    reached pairs by one base edge and anti-joins the accumulated
+    closure, so per-round work tracks the frontier, not the closure;
+    lineage is cut with ``localCheckpoint`` per round and the loop is
+    bounded by the longest simple path.
+    """
+    if start is None:
+        start = base
     # Spark 4.1 quirk: localCheckpoint of a union whose lineage carries an
     # equality constraint (the seed filter) dies in the checkpoint's
     # constraint rewrite ("key not found" in AttributeMap) — constraint
     # propagation is suspended for the loop's checkpoints and restored
     # after.  The closure plan gains nothing from inferred filters anyway:
     # every round is already materialized.
-    spark = triples.sparkSession
+    spark = base.sparkSession
     saved = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
@@ -219,9 +250,7 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
         frontier = closure
         while True:
             join_cond = F.col("f.dst") == F.col("b.src")
-            if branches:
-                # full term identity: literal-to-literal continuation is
-                # real under inverse steps
+            if full_term_join:
                 join_cond = (join_cond
                              & (F.col("f.dst_kind") == F.col("b.src_kind"))
                              & F.col("f.dst_lang").eqNullSafe(
@@ -237,9 +266,7 @@ def _path_plus_edges(triples: DataFrame, preds: Sequence[str],
             if with_ctx:
                 out.append(F.col("f.ctx").alias("ctx"))
             fr = frontier
-            if not branches:
-                # preds sources are always uri/bnode: a literal dst can
-                # never extend, prune it before the join
+            if prune_literal_dst:
                 fr = fr.filter(F.col("dst_kind") != "literal")
             ext = (fr.alias("f")
                    .join(base.alias("b"), join_cond)

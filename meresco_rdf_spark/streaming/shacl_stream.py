@@ -62,7 +62,23 @@ REPORT_COLS = ["shape_id", "focus", "path", "constraint", "value"]
 
 def _affected_focus(spark, shapes: list[dict], new_rows: DataFrame,
                     table: DataFrame | None) -> DataFrame:
-    """(shape_id, focus) pairs whose verdicts this delta could change."""
+    """(shape_id, focus) pairs whose verdicts this delta could change.
+
+    IRI paths only: the affected-focus derivation reads ``prop['path']``
+    as a predicate, which is wrong for structured paths (an inverse
+    path's affected focus is the new row's OBJECT; a sequence's is
+    upstream of it) — those shapes must go through a full
+    ``validate()``, so they are rejected loudly here rather than
+    silently under-revalidated."""
+    for shape in shapes:
+        for prop in shape.get("properties", ()):
+            if prop.get("path_expr"):
+                from meresco_rdf_spark.operators.shacl import ShaclUnsupported
+                raise ShaclUnsupported(
+                    "incremental SHACL maintenance supports IRI paths "
+                    "only; shape %s declares path %r — run the full "
+                    "batch validate() instead"
+                    % (shape["id"], prop["path"]))
     parts = []
     path_preds: dict[str, set[str]] = {}
     for shape in shapes:

@@ -96,11 +96,11 @@ class TestShapesFromGraph:
         with pytest.raises(ShaclUnsupported, match="no target"):
             shapes_from_graph(iter_turtle(ttl))
 
-    def test_non_iri_path_raises(self):
+    def test_unknown_path_structure_raises(self):
         ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
         <urn:s> a sh:NodeShape ; sh:targetClass <urn:C> ;
-          sh:property [ sh:path [ sh:inversePath <urn:p> ] ] ."""
-        with pytest.raises(ShaclUnsupported):
+          sh:property [ sh:path [ <urn:weird> <urn:p> ] ] ."""
+        with pytest.raises(ShaclUnsupported, match="path structure"):
             shapes_from_graph(iter_turtle(ttl))
 
 
@@ -331,3 +331,144 @@ class TestExtendedConstraints:
         # phantom maxCount from duplicated focus rows)
         rows = person("p1", "Alice")
         assert self.report(spark, rows, ttl) == set()
+
+
+PATHS_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <urn:ex:> .
+
+ex:TeamShape a sh:NodeShape ;
+  sh:targetClass ex:Team ;
+  sh:property [ sh:path [ sh:inversePath ex:member ] ; sh:minCount 2 ] .
+
+ex:SeqShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ( ex:worksFor ex:name ) ; sh:minCount 1 ;
+                sh:nodeKind sh:Literal ] .
+
+ex:AltShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path [ sh:alternativePath ( ex:phone ex:email ) ] ;
+                sh:minCount 1 ] .
+
+ex:ChainShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path [ sh:oneOrMorePath ex:boss ] ; sh:maxCount 2 ] .
+
+ex:RootedShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path [ sh:zeroOrMorePath ex:boss ] ; sh:minCount 1 ] .
+"""
+
+
+class TestPropertyPaths:
+    def report(self, spark, rows, ttl=PATHS_TTL):
+        df = validate(tri(spark, rows), shapes_from_graph(iter_turtle(ttl)))
+        return {(r.shape_id, r.focus, r.path, r.constraint, r.value)
+                for r in df.collect()}
+
+    def test_parses_path_structures(self):
+        shapes = {s["id"]: s
+                  for s in shapes_from_graph(iter_turtle(PATHS_TTL))}
+        path_of = {sid: s["properties"][0]["path"]
+                   for sid, s in shapes.items()}
+        assert path_of["urn:ex:TeamShape"] == "^urn:ex:member"
+        assert path_of["urn:ex:SeqShape"] == "urn:ex:worksFor/urn:ex:name"
+        assert path_of["urn:ex:AltShape"] == "urn:ex:phone|urn:ex:email"
+        assert path_of["urn:ex:ChainShape"] == "urn:ex:boss+"
+        assert path_of["urn:ex:RootedShape"] == "urn:ex:boss*"
+        expr = shapes["urn:ex:SeqShape"]["properties"][0]["path_expr"]
+        assert expr == ("seq", (("iri", "urn:ex:worksFor"),
+                                ("iri", "urn:ex:name")))
+
+    def test_inverse_path_counts_incoming(self, spark):
+        rows = [
+            ("urn:ex:t1", RDF_TYPE, "urn:ex:Team", "uri", None),
+            ("urn:ex:t2", RDF_TYPE, "urn:ex:Team", "uri", None),
+            ("urn:ex:a", "urn:ex:member", "urn:ex:t1", "uri", None),
+            ("urn:ex:b", "urn:ex:member", "urn:ex:t1", "uri", None),
+            ("urn:ex:c", "urn:ex:member", "urn:ex:t2", "uri", None),
+        ]
+        got = self.report(spark, rows)
+        assert ("urn:ex:TeamShape", "urn:ex:t2", "^urn:ex:member",
+                "minCount", "1") in got
+        assert not any(f == "urn:ex:t1" for _, f, *_ in got)
+
+    def test_sequence_path_walks_two_hops(self, spark):
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:worksFor", "urn:ex:acme", "uri", None),
+            ("urn:ex:acme", "urn:ex:name", "Acme", "literal", None),
+            ("urn:ex:p2", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p2", "urn:ex:worksFor", "urn:ex:shell", "uri", None),
+            # shell has no name: p2's path value set is empty
+        ]
+        got = {v for v in self.report(spark, rows)
+               if v[0] == "urn:ex:SeqShape"}
+        assert ("urn:ex:SeqShape", "urn:ex:p2",
+                "urn:ex:worksFor/urn:ex:name", "minCount", "0") in got
+        assert not any(f == "urn:ex:p1" for _, f, *_ in got)
+
+    def test_alternative_path_unions_value_sets(self, spark):
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:phone", "123", "literal", None),
+            ("urn:ex:p2", RDF_TYPE, "urn:ex:Person", "uri", None),
+        ]
+        got = {v for v in self.report(spark, rows)
+               if v[0] == "urn:ex:AltShape"}
+        assert got == {("urn:ex:AltShape", "urn:ex:p2",
+                        "urn:ex:phone|urn:ex:email", "minCount", "0")}
+
+    def test_one_or_more_counts_distinct_nodes_through_cycle(self, spark):
+        # a->b->c->a: from a the closure reaches {b, c, a} = 3 distinct
+        # value NODES (each once, despite infinitely many walks) > max 2
+        rows = [
+            ("urn:ex:a", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:b", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:c", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:a", "urn:ex:boss", "urn:ex:b", "uri", None),
+            ("urn:ex:b", "urn:ex:boss", "urn:ex:c", "uri", None),
+            ("urn:ex:c", "urn:ex:boss", "urn:ex:a", "uri", None),
+            ("urn:ex:solo", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:solo", "urn:ex:boss", "urn:ex:root", "uri", None),
+        ]
+        got = {v for v in self.report(spark, rows)
+               if v[0] == "urn:ex:ChainShape"}
+        assert got == {
+            ("urn:ex:ChainShape", "urn:ex:a", "urn:ex:boss+",
+             "maxCount", "3"),
+            ("urn:ex:ChainShape", "urn:ex:b", "urn:ex:boss+",
+             "maxCount", "3"),
+            ("urn:ex:ChainShape", "urn:ex:c", "urn:ex:boss+",
+             "maxCount", "3"),
+        }
+
+    def test_zero_or_more_includes_focus_itself(self, spark):
+        # no boss at all: the empty walk makes the focus its own value
+        # node, so minCount 1 holds
+        rows = [("urn:ex:solo", RDF_TYPE, "urn:ex:Person", "uri", None)]
+        got = {v for v in self.report(spark, rows)
+               if v[0] == "urn:ex:RootedShape"}
+        assert got == set()
+
+    def test_nested_zero_or_one_in_sequence(self, spark):
+        # worksFor/(parent?) : values are the company AND its parent;
+        # with no parent the zero branch keeps the company itself
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <urn:ex:> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:property [ sh:path ( ex:worksFor [ sh:zeroOrOnePath ex:parent ] ) ;
+                        sh:minCount 2 ] ."""
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:worksFor", "urn:ex:acme", "uri", None),
+            ("urn:ex:acme", "urn:ex:parent", "urn:ex:mega", "uri", None),
+            ("urn:ex:p2", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p2", "urn:ex:worksFor", "urn:ex:indie", "uri", None),
+        ]
+        got = self.report(spark, rows, ttl)
+        # p1: {acme, mega} = 2 ok; p2: {indie} = 1 < 2
+        assert got == {("urn:ex:S", "urn:ex:p2",
+                        "urn:ex:worksFor/(urn:ex:parent?)",
+                        "minCount", "1")}

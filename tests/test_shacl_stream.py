@@ -158,3 +158,26 @@ class TestShaclStream:
         h.run()
         assert report_set(spark, h.report) == set()
         assert spark.read.parquet(h.table).count() == len(rows)
+
+
+def test_structured_paths_rejected_loudly(spark):
+    # the affected-focus derivation reads paths as predicates; a
+    # structured path must fail fast, not silently under-revalidate
+    import pytest
+
+    from meresco_rdf_spark.operators.shacl import (
+        ShaclUnsupported, shapes_from_graph)
+    from meresco_rdf_spark.rdfxml.turtle import iter_turtle
+    from meresco_rdf_spark.streaming.shacl_stream import _affected_focus
+
+    shapes = shapes_from_graph(iter_turtle("""
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s> a sh:NodeShape ; sh:targetClass <urn:C> ;
+          sh:property [ sh:path [ sh:inversePath <urn:p> ] ;
+                        sh:minCount 1 ] ."""))
+    rows = spark.createDataFrame(
+        [("urn:a", "urn:p", "urn:b", "uri", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+    with pytest.raises(ShaclUnsupported, match="IRI paths only"):
+        _affected_focus(spark, shapes, rows, None)
