@@ -572,6 +572,12 @@ def _compile_pattern(triples: DataFrame, pattern,
         df = df.filter(F.col("subj") == s.uri)
     elif isinstance(s, BNodeRef):
         df = df.filter(F.col("subj") == s.label)
+    elif isinstance(s, Lit):
+        # grammar-legal but unsatisfiable on RDF data: no triple has a
+        # literal subject, so a plain pattern never matches (paths
+        # differ — an inverse step CAN start at a literal, handled in
+        # the path compilers via _term_const seeds)
+        df = df.filter(F.lit(False))
     if isinstance(p, Iri):
         df = df.filter(F.col("pred") == p.uri)
     elif isinstance(p, NegatedSet):

@@ -1410,7 +1410,7 @@ class _Parser:
             return Iri(RDF_TYPE)
         if kind == "BNODE" and position != "predicate":
             return BNodeRef(val)
-        if kind == "STRING" and position == "object":
+        if kind == "STRING" and position in ("object", "subject"):
             text = _unquote(val)
             nkind, nval, _ = self.peek()
             if nkind == "LANGTAG":
@@ -1428,7 +1428,7 @@ class _Parser:
                     return Lit(text, dtype=self.prefixes[ns] + local)
                 self.fail("expected datatype IRI")
             return Lit(text)
-        if kind == "NUMBER" and position == "object":
+        if kind == "NUMBER" and position in ("object", "subject"):
             return Lit(val, dtype="http://www.w3.org/2001/XMLSchema#decimal"
                        if "." in val else
                        "http://www.w3.org/2001/XMLSchema#integer")

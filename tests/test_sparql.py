@@ -2274,3 +2274,29 @@ def test_update_quads_delete_where(spark):
     assert (None, "urn:s1", "urn:p", "default", "literal", None) not in got
     assert ("urn:g:a", "urn:s2", "urn:p", "in-a", "literal", None) in got
     assert len(got) == len(QUAD_ROWS) - 1
+
+
+def test_literal_subject_plain_pattern_never_matches(mixed_path_graph):
+    out = sparql_select(mixed_path_graph, """
+        SELECT ?o WHERE { "lit1" <urn:p> ?o }
+    """)
+    assert out.collect() == []
+
+
+def test_literal_subject_inverse_path_binds(mixed_path_graph):
+    # "lit1" is the object of x's and y's urn:p rows; (^p)+ seeded from
+    # the literal reaches both.  "lit1"@en (z's object) is a different
+    # term and must not seed from the plain literal.
+    out = sparql_select(mixed_path_graph, """
+        SELECT ?s WHERE { "lit1" (^<urn:p>)+ ?s }
+    """)
+    assert {r["s"] for r in out.collect()} == {"urn:x", "urn:y"}
+
+
+def test_literal_subject_zero_length_star(mixed_path_graph):
+    # SPARQL 1.1 §18.4 ZeroLengthPath: a constant matches itself
+    out = sparql_select(mixed_path_graph, """
+        SELECT ?ok WHERE { "anything" <urn:p>* "anything" .
+                           BIND(1 AS ?ok) }
+    """)
+    assert [r["ok"] for r in out.collect()] == ["1"]
