@@ -3925,7 +3925,13 @@ _PATH_SHAPES_TTL = """
                           <http://www.w3.org/2000/01/rdf-schema#label> ) ;
                 sh:pattern "^[A-M]" ] ;
   sh:property [ sh:path ( <urn:rel:nation> <urn:rel:region> ) ;
-                sh:minCount 1 ; sh:nodeKind sh:IRI ] .
+                sh:minCount 1 ; sh:nodeKind sh:IRI ] ;
+  sh:property [ sh:path <urn:rel:nation> ;
+                sh:node <urn:shape:EarlyNation> ] .
+
+<urn:shape:EarlyNation> a sh:NodeShape ;
+  sh:property [ sh:path <http://www.w3.org/2000/01/rdf-schema#label> ;
+                sh:pattern "^[A-M]" ] .
 """
 
 
@@ -4857,6 +4863,12 @@ SELECT shape_id, focus, path, "constraint", value FROM (
   UNION ALL
   SELECT 'urn:shape:MemberGeo', m.subj, '{rel_nation}/{rdfs}',
          'pattern', l.label
+  FROM members m JOIN labels l ON l.nation = m.nation
+  WHERE NOT regexp_matches(l.label, '^[A-M]')
+  UNION ALL
+  -- sh:node: a member's nation must conform to EarlyNation (label
+  -- matches ^[A-M]); one 'node' row per member of a failing nation
+  SELECT 'urn:shape:MemberGeo', m.subj, '{rel_nation}', 'node', m.nation
   FROM members m JOIN labels l ON l.nation = m.nation
   WHERE NOT regexp_matches(l.label, '^[A-M]')
 )""")

@@ -88,7 +88,7 @@ _NODE_KINDS = {SH + "IRI": ("uri",), SH + "Literal": ("literal",),
 
 REPORT_COLS = ["shape_id", "focus", "path", "constraint", "value"]
 
-_PROP_KEYS = ("path", "path_expr",
+_PROP_KEYS = ("path", "path_expr", "node",
               "min_count", "max_count", "node_kind", "pattern",
               "in", "class", "has_value", "language_in", "unique_lang",
               "min_length", "max_length",
@@ -168,11 +168,17 @@ def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
                     by_subj, val, rdf_list, rdf_list_terms))
             else:
                 raise ShaclUnsupported("unsupported shape predicate %s" % p)
-        if not _TARGET_KEYS & set(shape):
-            raise ShaclUnsupported("shape %s declares no target" % subj)
         shapes.append(shape)
     if not shapes:
         raise ShaclUnsupported("shapes graph contains no sh:NodeShape")
+    # a target-less shape is legal ONLY as a library shape referenced
+    # through some property's sh:node
+    referenced = {prop["node"] for s in shapes
+                  for prop in s.get("properties", ()) if prop.get("node")}
+    for shape in shapes:
+        if not (_TARGET_KEYS & set(shape)) and shape["id"] not in referenced:
+            raise ShaclUnsupported(
+                "shape %s declares no target" % shape["id"])
     return shapes
 
 
@@ -286,6 +292,11 @@ def _parse_property(by_subj: dict, node: str, rdf_list,
             prop["class"] = val
         elif p == SH + "hasValue":
             prop["has_value"] = val
+        elif p == SH + "node":
+            if kind != "uri":
+                raise ShaclUnsupported(
+                    "sh:node must reference a named shape (got %s)" % val)
+            prop["node"] = val
         elif p == SH + "languageIn":
             prop["language_in"] = rdf_list(val)
         elif p == SH + "uniqueLang":
@@ -298,6 +309,8 @@ def _parse_property(by_subj: dict, node: str, rdf_list,
 
 
 def _check_shapes(shapes: List[dict]) -> None:
+    referenced = {prop["node"] for s in shapes
+                  for prop in s.get("properties", ()) if prop.get("node")}
     for shape in shapes:
         if not shape.get("id"):
             raise ShaclUnsupported("shape without id")
@@ -306,7 +319,8 @@ def _check_shapes(shapes: List[dict]) -> None:
             raise ShaclUnsupported(
                 "unsupported shape keys %s in %s"
                 % (sorted(unknown), shape["id"]))
-        if not any(shape.get(k) for k in _TARGET_KEYS):
+        if (not any(shape.get(k) for k in _TARGET_KEYS)
+                and shape["id"] not in referenced):
             raise ShaclUnsupported("shape %s declares no target" % shape["id"])
         for prop in shape.get("properties", ()):
             unknown = set(prop) - set(_PROP_KEYS)
@@ -401,10 +415,18 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
         shapes = shapes_from_graph(shapes)
     _check_shapes(shapes)
     spark = triples.sparkSession
+    by_id = {s["id"]: s for s in shapes}
+    # library shapes (no targets, referenced via sh:node) contribute no
+    # focus of their own — they are validated against the value nodes of
+    # the properties that reference them
+    targeted = [s for s in shapes if any(s.get(k) for k in _TARGET_KEYS)]
+    if not targeted:
+        return spark.createDataFrame(
+            [], ", ".join("%s string" % c for c in REPORT_COLS))
 
     # -- focus resolution ---------------------------------------------------
     focus_parts = []
-    for shape in shapes:
+    for shape in targeted:
         sid = F.lit(shape["id"]).alias("shape_id")
         mine = []
         if shape.get("target_class"):
@@ -446,6 +468,17 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
         focus = focus.join(
             only_focus.select("shape_id", "focus"),
             ["shape_id", "focus"], "left_semi")
+    return _report_for_focus(triples, targeted, focus, by_id, frozenset())
+
+
+def _report_for_focus(triples: DataFrame, shapes: List[dict],
+                      focus: DataFrame, by_id: dict,
+                      stack: frozenset) -> DataFrame:
+    """The constraint algebra over a resolved ``(shape_id, focus)``
+    relation — shared by top-level validation and ``sh:node`` recursion
+    (where the focus frame is the referencing property's value nodes and
+    ``stack`` carries the in-flight shape ids for cycle detection)."""
+    spark = triples.sparkSession
 
     # -- value collection: one subj-keyed join ------------------------------
     declared = [(shape["id"], prop) for shape in shapes
@@ -668,6 +701,43 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
         reports.append(bad.select(
             F.lit(sid).alias("shape_id"), "focus", F.lit(p).alias("path"),
             F.lit(cname).alias("constraint"), F.col("v").alias("value")))
+
+    # -- sh:node: value nodes must conform to a referenced node shape -------
+    # (SHACL NodeConstraintComponent: the INNER violations are silent —
+    # only one 'node' row per non-conforming value node is reported at
+    # the referencing level.  Recursion depth is bounded by the shapes
+    # graph; cyclic references are rejected.)
+    for sid, prop in declared:
+        if not prop.get("node"):
+            continue
+        ref = prop["node"]
+        inner = by_id.get(ref)
+        if inner is None:
+            raise ShaclUnsupported(
+                "sh:node references unknown shape %s" % ref)
+        if ref in stack:
+            raise ShaclUnsupported(
+                "cyclic sh:node reference through %s" % ref)
+        vnodes = (vals.filter((F.col("shape_id") == sid)
+                              & (F.col("path") == prop["path"]))
+                  .select("focus", "obj_value").dropDuplicates())
+        inner_focus = (vnodes
+                       .select(F.lit(ref).alias("shape_id"),
+                               F.col("obj_value").alias("focus"))
+                       .dropDuplicates())
+        inner_rep = _report_for_focus(triples, [inner], inner_focus,
+                                      by_id, stack | {ref})
+        bad_nodes = inner_rep.select(
+            F.col("focus").alias("bad_node")).dropDuplicates()
+        reports.append(
+            vnodes.join(bad_nodes,
+                        vnodes["obj_value"] == bad_nodes["bad_node"],
+                        "left_semi")
+            .select(F.lit(sid).alias("shape_id"), "focus",
+                    F.lit(prop["path"]).alias("path"),
+                    F.lit("node").alias("constraint"),
+                    F.col("obj_value").alias("value"))
+            .select(*REPORT_COLS))
 
     if not reports:
         return spark.createDataFrame(

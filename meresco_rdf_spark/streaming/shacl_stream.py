@@ -79,6 +79,15 @@ def _affected_focus(spark, shapes: list[dict], new_rows: DataFrame,
                     "only; shape %s declares path %r — run the full "
                     "batch validate() instead"
                     % (shape["id"], prop["path"]))
+            if prop.get("node"):
+                # a delta on a VALUE node's own properties flips the
+                # outer focus's sh:node verdict — invisible to this
+                # predicate-keyed derivation
+                from meresco_rdf_spark.operators.shacl import ShaclUnsupported
+                raise ShaclUnsupported(
+                    "incremental SHACL maintenance does not support "
+                    "sh:node (shape %s) — run the full batch validate() "
+                    "instead" % shape["id"])
     parts = []
     path_preds: dict[str, set[str]] = {}
     for shape in shapes:

@@ -472,3 +472,97 @@ class TestPropertyPaths:
         assert got == {("urn:ex:S", "urn:ex:p2",
                         "urn:ex:worksFor/(urn:ex:parent?)",
                         "minCount", "1")}
+
+
+NODE_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <urn:ex:> .
+
+ex:PersonShape2 a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:knows ; sh:node ex:FriendShape ] .
+
+ex:FriendShape a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+
+
+class TestShNode:
+    def report(self, spark, rows, ttl=NODE_TTL):
+        df = validate(tri(spark, rows), shapes_from_graph(iter_turtle(ttl)))
+        return {(r.shape_id, r.focus, r.path, r.constraint, r.value)
+                for r in df.collect()}
+
+    def test_parses_library_shape_without_target(self):
+        shapes = {s["id"]: s
+                  for s in shapes_from_graph(iter_turtle(NODE_TTL))}
+        outer = shapes["urn:ex:PersonShape2"]
+        assert outer["properties"][0]["node"] == "urn:ex:FriendShape"
+        assert "target_class" not in shapes["urn:ex:FriendShape"]
+
+    def test_value_node_must_conform(self, spark):
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:knows", "urn:ex:named", "uri", None),
+            ("urn:ex:p1", "urn:ex:knows", "urn:ex:anon", "uri", None),
+            ("urn:ex:named", "urn:ex:name", "N", "literal", None),
+        ]
+        got = self.report(spark, rows)
+        # one 'node' row for the non-conforming value; inner violations
+        # are silent and the library shape contributes no rows itself
+        assert got == {("urn:ex:PersonShape2", "urn:ex:p1", "urn:ex:knows",
+                        "node", "urn:ex:anon")}
+
+    def test_conforming_values_are_clean(self, spark):
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:knows", "urn:ex:named", "uri", None),
+            ("urn:ex:named", "urn:ex:name", "N", "literal", None),
+        ]
+        assert self.report(spark, rows) == set()
+
+    def test_nested_node_recursion(self, spark):
+        ttl = NODE_TTL + """
+ex:FriendShape sh:property [ sh:path ex:employer ;
+                             sh:node ex:OrgShape ] .
+ex:OrgShape a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:knows", "urn:ex:f", "uri", None),
+            ("urn:ex:f", "urn:ex:name", "F", "literal", None),
+            ("urn:ex:f", "urn:ex:employer", "urn:ex:shadyco", "uri", None),
+            # shadyco has no name: f fails FriendShape via ITS sh:node,
+            # so p1 fails PersonShape2
+        ]
+        got = self.report(spark, rows, ttl)
+        assert got == {("urn:ex:PersonShape2", "urn:ex:p1", "urn:ex:knows",
+                        "node", "urn:ex:f")}
+
+    def test_cyclic_node_reference_raises(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <urn:ex:> .
+        ex:A a sh:NodeShape ; sh:targetClass ex:T ;
+          sh:property [ sh:path ex:p ; sh:node ex:B ] .
+        ex:B a sh:NodeShape ;
+          sh:property [ sh:path ex:q ; sh:node ex:A ] ."""
+        rows = [("urn:ex:x", RDF_TYPE, "urn:ex:T", "uri", None),
+                ("urn:ex:x", "urn:ex:p", "urn:ex:y", "uri", None)]
+        with pytest.raises(ShaclUnsupported, match="cyclic sh:node"):
+            validate(tri(spark, rows),
+                     shapes_from_graph(iter_turtle(ttl))).collect()
+
+    def test_unknown_node_reference_raises(self, spark):
+        shapes = [{"id": "urn:s", "target_class": "urn:ex:T",
+                   "properties": [{"path": "urn:p", "node": "urn:ghost"}]}]
+        rows = [("urn:ex:x", RDF_TYPE, "urn:ex:T", "uri", None)]
+        with pytest.raises(ShaclUnsupported, match="unknown shape"):
+            validate(tri(spark, rows), shapes).collect()
+
+    def test_orphan_targetless_shape_still_raises(self):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s> a sh:NodeShape ;
+          sh:property [ sh:path <urn:p> ; sh:minCount 1 ] ."""
+        with pytest.raises(ShaclUnsupported, match="no target"):
+            shapes_from_graph(iter_turtle(ttl))

@@ -531,6 +531,32 @@ def main() -> None:
         and "CartesianProduct" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # SHACL structured paths: inverse + sequence compile to per-predicate
+    # filtered slices joined on full term identity — each step filters to
+    # ONE predicate before the join (the filter text names the predicate),
+    # the cardinality machinery keeps its BroadcastExchange, and nothing
+    # becomes a cartesian product or drops into Python
+    shacl_path_shapes = [
+        {"id": "urn:shape:auditpath",
+         "target_subjects_of": "urn:rel:nation",
+         "properties": [
+             {"path": "^urn:rel:nation",
+              "path_expr": ("inv", ("iri", "urn:rel:nation")),
+              "min_count": 0},
+             {"path": "urn:rel:nation/urn:rel:region",
+              "path_expr": ("seq", (("iri", "urn:rel:nation"),
+                                    ("iri", "urn:rel:region"))),
+              "min_count": 1},
+         ]}]
+    rep = validate(tpch_triples(spark, sf_dir), shacl_path_shapes)
+    p = plan_of(rep)
+    results.append(check(
+        "shacl paths: per-predicate slices, broadcast, no python/cartesian",
+        "urn:rel:region" in p
+        and "BroadcastExchange" in p
+        and "CartesianProduct" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     # snapshot table read: ONE parquet relation (not a per-bucket union)
     # whose subj_bucket partition column still prunes — a point lookup
     # carries a PartitionFilters entry and no Union node
