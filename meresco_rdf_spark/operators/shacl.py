@@ -166,15 +166,21 @@ def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
             elif p == SH + "property":
                 shape["properties"].append(_parse_property(
                     by_subj, val, rdf_list, rdf_list_terms))
+            elif p in (SH + "or", SH + "and"):
+                shape["or" if p == SH + "or" else "and"] = [
+                    _parse_operand(by_subj, v, k, rdf_list, rdf_list_terms)
+                    for v, k in rdf_list_terms(val)]
+            elif p == SH + "not":
+                shape["not"] = _parse_operand(
+                    by_subj, val, kind, rdf_list, rdf_list_terms)
             else:
                 raise ShaclUnsupported("unsupported shape predicate %s" % p)
         shapes.append(shape)
     if not shapes:
         raise ShaclUnsupported("shapes graph contains no sh:NodeShape")
     # a target-less shape is legal ONLY as a library shape referenced
-    # through some property's sh:node
-    referenced = {prop["node"] for s in shapes
-                  for prop in s.get("properties", ()) if prop.get("node")}
+    # through some property's sh:node or a logical operand
+    referenced = _referenced_shape_ids(shapes)
     for shape in shapes:
         if not (_TARGET_KEYS & set(shape)) and shape["id"] not in referenced:
             raise ShaclUnsupported(
@@ -250,6 +256,35 @@ def _render_path(expr: tuple) -> str:
                             "zero_or_one": "?"}[tag]
 
 
+def _referenced_shape_ids(shapes: List[dict]) -> set:
+    """Shape ids reachable through sh:node or logical operand refs —
+    these may legally lack targets (library shapes)."""
+    refs = {prop["node"] for s in shapes
+            for prop in s.get("properties", ()) if prop.get("node")}
+    for s in shapes:
+        operands = list(s.get("or", ())) + list(s.get("and", ()))
+        if s.get("not"):
+            operands.append(s["not"])
+        refs.update(op[1] for op in operands if op[0] == "ref")
+    return refs
+
+
+def _parse_operand(by_subj: dict, val: str, kind: str, rdf_list,
+                   rdf_list_terms) -> tuple:
+    """A logical-constraint operand (sh:or / sh:and / sh:not): either a
+    NAMED node shape (('ref', iri) — resolved against the shapes graph
+    at validation) or an INLINE anonymous property shape carrying
+    sh:path (('props', prop_dict))."""
+    if kind == "uri":
+        return ("ref", val)
+    if kind != "bnode":
+        raise ShaclUnsupported(
+            "logical operand must be a shape reference or an inline "
+            "property shape (got %s)" % val)
+    prop = _parse_property(by_subj, val, rdf_list, rdf_list_terms)
+    return ("props", prop)
+
+
 def _parse_property(by_subj: dict, node: str, rdf_list,
                     rdf_list_terms=None) -> dict:
     prop: dict = {}
@@ -309,12 +344,12 @@ def _parse_property(by_subj: dict, node: str, rdf_list,
 
 
 def _check_shapes(shapes: List[dict]) -> None:
-    referenced = {prop["node"] for s in shapes
-                  for prop in s.get("properties", ()) if prop.get("node")}
+    referenced = _referenced_shape_ids(shapes)
     for shape in shapes:
         if not shape.get("id"):
             raise ShaclUnsupported("shape without id")
-        unknown = set(shape) - _TARGET_KEYS - {"id", "properties"}
+        unknown = (set(shape) - _TARGET_KEYS
+                   - {"id", "properties", "or", "and", "not"})
         if unknown:
             raise ShaclUnsupported(
                 "unsupported shape keys %s in %s"
@@ -738,6 +773,58 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
                     F.lit("node").alias("constraint"),
                     F.col("obj_value").alias("value"))
             .select(*REPORT_COLS))
+
+    # -- sh:or / sh:and / sh:not on node shapes -----------------------------
+    # Each operand (a named node shape or an inline property shape) is
+    # evaluated over THIS shape's focus frame with the same recursive
+    # body; per-operand conformance = absence from its report.
+    # or: violated when the focus fails EVERY operand (intersection of
+    # failing sets); and: fails ANY (union); not: CONFORMS (anti-join).
+    for shape in shapes:
+        for key in ("or", "and", "not"):
+            operands = shape.get(key)
+            if not operands:
+                continue
+            ops = [operands] if key == "not" else list(operands)
+            foc_here = (focus.filter(F.col("shape_id") == shape["id"])
+                        .select("focus"))
+            failing = []
+            for i, op in enumerate(ops):
+                if op[0] == "ref":
+                    inner = by_id.get(op[1])
+                    if inner is None:
+                        raise ShaclUnsupported(
+                            "sh:%s references unknown shape %s"
+                            % (key, op[1]))
+                    if op[1] in stack:
+                        raise ShaclUnsupported(
+                            "cyclic sh:%s reference through %s"
+                            % (key, op[1]))
+                    op_id, op_stack = op[1], stack | {op[1]}
+                else:
+                    inner = {"id": "_:%s_%s_%d" % (key, shape["id"], i),
+                             "properties": [op[1]]}
+                    op_id, op_stack = inner["id"], stack
+                op_focus = foc_here.select(
+                    F.lit(op_id).alias("shape_id"), "focus")
+                rep = _report_for_focus(triples, [inner], op_focus,
+                                        by_id, op_stack)
+                failing.append(rep.select("focus").dropDuplicates())
+            if key == "or":
+                bad = failing[0]
+                for f in failing[1:]:
+                    bad = bad.join(f, "focus", "left_semi")
+            elif key == "and":
+                bad = failing[0]
+                for f in failing[1:]:
+                    bad = bad.unionByName(f)
+                bad = bad.dropDuplicates()
+            else:
+                bad = foc_here.join(failing[0], "focus", "left_anti")
+            reports.append(bad.select(
+                F.lit(shape["id"]).alias("shape_id"), "focus",
+                F.lit("").alias("path"), F.lit(key).alias("constraint"),
+                F.col("focus").alias("value")).select(*REPORT_COLS))
 
     if not reports:
         return spark.createDataFrame(

@@ -71,6 +71,12 @@ def _affected_focus(spark, shapes: list[dict], new_rows: DataFrame,
     ``validate()``, so they are rejected loudly here rather than
     silently under-revalidated."""
     for shape in shapes:
+        if shape.get("or") or shape.get("and") or shape.get("not"):
+            from meresco_rdf_spark.operators.shacl import ShaclUnsupported
+            raise ShaclUnsupported(
+                "incremental SHACL maintenance does not support logical "
+                "constraints (shape %s) — run the full batch validate() "
+                "instead" % shape["id"])
         for prop in shape.get("properties", ()):
             if prop.get("path_expr"):
                 from meresco_rdf_spark.operators.shacl import ShaclUnsupported

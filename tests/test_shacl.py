@@ -566,3 +566,88 @@ ex:OrgShape a sh:NodeShape ;
           sh:property [ sh:path <urn:p> ; sh:minCount 1 ] ."""
         with pytest.raises(ShaclUnsupported, match="no target"):
             shapes_from_graph(iter_turtle(ttl))
+
+
+class TestLogicalConstraints:
+    def report(self, spark, rows, ttl):
+        df = validate(tri(spark, rows), shapes_from_graph(iter_turtle(ttl)))
+        return {(r.shape_id, r.focus, r.path, r.constraint, r.value)
+                for r in df.collect()}
+
+    OR_TTL = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <urn:ex:> .
+    ex:Reachable a sh:NodeShape ; sh:targetClass ex:Person ;
+      sh:or ( [ sh:path ex:phone ; sh:minCount 1 ]
+              [ sh:path ex:email ; sh:minCount 1 ] ) ."""
+
+    def test_or_requires_at_least_one_branch(self, spark):
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:phone", "123", "literal", None),
+            ("urn:ex:p2", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p2", "urn:ex:email", "a@b", "literal", None),
+            ("urn:ex:p3", RDF_TYPE, "urn:ex:Person", "uri", None),
+        ]
+        got = self.report(spark, rows, self.OR_TTL)
+        assert got == {("urn:ex:Reachable", "urn:ex:p3", "",
+                        "or", "urn:ex:p3")}
+
+    def test_and_requires_every_branch(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <urn:ex:> .
+        ex:Full a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:and ( [ sh:path ex:phone ; sh:minCount 1 ]
+                   [ sh:path ex:email ; sh:minCount 1 ] ) ."""
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:phone", "123", "literal", None),
+            ("urn:ex:p1", "urn:ex:email", "a@b", "literal", None),
+            ("urn:ex:p2", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p2", "urn:ex:phone", "456", "literal", None),
+        ]
+        got = self.report(spark, rows, ttl)
+        assert got == {("urn:ex:Full", "urn:ex:p2", "",
+                        "and", "urn:ex:p2")}
+
+    def test_not_flags_conforming_focus(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <urn:ex:> .
+        ex:Live a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:not [ sh:path ex:deprecated ; sh:minCount 1 ] ."""
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:deprecated", "yes", "literal", None),
+            ("urn:ex:p2", RDF_TYPE, "urn:ex:Person", "uri", None),
+        ]
+        got = self.report(spark, rows, ttl)
+        assert got == {("urn:ex:Live", "urn:ex:p1", "",
+                        "not", "urn:ex:p1")}
+
+    def test_named_shape_operand(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <urn:ex:> .
+        ex:Main a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:or ( ex:HasName [ sh:path ex:alias ; sh:minCount 1 ] ) .
+        ex:HasName a sh:NodeShape ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ] ."""
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:name", "N", "literal", None),
+            ("urn:ex:p2", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p2", "urn:ex:alias", "A", "literal", None),
+            ("urn:ex:p3", RDF_TYPE, "urn:ex:Person", "uri", None),
+        ]
+        got = self.report(spark, rows, ttl)
+        assert got == {("urn:ex:Main", "urn:ex:p3", "",
+                        "or", "urn:ex:p3")}
+
+    def test_cyclic_logical_reference_raises(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <urn:ex:> .
+        ex:A a sh:NodeShape ; sh:targetClass ex:T ;
+          sh:not ex:B .
+        ex:B a sh:NodeShape ; sh:not ex:A ."""
+        rows = [("urn:ex:x", RDF_TYPE, "urn:ex:T", "uri", None)]
+        with pytest.raises(ShaclUnsupported, match="cyclic sh:not"):
+            validate(tri(spark, rows),
+                     shapes_from_graph(iter_turtle(ttl))).collect()
