@@ -3951,6 +3951,48 @@ def q_kg_shacl_paths(spark, sf_dir):
                     shapes_from_graph(iter_turtle(_PATH_SHAPES_TTL)))
 
 
+def q_kg_shacl_graphs(spark, sf_dir):
+    """Per-named-graph SHACL validation in ONE job: customers' and
+    suppliers' membership edges live in separate named graphs, and the
+    SAME nation node is validated independently in each — the graph
+    label rides every join and groupBy as one more key (no per-graph
+    loop).  NationPop demands >= 10 inbound ^rel:in members: nations
+    hold ~60 customers but only ~4 suppliers at sf0.01, so violations
+    appear in the supplier graph only.  Report carries the graph
+    column."""
+    from .operators.shacl import validate
+    from .rdfxml.turtle import iter_turtle
+    from .operators.shacl import shapes_from_graph
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+
+    def q(df, ctx, subj, nkey):
+        return df.select(
+            F.lit(ctx).alias("context"), subj.alias("subj"),
+            F.lit("urn:rel:in").alias("pred"),
+            F.concat(F.lit("urn:nation:"),
+                     F.col(nkey).cast("string")).alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    quads = (
+        q(cust, "urn:graph:cust",
+          F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")),
+          "c_nationkey")
+        .unionByName(q(
+            supp, "urn:graph:supp",
+            F.concat(F.lit("urn:supp:"), F.col("s_suppkey").cast("string")),
+            "s_nationkey")))
+    ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+    <urn:shape:NationPop> a sh:NodeShape ;
+      sh:targetObjectsOf <urn:rel:in> ;
+      sh:property [ sh:path [ sh:inversePath <urn:rel:in> ] ;
+                    sh:minCount 10 ] ."""
+    return validate(quads, shapes_from_graph(iter_turtle(ttl)),
+                    per_graph=True)
+
+
 def q_stream_shacl_maintain(spark, sf_dir):
     """Incremental SHACL maintenance end-to-end: the SAME KG the batch
     ``kg_shacl_report`` validates, written as four ``.nq`` slice files
@@ -4045,6 +4087,50 @@ def q_kg_snapshot_merge(spark, sf_dir):
     if [m["version"] for m in snapshot_versions(spark, root)] != [1, 2]:
         raise AssertionError("lineage chain broken")
     return read_snapshot(spark, root).drop("subj_bucket")
+
+
+def q_kg_snapshot_sparql(spark, sf_dir):
+    """Time-travel SPARQL: the SAME aggregate query evaluated against
+    two versions of a snapshot-versioned triple table — v1 the base
+    graph, v2 after a MERGE that deletes every rel:region edge and adds
+    lowercase region alt-labels.  Each version resolves its own
+    immutable manifest, so the two results differ exactly by the merge
+    delta: v1 counts nation->region memberships, v2 counts none of
+    those but sees the new alt-labels.  Demonstrates SPARQL-over-
+    snapshot composition; oracle rebuilds both versions' relations in
+    SQL."""
+    import tempfile
+
+    from .kg.snapshots import read_snapshot, snapshot_create, snapshot_merge
+    from .sparql import sparql_select
+
+    base = tpch_triples(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kg_snap_sparql_") + "/table"
+    snapshot_create(spark, base, root, buckets=8)
+
+    region = _read(spark, sf_dir, "region")
+    region_uri = F.concat(F.lit("urn:region:"),
+                          F.col("r_regionkey").cast("string"))
+    adds = region.select(
+        region_uri.alias("subj"), F.lit(SKOS_ALTLABEL).alias("pred"),
+        F.lower(F.col("r_name")).alias("obj_value"),
+        F.lit("literal").alias("obj_kind"), F.lit("en").alias("obj_lang"))
+    deletes = base.filter(F.col("pred") == REL_REGION)
+    snapshot_merge(spark, root, adds=adds, deletes=deletes)
+
+    q = """
+        SELECT ?p (COUNT(?o) AS ?n) WHERE {{
+            ?s ?p ?o .
+            FILTER(?p = <{rel_region}> || ?p = <{skos_alt}>)
+        }} GROUP BY ?p
+    """.format(rel_region=REL_REGION, skos_alt=SKOS_ALTLABEL)
+    out = None
+    for v in (1, 2):
+        part = (sparql_select(
+            read_snapshot(spark, root, version=v).drop("subj_bucket"), q)
+            .withColumn("version", F.lit(v)))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def q_kg_rdfxml_shards(spark, sf_dir):
@@ -4432,7 +4518,9 @@ QUERIES = {
     "kg_checkpoint_resume": q_kg_checkpoint_resume,
     "kg_shacl_report": q_kg_shacl_report,
     "kg_shacl_paths": q_kg_shacl_paths,
+    "kg_shacl_graphs": q_kg_shacl_graphs,
     "kg_snapshot_merge": q_kg_snapshot_merge,
+    "kg_snapshot_sparql": q_kg_snapshot_sparql,
     "stream_shacl_maintain": q_stream_shacl_maintain,
     "stream_mention_rate": q_stream_mention_rate,
     "kg_sparql_entities": q_kg_sparql_entities,
@@ -4828,6 +4916,23 @@ ORACLES["kg_checkpoint_resume"] = (
 # snapshot COW merge: same algebra as graph_merge — base EXCEPT deletes
 # UNION adds (set semantics) — executed through the versioned table; the
 # isolation/time-travel/CAS properties are asserted inside the query
+ORACLES["kg_snapshot_sparql"] = _fmt("""
+WITH {cte},
+v1 AS (SELECT pred FROM triples
+       WHERE pred IN ('{rel_region}', '{skos_alt}')),
+v2 AS (
+  SELECT pred FROM triples
+  WHERE pred = '{skos_alt}'
+  UNION ALL
+  SELECT '{skos_alt}' FROM region
+)
+SELECT p, 'uri' AS p_kind, CAST(NULL AS VARCHAR) AS p_lang, n, version
+FROM (
+  SELECT pred AS p, COUNT(*) AS n, 1 AS version FROM v1 GROUP BY pred
+  UNION ALL
+  SELECT pred AS p, COUNT(*) AS n, 2 AS version FROM v2 GROUP BY pred
+)""")
+
 ORACLES["kg_snapshot_merge"] = _fmt("""
 WITH {cte},
 dels AS (SELECT * FROM triples WHERE pred = '{rel_region}'),
@@ -4872,6 +4977,23 @@ SELECT shape_id, focus, path, "constraint", value FROM (
   FROM members m JOIN labels l ON l.nation = m.nation
   WHERE NOT regexp_matches(l.label, '^[A-M]')
 )""")
+
+ORACLES["kg_shacl_graphs"] = """
+WITH members AS (
+  SELECT 'urn:graph:cust' AS g, 'urn:nation:' || c_nationkey AS nation,
+         'urn:cust:' || c_custkey AS member FROM customer
+  UNION ALL
+  SELECT 'urn:graph:supp', 'urn:nation:' || s_nationkey,
+         'urn:supp:' || s_suppkey FROM supplier
+),
+sizes AS (
+  SELECT g, nation, COUNT(DISTINCT member) AS cnt
+  FROM members GROUP BY g, nation
+)
+SELECT 'urn:shape:NationPop' AS shape_id, g AS graph, nation AS focus,
+       '^urn:rel:in' AS path, 'minCount' AS "constraint",
+       CAST(cnt AS VARCHAR) AS value
+FROM sizes WHERE cnt < 10"""
 
 ORACLES["kg_shacl_report"] = """
 WITH g AS (

@@ -371,73 +371,85 @@ def _check_shapes(shapes: List[dict]) -> None:
 # validation
 # --------------------------------------------------------------------------
 
-def _path_edges_expr(triples: DataFrame, expr: tuple):
+def _path_edges_expr(triples: DataFrame, expr: tuple,
+                     with_ctx: bool = False):
     """Compile a path expr to its (focus -> value) edge relation:
-    ``(src, src_kind, src_lang, dst, dst_kind, dst_lang)`` distinct
-    rows, plus a ``zero`` flag — True when the path also matches the
-    empty walk (the focus node is then one of its own value nodes; the
-    flag BUBBLES through composition instead of materializing identity
-    rows, so ``p/q*`` becomes ``p/q+ UNION p`` and only the top level
-    ever adds the focus itself).  Quantifiers reuse the SPARQL
-    compiler's semi-naive ``closure_of_edges`` on full term identity —
-    an inverse step legitimately makes a literal a path source."""
+    ``(src, src_kind, src_lang, dst, dst_kind, dst_lang[, ctx])``
+    distinct rows, plus a ``zero`` flag — True when the path also
+    matches the empty walk (the focus node is then one of its own value
+    nodes; the flag BUBBLES through composition instead of
+    materializing identity rows, so ``p/q*`` becomes ``p/q+ UNION p``
+    and only the top level ever adds the focus itself).  Quantifiers
+    reuse the SPARQL compiler's semi-naive ``closure_of_edges`` on full
+    term identity — an inverse step legitimately makes a literal a path
+    source.  With ``with_ctx`` (per-named-graph validation) the
+    relation carries a normalized ``_g`` column: every frame keeps a
+    ``ctx`` column and sequence/closure joins add ctx equality, so
+    paths never cross graph boundaries — one job, no per-graph loop."""
     from ..sparql.compiler import closure_of_edges
 
     tag = expr[0]
     subj_kind = (F.when(F.col("subj").startswith("_:"), F.lit("bnode"))
                  .otherwise(F.lit("uri")))
+    ctx = [F.col("_g").alias("ctx")] if with_ctx else []
     if tag == "iri":
         return (triples.filter(F.col("pred") == expr[1]).select(
             F.col("subj").alias("src"), subj_kind.alias("src_kind"),
             F.lit(None).cast("string").alias("src_lang"),
             F.col("obj_value").alias("dst"),
             F.col("obj_kind").alias("dst_kind"),
-            F.col("obj_lang").alias("dst_lang")).distinct(), False)
+            F.col("obj_lang").alias("dst_lang"), *ctx).distinct(), False)
     if tag == "inv":
-        e, z = _path_edges_expr(triples, expr[1])
+        e, z = _path_edges_expr(triples, expr[1], with_ctx)
+        keep = ["ctx"] if with_ctx else []
         return (e.select(
             F.col("dst").alias("src"), F.col("dst_kind").alias("src_kind"),
             F.col("dst_lang").alias("src_lang"),
             F.col("src").alias("dst"), F.col("src_kind").alias("dst_kind"),
-            F.col("src_lang").alias("dst_lang")), z)
+            F.col("src_lang").alias("dst_lang"), *keep), z)
     if tag == "alt":
-        parts = [_path_edges_expr(triples, e) for e in expr[1]]
+        parts = [_path_edges_expr(triples, e, with_ctx) for e in expr[1]]
         out = parts[0][0]
         for e, _z in parts[1:]:
             out = out.unionByName(e)
         return out.distinct(), any(z for _e, z in parts)
     if tag == "seq":
-        cur, zcur = _path_edges_expr(triples, expr[1][0])
+        cur, zcur = _path_edges_expr(triples, expr[1][0], with_ctx)
         for sub in expr[1][1:]:
-            nxt, znxt = _path_edges_expr(triples, sub)
+            nxt, znxt = _path_edges_expr(triples, sub, with_ctx)
             cond = ((F.col("l.dst") == F.col("r.src"))
                     & (F.col("l.dst_kind") == F.col("r.src_kind"))
                     & F.col("l.dst_lang").eqNullSafe(F.col("r.src_lang")))
-            joined = (cur.alias("l").join(nxt.alias("r"), cond)
-                      .select(F.col("l.src").alias("src"),
-                              F.col("l.src_kind").alias("src_kind"),
-                              F.col("l.src_lang").alias("src_lang"),
-                              F.col("r.dst").alias("dst"),
-                              F.col("r.dst_kind").alias("dst_kind"),
-                              F.col("r.dst_lang").alias("dst_lang")))
+            if with_ctx:
+                cond = cond & (F.col("l.ctx") == F.col("r.ctx"))
+            sel = [F.col("l.src").alias("src"),
+                   F.col("l.src_kind").alias("src_kind"),
+                   F.col("l.src_lang").alias("src_lang"),
+                   F.col("r.dst").alias("dst"),
+                   F.col("r.dst_kind").alias("dst_kind"),
+                   F.col("r.dst_lang").alias("dst_lang")]
+            if with_ctx:
+                sel.append(F.col("l.ctx").alias("ctx"))
+            joined = cur.alias("l").join(nxt.alias("r"), cond).select(*sel)
             if znxt:
                 joined = joined.unionByName(cur)
             if zcur:
                 joined = joined.unionByName(nxt)
             cur, zcur = joined.distinct(), zcur and znxt
         return cur, zcur
-    e, z = _path_edges_expr(triples, expr[1])
+    e, z = _path_edges_expr(triples, expr[1], with_ctx)
     if tag == "one_or_more":
-        return closure_of_edges(e), z
+        return closure_of_edges(e, with_ctx=with_ctx), z
     if tag == "zero_or_more":
-        return closure_of_edges(e), True
+        return closure_of_edges(e, with_ctx=with_ctx), True
     if tag == "zero_or_one":
         return e, True
     raise ShaclUnsupported("unknown path expr %r" % (tag,))
 
 
 def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
-             only_focus: Optional[DataFrame] = None) -> DataFrame:
+             only_focus: Optional[DataFrame] = None,
+             per_graph: bool = False) -> DataFrame:
     """Violations report for ``shapes`` over the triple relation (empty
     frame = conforms).  See the module docstring for the plan shape.
 
@@ -445,11 +457,32 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
     validation to those focus nodes (semi-join after target resolution,
     so rows naming non-focus nodes are ignored, never invented).  The
     incremental lever: ``streaming/shacl_stream.py`` revalidates only
-    the focus nodes a micro-batch could have affected."""
+    the focus nodes a micro-batch could have affected.
+
+    ``per_graph`` — validate a QUAD relation (extra ``context`` column)
+    one named graph at a time, in ONE job: the graph label rides every
+    join and groupBy as one more key (targets, value collection,
+    cardinality, pairs, paths, sh:node recursion), so no per-graph loop
+    and no cross-graph leakage.  The report gains a ``graph`` column
+    (NULL = the default graph).  ``sh:targetNode`` names a focus in
+    EVERY graph of the dataset."""
     if not isinstance(shapes, list) or (shapes and not isinstance(shapes[0], dict)):
         shapes = shapes_from_graph(shapes)
     _check_shapes(shapes)
     spark = triples.sparkSession
+    rcols = list(REPORT_COLS)
+    if per_graph:
+        if "context" not in triples.columns:
+            raise ShaclUnsupported(
+                "per_graph validation needs a quad relation "
+                "(a 'context' column)")
+        # normalize the default graph's NULL context to a sentinel so
+        # graph equality works as a plain join key; restored at the end
+        triples = triples.withColumn(
+            "_g", F.coalesce(F.col("context"), F.lit("")))
+        rcols.insert(1, "graph")
+    gsel = [F.col("_g").alias("graph")] if per_graph else []
+    gkey = ["graph"] if per_graph else []
     by_id = {s["id"]: s for s in shapes}
     # library shapes (no targets, referenced via sh:node) contribute no
     # focus of their own — they are validated against the value nodes of
@@ -457,7 +490,7 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
     targeted = [s for s in shapes if any(s.get(k) for k in _TARGET_KEYS)]
     if not targeted:
         return spark.createDataFrame(
-            [], ", ".join("%s string" % c for c in REPORT_COLS))
+            [], ", ".join("%s string" % c for c in rcols))
 
     # -- focus resolution ---------------------------------------------------
     focus_parts = []
@@ -469,24 +502,29 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
                 triples.filter(
                     (F.col("pred") == RDF_TYPE)
                     & (F.col("obj_value") == shape["target_class"]))
-                .select(sid, F.col("subj").alias("focus")))
+                .select(sid, *gsel, F.col("subj").alias("focus")))
         if shape.get("target_subjects_of"):
             mine.append(
                 triples.filter(F.col("pred") == shape["target_subjects_of"])
-                .select(sid, F.col("subj").alias("focus"))
-                .dropDuplicates(["shape_id", "focus"]))
+                .select(sid, *gsel, F.col("subj").alias("focus"))
+                .dropDuplicates(["shape_id", *gkey, "focus"]))
         if shape.get("target_objects_of"):
             mine.append(
                 triples.filter(F.col("pred") == shape["target_objects_of"])
-                .select(sid, F.col("obj_value").alias("focus"))
-                .dropDuplicates(["shape_id", "focus"]))
+                .select(sid, *gsel, F.col("obj_value").alias("focus"))
+                .dropDuplicates(["shape_id", *gkey, "focus"]))
         if shape.get("target_node"):
             # explicit nodes are focus nodes whether or not they appear in
             # the data (SHACL: a targetNode with a minCount that finds no
             # triples MUST still yield the zero-count violation)
-            mine.append(F.broadcast(spark.createDataFrame(
+            nodes = F.broadcast(spark.createDataFrame(
                 [(shape["id"], n) for n in shape["target_node"]],
-                "shape_id string, focus string")))
+                "shape_id string, focus string"))
+            if per_graph:
+                nodes = (triples.select(F.col("_g").alias("graph"))
+                         .dropDuplicates().crossJoin(nodes)
+                         .select("shape_id", "graph", "focus"))
+            mine.append(nodes)
         if len(mine) > 1:
             # a focus node reachable through several targets must be
             # checked ONCE — duplicate focus rows would double every
@@ -494,7 +532,7 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
             part = mine[0]
             for extra in mine[1:]:
                 part = part.unionByName(extra)
-            mine = [part.dropDuplicates(["shape_id", "focus"])]
+            mine = [part.dropDuplicates(["shape_id", *gkey, "focus"])]
         focus_parts.append(mine[0])
     focus = focus_parts[0]
     for part in focus_parts[1:]:
@@ -503,17 +541,28 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
         focus = focus.join(
             only_focus.select("shape_id", "focus"),
             ["shape_id", "focus"], "left_semi")
-    return _report_for_focus(triples, targeted, focus, by_id, frozenset())
+    rep = _report_for_focus(triples, targeted, focus, by_id, frozenset(),
+                            per_graph=per_graph)
+    if per_graph:
+        rep = rep.withColumn(
+            "graph", F.when(F.col("graph") == "", F.lit(None))
+                      .otherwise(F.col("graph"))).select(*rcols)
+    return rep
 
 
 def _report_for_focus(triples: DataFrame, shapes: List[dict],
                       focus: DataFrame, by_id: dict,
-                      stack: frozenset) -> DataFrame:
-    """The constraint algebra over a resolved ``(shape_id, focus)``
-    relation — shared by top-level validation and ``sh:node`` recursion
-    (where the focus frame is the referencing property's value nodes and
-    ``stack`` carries the in-flight shape ids for cycle detection)."""
+                      stack: frozenset,
+                      per_graph: bool = False) -> DataFrame:
+    """The constraint algebra over a resolved ``(shape_id[, graph],
+    focus)`` relation — shared by top-level validation and ``sh:node``
+    recursion (where the focus frame is the referencing property's value
+    nodes and ``stack`` carries the in-flight shape ids for cycle
+    detection).  With ``per_graph`` the normalized graph label is one
+    more key in every join and aggregation — ONE job validates every
+    named graph, nothing ever crosses a graph boundary."""
     spark = triples.sparkSession
+    gkey = ["graph"] if per_graph else []
 
     # -- value collection: one subj-keyed join ------------------------------
     declared = [(shape["id"], prop) for shape in shapes
@@ -543,19 +592,26 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
     for sid, path in sorted(simple_pairs):
         cond = (F.col("shape_id") == sid) & (F.col("pred") == path)
         in_scope = in_scope | cond
+    val_join = triples["subj"] == focus["focus"]
+    if per_graph:
+        val_join = val_join & (triples["_g"] == focus["graph"])
     vals = (
         triples.filter(F.col("pred").isin(all_paths))
-        .join(focus, triples["subj"] == focus["focus"])
+        .join(focus, val_join)
         .filter(in_scope)
-        .select("shape_id", "focus", F.col("pred").alias("path"),
+        .select("shape_id", *gkey, "focus", F.col("pred").alias("path"),
                 "obj_value", "obj_kind", "obj_lang")
     )
     for path_str in sorted(complex_exprs):
         sids = sorted(sid for sid, p in scope_pairs if p == path_str)
         foc = focus.filter(F.col("shape_id").isin(sids))
-        edges, zero = _path_edges_expr(triples, complex_exprs[path_str])
-        part = (edges.join(foc, edges["src"] == foc["focus"])
-                .select("shape_id", "focus",
+        edges, zero = _path_edges_expr(triples, complex_exprs[path_str],
+                                       with_ctx=per_graph)
+        edge_join = edges["src"] == foc["focus"]
+        if per_graph:
+            edge_join = edge_join & (edges["ctx"] == foc["graph"])
+        part = (edges.join(foc, edge_join)
+                .select("shape_id", *gkey, "focus",
                         F.lit(path_str).alias("path"),
                         F.col("dst").alias("obj_value"),
                         F.col("dst_kind").alias("obj_kind"),
@@ -564,7 +620,7 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
             # the empty walk: every focus node is one of its own value
             # nodes (focus kind derived; focus rows are never literals)
             part = part.unionByName(foc.select(
-                "shape_id", "focus", F.lit(path_str).alias("path"),
+                "shape_id", *gkey, "focus", F.lit(path_str).alias("path"),
                 F.col("focus").alias("obj_value"),
                 F.when(F.col("focus").startswith("_:"), F.lit("bnode"))
                  .otherwise(F.lit("uri")).alias("obj_kind"),
@@ -575,6 +631,7 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
         vals = vals.unionByName(part.dropDuplicates())
 
     reports = []
+    rcols = ["shape_id", *gkey, "focus", "path", "constraint", "value"]
 
     # -- value-level constraints: one projection, no exchange ---------------
     fail_branches = []
@@ -616,11 +673,11 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
     if fail_branches:
         reports.append(
             vals.select(
-                "shape_id", "focus", "path",
+                "shape_id", *gkey, "focus", "path",
                 F.col("obj_value").alias("value"),
                 F.explode(F.array_compact(
                     F.array(*fail_branches))).alias("constraint"))
-            .select(*REPORT_COLS))
+            .select(*rcols))
 
     # -- cardinality + hasValue: one groupBy, zero-case via broadcast -------
     expect_rows = [
@@ -644,18 +701,18 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
                     & (F.col("path") == prop["path"])
                     & (F.col("obj_value") == prop["has_value"]))
             hit_exprs = cond if hit_exprs is None else (hit_exprs | cond)
-        counts = vals.groupBy("shape_id", "focus", "path").agg(
+        counts = vals.groupBy("shape_id", *gkey, "focus", "path").agg(
             F.count("*").alias("cnt"),
             F.max((hit_exprs if hit_exprs is not None else F.lit(False))
                   .cast("int")).alias("has_hit"))
         per_focus = (
             focus.join(expected, "shape_id")
-            .join(counts, ["shape_id", "focus", "path"], "left")
+            .join(counts, ["shape_id", *gkey, "focus", "path"], "left")
             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
             .withColumn("has_hit", F.coalesce(F.col("has_hit"), F.lit(0)))
         )
         card = per_focus.select(
-            "shape_id", "focus", "path",
+            "shape_id", *gkey, "focus", "path",
             F.col("cnt").cast("string").alias("value"),
             F.explode(F.array_compact(F.array(
                 F.when(F.col("cnt") < F.col("min_count"), F.lit("minCount")),
@@ -663,7 +720,7 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
                 F.when(F.col("has_value").isNotNull() & (F.col("has_hit") == 0),
                        F.lit("hasValue")),
             ))).alias("constraint"))
-        reports.append(card.select(*REPORT_COLS))
+        reports.append(card.select(*rcols))
 
     # -- sh:class: one join against the rdf:type slice ----------------------
     class_cond, class_expr = None, F.lit(None).cast("string")
@@ -675,21 +732,25 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
         class_expr = F.when(here, F.lit(prop["class"])).otherwise(class_expr)
     if class_cond is not None:
         cvals = vals.filter(class_cond).withColumn("want_class", class_expr)
-        typed = triples.filter(F.col("pred") == RDF_TYPE).select(
-            F.col("subj").alias("inst"), F.col("obj_value").alias("cls_of"))
+        tsel = [F.col("subj").alias("inst"),
+                F.col("obj_value").alias("cls_of")]
+        if per_graph:
+            tsel.append(F.col("_g").alias("type_g"))
+        typed = triples.filter(F.col("pred") == RDF_TYPE).select(*tsel)
+        class_join = ((cvals["obj_value"] == typed["inst"])
+                      & (cvals["want_class"] == typed["cls_of"]))
+        if per_graph:
+            # the value's type must hold in the SAME named graph
+            class_join = class_join & (cvals["graph"] == typed["type_g"])
         missing = (
-            cvals.join(
-                typed,
-                (cvals["obj_value"] == typed["inst"])
-                & (cvals["want_class"] == typed["cls_of"]),
-                "left")
+            cvals.join(typed, class_join, "left")
             .filter(F.col("inst").isNull()
                     | (F.col("obj_kind") == "literal"))
-            .select("shape_id", "focus", "path",
+            .select("shape_id", *gkey, "focus", "path",
                     F.col("obj_value").alias("value"),
                     F.lit("class").alias("constraint"))
         )
-        reports.append(missing.select(*REPORT_COLS))
+        reports.append(missing.select(*rcols))
 
     # -- sh:uniqueLang: narrow lang-keyed groupBy, only when declared -------
     ul_cond = None
@@ -702,14 +763,14 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
         dup_langs = (
             vals.filter(ul_cond & (F.col("obj_kind") == "literal")
                         & F.col("obj_lang").isNotNull())
-            .groupBy("shape_id", "focus", "path", "obj_lang")
+            .groupBy("shape_id", *gkey, "focus", "path", "obj_lang")
             .agg(F.count("*").alias("n"))
             .filter(F.col("n") > 1)
-            .select("shape_id", "focus", "path",
+            .select("shape_id", *gkey, "focus", "path",
                     F.col("obj_lang").alias("value"),
                     F.lit("uniqueLang").alias("constraint"))
         )
-        reports.append(dup_langs.select(*REPORT_COLS))
+        reports.append(dup_langs.select(*rcols))
 
     # -- property pairs: one focus-keyed join per declared pair -------------
     # (pair constraints are rare and shapes are KB-sized, so a literal-
@@ -720,22 +781,25 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
     # literal model is untyped strings.
     for sid, p, q, cname in pair_decls:
         l = (vals.filter((F.col("shape_id") == sid) & (F.col("path") == p))
-             .select("focus", F.col("obj_value").alias("v")))
+             .select(*gkey, "focus", F.col("obj_value").alias("v")))
         r = (vals.filter((F.col("shape_id") == sid) & (F.col("path") == q))
-             .select("focus", F.col("obj_value").alias("v")))
+             .select(*gkey, "focus", F.col("obj_value").alias("v")))
         if cname == "equals":
-            bad = (l.join(r, ["focus", "v"], "left_anti")
-                   .unionByName(r.join(l, ["focus", "v"], "left_anti")))
+            bad = (l.join(r, [*gkey, "focus", "v"], "left_anti")
+                   .unionByName(r.join(l, [*gkey, "focus", "v"],
+                                       "left_anti")))
         elif cname == "disjoint":
-            bad = l.join(r, ["focus", "v"], "left_semi")
+            bad = l.join(r, [*gkey, "focus", "v"], "left_semi")
         else:
-            pairs = l.join(r.withColumnRenamed("v", "w"), "focus")
+            pairs = l.join(r.withColumnRenamed("v", "w"), [*gkey, "focus"])
             keep = (F.col("v") < F.col("w")) if cname == "lessThan" \
                 else (F.col("v") <= F.col("w"))
-            bad = pairs.filter(~keep).select("focus", "v")
+            bad = pairs.filter(~keep).select(*gkey, "focus", "v")
         reports.append(bad.select(
-            F.lit(sid).alias("shape_id"), "focus", F.lit(p).alias("path"),
-            F.lit(cname).alias("constraint"), F.col("v").alias("value")))
+            F.lit(sid).alias("shape_id"), *gkey, "focus",
+            F.lit(p).alias("path"),
+            F.lit(cname).alias("constraint"),
+            F.col("v").alias("value")).select(*rcols))
 
     # -- sh:node: value nodes must conform to a referenced node shape -------
     # (SHACL NodeConstraintComponent: the INNER violations are silent —
@@ -755,24 +819,29 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
                 "cyclic sh:node reference through %s" % ref)
         vnodes = (vals.filter((F.col("shape_id") == sid)
                               & (F.col("path") == prop["path"]))
-                  .select("focus", "obj_value").dropDuplicates())
+                  .select(*gkey, "focus", "obj_value").dropDuplicates())
         inner_focus = (vnodes
-                       .select(F.lit(ref).alias("shape_id"),
+                       .select(F.lit(ref).alias("shape_id"), *gkey,
                                F.col("obj_value").alias("focus"))
                        .dropDuplicates())
         inner_rep = _report_for_focus(triples, [inner], inner_focus,
-                                      by_id, stack | {ref})
-        bad_nodes = inner_rep.select(
-            F.col("focus").alias("bad_node")).dropDuplicates()
+                                      by_id, stack | {ref},
+                                      per_graph=per_graph)
+        bsel = [F.col("focus").alias("bad_node")]
+        if per_graph:
+            bsel.append(F.col("graph").alias("bad_g"))
+        bad_nodes = inner_rep.select(*bsel).dropDuplicates()
+        node_join = vnodes["obj_value"] == bad_nodes["bad_node"]
+        if per_graph:
+            # a value node failing in one graph is fine in another
+            node_join = node_join & (vnodes["graph"] == bad_nodes["bad_g"])
         reports.append(
-            vnodes.join(bad_nodes,
-                        vnodes["obj_value"] == bad_nodes["bad_node"],
-                        "left_semi")
-            .select(F.lit(sid).alias("shape_id"), "focus",
+            vnodes.join(bad_nodes, node_join, "left_semi")
+            .select(F.lit(sid).alias("shape_id"), *gkey, "focus",
                     F.lit(prop["path"]).alias("path"),
                     F.lit("node").alias("constraint"),
                     F.col("obj_value").alias("value"))
-            .select(*REPORT_COLS))
+            .select(*rcols))
 
     # -- sh:or / sh:and / sh:not on node shapes -----------------------------
     # Each operand (a named node shape or an inline property shape) is
@@ -787,7 +856,7 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
                 continue
             ops = [operands] if key == "not" else list(operands)
             foc_here = (focus.filter(F.col("shape_id") == shape["id"])
-                        .select("focus"))
+                        .select(*gkey, "focus"))
             failing = []
             for i, op in enumerate(ops):
                 if op[0] == "ref":
@@ -806,29 +875,31 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
                              "properties": [op[1]]}
                     op_id, op_stack = inner["id"], stack
                 op_focus = foc_here.select(
-                    F.lit(op_id).alias("shape_id"), "focus")
+                    F.lit(op_id).alias("shape_id"), *gkey, "focus")
                 rep = _report_for_focus(triples, [inner], op_focus,
-                                        by_id, op_stack)
-                failing.append(rep.select("focus").dropDuplicates())
+                                        by_id, op_stack,
+                                        per_graph=per_graph)
+                failing.append(rep.select(*gkey, "focus").dropDuplicates())
             if key == "or":
                 bad = failing[0]
                 for f in failing[1:]:
-                    bad = bad.join(f, "focus", "left_semi")
+                    bad = bad.join(f, [*gkey, "focus"], "left_semi")
             elif key == "and":
                 bad = failing[0]
                 for f in failing[1:]:
                     bad = bad.unionByName(f)
                 bad = bad.dropDuplicates()
             else:
-                bad = foc_here.join(failing[0], "focus", "left_anti")
+                bad = foc_here.join(failing[0], [*gkey, "focus"],
+                                    "left_anti")
             reports.append(bad.select(
-                F.lit(shape["id"]).alias("shape_id"), "focus",
+                F.lit(shape["id"]).alias("shape_id"), *gkey, "focus",
                 F.lit("").alias("path"), F.lit(key).alias("constraint"),
-                F.col("focus").alias("value")).select(*REPORT_COLS))
+                F.col("focus").alias("value")).select(*rcols))
 
     if not reports:
         return spark.createDataFrame(
-            [], ", ".join("%s string" % c for c in REPORT_COLS))
+            [], ", ".join("%s string" % c for c in rcols))
     out = reports[0]
     for part in reports[1:]:
         out = out.unionByName(part)

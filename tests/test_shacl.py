@@ -651,3 +651,85 @@ class TestLogicalConstraints:
         with pytest.raises(ShaclUnsupported, match="cyclic sh:not"):
             validate(tri(spark, rows),
                      shapes_from_graph(iter_turtle(ttl))).collect()
+
+
+QUAD_SCHEMA = ("context string, subj string, pred string, "
+               "obj_value string, obj_kind string, obj_lang string")
+
+
+class TestPerGraphValidation:
+    def report(self, spark, rows, ttl):
+        df = validate(spark.createDataFrame(rows, QUAD_SCHEMA),
+                      shapes_from_graph(iter_turtle(ttl)), per_graph=True)
+        return {(r.graph, r.focus, r.path, r.constraint, r.value)
+                for r in df.collect()}
+
+    MIN_TTL = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+    <urn:S> a sh:NodeShape ; sh:targetClass <urn:P> ;
+      sh:property [ sh:path <urn:name> ; sh:minCount 1 ] ."""
+
+    def test_verdicts_are_per_graph(self, spark):
+        rows = [
+            ("urn:g1", "urn:a", RDF_TYPE, "urn:P", "uri", None),
+            ("urn:g1", "urn:a", "urn:name", "A", "literal", None),
+            ("urn:g2", "urn:a", RDF_TYPE, "urn:P", "uri", None),
+            (None, "urn:b", RDF_TYPE, "urn:P", "uri", None),
+        ]
+        # the SAME node conforms in g1 (named there) and fails in g2;
+        # the default graph reports with graph NULL
+        got = self.report(spark, rows, self.MIN_TTL)
+        assert got == {
+            ("urn:g2", "urn:a", "urn:name", "minCount", "0"),
+            (None, "urn:b", "urn:name", "minCount", "0")}
+
+    def test_counts_never_cross_graphs(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:S> a sh:NodeShape ; sh:targetClass <urn:P> ;
+          sh:property [ sh:path <urn:name> ; sh:maxCount 1 ] ."""
+        rows = [
+            ("urn:g1", "urn:a", RDF_TYPE, "urn:P", "uri", None),
+            ("urn:g1", "urn:a", "urn:name", "A", "literal", None),
+            ("urn:g2", "urn:a", RDF_TYPE, "urn:P", "uri", None),
+            ("urn:g2", "urn:a", "urn:name", "B", "literal", None),
+        ]
+        # one name in each graph: 1+1 must NOT add up to a maxCount hit
+        assert self.report(spark, rows, ttl) == set()
+
+    def test_structured_path_confined_per_graph(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:S> a sh:NodeShape ; sh:targetClass <urn:P> ;
+          sh:property [ sh:path [ sh:inversePath <urn:member> ] ;
+                        sh:minCount 1 ] ."""
+        rows = [
+            ("urn:g1", "urn:t", RDF_TYPE, "urn:P", "uri", None),
+            ("urn:g1", "urn:m", "urn:member", "urn:t", "uri", None),
+            ("urn:g2", "urn:t", RDF_TYPE, "urn:P", "uri", None),
+        ]
+        got = self.report(spark, rows, ttl)
+        assert got == {("urn:g2", "urn:t", "^urn:member",
+                        "minCount", "0")}
+
+    def test_sh_node_per_graph(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:S> a sh:NodeShape ; sh:targetClass <urn:P> ;
+          sh:property [ sh:path <urn:knows> ; sh:node <urn:Lib> ] .
+        <urn:Lib> a sh:NodeShape ;
+          sh:property [ sh:path <urn:name> ; sh:minCount 1 ] ."""
+        rows = [
+            ("urn:g1", "urn:p", RDF_TYPE, "urn:P", "uri", None),
+            ("urn:g1", "urn:p", "urn:knows", "urn:f", "uri", None),
+            ("urn:g1", "urn:f", "urn:name", "F", "literal", None),
+            ("urn:g2", "urn:p", RDF_TYPE, "urn:P", "uri", None),
+            ("urn:g2", "urn:p", "urn:knows", "urn:f", "uri", None),
+            # f is named in g1 only: the sh:node verdict flips per graph
+        ]
+        got = self.report(spark, rows, ttl)
+        assert got == {("urn:g2", "urn:p", "urn:knows",
+                        "node", "urn:f")}
+
+    def test_requires_quad_relation(self, spark):
+        rows = [("urn:a", RDF_TYPE, "urn:P", "uri", None)]
+        with pytest.raises(ShaclUnsupported, match="context"):
+            validate(tri(spark, rows),
+                     shapes_from_graph(iter_turtle(self.MIN_TTL)),
+                     per_graph=True)
