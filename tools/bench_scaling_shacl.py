@@ -118,22 +118,48 @@ SHAPES = [{{"id": "urn:s:person", "target_class": "urn:c:Person",
                 "class": "urn:c:Person"}},
                {{"path": "urn:p:id", "pattern": "^P[0-9]+$"}},
            ]}}]
+# per-graph variant: the same corpus sharded into 16 named graphs (by
+# subject hash), validated one graph at a time in ONE job, through a
+# STRUCTURED path (inverse knows -> inbound-degree minCount).  The
+# graph label rides the value join and the cardinality groupBy as one
+# more key; the inverse path adds one more edge relation.
+from pyspark.sql import functions as F
+quads = triples.withColumn(
+    "context", F.concat(F.lit("urn:g:"),
+                        (F.abs(F.hash("subj")) % 16).cast("string")))
+PG_SHAPES = [{{"id": "urn:s:popular", "target_class": "urn:c:Person",
+              "properties": [
+                  {{"path": "^urn:p:knows",
+                   "path_expr": ("inv", ("iri", "urn:p:knows")),
+                   "min_count": 1}},
+              ]}}]
 # identical warmup at each level
 validate(triples.limit(200_000), SHAPES).write.format("noop").mode(
     "overwrite").save()
-walls = []
-n_viol = None
+validate(quads.limit(200_000), PG_SHAPES, per_graph=True).write.format(
+    "noop").mode("overwrite").save()
+walls, walls_pg = [], []
 for _ in range({repeats}):
     t0 = time.monotonic()
     report = validate(triples, SHAPES)
     report.write.format("noop").mode("overwrite").save()
     walls.append(time.monotonic() - t0)
+    t0 = time.monotonic()
+    validate(quads, PG_SHAPES, per_graph=True).write.format("noop").mode(
+        "overwrite").save()
+    walls_pg.append(time.monotonic() - t0)
 wall = min(walls)
+wall_pg = min(walls_pg)
 n_viol = validate(triples, SHAPES).count()
+n_viol_pg = validate(quads, PG_SHAPES, per_graph=True).count()
 print(json.dumps({{"cpus": cpus, "wall": round(wall, 2),
                    "walls": [round(w, 2) for w in walls],
+                   "wall_pg": round(wall_pg, 2),
+                   "walls_pg": [round(w, 2) for w in walls_pg],
                    "n_triples": n, "n_violations": n_viol,
-                   "triples_per_sec": round(n / wall, 1)}}))
+                   "n_violations_pg": n_viol_pg,
+                   "triples_per_sec": round(n / wall, 1),
+                   "triples_per_sec_pg": round(n / wall_pg, 1)}}))
 spark.stop()
 """
 
@@ -167,6 +193,8 @@ def main() -> None:
     low, high = levels[low_cpus], levels[high_cpus]
     efficiency = round(
         (low["wall"] / high["wall"]) / (high_cpus // low_cpus), 3)
+    efficiency_pg = round(
+        (low["wall_pg"] / high["wall_pg"]) / (high_cpus // low_cpus), 3)
     report = {
         "job": "shacl_validate",
         "n_triples": n_triples,
@@ -174,6 +202,8 @@ def main() -> None:
         "high": high,
         "speedup": round(low["wall"] / high["wall"], 2),
         "efficiency": efficiency,
+        "speedup_pergraph_paths": round(low["wall_pg"] / high["wall_pg"], 2),
+        "efficiency_pergraph_paths": efficiency_pg,
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
