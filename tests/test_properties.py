@@ -343,3 +343,65 @@ def test_trig_graph_block_equals_turtle_tagged(triples, graph):
     toplevel = parse_trig(doc)
     assert {(g,) + (s, p, o) for g, s, p, o in toplevel} \
         == {(None, s, p, o) for s, p, o in plain}
+
+
+_STEP = st.tuples(st.sampled_from(["fwd", "inv"]),
+                  st.sampled_from(["urn:p", "urn:q"]))
+_BRANCH = st.lists(_STEP, min_size=1, max_size=2)
+_PATH = st.tuples(st.lists(_BRANCH, min_size=1, max_size=2),
+                  st.sampled_from(["+", "*", "?"]))
+_P_EDGES = st.lists(
+    st.tuples(st.sampled_from(["urn:n0", "urn:n1", "urn:n2", "urn:n3"]),
+              st.sampled_from(["urn:p", "urn:q"]),
+              st.sampled_from(["urn:n0", "urn:n1", "urn:n2", "urn:n3"])),
+    min_size=1, max_size=8, unique=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_P_EDGES, _PATH)
+def test_quantified_path_agrees_with_pure_python_closure(spark, edges,
+                                                         path):
+    """Quantified paths over |, / and ^ combinations vs a pure-Python
+    relational evaluation: per-branch step composition, union of
+    branches, Warshall closure for +, identity over the graph's terms
+    for the zero-length part of * and ?."""
+    from meresco_rdf_spark.sparql import sparql_select
+
+    branches, quant = path
+    df = spark.createDataFrame(
+        [(s, p, o, "uri", None) for s, p, o in edges],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+
+    def step_pairs(direction, pred):
+        pairs = {(s, o) for s, p, o in edges if p == pred}
+        return pairs if direction == "fwd" else {(o, s) for s, o in pairs}
+
+    base = set()
+    for br in branches:
+        rel = step_pairs(*br[0])
+        for stp in br[1:]:
+            nxt = step_pairs(*stp)
+            rel = {(a, c) for a, b in rel for b2, c in nxt if b == b2}
+        base |= rel
+    closure = set(base)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in list(closure):
+            for b2, c in base:
+                if b == b2 and (a, c) not in closure:
+                    closure.add((a, c))
+                    changed = True
+    terms = {s for s, _, _ in edges} | {o for _, _, o in edges}
+    ident = {(t, t) for t in terms}
+    want = {"+": closure, "*": closure | ident, "?": base | ident}[quant]
+
+    rendered = "(%s)%s" % ("|".join(
+        "/".join(("^" if d == "inv" else "") + "<%s>" % u for d, u in br)
+        for br in branches), quant)
+    got = {(r["x"], r["y"]) for r in sparql_select(
+        df, "SELECT DISTINCT ?x ?y WHERE { ?x %s ?y }" % rendered
+    ).collect()}
+    assert got == want
