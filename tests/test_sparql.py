@@ -2300,3 +2300,20 @@ def test_literal_subject_zero_length_star(mixed_path_graph):
                            BIND(1 AS ?ok) }
     """)
     assert [r["ok"] for r in out.collect()] == ["1"]
+
+
+def test_update_where_supports_property_paths(spark):
+    # the WHERE body shares the SELECT compiler, so quantified paths
+    # instantiate templates — pin it (reachability materialization via
+    # INSERT ... WHERE { ?x p+ ?y })
+    g = triples_df(spark, [
+        ("urn:a", "urn:sub", Uri("urn:b")),
+        ("urn:b", "urn:sub", Uri("urn:c")),
+    ])
+    dels, adds = sparql_update_sets(g, """
+        INSERT { ?x <urn:reaches> ?y } WHERE { ?x (<urn:sub>)+ ?y }
+    """)
+    assert dels is None
+    got = sorted((r.subj, r.obj_value) for r in adds.collect())
+    assert got == [("urn:a", "urn:b"), ("urn:a", "urn:c"),
+                   ("urn:b", "urn:c")]
