@@ -620,6 +620,22 @@ class _Parser:
             elif self.at_kw("OFFSET"):
                 self.next()
                 offset = self._expect_int()
+        if self.at_kw("VALUES"):
+            # §10.2 trailing ValuesClause: per the §18.2.4.3 algebra the
+            # data joins the query pattern (after grouping, before
+            # projection/modifiers).  Joining inside the WHERE group is
+            # equivalent for plain queries and for VALUES over GROUP BY
+            # keys (restricting key rows pre-aggregation restricts the
+            # same groups); VALUES over an aggregate alias cannot be
+            # pre-joined and is rejected.
+            self.next()
+            vp = self._values_pattern()
+            agg_aliases = {a.alias for a in aggregates}
+            clash = [v for v in vp.variables if v in agg_aliases]
+            if clash:
+                self.fail("trailing VALUES over aggregate alias ?%s is "
+                          "not supported" % clash[0])
+            where.parts.append(vp)
         return SelectQuery(variables=variables, distinct=distinct,
                            where=where, order_by=order_by,
                            limit=limit, offset=offset,

@@ -2317,3 +2317,39 @@ def test_update_where_supports_property_paths(spark):
     got = sorted((r.subj, r.obj_value) for r in adds.collect())
     assert got == [("urn:a", "urn:b"), ("urn:a", "urn:c"),
                    ("urn:b", "urn:c")]
+
+
+def test_trailing_values_clause_joins_solutions(spark):
+    g = triples_df(spark, [
+        ("urn:a", "urn:p", Literal("1")),
+        ("urn:b", "urn:p", Literal("2")),
+        ("urn:c", "urn:p", Literal("3")),
+    ])
+    # §10.2 ValuesClause after the solution modifiers
+    out = sparql_select(g, """
+        SELECT ?s ?o WHERE { ?s <urn:p> ?o } ORDER BY ?s
+        VALUES ?s { <urn:a> <urn:c> }
+    """)
+    assert [(r["s"], r["o"]) for r in out.collect()] == [
+        ("urn:a", "1"), ("urn:c", "3")]
+
+
+def test_trailing_values_over_group_key(spark):
+    g = triples_df(spark, [
+        ("urn:a", "urn:p", Literal("1")),
+        ("urn:a", "urn:p", Literal("2")),
+        ("urn:b", "urn:p", Literal("3")),
+    ])
+    out = sparql_select(g, """
+        SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <urn:p> ?o }
+        GROUP BY ?s VALUES ?s { <urn:a> }
+    """)
+    assert [(r["s"], r["n"]) for r in out.collect()] == [("urn:a", 2)]
+
+
+def test_trailing_values_over_aggregate_alias_rejected():
+    with pytest.raises(SparqlSyntaxError, match="aggregate alias"):
+        parse_query("""
+            SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <urn:p> ?o }
+            GROUP BY ?s VALUES ?n { 2 }
+        """)
