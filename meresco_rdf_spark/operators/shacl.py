@@ -166,8 +166,8 @@ def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
             elif p == SH + "property":
                 shape["properties"].append(_parse_property(
                     by_subj, val, rdf_list, rdf_list_terms))
-            elif p in (SH + "or", SH + "and"):
-                shape["or" if p == SH + "or" else "and"] = [
+            elif p in (SH + "or", SH + "and", SH + "xone"):
+                shape[p[len(SH):]] = [
                     _parse_operand(by_subj, v, k, rdf_list, rdf_list_terms)
                     for v, k in rdf_list_terms(val)]
             elif p == SH + "not":
@@ -262,7 +262,8 @@ def _referenced_shape_ids(shapes: List[dict]) -> set:
     refs = {prop["node"] for s in shapes
             for prop in s.get("properties", ()) if prop.get("node")}
     for s in shapes:
-        operands = list(s.get("or", ())) + list(s.get("and", ()))
+        operands = (list(s.get("or", ())) + list(s.get("and", ()))
+                    + list(s.get("xone", ())))
         if s.get("not"):
             operands.append(s["not"])
         refs.update(op[1] for op in operands if op[0] == "ref")
@@ -349,7 +350,7 @@ def _check_shapes(shapes: List[dict]) -> None:
         if not shape.get("id"):
             raise ShaclUnsupported("shape without id")
         unknown = (set(shape) - _TARGET_KEYS
-                   - {"id", "properties", "or", "and", "not"})
+                   - {"id", "properties", "or", "and", "not", "xone"})
         if unknown:
             raise ShaclUnsupported(
                 "unsupported shape keys %s in %s"
@@ -850,7 +851,7 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
     # or: violated when the focus fails EVERY operand (intersection of
     # failing sets); and: fails ANY (union); not: CONFORMS (anti-join).
     for shape in shapes:
-        for key in ("or", "and", "not"):
+        for key in ("or", "and", "not", "xone"):
             operands = shape.get(key)
             if not operands:
                 continue
@@ -889,6 +890,21 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
                 for f in failing[1:]:
                     bad = bad.unionByName(f)
                 bad = bad.dropDuplicates()
+            elif key == "xone":
+                # exactly one operand conforms: per-focus conform count
+                # (operands minus failing memberships) must equal 1
+                conform = None
+                for f in failing:
+                    c = foc_here.join(f, [*gkey, "focus"], "left_anti")
+                    conform = c if conform is None else \
+                        conform.unionByName(c)
+                n_conf = (conform.groupBy(*gkey, "focus")
+                          .agg(F.count("*").alias("n_conf")))
+                bad = (foc_here.join(n_conf, [*gkey, "focus"], "left")
+                       .withColumn("n_conf", F.coalesce(F.col("n_conf"),
+                                                        F.lit(0)))
+                       .filter(F.col("n_conf") != 1)
+                       .select(*gkey, "focus"))
             else:
                 bad = foc_here.join(failing[0], [*gkey, "focus"],
                                     "left_anti")

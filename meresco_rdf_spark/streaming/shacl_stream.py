@@ -71,7 +71,8 @@ def _affected_focus(spark, shapes: list[dict], new_rows: DataFrame,
     ``validate()``, so they are rejected loudly here rather than
     silently under-revalidated."""
     for shape in shapes:
-        if shape.get("or") or shape.get("and") or shape.get("not"):
+        if (shape.get("or") or shape.get("and") or shape.get("not")
+                or shape.get("xone")):
             from meresco_rdf_spark.operators.shacl import ShaclUnsupported
             raise ShaclUnsupported(
                 "incremental SHACL maintenance does not support logical "

@@ -733,3 +733,24 @@ class TestPerGraphValidation:
             validate(tri(spark, rows),
                      shapes_from_graph(iter_turtle(self.MIN_TTL)),
                      per_graph=True)
+
+
+class TestXone:
+    def test_exactly_one_branch_must_conform(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <urn:ex:> .
+        ex:OneId a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:xone ( [ sh:path ex:ssn ; sh:minCount 1 ]
+                    [ sh:path ex:passport ; sh:minCount 1 ] ) ."""
+        rows = [
+            ("urn:ex:p1", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p1", "urn:ex:ssn", "1", "literal", None),
+            ("urn:ex:p2", RDF_TYPE, "urn:ex:Person", "uri", None),
+            ("urn:ex:p2", "urn:ex:ssn", "2", "literal", None),
+            ("urn:ex:p2", "urn:ex:passport", "X", "literal", None),
+            ("urn:ex:p3", RDF_TYPE, "urn:ex:Person", "uri", None),
+        ]
+        df = validate(tri(spark, rows), shapes_from_graph(iter_turtle(ttl)))
+        got = {(r.focus, r.constraint) for r in df.collect()}
+        # p1 conforms to exactly one branch; p2 to both; p3 to none
+        assert got == {("urn:ex:p2", "xone"), ("urn:ex:p3", "xone")}
