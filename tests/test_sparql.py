@@ -14,6 +14,7 @@ from meresco_rdf_spark.sparql.compiler import SparqlCompileError, _order_pattern
 from meresco_rdf_spark.sparql.parser import (
     Iri,
     Lit,
+    PathPlus,
     SparqlSyntaxError,
     TriplesBlock,
     Var,
@@ -2353,3 +2354,28 @@ def test_trailing_values_over_aggregate_alias_rejected():
             SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <urn:p> ?o }
             GROUP BY ?s VALUES ?n { 2 }
         """)
+
+
+def test_parse_inverted_quantified_group_reverses_steps():
+    # ^(a/b)+ walks b backwards then a backwards: branch steps are
+    # REVERSED and each flipped — pin the order, it is easy to get wrong
+    q = parse_query("SELECT ?x ?y WHERE { ?x ^(<urn:a>/<urn:b>)+ ?y }")
+    pred = q.where.parts[0].patterns[0][1]
+    assert isinstance(pred, PathPlus)
+    assert pred.preds == ()
+    assert pred.branches == ((("inv", "urn:b"), ("inv", "urn:a")),)
+
+
+def test_parse_quantified_group_fast_path_stays_preds():
+    # bare-IRI alternation keeps the single predicate-set fast path
+    q = parse_query("SELECT ?x ?y WHERE { ?x (<urn:a>|<urn:b>)* ?y }")
+    pred = q.where.parts[0].patterns[0][1]
+    assert pred.preds == ("urn:a", "urn:b")
+    assert pred.branches == ()
+
+
+def test_parse_mixed_group_goes_to_branches():
+    q = parse_query("SELECT ?x ?y WHERE { ?x (<urn:a>|^<urn:b>)? ?y }")
+    pred = q.where.parts[0].patterns[0][1]
+    assert pred.preds == ()
+    assert pred.branches == ((("fwd", "urn:a"),), (("inv", "urn:b"),))
