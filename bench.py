@@ -130,6 +130,7 @@ def main() -> None:
         "pricing_summary", "pricing_pivot", "pricing_cube",
         "rdfs_entailment", "sparql_update_graphs", "kg_sameas_smush",
         "similarity_ivf_kmeans", "owl_entailment",
+        "kg_shacl_paths", "kg_shacl_graphs", "sparql_path_mixed",
     ]
     for name in heads:
         fn = eq.QUERIES[name]

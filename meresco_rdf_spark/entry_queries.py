@@ -2857,6 +2857,40 @@ def q_rdfs_entailment(spark, sf_dir):
                         schema_triples=_rdfs_onto_df(spark))
 
 
+def q_rdfs_schema_cycles(spark, sf_dir):
+    """Ontology cycle detection (the quality check run before any
+    entailment materialization): subClassOf edges forming five 5-cycles
+    over the 25 nation-derived classes plus an ACYCLIC region chain
+    (must contribute nothing), and one subPropertyOf self-loop.  A node
+    is cyclic iff the predicate closure contains its reflexive pair —
+    schema-slice closure only, no instance scan.  Oracle: recursive-CTE
+    closure (UNION dedup terminates it on cycles) filtered to a = b."""
+    from .operators.rdfs import schema_cycles
+
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+
+    def t(subj, pred, obj):
+        return [subj.alias("subj"), F.lit(pred).alias("pred"),
+                obj.alias("obj_value"), F.lit("uri").alias("obj_kind"),
+                F.lit(None).cast("string").alias("obj_lang")]
+
+    sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    subp = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+    cls = F.concat(F.lit("urn:class:"), F.col("n_nationkey").cast("string"))
+    nxt = F.concat(F.lit("urn:class:"),
+                   ((F.col("n_nationkey") + 5) % 25).cast("string"))
+    rcls = F.concat(F.lit("urn:rc:"), F.col("r_regionkey").cast("string"))
+    rnxt = F.concat(F.lit("urn:rc:"),
+                    (F.col("r_regionkey") + 1).cast("string"))
+    schema = (
+        nation.select(*t(cls, sub, nxt))
+        .unionByName(region.select(*t(rcls, sub, rnxt)))
+        .unionByName(spark.range(1).select(
+            *t(F.lit("urn:prop:p0"), subp, F.lit("urn:prop:p0")))))
+    return schema_cycles(schema)
+
+
 def q_stream_rdfs_maintain(spark, sf_dir):
     """Incremental entailment maintenance end-to-end: the SAME instance
     relation as ``rdfs_entailment`` written as four ``.nq`` slice files,
@@ -4519,6 +4553,7 @@ QUERIES = {
     "kg_shacl_report": q_kg_shacl_report,
     "kg_shacl_paths": q_kg_shacl_paths,
     "kg_shacl_graphs": q_kg_shacl_graphs,
+    "rdfs_schema_cycles": q_rdfs_schema_cycles,
     "kg_snapshot_merge": q_kg_snapshot_merge,
     "kg_snapshot_sparql": q_kg_snapshot_sparql,
     "stream_shacl_maintain": q_stream_shacl_maintain,
@@ -4977,6 +5012,27 @@ SELECT shape_id, focus, path, "constraint", value FROM (
   FROM members m JOIN labels l ON l.nation = m.nation
   WHERE NOT regexp_matches(l.label, '^[A-M]')
 )""")
+
+ORACLES["rdfs_schema_cycles"] = """
+WITH RECURSIVE edges(pred, a, b) AS (
+  SELECT 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+         'urn:class:' || n_nationkey,
+         'urn:class:' || ((n_nationkey + 5) % 25) FROM nation
+  UNION ALL
+  SELECT 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+         'urn:rc:' || r_regionkey, 'urn:rc:' || (r_regionkey + 1)
+  FROM region
+  UNION ALL
+  SELECT 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+         'urn:prop:p0', 'urn:prop:p0'
+),
+clo(pred, a, b) AS (
+  SELECT pred, a, b FROM edges
+  UNION
+  SELECT c.pred, c.a, e.b FROM clo c
+  JOIN edges e ON e.pred = c.pred AND e.a = c.b
+)
+SELECT DISTINCT pred, a AS node FROM clo WHERE a = b"""
 
 ORACLES["kg_shacl_graphs"] = """
 WITH members AS (

@@ -301,3 +301,32 @@ def rdfs_closure(triples: DataFrame,
         wide_union = wide_union.unionByName(p)
     # the only two instance-sized shuffles in the whole plan
     return wide_union.dropDuplicates(cols).unionByName(typed)
+
+
+def schema_cycles(triples: DataFrame,
+                  preds: Tuple[str, ...] = (RDFS_SUBCLASS, RDFS_SUBPROP)
+                  ) -> DataFrame:
+    """Ontology-quality check: (pred, node) rows for every node lying on
+    a cycle of the given schema predicate (``a subClassOf+ a``) — the
+    shapes that make "the superclasses of X" ill-defined and inflate
+    every closure the entailment operators compute.  A node is cyclic
+    iff the transitive closure of the predicate's edge set contains its
+    reflexive pair, so this is the same semi-naive closure the ρdf rules
+    use, filtered to ``a = b`` — per-predicate edge slices only, the
+    instance relation is never touched.  Empty frame = cycle-free.
+    Self-loops count (a 1-cycle is still a cycle)."""
+    parts = []
+    for pred in preds:
+        edges = (triples.filter(F.col("pred") == pred)
+                 .filter(F.col("obj_kind") != "literal")
+                 .select(F.col("subj").alias("a"),
+                         F.col("obj_value").alias("b"))
+                 .dropDuplicates())
+        clo = _transitive_closure_df(edges)
+        parts.append(clo.filter(F.col("a") == F.col("b"))
+                     .select(F.lit(pred).alias("pred"),
+                             F.col("a").alias("node")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()

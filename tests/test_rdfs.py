@@ -220,3 +220,37 @@ def test_stream_maintenance_rejects_schema_on_stream(spark, tmp_path):
     in_dir = _write_slices(spark, tmp_path, poisoned, n_slices=1)
     with pytest.raises(StreamingQueryException, match="fixed schema"):
         _run_maintenance(spark, tmp_path, in_dir, onto)
+
+
+class TestSchemaCycles:
+    def _run(self, spark, rows):
+        from meresco_rdf_spark.operators.rdfs import schema_cycles
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj_value string, "
+                  "obj_kind string, obj_lang string")
+        return {(r.pred, r.node) for r in schema_cycles(df).collect()}
+
+    SC = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    SP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+
+    def test_cycle_members_reported_chain_silent(self, spark):
+        rows = [
+            ("urn:a", self.SC, "urn:b", "uri", None),
+            ("urn:b", self.SC, "urn:c", "uri", None),
+            ("urn:c", self.SC, "urn:a", "uri", None),
+            ("urn:x", self.SC, "urn:y", "uri", None),   # acyclic
+        ]
+        assert self._run(spark, rows) == {
+            (self.SC, "urn:a"), (self.SC, "urn:b"), (self.SC, "urn:c")}
+
+    def test_self_loop_counts_and_preds_are_separate(self, spark):
+        rows = [
+            ("urn:p", self.SP, "urn:p", "uri", None),
+            ("urn:p", self.SC, "urn:q", "uri", None),   # acyclic under SC
+        ]
+        assert self._run(spark, rows) == {(self.SP, "urn:p")}
+
+    def test_acyclic_schema_is_empty(self, spark):
+        rows = [("urn:a", self.SC, "urn:b", "uri", None),
+                ("urn:b", self.SC, "urn:c", "uri", None)]
+        assert self._run(spark, rows) == set()
