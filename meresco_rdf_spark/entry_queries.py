@@ -2857,6 +2857,54 @@ def q_rdfs_entailment(spark, sf_dir):
                         schema_triples=_rdfs_onto_df(spark))
 
 
+def q_owl_chain_entailment(spark, sf_dir):
+    """owl:propertyChainAxiom materialization (OWL RL prp-spo2):
+    inRegion <- rel:nation ∘ rel:region walks member -> nation ->
+    region; zoneOf <- inRegion ∘ zonemap then consumes the DERIVED
+    predicate (round-2 dependency), with zonemap edges synthesized
+    region -> urn:zone:(key%2).  Returns the derived rows only.
+    Oracle: the two compositions as plain SQL joins."""
+    from .operators.owl import (
+        OWL_PROPERTY_CHAIN,
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
+        owl_chain_closure,
+    )
+
+    region = _read(spark, sf_dir, "region")
+    zonemap = region.select(
+        F.concat(F.lit("urn:region:"),
+                 F.col("r_regionkey").cast("string")).alias("subj"),
+        F.lit("urn:rel:zonemap").alias("pred"),
+        F.concat(F.lit("urn:zone:"),
+                 (F.col("r_regionkey") % 2).cast("string"))
+        .alias("obj_value"),
+        F.lit("uri").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    inst = tpch_triples(spark, sf_dir).unionByName(zonemap)
+
+    def chain(head, steps, tag):
+        rows = [(head, OWL_PROPERTY_CHAIN, "_:%s0" % tag, "bnode", None)]
+        for i, s in enumerate(steps):
+            nxt = ("_:%s%d" % (tag, i + 1) if i + 1 < len(steps)
+                   else RDF_NIL)
+            rows.append(("_:%s%d" % (tag, i), RDF_FIRST, s, "uri", None))
+            rows.append(("_:%s%d" % (tag, i), RDF_REST, nxt,
+                         "uri" if nxt == RDF_NIL else "bnode", None))
+        return rows
+
+    schema = spark.createDataFrame(
+        chain("urn:rel:inRegion", (REL_NATION, REL_REGION), "a")
+        + chain("urn:rel:zoneOf", ("urn:rel:inRegion", "urn:rel:zonemap"),
+                "b"),
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+    out = owl_chain_closure(inst, schema_triples=schema)
+    return out.filter(
+        F.col("pred").isin("urn:rel:inRegion", "urn:rel:zoneOf"))
+
+
 def q_rdfs_schema_cycles(spark, sf_dir):
     """Ontology cycle detection (the quality check run before any
     entailment materialization): subClassOf edges forming five 5-cycles
@@ -4554,6 +4602,7 @@ QUERIES = {
     "kg_shacl_paths": q_kg_shacl_paths,
     "kg_shacl_graphs": q_kg_shacl_graphs,
     "rdfs_schema_cycles": q_rdfs_schema_cycles,
+    "owl_chain_entailment": q_owl_chain_entailment,
     "kg_snapshot_merge": q_kg_snapshot_merge,
     "kg_snapshot_sparql": q_kg_snapshot_sparql,
     "stream_shacl_maintain": q_stream_shacl_maintain,
@@ -5012,6 +5061,30 @@ SELECT shape_id, focus, path, "constraint", value FROM (
   FROM members m JOIN labels l ON l.nation = m.nation
   WHERE NOT regexp_matches(l.label, '^[A-M]')
 )""")
+
+ORACLES["owl_chain_entailment"] = _fmt("""
+WITH {cte},
+members AS (
+  SELECT subj, obj_value AS nation FROM triples
+  WHERE pred = '{rel_nation}'
+),
+nat_region AS (
+  SELECT subj AS nation, obj_value AS region FROM triples
+  WHERE pred = '{rel_region}'
+),
+in_region AS (
+  SELECT DISTINCT m.subj, r.region
+  FROM members m JOIN nat_region r ON r.nation = m.nation
+)
+SELECT subj, 'urn:rel:inRegion' AS pred, region AS obj_value,
+       'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang
+FROM in_region
+UNION ALL
+SELECT i.subj, 'urn:rel:zoneOf',
+       'urn:zone:' || (CAST(REPLACE(i.region, 'urn:region:', '')
+                            AS INTEGER) % 2),
+       'uri', CAST(NULL AS VARCHAR)
+FROM in_region i""")
 
 ORACLES["rdfs_schema_cycles"] = """
 WITH RECURSIVE edges(pred, a, b) AS (

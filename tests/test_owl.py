@@ -554,3 +554,95 @@ def test_parity_with_naive_fixpoint(spark):
     want = naive_owl_fixpoint(set(inst), axioms) | set(
         tuple(a) for a in axioms)
     assert got == want
+
+
+class TestPropertyChains:
+    S = ("subj string, pred string, obj_value string, obj_kind string, "
+         "obj_lang string")
+
+    def _chain(self, head, steps, tag):
+        from meresco_rdf_spark.operators.owl import (
+            OWL_PROPERTY_CHAIN, RDF_FIRST, RDF_NIL, RDF_REST)
+        rows = [(head, OWL_PROPERTY_CHAIN, "_:l%s0" % tag, "bnode", None)]
+        for i, s in enumerate(steps):
+            rows.append(("_:l%s%d" % (tag, i), RDF_FIRST, s, "uri", None))
+            nxt = ("_:l%s%d" % (tag, i + 1) if i + 1 < len(steps)
+                   else RDF_NIL)
+            rows.append(("_:l%s%d" % (tag, i), RDF_REST, nxt,
+                         "uri" if nxt == RDF_NIL else "bnode", None))
+        return rows
+
+    def _family(self, spark):
+        return spark.createDataFrame([
+            ("urn:me", "urn:parent", "urn:mom", "uri", None),
+            ("urn:mom", "urn:parent", "urn:gran", "uri", None),
+            ("urn:gran", "urn:parent", "urn:ggran", "uri", None),
+            ("urn:mom", "urn:brother", "urn:bob", "uri", None),
+        ], self.S)
+
+    def test_two_chains_one_pass(self, spark):
+        from meresco_rdf_spark.operators.owl import owl_chain_closure
+        schema = spark.createDataFrame(
+            self._chain("urn:gp", ("urn:parent", "urn:parent"), "a")
+            + self._chain("urn:uncle", ("urn:parent", "urn:brother"),
+                          "b"), self.S)
+        out = owl_chain_closure(self._family(spark),
+                                schema_triples=schema)
+        got = sorted((r.subj, r.pred, r.obj_value) for r in out.collect()
+                     if r.pred in ("urn:gp", "urn:uncle"))
+        assert got == [("urn:me", "urn:gp", "urn:gran"),
+                       ("urn:me", "urn:uncle", "urn:bob"),
+                       ("urn:mom", "urn:gp", "urn:ggran")]
+
+    def test_recursive_chain_converges(self, spark):
+        # anc <- parent∘parent seeds; anc <- parent∘anc extends — the
+        # classic recursive axiom, bounded by the chain depth
+        from meresco_rdf_spark.operators.owl import owl_chain_closure
+        schema = spark.createDataFrame(
+            self._chain("urn:anc", ("urn:parent", "urn:parent"), "c")
+            + self._chain("urn:anc", ("urn:parent", "urn:anc"), "d"),
+            self.S)
+        out = owl_chain_closure(self._family(spark),
+                                schema_triples=schema)
+        got = sorted((r.subj, r.obj_value) for r in out.collect()
+                     if r.pred == "urn:anc")
+        assert got == [("urn:me", "urn:ggran"), ("urn:me", "urn:gran"),
+                       ("urn:mom", "urn:ggran")]
+
+    def test_literal_never_continues_a_chain(self, spark):
+        from meresco_rdf_spark.operators.owl import owl_chain_closure
+        schema = spark.createDataFrame(
+            self._chain("urn:gn", ("urn:parent", "urn:name"), "e"),
+            self.S)
+        inst = spark.createDataFrame([
+            ("urn:me", "urn:parent", "urn:mom", "uri", None),
+            ("urn:mom", "urn:name", "Mom", "literal", None),
+            # a literal with a name-subject spelling collision must not
+            # be walked through
+            ("urn:x", "urn:parent", "urn:mom", "literal", None),
+        ], self.S)
+        out = owl_chain_closure(inst, schema_triples=schema)
+        got = [(r.subj, r.obj_value, r.obj_kind) for r in out.collect()
+               if r.pred == "urn:gn"]
+        assert got == [("urn:me", "Mom", "literal")]
+
+    def test_inverse_step_and_short_chain_rejected(self, spark):
+        import pytest as _pytest
+
+        from meresco_rdf_spark.operators.owl import (
+            OWL_PROPERTY_CHAIN, OwlUnsupportedPattern, RDF_FIRST,
+            RDF_NIL, RDF_REST, owl_chain_closure)
+        inst = self._family(spark)
+        inv = spark.createDataFrame([
+            ("urn:p", OWL_PROPERTY_CHAIN, "_:i0", "bnode", None),
+            ("_:i0", RDF_FIRST, "_:invstep", "bnode", None),
+            ("_:i0", RDF_REST, "_:i1", "bnode", None),
+            ("_:i1", RDF_FIRST, "urn:parent", "uri", None),
+            ("_:i1", RDF_REST, RDF_NIL, "uri", None),
+        ], self.S)
+        with _pytest.raises(OwlUnsupportedPattern, match="Inverse"):
+            owl_chain_closure(inst, schema_triples=inv)
+        short = spark.createDataFrame(
+            self._chain("urn:p", ("urn:parent",), "s"), self.S)
+        with _pytest.raises(OwlUnsupportedPattern, match="two steps"):
+            owl_chain_closure(inst, schema_triples=short)
