@@ -89,6 +89,7 @@ _NODE_KINDS = {SH + "IRI": ("uri",), SH + "Literal": ("literal",),
 REPORT_COLS = ["shape_id", "focus", "path", "constraint", "value"]
 
 _PROP_KEYS = ("path", "path_expr", "node",
+              "qualified_shape", "qualified_min", "qualified_max",
               "min_count", "max_count", "node_kind", "pattern",
               "in", "class", "has_value", "language_in", "unique_lang",
               "min_length", "max_length",
@@ -259,8 +260,8 @@ def _render_path(expr: tuple) -> str:
 def _referenced_shape_ids(shapes: List[dict]) -> set:
     """Shape ids reachable through sh:node or logical operand refs —
     these may legally lack targets (library shapes)."""
-    refs = {prop["node"] for s in shapes
-            for prop in s.get("properties", ()) if prop.get("node")}
+    refs = {prop[k] for s in shapes for prop in s.get("properties", ())
+            for k in ("node", "qualified_shape") if prop.get(k)}
     for s in shapes:
         operands = (list(s.get("or", ())) + list(s.get("and", ()))
                     + list(s.get("xone", ())))
@@ -333,6 +334,16 @@ def _parse_property(by_subj: dict, node: str, rdf_list,
                 raise ShaclUnsupported(
                     "sh:node must reference a named shape (got %s)" % val)
             prop["node"] = val
+        elif p == SH + "qualifiedValueShape":
+            if kind != "uri":
+                raise ShaclUnsupported(
+                    "sh:qualifiedValueShape must reference a named "
+                    "shape (got %s)" % val)
+            prop["qualified_shape"] = val
+        elif p == SH + "qualifiedMinCount":
+            prop["qualified_min"] = int(val)
+        elif p == SH + "qualifiedMaxCount":
+            prop["qualified_max"] = int(val)
         elif p == SH + "languageIn":
             prop["language_in"] = rdf_list(val)
         elif p == SH + "uniqueLang":
@@ -843,6 +854,64 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
                     F.lit("node").alias("constraint"),
                     F.col("obj_value").alias("value"))
             .select(*rcols))
+
+    # -- sh:qualifiedValueShape + qualifiedMin/MaxCount ---------------------
+    # (count the value nodes CONFORMING to the referenced shape; the
+    # zero-case — a focus with no values at all — still reports against
+    # qualifiedMinCount, via a left join from the focus frame)
+    for sid, prop in declared:
+        if not prop.get("qualified_shape"):
+            continue
+        qmin, qmax = prop.get("qualified_min"), prop.get("qualified_max")
+        if qmin is None and qmax is None:
+            raise ShaclUnsupported(
+                "sh:qualifiedValueShape without qualifiedMinCount/"
+                "qualifiedMaxCount in %s" % sid)
+        ref = prop["qualified_shape"]
+        inner = by_id.get(ref)
+        if inner is None:
+            raise ShaclUnsupported(
+                "sh:qualifiedValueShape references unknown shape %s"
+                % ref)
+        if ref in stack:
+            raise ShaclUnsupported(
+                "cyclic sh:qualifiedValueShape reference through %s"
+                % ref)
+        vnodes = (vals.filter((F.col("shape_id") == sid)
+                              & (F.col("path") == prop["path"]))
+                  .select(*gkey, "focus", "obj_value").dropDuplicates())
+        inner_focus = (vnodes
+                       .select(F.lit(ref).alias("shape_id"), *gkey,
+                               F.col("obj_value").alias("focus"))
+                       .dropDuplicates())
+        inner_rep = _report_for_focus(triples, [inner], inner_focus,
+                                      by_id, stack | {ref},
+                                      per_graph=per_graph)
+        bsel = [F.col("focus").alias("bad_node")]
+        if per_graph:
+            bsel.append(F.col("graph").alias("bad_g"))
+        bad_nodes = inner_rep.select(*bsel).dropDuplicates()
+        node_join = vnodes["obj_value"] == bad_nodes["bad_node"]
+        if per_graph:
+            node_join = node_join & (vnodes["graph"] == bad_nodes["bad_g"])
+        conforming = vnodes.join(bad_nodes, node_join, "left_anti")
+        n_q = (conforming.groupBy(*gkey, "focus")
+               .agg(F.count("*").alias("n_q")))
+        per_focus_q = (focus.filter(F.col("shape_id") == sid)
+                       .select(*gkey, "focus")
+                       .join(n_q, [*gkey, "focus"], "left")
+                       .withColumn("n_q", F.coalesce(F.col("n_q"),
+                                                     F.lit(0))))
+        reports.append(per_focus_q.select(
+            F.lit(sid).alias("shape_id"), *gkey, "focus",
+            F.lit(prop["path"]).alias("path"),
+            F.col("n_q").cast("string").alias("value"),
+            F.explode(F.array_compact(F.array(
+                F.when(F.col("n_q") < qmin, F.lit("qualifiedMinCount"))
+                if qmin is not None else F.lit(None).cast("string"),
+                F.when(F.col("n_q") > qmax, F.lit("qualifiedMaxCount"))
+                if qmax is not None else F.lit(None).cast("string"),
+            ))).alias("constraint")).select(*rcols))
 
     # -- sh:or / sh:and / sh:not on node shapes -----------------------------
     # Each operand (a named node shape or an inline property shape) is

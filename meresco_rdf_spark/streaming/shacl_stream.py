@@ -86,7 +86,7 @@ def _affected_focus(spark, shapes: list[dict], new_rows: DataFrame,
                     "only; shape %s declares path %r — run the full "
                     "batch validate() instead"
                     % (shape["id"], prop["path"]))
-            if prop.get("node"):
+            if prop.get("node") or prop.get("qualified_shape"):
                 # a delta on a VALUE node's own properties flips the
                 # outer focus's sh:node verdict — invisible to this
                 # predicate-keyed derivation

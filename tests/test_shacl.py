@@ -754,3 +754,59 @@ class TestXone:
         got = {(r.focus, r.constraint) for r in df.collect()}
         # p1 conforms to exactly one branch; p2 to both; p3 to none
         assert got == {("urn:ex:p2", "xone"), ("urn:ex:p3", "xone")}
+
+
+class TestQualifiedValueShape:
+    TTL = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <urn:ex:> .
+    ex:TeamQ a sh:NodeShape ; sh:targetClass ex:Team ;
+      sh:property [ sh:path ex:member ;
+                    sh:qualifiedValueShape ex:Senior ;
+                    sh:qualifiedMinCount 1 ;
+                    sh:qualifiedMaxCount 2 ] .
+    ex:Senior a sh:NodeShape ;
+      sh:property [ sh:path ex:grade ; sh:hasValue "senior" ;
+                    sh:minCount 1 ] ."""
+
+    def _run(self, spark, rows):
+        df = validate(tri(spark, rows),
+                      shapes_from_graph(iter_turtle(self.TTL)))
+        return {(r.focus, r.constraint, r.value) for r in df.collect()}
+
+    def _team(self, team, members):
+        rows = [("urn:ex:%s" % team, RDF_TYPE, "urn:ex:Team",
+                 "uri", None)]
+        for m, senior in members:
+            rows.append(("urn:ex:%s" % team, "urn:ex:member",
+                         "urn:ex:%s" % m, "uri", None))
+            if senior:
+                rows.append(("urn:ex:%s" % m, "urn:ex:grade", "senior",
+                             "literal", None))
+        return rows
+
+    def test_counts_only_conforming_values(self, spark):
+        rows = (self._team("ok", [("a", True), ("b", False)])
+                + self._team("none", [("c", False), ("d", False)])
+                + self._team("many", [("e", True), ("f", True),
+                                      ("g", True)]))
+        got = self._run(spark, rows)
+        assert got == {
+            ("urn:ex:none", "qualifiedMinCount", "0"),
+            ("urn:ex:many", "qualifiedMaxCount", "3")}
+
+    def test_zero_values_focus_still_reported(self, spark):
+        rows = [("urn:ex:empty", RDF_TYPE, "urn:ex:Team", "uri", None)]
+        assert self._run(spark, rows) == {
+            ("urn:ex:empty", "qualifiedMinCount", "0")}
+
+    def test_qualified_without_counts_raises(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s> a sh:NodeShape ; sh:targetClass <urn:T> ;
+          sh:property [ sh:path <urn:p> ;
+                        sh:qualifiedValueShape <urn:s2> ] .
+        <urn:s2> a sh:NodeShape ;
+          sh:property [ sh:path <urn:q> ; sh:minCount 1 ] ."""
+        rows = [("urn:x", RDF_TYPE, "urn:T", "uri", None)]
+        with pytest.raises(ShaclUnsupported, match="qualifiedMinCount"):
+            validate(tri(spark, rows),
+                     shapes_from_graph(iter_turtle(ttl))).collect()
