@@ -4075,6 +4075,56 @@ def q_kg_shacl_graphs(spark, sf_dir):
                     per_graph=True)
 
 
+def q_kg_shacl_closed(spark, sf_dir):
+    """SHACL closedness, numeric ranges, severity and deactivation in
+    one report: nations carry name/region/pop/comment predicates; the
+    closed shape allows name+pop (declared) and region (ignored), so
+    every slug triple violates 'closed'; sh:minInclusive 5 /
+    sh:maxExclusive 20 on the numeric pop flag the low and high keys
+    (try_cast comparison, never an error); the report carries the
+    resolved severity column (property-level sh:Info overriding the
+    node shape's sh:Warning); a deactivated audit shape that would flag
+    every nation contributes nothing — the oracle recomputes all three
+    live branches and omits the deactivated one, so skip is
+    hash-checked, not assumed.  Closedness is one subj-keyed join of
+    the corpus onto the closed-focus set plus a literal
+    predicate-complement filter (operators/shacl.py)."""
+    from .operators.shacl import shapes_from_graph, validate
+    from .rdfxml.turtle import iter_turtle
+
+    n = _read(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("urn:nation:"),
+                    F.col("n_nationkey").cast("string"))
+
+    def t(pred, value, kind):
+        return n.select(subj.alias("subj"), F.lit(pred).alias("pred"),
+                        value.alias("obj_value"), F.lit(kind).alias("obj_kind"),
+                        F.lit(None).cast("string").alias("obj_lang"))
+
+    triples = (
+        t("urn:rel:name", F.col("n_name"), "literal")
+        .unionByName(t("urn:rel:region",
+                       F.concat(F.lit("urn:region:"),
+                                F.col("n_regionkey").cast("string")), "uri"))
+        .unionByName(t("urn:rel:pop",
+                       F.col("n_nationkey").cast("string"), "literal"))
+        .unionByName(t("urn:rel:slug", F.lower(F.col("n_name")), "literal")))
+    ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+    <urn:shape:NationClosed> a sh:NodeShape ;
+      sh:targetSubjectsOf <urn:rel:name> ;
+      sh:closed true ;
+      sh:ignoredProperties ( <urn:rel:region> ) ;
+      sh:severity sh:Warning ;
+      sh:property [ sh:path <urn:rel:name> ; sh:minCount 1 ] ;
+      sh:property [ sh:path <urn:rel:pop> ; sh:minInclusive 5 ;
+                    sh:maxExclusive 20 ; sh:severity sh:Info ] .
+    <urn:shape:Audit> a sh:NodeShape ; sh:deactivated true ;
+      sh:targetSubjectsOf <urn:rel:name> ;
+      sh:property [ sh:path <urn:rel:slug> ; sh:maxCount 0 ] ."""
+    return validate(triples, shapes_from_graph(iter_turtle(ttl)),
+                    with_severity=True)
+
+
 def q_stream_shacl_maintain(spark, sf_dir):
     """Incremental SHACL maintenance end-to-end: the SAME KG the batch
     ``kg_shacl_report`` validates, written as four ``.nq`` slice files
@@ -4601,6 +4651,7 @@ QUERIES = {
     "kg_shacl_report": q_kg_shacl_report,
     "kg_shacl_paths": q_kg_shacl_paths,
     "kg_shacl_graphs": q_kg_shacl_graphs,
+    "kg_shacl_closed": q_kg_shacl_closed,
     "rdfs_schema_cycles": q_rdfs_schema_cycles,
     "owl_chain_entailment": q_owl_chain_entailment,
     "kg_snapshot_merge": q_kg_snapshot_merge,
@@ -5123,6 +5174,30 @@ SELECT 'urn:shape:NationPop' AS shape_id, g AS graph, nation AS focus,
        '^urn:rel:in' AS path, 'minCount' AS "constraint",
        CAST(cnt AS VARCHAR) AS value
 FROM sizes WHERE cnt < 10"""
+
+ORACLES["kg_shacl_closed"] = """
+SELECT shape_id, focus, path, "constraint", value, severity FROM (
+  -- sh:closed: slug is neither a declared path nor ignored, so every
+  -- slug triple is one violation; severity = node shape's sh:Warning
+  SELECT 'urn:shape:NationClosed' AS shape_id,
+         'urn:nation:' || n_nationkey AS focus,
+         'urn:rel:slug' AS path, 'closed' AS "constraint",
+         lower(n_name) AS value,
+         'http://www.w3.org/ns/shacl#Warning' AS severity
+  FROM nation
+  UNION ALL
+  -- numeric ranges on pop (= nationkey); property-level sh:Info wins
+  SELECT 'urn:shape:NationClosed', 'urn:nation:' || n_nationkey,
+         'urn:rel:pop', 'minInclusive', CAST(n_nationkey AS VARCHAR),
+         'http://www.w3.org/ns/shacl#Info'
+  FROM nation WHERE n_nationkey < 5
+  UNION ALL
+  SELECT 'urn:shape:NationClosed', 'urn:nation:' || n_nationkey,
+         'urn:rel:pop', 'maxExclusive', CAST(n_nationkey AS VARCHAR),
+         'http://www.w3.org/ns/shacl#Info'
+  FROM nation WHERE n_nationkey >= 20
+  -- the deactivated urn:shape:Audit contributes nothing by design
+)"""
 
 ORACLES["kg_shacl_report"] = """
 WITH g AS (

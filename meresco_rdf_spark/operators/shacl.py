@@ -16,9 +16,27 @@ literals, SURVEY.md §1.2):
 - values:      ``sh:pattern``, ``sh:in``, ``sh:hasValue``, ``sh:class``,
                ``sh:minLength``, ``sh:maxLength``
 - languages:   ``sh:languageIn``, ``sh:uniqueLang``
+- ranges:      ``sh:minInclusive`` / ``sh:maxInclusive`` /
+               ``sh:minExclusive`` / ``sh:maxExclusive`` — numeric
+               comparison via ``try_cast('double')`` (the same
+               error-as-NULL coercion the SPARQL compiler applies to
+               untyped literals); a non-numeric or non-literal value
+               node violates, it never errors
 - pairs:       ``sh:equals``, ``sh:disjoint``, ``sh:lessThan``,
                ``sh:lessThanOrEquals`` (lexical order — the reference's
                literal model is untyped strings, SURVEY.md §1.2)
+- closedness:  ``sh:closed`` + ``sh:ignoredProperties`` — one extra
+               subj-keyed join of the corpus onto the closed-shape
+               focus subset, then a literal predicate-complement
+               filter; allowed predicates are the IRI ``sh:path``
+               values of the shape's property shapes (complex paths
+               open nothing, per spec) plus the ignored list
+- control:     ``sh:deactivated`` (a deactivated shape validates
+               nothing and every reference to it conforms),
+               ``sh:severity`` on node and property shapes — exposed
+               via ``validate(..., with_severity=True)`` as one more
+               literal-driven report column (no join); ``conforms``
+               fails only on ``sh:Violation`` rows per spec
 
 Anything else in a shapes graph raises ``ShaclUnsupported`` loudly
 (same boundary discipline as ``operators/owl.py``): a constraint that
@@ -93,7 +111,16 @@ _PROP_KEYS = ("path", "path_expr", "node",
               "min_count", "max_count", "node_kind", "pattern",
               "in", "class", "has_value", "language_in", "unique_lang",
               "min_length", "max_length",
-              "equals", "disjoint", "less_than", "less_than_or_equals")
+              "min_inclusive", "max_inclusive",
+              "min_exclusive", "max_exclusive",
+              "equals", "disjoint", "less_than", "less_than_or_equals",
+              "deactivated", "severity")
+
+# range-constraint key -> SHACL constraint-component name in the report
+_RANGE_KEYS = (("min_inclusive", "minInclusive"),
+               ("max_inclusive", "maxInclusive"),
+               ("min_exclusive", "minExclusive"),
+               ("max_exclusive", "maxExclusive"))
 
 # pair-constraint key -> SHACL constraint-component name in the report
 _PAIR_KEYS = (("equals", "equals"), ("disjoint", "disjoint"),
@@ -174,6 +201,17 @@ def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
             elif p == SH + "not":
                 shape["not"] = _parse_operand(
                     by_subj, val, kind, rdf_list, rdf_list_terms)
+            elif p == SH + "closed":
+                shape["closed"] = val == "true"
+            elif p == SH + "ignoredProperties":
+                shape["ignored_properties"] = rdf_list(val)
+            elif p == SH + "deactivated":
+                shape["deactivated"] = val == "true"
+            elif p == SH + "severity":
+                if kind != "uri":
+                    raise ShaclUnsupported(
+                        "sh:severity must be an IRI (got %s)" % val)
+                shape["severity"] = val
             else:
                 raise ShaclUnsupported("unsupported shape predicate %s" % p)
         shapes.append(shape)
@@ -183,7 +221,9 @@ def shapes_from_graph(shape_triples: Iterable[tuple]) -> List[dict]:
     # through some property's sh:node or a logical operand
     referenced = _referenced_shape_ids(shapes)
     for shape in shapes:
-        if not (_TARGET_KEYS & set(shape)) and shape["id"] not in referenced:
+        if (not (_TARGET_KEYS & set(shape))
+                and shape["id"] not in referenced
+                and not shape.get("deactivated")):
             raise ShaclUnsupported(
                 "shape %s declares no target" % shape["id"])
     return shapes
@@ -348,6 +388,21 @@ def _parse_property(by_subj: dict, node: str, rdf_list,
             prop["language_in"] = rdf_list(val)
         elif p == SH + "uniqueLang":
             prop["unique_lang"] = val == "true"
+        elif p == SH + "minInclusive":
+            prop["min_inclusive"] = float(val)
+        elif p == SH + "maxInclusive":
+            prop["max_inclusive"] = float(val)
+        elif p == SH + "minExclusive":
+            prop["min_exclusive"] = float(val)
+        elif p == SH + "maxExclusive":
+            prop["max_exclusive"] = float(val)
+        elif p == SH + "deactivated":
+            prop["deactivated"] = val == "true"
+        elif p == SH + "severity":
+            if kind != "uri":
+                raise ShaclUnsupported(
+                    "sh:severity must be an IRI (got %s)" % val)
+            prop["severity"] = val
         else:
             raise ShaclUnsupported("unsupported property constraint %s" % p)
     if "path" not in prop:
@@ -361,13 +416,16 @@ def _check_shapes(shapes: List[dict]) -> None:
         if not shape.get("id"):
             raise ShaclUnsupported("shape without id")
         unknown = (set(shape) - _TARGET_KEYS
-                   - {"id", "properties", "or", "and", "not", "xone"})
+                   - {"id", "properties", "or", "and", "not", "xone",
+                      "closed", "ignored_properties",
+                      "deactivated", "severity"})
         if unknown:
             raise ShaclUnsupported(
                 "unsupported shape keys %s in %s"
                 % (sorted(unknown), shape["id"]))
         if (not any(shape.get(k) for k in _TARGET_KEYS)
-                and shape["id"] not in referenced):
+                and shape["id"] not in referenced
+                and not shape.get("deactivated")):
             raise ShaclUnsupported("shape %s declares no target" % shape["id"])
         for prop in shape.get("properties", ()):
             unknown = set(prop) - set(_PROP_KEYS)
@@ -461,7 +519,8 @@ def _path_edges_expr(triples: DataFrame, expr: tuple,
 
 def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
              only_focus: Optional[DataFrame] = None,
-             per_graph: bool = False) -> DataFrame:
+             per_graph: bool = False,
+             with_severity: bool = False) -> DataFrame:
     """Violations report for ``shapes`` over the triple relation (empty
     frame = conforms).  See the module docstring for the plan shape.
 
@@ -470,6 +529,13 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
     so rows naming non-focus nodes are ignored, never invented).  The
     incremental lever: ``streaming/shacl_stream.py`` revalidates only
     the focus nodes a micro-batch could have affected.
+
+    ``with_severity`` — append a ``severity`` column: the source
+    shape's ``sh:severity`` (property-shape declaration wins over the
+    owning node shape; default ``sh:Violation``).  Pure literal
+    when-chain keyed (shape_id, path) — severities are shapes-graph
+    data, so no join and no exchange; two property shapes on the same
+    (shape, path) with conflicting severities are rejected loudly.
 
     ``per_graph`` — validate a QUAD relation (extra ``context`` column)
     one named graph at a time, in ONE job: the graph label rides every
@@ -498,8 +564,13 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
     by_id = {s["id"]: s for s in shapes}
     # library shapes (no targets, referenced via sh:node) contribute no
     # focus of their own — they are validated against the value nodes of
-    # the properties that reference them
-    targeted = [s for s in shapes if any(s.get(k) for k in _TARGET_KEYS)]
+    # the properties that reference them.  A deactivated shape validates
+    # nothing (SHACL §2.1.3.3).
+    targeted = [s for s in shapes
+                if not s.get("deactivated")
+                and any(s.get(k) for k in _TARGET_KEYS)]
+    if with_severity:
+        rcols.append("severity")
     if not targeted:
         return spark.createDataFrame(
             [], ", ".join("%s string" % c for c in rcols))
@@ -555,11 +626,38 @@ def validate(triples: DataFrame, shapes: Union[List[dict], Iterable[tuple]],
             ["shape_id", "focus"], "left_semi")
     rep = _report_for_focus(triples, targeted, focus, by_id, frozenset(),
                             per_graph=per_graph)
+    if with_severity:
+        rep = rep.withColumn("severity", _severity_expr(shapes))
     if per_graph:
         rep = rep.withColumn(
             "graph", F.when(F.col("graph") == "", F.lit(None))
-                      .otherwise(F.col("graph"))).select(*rcols)
-    return rep
+                      .otherwise(F.col("graph")))
+    return rep.select(*rcols)
+
+
+def _severity_expr(shapes: List[dict]):
+    """Literal when-chain resolving each report row's severity from the
+    shapes set: property-shape ``sh:severity`` keyed (shape_id, path)
+    first, then the owning node shape's, default ``sh:Violation``."""
+    prop_sev: dict = {}
+    for shape in shapes:
+        for prop in shape.get("properties", ()):
+            if not prop.get("severity"):
+                continue
+            key = (shape["id"], prop["path"])
+            if prop_sev.setdefault(key, prop["severity"]) != prop["severity"]:
+                raise ShaclUnsupported(
+                    "conflicting sh:severity for path %s in shape %s"
+                    % (prop["path"], shape["id"]))
+    expr = F.lit(SH + "Violation")
+    for shape in shapes:
+        if shape.get("severity"):
+            expr = F.when(F.col("shape_id") == shape["id"],
+                          F.lit(shape["severity"])).otherwise(expr)
+    for (sid, path), sev in sorted(prop_sev.items()):
+        expr = F.when((F.col("shape_id") == sid) & (F.col("path") == path),
+                      F.lit(sev)).otherwise(expr)
+    return expr
 
 
 def _report_for_focus(triples: DataFrame, shapes: List[dict],
@@ -577,8 +675,12 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
     gkey = ["graph"] if per_graph else []
 
     # -- value collection: one subj-keyed join ------------------------------
+    # (deactivated property shapes validate nothing; their sh:path still
+    # counts toward sh:closed's allowed set, which reads
+    # shape["properties"] directly)
     declared = [(shape["id"], prop) for shape in shapes
-                for prop in shape.get("properties", ())]
+                for prop in shape.get("properties", ())
+                if not prop.get("deactivated")]
     # pair constraints compare against a SECOND path, whose values must
     # ride the same value-collection join even when no property shape
     # declares it directly
@@ -682,6 +784,22 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
             ok_lang = (F.col("obj_kind") == "literal") & F.coalesce(
                 F.col("obj_lang").isin(prop["language_in"]), F.lit(False))
             fail_branches.append(F.when(here & ~ok_lang, F.lit("languageIn")))
+        for key, cname in _RANGE_KEYS:
+            if prop.get(key) is None:
+                continue
+            # numeric comparison with error-as-NULL coercion: a value
+            # node that is not a literal, or whose lexical form is not
+            # numeric, is a violation (never a query error) — coalesce
+            # turns the NULL comparison into an explicit fail
+            num = F.col("obj_value").try_cast("double")
+            bound = F.lit(float(prop[key]))
+            cmpres = {"minInclusive": num >= bound,
+                      "maxInclusive": num <= bound,
+                      "minExclusive": num > bound,
+                      "maxExclusive": num < bound}[cname]
+            ok_num = (F.col("obj_kind") == "literal") & F.coalesce(
+                cmpres, F.lit(False))
+            fail_branches.append(F.when(here & ~ok_num, F.lit(cname)))
     if fail_branches:
         reports.append(
             vals.select(
@@ -813,6 +931,38 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
             F.lit(cname).alias("constraint"),
             F.col("v").alias("value")).select(*rcols))
 
+    # -- sh:closed: predicate-complement filter over one subj-keyed join ----
+    # Allowed predicates per closed shape: the IRI sh:path values of its
+    # property shapes (complex paths open nothing, SHACL §4.8.1) plus
+    # sh:ignoredProperties.  The corpus joins the (small) closed-focus
+    # subset keyed on subj — co-located on a subj-bucketed table — and
+    # the complement test is a literal isin per shape: no extra
+    # exchange, nothing corpus-sized ever broadcast.
+    closed_shapes = [s for s in shapes if s.get("closed")]
+    if closed_shapes:
+        closed_cond = F.lit(False)
+        for s in closed_shapes:
+            allowed = sorted(
+                {p["path"] for p in s.get("properties", ())
+                 if p.get("path_expr", ("iri",))[0] == "iri"}
+                | set(s.get("ignored_properties", ())))
+            closed_cond = closed_cond | (
+                (F.col("shape_id") == s["id"])
+                & ~F.col("pred").isin(allowed))
+        foc_c = focus.filter(
+            F.col("shape_id").isin([s["id"] for s in closed_shapes]))
+        closed_join = triples["subj"] == foc_c["focus"]
+        if per_graph:
+            closed_join = closed_join & (triples["_g"] == foc_c["graph"])
+        reports.append(
+            triples.join(foc_c, closed_join)
+            .filter(closed_cond)
+            .select("shape_id", *gkey, "focus",
+                    F.col("pred").alias("path"),
+                    F.lit("closed").alias("constraint"),
+                    F.col("obj_value").alias("value"))
+            .select(*rcols))
+
     # -- sh:node: value nodes must conform to a referenced node shape -------
     # (SHACL NodeConstraintComponent: the INNER violations are silent —
     # only one 'node' row per non-conforming value node is reported at
@@ -826,6 +976,8 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
         if inner is None:
             raise ShaclUnsupported(
                 "sh:node references unknown shape %s" % ref)
+        if inner.get("deactivated"):
+            continue  # every value node conforms to a deactivated shape
         if ref in stack:
             raise ShaclUnsupported(
                 "cyclic sh:node reference through %s" % ref)
@@ -880,21 +1032,26 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
         vnodes = (vals.filter((F.col("shape_id") == sid)
                               & (F.col("path") == prop["path"]))
                   .select(*gkey, "focus", "obj_value").dropDuplicates())
-        inner_focus = (vnodes
-                       .select(F.lit(ref).alias("shape_id"), *gkey,
-                               F.col("obj_value").alias("focus"))
-                       .dropDuplicates())
-        inner_rep = _report_for_focus(triples, [inner], inner_focus,
-                                      by_id, stack | {ref},
-                                      per_graph=per_graph)
-        bsel = [F.col("focus").alias("bad_node")]
-        if per_graph:
-            bsel.append(F.col("graph").alias("bad_g"))
-        bad_nodes = inner_rep.select(*bsel).dropDuplicates()
-        node_join = vnodes["obj_value"] == bad_nodes["bad_node"]
-        if per_graph:
-            node_join = node_join & (vnodes["graph"] == bad_nodes["bad_g"])
-        conforming = vnodes.join(bad_nodes, node_join, "left_anti")
+        if inner.get("deactivated"):
+            # every value node conforms to a deactivated shape; the
+            # qualified counts still apply to the full value set
+            conforming = vnodes
+        else:
+            inner_focus = (vnodes
+                           .select(F.lit(ref).alias("shape_id"), *gkey,
+                                   F.col("obj_value").alias("focus"))
+                           .dropDuplicates())
+            inner_rep = _report_for_focus(triples, [inner], inner_focus,
+                                          by_id, stack | {ref},
+                                          per_graph=per_graph)
+            bsel = [F.col("focus").alias("bad_node")]
+            if per_graph:
+                bsel.append(F.col("graph").alias("bad_g"))
+            bad_nodes = inner_rep.select(*bsel).dropDuplicates()
+            node_join = vnodes["obj_value"] == bad_nodes["bad_node"]
+            if per_graph:
+                node_join = node_join & (vnodes["graph"] == bad_nodes["bad_g"])
+            conforming = vnodes.join(bad_nodes, node_join, "left_anti")
         n_q = (conforming.groupBy(*gkey, "focus")
                .agg(F.count("*").alias("n_q")))
         per_focus_q = (focus.filter(F.col("shape_id") == sid)
@@ -935,6 +1092,10 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
                         raise ShaclUnsupported(
                             "sh:%s references unknown shape %s"
                             % (key, op[1]))
+                    if inner.get("deactivated"):
+                        # a deactivated operand conforms for every focus
+                        failing.append(foc_here.limit(0))
+                        continue
                     if op[1] in stack:
                         raise ShaclUnsupported(
                             "cyclic sh:%s reference through %s"
@@ -992,5 +1153,8 @@ def _report_for_focus(triples: DataFrame, shapes: List[dict],
 
 
 def conforms(triples: DataFrame, shapes) -> bool:
-    """True when the report is empty (control-plane limit-1 probe)."""
-    return validate(triples, shapes).isEmpty()
+    """True when the report holds no ``sh:Violation``-severity result
+    (SHACL §3.4.1: warnings and infos do not affect conformance).
+    Control-plane limit-1 probe."""
+    rep = validate(triples, shapes, with_severity=True)
+    return rep.filter(F.col("severity") == SH + "Violation").isEmpty()

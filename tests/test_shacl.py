@@ -810,3 +810,236 @@ class TestQualifiedValueShape:
         with pytest.raises(ShaclUnsupported, match="qualifiedMinCount"):
             validate(tri(spark, rows),
                      shapes_from_graph(iter_turtle(ttl))).collect()
+
+
+SH = "http://www.w3.org/ns/shacl#"
+
+
+class TestClosed:
+    """sh:closed + sh:ignoredProperties (ClosedConstraintComponent)."""
+
+    TTL = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+    <urn:s:C> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:name> ;
+      sh:closed true ;
+      sh:ignoredProperties ( <urn:p:meta> ) ;
+      sh:property [ sh:path <urn:p:name> ; sh:minCount 1 ] ."""
+
+    def _run(self, spark, rows, ttl=None):
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(ttl or self.TTL)))
+        return {(r.focus, r.path, r.constraint, r.value)
+                for r in rep.collect()}
+
+    def test_unlisted_predicate_violates(self, spark):
+        rows = [("urn:a", "urn:p:name", "A", "literal", None),
+                ("urn:a", "urn:p:rogue", "x", "literal", None)]
+        assert self._run(spark, rows) == {
+            ("urn:a", "urn:p:rogue", "closed", "x")}
+
+    def test_declared_and_ignored_predicates_conform(self, spark):
+        rows = [("urn:a", "urn:p:name", "A", "literal", None),
+                ("urn:a", "urn:p:meta", "m", "literal", None)]
+        assert self._run(spark, rows) == set()
+
+    def test_one_violation_per_offending_triple(self, spark):
+        rows = [("urn:a", "urn:p:name", "A", "literal", None),
+                ("urn:a", "urn:p:rogue", "x", "literal", None),
+                ("urn:a", "urn:p:rogue", "y", "literal", None),
+                ("urn:a", "urn:p:other", "z", "uri", None)]
+        assert self._run(spark, rows) == {
+            ("urn:a", "urn:p:rogue", "closed", "x"),
+            ("urn:a", "urn:p:rogue", "closed", "y"),
+            ("urn:a", "urn:p:other", "closed", "z")}
+
+    def test_complex_paths_open_nothing(self, spark):
+        # a sequence-path property does NOT add its first step to the
+        # allowed set (SHACL 4.8.1: only IRI sh:path values count)
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:C> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:name> ;
+          sh:closed true ;
+          sh:property [ sh:path <urn:p:name> ; sh:minCount 1 ] ;
+          sh:property [ sh:path ( <urn:p:via> <urn:p:name> ) ;
+                        sh:maxCount 99 ] ."""
+        rows = [("urn:a", "urn:p:name", "A", "literal", None),
+                ("urn:a", "urn:p:via", "urn:b", "uri", None),
+                ("urn:b", "urn:p:name", "B", "literal", None)]
+        got = self._run(spark, rows, ttl)
+        assert got == {("urn:a", "urn:p:via", "closed", "urn:b")}
+
+    def test_non_closed_shape_unaffected(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:C> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:name> ;
+          sh:property [ sh:path <urn:p:name> ; sh:minCount 1 ] ."""
+        rows = [("urn:a", "urn:p:name", "A", "literal", None),
+                ("urn:a", "urn:p:rogue", "x", "literal", None)]
+        assert self._run(spark, rows, ttl) == set()
+
+
+class TestRanges:
+    """sh:minInclusive / maxInclusive / minExclusive / maxExclusive."""
+
+    def _run(self, spark, rows, constraint):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:R> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:v> ;
+          sh:property [ sh:path <urn:p:v> ; sh:%s 10 ] .""" % constraint
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(ttl)))
+        return {(r.focus, r.constraint, r.value) for r in rep.collect()}
+
+    def test_min_inclusive(self, spark):
+        rows = [("urn:a", "urn:p:v", "10", "literal", None),
+                ("urn:b", "urn:p:v", "9.5", "literal", None)]
+        assert self._run(spark, rows, "minInclusive") == {
+            ("urn:b", "minInclusive", "9.5")}
+
+    def test_max_inclusive(self, spark):
+        rows = [("urn:a", "urn:p:v", "10", "literal", None),
+                ("urn:b", "urn:p:v", "10.5", "literal", None)]
+        assert self._run(spark, rows, "maxInclusive") == {
+            ("urn:b", "maxInclusive", "10.5")}
+
+    def test_exclusive_bounds_reject_the_bound(self, spark):
+        rows = [("urn:a", "urn:p:v", "10", "literal", None),
+                ("urn:b", "urn:p:v", "11", "literal", None)]
+        assert self._run(spark, rows, "minExclusive") == {
+            ("urn:a", "minExclusive", "10")}
+        assert self._run(spark, rows, "maxExclusive") == {
+            ("urn:a", "maxExclusive", "10"),
+            ("urn:b", "maxExclusive", "11")}
+
+    def test_non_numeric_and_non_literal_values_violate(self, spark):
+        # error-as-NULL coercion: unparsable lexical forms and IRI value
+        # nodes fail the comparison, they never raise
+        rows = [("urn:a", "urn:p:v", "abc", "literal", None),
+                ("urn:b", "urn:p:v", "urn:x", "uri", None),
+                ("urn:c", "urn:p:v", "12", "literal", None)]
+        assert self._run(spark, rows, "minInclusive") == {
+            ("urn:a", "minInclusive", "abc"),
+            ("urn:b", "minInclusive", "urn:x")}
+
+
+class TestDeactivatedAndSeverity:
+    def test_deactivated_shape_validates_nothing(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:Off> a sh:NodeShape ; sh:deactivated true ;
+          sh:targetSubjectsOf <urn:p:name> ;
+          sh:property [ sh:path <urn:p:name> ; sh:maxCount 0 ] ."""
+        rows = [("urn:a", "urn:p:name", "A", "literal", None)]
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(ttl)))
+        assert rep.count() == 0
+
+    def test_deactivated_targetless_shape_parses(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:Live> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:n> ;
+          sh:property [ sh:path <urn:p:n> ; sh:minCount 1 ] .
+        <urn:s:Off> a sh:NodeShape ; sh:deactivated true ;
+          sh:property [ sh:path <urn:p:n> ; sh:maxCount 0 ] ."""
+        shapes_from_graph(iter_turtle(ttl))  # no "declares no target"
+
+    def test_deactivated_property_shape_skipped(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:P> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:name> ;
+          sh:property [ sh:path <urn:p:name> ; sh:maxCount 0 ;
+                        sh:deactivated true ] ;
+          sh:property [ sh:path <urn:p:id> ; sh:minCount 1 ] ."""
+        rows = [("urn:a", "urn:p:name", "A", "literal", None)]
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(ttl)))
+        got = {(r.focus, r.constraint) for r in rep.collect()}
+        assert got == {("urn:a", "minCount")}
+
+    def test_deactivated_property_path_still_closed_allowed(self, spark):
+        # a deactivated property shape's sh:path still counts toward the
+        # closed allowed set (it is declared, just not validated)
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:C> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:name> ;
+          sh:closed true ;
+          sh:property [ sh:path <urn:p:name> ; sh:minCount 1 ] ;
+          sh:property [ sh:path <urn:p:extra> ; sh:maxCount 0 ;
+                        sh:deactivated true ] ."""
+        rows = [("urn:a", "urn:p:name", "A", "literal", None),
+                ("urn:a", "urn:p:extra", "x", "literal", None)]
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(ttl)))
+        assert rep.count() == 0
+
+    def test_sh_node_reference_to_deactivated_conforms(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:A> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:ref> ;
+          sh:property [ sh:path <urn:p:ref> ; sh:node <urn:s:Off> ] .
+        <urn:s:Off> a sh:NodeShape ; sh:deactivated true ;
+          sh:property [ sh:path <urn:p:n> ; sh:minCount 1 ] ."""
+        rows = [("urn:a", "urn:p:ref", "urn:b", "uri", None)]
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(ttl)))
+        assert rep.count() == 0
+
+    def test_logical_operand_deactivated_conforms(self, spark):
+        # sh:and over (live-failing, deactivated): only the live
+        # operand's failure surfaces — the deactivated one conforms
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:A> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:name> ;
+          sh:and ( <urn:s:Live> <urn:s:Off> ) .
+        <urn:s:Live> a sh:NodeShape ;
+          sh:property [ sh:path <urn:p:id> ; sh:minCount 1 ] .
+        <urn:s:Off> a sh:NodeShape ; sh:deactivated true ;
+          sh:property [ sh:path <urn:p:name> ; sh:maxCount 0 ] ."""
+        rows = [("urn:a", "urn:p:name", "A", "literal", None)]
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(ttl)))
+        got = {(r.focus, r.constraint) for r in rep.collect()}
+        assert got == {("urn:a", "and")}
+
+    SEV_TTL = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+    <urn:s:S> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:name> ;
+      sh:severity sh:Warning ;
+      sh:property [ sh:path <urn:p:name> ; sh:maxCount 1 ] ;
+      sh:property [ sh:path <urn:p:v> ; sh:minInclusive 10 ;
+                    sh:severity sh:Info ] ."""
+
+    def test_severity_column(self, spark):
+        rows = [("urn:a", "urn:p:name", "A", "literal", None),
+                ("urn:a", "urn:p:name", "B", "literal", None),
+                ("urn:a", "urn:p:v", "3", "literal", None)]
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(self.SEV_TTL)),
+                       with_severity=True)
+        got = {(r.constraint, r.severity) for r in rep.collect()}
+        assert got == {("maxCount", SH + "Warning"),
+                       ("minInclusive", SH + "Info")}
+
+    def test_default_report_has_no_severity_column(self, spark):
+        rows = [("urn:a", "urn:p:name", "A", "literal", None)]
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(self.SEV_TTL)))
+        assert "severity" not in rep.columns
+
+    def test_conforms_ignores_non_violation_severity(self, spark):
+        rows = [("urn:a", "urn:p:name", "A", "literal", None),
+                ("urn:a", "urn:p:name", "B", "literal", None)]
+        t = tri(spark, rows)
+        assert conforms(t, shapes_from_graph(iter_turtle(self.SEV_TTL)))
+        strict = self.SEV_TTL.replace("sh:severity sh:Warning ;", "")
+        assert not conforms(t, shapes_from_graph(iter_turtle(strict)))
+
+    def test_conflicting_property_severities_raise(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:S> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:n> ;
+          sh:property [ sh:path <urn:p:n> ; sh:minCount 1 ;
+                        sh:severity sh:Info ] ;
+          sh:property [ sh:path <urn:p:n> ; sh:maxCount 9 ;
+                        sh:severity sh:Warning ] ."""
+        rows = [("urn:a", "urn:p:n", "x", "literal", None)]
+        with pytest.raises(ShaclUnsupported, match="conflicting"):
+            validate(tri(spark, rows),
+                     shapes_from_graph(iter_turtle(ttl)),
+                     with_severity=True).collect()
+
+    def test_literal_severity_raises(self, spark):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s:S> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:n> ;
+          sh:severity "high" ;
+          sh:property [ sh:path <urn:p:n> ; sh:minCount 1 ] ."""
+        with pytest.raises(ShaclUnsupported, match="severity"):
+            shapes_from_graph(iter_turtle(ttl))
