@@ -340,6 +340,79 @@ def q_graph_khop(spark, sf_dir):
     return k_hop(_uri_edges(spark, sf_dir), seeds, k=2, direction="in")
 
 
+def q_graph_shortest_paths(spark, sf_dir):
+    """Weighted multi-source shortest paths (semi-naive Bellman-Ford,
+    operators/graph_algos.py::shortest_paths) over an sf-scaled weighted
+    graph: sampled customers -> nation -> region, a unit-weight region
+    ring, and per-region exits to a world sink whose price grows with
+    the region key.  The cheap exit sits on region 0, so the best route
+    often walks the ring before exiting — improvements land over
+    several relaxation rounds, not one.  Integer weights keep distances
+    BIGINT-exact; oracle = hop-bounded walk enumeration (recursive CTE)
+    + MIN, the same <=8-edge semantics the operator guarantees."""
+    from .operators.graph_algos import shortest_paths
+
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    edges = (
+        cust.select(
+            F.concat(F.lit("urn:cust:"),
+                     F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:nation:"),
+                     F.col("c_nationkey").cast("string")).alias("dst"),
+            (F.col("c_custkey") % 3 + 1).cast("long").alias("weight"))
+        .unionByName(nat.select(
+            F.concat(F.lit("urn:nation:"),
+                     F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:region:"),
+                     F.col("n_regionkey").cast("string")).alias("dst"),
+            (F.col("n_nationkey") % 7 + 1).cast("long").alias("weight")))
+        .unionByName(reg.select(
+            F.concat(F.lit("urn:region:"),
+                     F.col("r_regionkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:region:"),
+                     ((F.col("r_regionkey") + 1) % 5).cast("string"))
+            .alias("dst"),
+            F.lit(1).cast("long").alias("weight")))
+        .unionByName(reg.select(
+            F.concat(F.lit("urn:region:"),
+                     F.col("r_regionkey").cast("string")).alias("src"),
+            F.lit("urn:world").alias("dst"),
+            (F.col("r_regionkey") + 1).cast("long").alias("weight"))))
+    sources = (cust.filter(F.col("c_custkey") % 100 == 0)
+               .select(F.concat(F.lit("urn:cust:"),
+                                F.col("c_custkey").cast("string"))
+                       .alias("node")))
+    return shortest_paths(edges, sources, max_hops=8)
+
+
+_SSSP_ORACLE = """
+WITH RECURSIVE edges(src, dst, w) AS (
+  SELECT 'urn:cust:' || c_custkey, 'urn:nation:' || c_nationkey,
+         CAST(c_custkey % 3 + 1 AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, 'urn:region:' || n_regionkey,
+         CAST(n_nationkey % 7 + 1 AS BIGINT) FROM nation
+  UNION ALL
+  SELECT 'urn:region:' || r_regionkey,
+         'urn:region:' || ((r_regionkey + 1) % 5), CAST(1 AS BIGINT)
+  FROM region
+  UNION ALL
+  SELECT 'urn:region:' || r_regionkey, 'urn:world',
+         CAST(r_regionkey + 1 AS BIGINT) FROM region
+),
+walk(node, dist, hops) AS (
+  SELECT 'urn:cust:' || c_custkey, CAST(0 AS BIGINT), 0
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT e.dst, w.dist + e.w, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < 8
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node"""
+
+
 _PAGERANK_ORACLE = """
 WITH {cte},
 edges AS (
@@ -1316,6 +1389,7 @@ LEFT JOIN mapping mo ON mo.alias = d.obj_value AND d.obj_kind = 'uri'"""
 _GRAPH_ALGO_ORACLES = {
     "graph_pagerank": _PAGERANK_ORACLE,
     "graph_khop": _KHOP_ORACLE,
+    "graph_shortest_paths": _SSSP_ORACLE,
     "rdfs_entailment": _RDFS_ENTAILMENT_ORACLE,
     # incremental maintenance must converge to the batch closure: the
     # SAME oracle checks the streamed table
@@ -4732,6 +4806,7 @@ QUERIES = {
     "graph_literal_values": q_graph_literal_values,
     "graph_pagerank": q_graph_pagerank,
     "graph_khop": q_graph_khop,
+    "graph_shortest_paths": q_graph_shortest_paths,
     "rdfs_entailment": q_rdfs_entailment,
     "kg_sameas_smush": q_kg_sameas_smush,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,

@@ -195,3 +195,63 @@ def triangle_participation(edges: DataFrame,
                 .unionByName(tri.select(F.col("z").alias("node"))))
     return per_node.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles"))
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   max_hops: int = 10) -> DataFrame:
+    """Weighted multi-source shortest paths by semi-naive delta
+    relaxation — distributed Bellman-Ford where only the FRONTIER
+    (nodes improved last round) relaxes its out-edges each round.
+
+    ``edges``: ``(src, dst, weight)`` with non-negative integer
+    weights — distances stay in BIGINT arithmetic, so results are
+    bit-identical across engines and partitionings (the same
+    fixed-point discipline as ``pagerank``; float min-plus folds are
+    order-sensitive only in pathological NaN cases, but integer keeps
+    the repo-wide value-hash oracle exact).  ``sources``: one-column
+    ``node`` relation, all at distance 0.
+
+    Returns ``(node, dist)``: the minimum total weight over walks of at
+    most ``max_hops`` edges from any source — exactly the Bellman-Ford
+    round bound, so the hop-bounded semantics are well-defined even
+    when the loop exits early on convergence (no improvement anywhere
+    means longer walks cannot help with non-negative weights).
+
+    Scale shape: per round, ONE shuffle of ``(dst, candidate_dist)``
+    LONG pairs out of the frontier-edge join (the min is partial /
+    map-side combined), one ``node``-keyed join against the distance
+    relation to keep strict improvements, and one anti-join to splice
+    them in.  Cost per round tracks the frontier's out-degree sum, not
+    graph size; the distance relation is localCheckpoint-ed per round
+    (``kg/canonicalize.py`` policy) so lineage stays flat across
+    iterations.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edges.select("src", "dst",
+                     F.col("weight").cast("long").alias("weight")).persist()
+    dist = (sources.select("node").distinct()
+            .select("node", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (e.join(frontier, e["src"] == frontier["node"])
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + F.col("weight")).alias("d"))
+                .groupBy("node").agg(F.min("d").alias("d")))
+        old = dist.select(F.col("node").alias("o_node"),
+                          F.col("dist").alias("o_dist"))
+        improved = (cand.join(old, cand["node"] == old["o_node"], "left")
+                    .filter(F.col("o_dist").isNull()
+                            | (F.col("d") < F.col("o_dist")))
+                    .select("node", F.col("d").alias("dist"))
+                    .localCheckpoint(eager=True))
+        if improved.isEmpty():
+            break
+        dist = (dist.join(improved.select(F.col("node").alias("i_node")),
+                          dist["node"] == F.col("i_node"), "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True))
+        frontier = improved
+    e.unpersist()
+    return dist

@@ -102,3 +102,87 @@ def test_khop_bad_direction(spark):
         k_hop(_edges(spark, [("a", "b")]),
               spark.createDataFrame([("a",)], "node string"), k=1,
               direction="sideways")
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths
+# ---------------------------------------------------------------------------
+
+def _wedges(spark, triples_):
+    return spark.createDataFrame(
+        triples_, "src string, dst string, weight long")
+
+
+def _model_sssp(triples_, sources, max_hops):
+    """Reference model: hop-bounded Bellman-Ford over plain dicts."""
+    dist = {s: 0 for s in sources}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for s, d, w in triples_:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+def _run_sssp(spark, triples_, sources, max_hops=10):
+    from meresco_rdf_spark.operators.graph_algos import shortest_paths
+    src = spark.createDataFrame([(s,) for s in sources], "node string")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(_wedges(spark, triples_), src,
+                                   max_hops=max_hops).collect()}
+    return got
+
+
+def test_sssp_matches_model(spark):
+    tri = [("a", "b", 4), ("a", "c", 1), ("c", "b", 1), ("b", "d", 1),
+           ("c", "d", 10), ("d", "e", 2)]
+    got = _run_sssp(spark, tri, ["a"])
+    assert got == _model_sssp(tri, ["a"], 10)
+    assert got["b"] == 2 and got["d"] == 3 and got["e"] == 5
+
+
+def test_sssp_multi_source_takes_min(spark):
+    tri = [("a", "m", 5), ("b", "m", 1), ("m", "z", 1)]
+    got = _run_sssp(spark, tri, ["a", "b"])
+    assert got["m"] == 1 and got["z"] == 2
+    assert got["a"] == 0 and got["b"] == 0
+
+
+def test_sssp_cycle_converges(spark):
+    # ring with a cheap long way round: a->b direct 10 vs a->c->d->b = 3
+    tri = [("a", "b", 10), ("a", "c", 1), ("c", "d", 1), ("d", "b", 1),
+           ("b", "a", 1)]
+    got = _run_sssp(spark, tri, ["a"])
+    assert got == _model_sssp(tri, ["a"], 10)
+    assert got["b"] == 3
+
+
+def test_sssp_hop_bound_limits_walks(spark):
+    # cheapest path needs 3 edges; with max_hops=2 only the expensive
+    # 1-edge walk is admissible
+    tri = [("a", "b", 10), ("a", "c", 1), ("c", "d", 1), ("d", "b", 1)]
+    got = _run_sssp(spark, tri, ["a"], max_hops=2)
+    assert got["b"] == 10
+    assert got == _model_sssp(tri, ["a"], 2)
+
+
+def test_sssp_unreachable_absent(spark):
+    tri = [("a", "b", 1), ("x", "y", 1)]
+    got = _run_sssp(spark, tri, ["a"])
+    assert "x" not in got and "y" not in got
+
+
+def test_sssp_equal_paths_deterministic(spark):
+    tri = [("a", "b", 2), ("a", "c", 1), ("c", "b", 1)]
+    got = _run_sssp(spark, tri, ["a"])
+    assert got["b"] == 2
+
+
+def test_sssp_rejects_zero_hops(spark):
+    from meresco_rdf_spark.operators.graph_algos import shortest_paths
+    src = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError):
+        shortest_paths(_wedges(spark, [("a", "b", 1)]), src, max_hops=0)
