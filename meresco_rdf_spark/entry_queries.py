@@ -4683,6 +4683,29 @@ def q_text_repetition(spark, sf_dir):
     return repetition_features(_read(spark, sf_dir, "documents"))
 
 
+def q_text_boilerplate(spark, sf_dir):
+    """Boilerplate line removal (textops/boilerplate.py): the documents
+    table is deterministically wrapped with a per-source HEADER and
+    footer line (100% of each source's docs) plus a PROMO line on every
+    third doc (~33%); detection flags exactly the header/footer
+    (strict integer threshold: n*100 > 50*n_docs), the strip drops them
+    corpus-wide via one broadcast per-source array + JVM array algebra
+    (split/filter/array_join — no second explode), and the PROMO line
+    survives.  Oracle recomputes detection AND stripping in SQL
+    (list_filter lambda over the same built texts)."""
+    from .textops.boilerplate import strip_boilerplate
+
+    built = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("HEADER "), F.col("source"), F.lit("\n"), F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nPROMO offer"))
+             .otherwise(F.lit("")),
+            F.lit("\nfooter "), F.col("source")))
+    return (strip_boilerplate(built, min_docs=2, max_doc_pct=50)
+            .select("doc_id", "source", "text"))
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-node triangle participation over a deterministic circulant
     graph C_n(1,2) on the nation nodes (each i linked to i+1 and i+2 mod
@@ -4787,6 +4810,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "pack_sequences": q_pack_sequences,
     "text_repetition": q_text_repetition,
+    "text_boilerplate": q_text_boilerplate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
     "sparql_path_opt": q_sparql_path_opt,
@@ -5519,6 +5543,41 @@ SELECT doc_id, bucket, n_tokens,
   CAST(start // 512 AS BIGINT) AS pack_id,
   CAST(start % 512 AS BIGINT) AS pack_offset
 FROM packed""".format(toks=_TOKS)
+
+ORACLES["text_boilerplate"] = """
+WITH built AS (
+  SELECT doc_id, source,
+         'HEADER ' || source || chr(10) || text ||
+         CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'PROMO offer'
+              ELSE '' END ||
+         chr(10) || 'footer ' || source AS text
+  FROM documents
+),
+lines AS (
+  SELECT DISTINCT source, doc_id, trim(t.l) AS line
+  FROM built, UNNEST(string_split(text, chr(10))) AS t(l)
+  WHERE trim(t.l) <> ''
+),
+totals AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM built
+  GROUP BY source
+),
+counts AS (
+  SELECT source, line, COUNT(*) AS n FROM lines GROUP BY source, line
+),
+boiler AS (
+  SELECT c.source, list(c.line) AS blines
+  FROM counts c JOIN totals t USING (source)
+  WHERE c.n >= 2 AND c.n * 100 > 50 * t.n_docs
+  GROUP BY c.source
+)
+SELECT b.doc_id, b.source,
+       array_to_string(
+         list_filter(string_split(b.text, chr(10)),
+                     x -> NOT coalesce(list_contains(bo.blines, trim(x)),
+                                       FALSE)),
+         chr(10)) AS text
+FROM built b LEFT JOIN boiler bo USING (source)"""
 
 ORACLES["text_repetition"] = """
 WITH base AS (
