@@ -4706,6 +4706,19 @@ def q_text_boilerplate(spark, sf_dir):
             .select("doc_id", "source", "text"))
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Fixed-point TF-IDF top-5 terms per document
+    (textops/tfidf.py::tfidf_topk): score = tf * N * SCALE div df in
+    exact BIGINT (rational idf — float log is not bit-identical across
+    engines; ranking unchanged for fixed tf), ties broken on term.
+    One explode + two partial aggregations + a term-keyed df join + a
+    per-doc window (fine-grained key, no skew).  Oracle = the same
+    algebra in SQL with BIGINT // division."""
+    from .textops.tfidf import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=5)
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-node triangle participation over a deterministic circulant
     graph C_n(1,2) on the nation nodes (each i linked to i+1 and i+2 mod
@@ -4811,6 +4824,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "text_repetition": q_text_repetition,
     "text_boilerplate": q_text_boilerplate,
+    "text_tfidf": q_text_tfidf,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
     "sparql_path_opt": q_sparql_path_opt,
@@ -5578,6 +5592,29 @@ SELECT b.doc_id, b.source,
                                        FALSE)),
          chr(10)) AS text
 FROM built b LEFT JOIN boiler bo USING (source)"""
+
+ORACLES["text_tfidf"] = """
+WITH tf AS (
+  SELECT doc_id AS doc, t.term, COUNT(*) AS tf
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS t(term)
+  GROUP BY doc_id, t.term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc, tf.term, tf.tf, df.df,
+         (tf.tf * n.n * 1000000) // df.df AS score
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT doc, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc, rnk, term, tf, df, score FROM ranked WHERE rnk <= 5"""
 
 ORACLES["text_repetition"] = """
 WITH base AS (
