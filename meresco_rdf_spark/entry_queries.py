@@ -387,6 +387,60 @@ def q_graph_shortest_paths(spark, sf_dir):
     return shortest_paths(edges, sources, max_hops=8)
 
 
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs/authorities (2 iterations) over the cust/supp->nation->
+    region edge relation: customers and suppliers are pure hubs, region
+    nodes pure authorities, nations both.  Fixed-point integer
+    max-normalization per phase keeps every score BIGINT-exact, so the
+    oracle is an exact value-hash of the unrolled recurrence."""
+    from .operators.graph_algos import hits
+
+    return hits(_uri_edges(spark, sf_dir), iterations=2)
+
+
+_HITS_ORACLE = """
+WITH {cte},
+edges AS (
+  SELECT DISTINCT subj AS src, obj_value AS dst FROM triples
+  WHERE pred IN ('{rel_nation}', '{rel_region}')
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+a1r AS (
+  SELECT n.node,
+         COALESCE(SUM(CASE WHEN e.dst IS NULL THEN NULL
+                           ELSE CAST(1000000 AS BIGINT) END), 0) AS raw
+  FROM nodes n LEFT JOIN edges e ON e.dst = n.node GROUP BY n.node
+),
+a1 AS (SELECT node, raw * 1000000 // (SELECT MAX(raw) FROM a1r) AS s
+       FROM a1r),
+h1r AS (
+  SELECT n.node, COALESCE(SUM(a1.s), 0) AS raw
+  FROM nodes n LEFT JOIN edges e ON e.src = n.node
+  LEFT JOIN a1 ON a1.node = e.dst
+  GROUP BY n.node
+),
+h1 AS (SELECT node, raw * 1000000 // (SELECT MAX(raw) FROM h1r) AS s
+       FROM h1r),
+a2r AS (
+  SELECT n.node, COALESCE(SUM(h1.s), 0) AS raw
+  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN h1 ON h1.node = e.src
+  GROUP BY n.node
+),
+a2 AS (SELECT node, raw * 1000000 // (SELECT MAX(raw) FROM a2r) AS s
+       FROM a2r),
+h2r AS (
+  SELECT n.node, COALESCE(SUM(a2.s), 0) AS raw
+  FROM nodes n LEFT JOIN edges e ON e.src = n.node
+  LEFT JOIN a2 ON a2.node = e.dst
+  GROUP BY n.node
+),
+h2 AS (SELECT node, raw * 1000000 // (SELECT MAX(raw) FROM h2r) AS s
+       FROM h2r)
+SELECT a2.node, a2.s AS auth, h2.s AS hub
+FROM a2 JOIN h2 ON h2.node = a2.node"""
+
+
 _SSSP_ORACLE = """
 WITH RECURSIVE edges(src, dst, w) AS (
   SELECT 'urn:cust:' || c_custkey, 'urn:nation:' || c_nationkey,
@@ -1390,6 +1444,7 @@ _GRAPH_ALGO_ORACLES = {
     "graph_pagerank": _PAGERANK_ORACLE,
     "graph_khop": _KHOP_ORACLE,
     "graph_shortest_paths": _SSSP_ORACLE,
+    "graph_hits": _HITS_ORACLE,
     "rdfs_entailment": _RDFS_ENTAILMENT_ORACLE,
     # incremental maintenance must converge to the batch closure: the
     # SAME oracle checks the streamed table
@@ -4845,6 +4900,7 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_khop": q_graph_khop,
     "graph_shortest_paths": q_graph_shortest_paths,
+    "graph_hits": q_graph_hits,
     "rdfs_entailment": q_rdfs_entailment,
     "kg_sameas_smush": q_kg_sameas_smush,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,

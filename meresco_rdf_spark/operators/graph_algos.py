@@ -22,6 +22,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 SCALE = 1_000_000_000  # rank fixed-point unit = 1e-9
+HITS_SCALE = 1_000_000  # hits unit = 1e-6: headroom so raw*scale stays BIGINT
 
 
 def _nodes(edges: DataFrame) -> DataFrame:
@@ -255,3 +256,67 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
         frontier = improved
     e.unpersist()
     return dist
+
+
+def hits(edges: DataFrame, iterations: int = 3,
+         checkpoint_every: int = 4) -> DataFrame:
+    """HITS hubs & authorities in fixed-point integer arithmetic.
+
+    Per iteration (standard two-phase update): authority' = Σ over
+    in-edges of hub, then hub' = Σ over out-edges of the NEW authority;
+    each phase renormalizes by the global maximum in INTEGER division
+    (``x * HITS_SCALE div max``) — max-normalization instead of the textbook
+    L2 norm because it needs no square root, keeps every value in
+    BIGINT, and is bit-identical across engines and partitionings (the
+    ``pagerank`` determinism discipline; scores are importance order
+    statistics either way).  The global max is a control-plane scalar
+    (one-row aggregate collected per phase).
+
+    Scale shape: two shuffles per iteration — each phase re-keys the
+    score relation across the (cached, deduped) edge relation with a
+    partial/map-side-combined SUM, then a node-keyed left join keeps
+    zero-degree nodes at score 0.  Lineage truncated every
+    ``checkpoint_every`` iterations.  Returns ``(node, auth, hub)`` in
+    HITS_SCALE units (BIGINT; each phase's max-scoring node sits at
+    exactly HITS_SCALE).  HITS_SCALE is 1e6, not pagerank's 1e9: the
+    normalization multiplies a degree-sized phase sum by the scale
+    before dividing, and the smaller unit keeps that product in BIGINT
+    up to ~9.2e6 weighted in-degree (guarded loudly beyond).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = _nodes(e).persist()
+    auth = nodes.select("node",
+                        F.lit(HITS_SCALE).cast("long").alias("score"))
+    hub = nodes.select("node",
+                       F.lit(HITS_SCALE).cast("long").alias("score"))
+
+    def phase(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        raw = (e.join(scores, e[key_in] == scores["node"])
+               .groupBy(key_out).agg(F.sum("score").alias("raw"))
+               .select(F.col(key_out).alias("node"), "raw"))
+        full = (nodes.join(raw, "node", "left")
+                .select("node", F.coalesce("raw", F.lit(0)).alias("raw")))
+        mx = full.agg(F.max("raw")).collect()[0][0] or 1
+        if mx > (2**63 - 1) // HITS_SCALE:
+            # raw*HITS_SCALE must stay in BIGINT; at HITS_SCALE=1e6 this
+            # guard trips only past ~9.2e6 max weighted in-degree —
+            # reduce HITS_SCALE or pre-aggregate the hub before that
+            raise ValueError(
+                "max phase sum %d overflows fixed-point HITS scale" % mx)
+        return full.select(
+            "node",
+            F.expr("raw * %d div %d" % (HITS_SCALE, mx)).alias("score"))
+
+    for i in range(iterations):
+        auth = phase(hub, "src", "dst")
+        hub = phase(auth, "dst", "src")
+        if (i + 1) % checkpoint_every == 0:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    out = (auth.withColumnRenamed("score", "auth")
+           .join(hub.withColumnRenamed("score", "hub"), "node"))
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -186,3 +186,70 @@ def test_sssp_rejects_zero_hops(spark):
     src = spark.createDataFrame([("a",)], "node string")
     with pytest.raises(ValueError):
         shortest_paths(_wedges(spark, [("a", "b", 1)]), src, max_hops=0)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+def _model_hits(pairs, iterations):
+    from meresco_rdf_spark.operators.graph_algos import HITS_SCALE
+    pairs = sorted(set(pairs))
+    nodes = sorted({n for e in pairs for n in e})
+    auth = {n: HITS_SCALE for n in nodes}
+    hub = {n: HITS_SCALE for n in nodes}
+
+    def phase(scores, incoming):
+        raw = {n: 0 for n in nodes}
+        for s, d in pairs:
+            if incoming:
+                raw[d] += scores[s]
+            else:
+                raw[s] += scores[d]
+        mx = max(raw.values()) or 1
+        return {n: (v * HITS_SCALE) // mx for n, v in raw.items()}
+
+    for _ in range(iterations):
+        auth = phase(hub, True)
+        hub = phase(auth, False)
+    return auth, hub
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_hits_matches_integer_model(spark, iterations):
+    from meresco_rdf_spark.operators.graph_algos import hits
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "a")]
+    got = {r["node"]: (r["auth"], r["hub"])
+           for r in hits(_edges(spark, pairs),
+                         iterations=iterations).collect()}
+    auth, hub = _model_hits(pairs, iterations)
+    assert got == {n: (auth[n], hub[n]) for n in auth}
+
+
+def test_hits_hub_and_authority_separate(spark):
+    from meresco_rdf_spark.operators.graph_algos import HITS_SCALE, hits
+    # star: h points at a1..a3 — h is the max hub with zero authority,
+    # targets are max-tied authorities with zero hub
+    pairs = [("h", "a1"), ("h", "a2"), ("h", "a3")]
+    got = {r["node"]: (r["auth"], r["hub"])
+           for r in hits(_edges(spark, pairs), iterations=2).collect()}
+    assert got["h"] == (0, HITS_SCALE)
+    assert got["a1"] == (HITS_SCALE, 0)
+    assert got["a1"] == got["a2"] == got["a3"]
+
+
+def test_hits_parallel_edges_count_once(spark):
+    from meresco_rdf_spark.operators.graph_algos import hits
+    base = [("a", "b"), ("c", "b")]
+    got1 = {r["node"]: (r["auth"], r["hub"])
+            for r in hits(_edges(spark, base), iterations=1).collect()}
+    got2 = {r["node"]: (r["auth"], r["hub"])
+            for r in hits(_edges(spark, base + [("a", "b")]),
+                          iterations=1).collect()}
+    assert got1 == got2
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from meresco_rdf_spark.operators.graph_algos import hits
+    with pytest.raises(ValueError):
+        hits(_edges(spark, [("a", "b")]), iterations=0)
