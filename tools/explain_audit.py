@@ -574,6 +574,29 @@ def main() -> None:
         and re.search(r"PartitionFilters: \[.*subj_bucket.*= 3", p) is not None
         and "PushedFilters: [IsNotNull(subj), EqualTo(subj,urn:cust:1)]" in p))
 
+    # boilerplate strip: per-source boiler arrays broadcast onto the
+    # corpus; the strip is JVM array algebra (no Python eval, no second
+    # explode after detection feeds the broadcast side)
+    from meresco_rdf_spark.textops.boilerplate import strip_boilerplate
+    docs_rel = spark.read.parquet(sf_dir + "/documents.parquet")
+    p = plan_of(strip_boilerplate(docs_rel))
+    results.append(check(
+        "boilerplate strip: broadcast set, JVM-side filter",
+        "BroadcastExchange" in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+        and "CartesianProduct" not in p))
+
+    # tfidf: both aggregations partial/map-side combined, exactly one
+    # window (the per-doc top-k), no Python eval
+    from meresco_rdf_spark.textops.tfidf import tfidf_topk
+    p = plan_of(tfidf_topk(docs_rel, k=5))
+    results.append(check(
+        "tfidf: partial aggs, group-limit top-k, no python",
+        p.count("Window [row_number") == 1
+        and "WindowGroupLimit" in p
+        and "partial_count" in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
