@@ -4774,6 +4774,19 @@ def q_text_tfidf(spark, sf_dir):
     return tfidf_topk(_read(spark, sf_dir, "documents"), k=5)
 
 
+def q_text_chunks(spark, sf_dir):
+    """Fixed-window chunking with overlap
+    (textops/chunking.py::chunk_documents): 16-token windows sliding by
+    12 over every document — pure JVM array algebra (split/sequence/
+    transform/slice) + one posexplode, NO shuffle (chunking is
+    row-local; output rides the input partitioning).  Oracle = the same
+    windows via generate_series + list_slice."""
+    from .textops.chunking import chunk_documents
+
+    return chunk_documents(_read(spark, sf_dir, "documents"),
+                           max_tokens=16, overlap=4)
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-node triangle participation over a deterministic circulant
     graph C_n(1,2) on the nation nodes (each i linked to i+1 and i+2 mod
@@ -4880,6 +4893,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_boilerplate": q_text_boilerplate,
     "text_tfidf": q_text_tfidf,
+    "text_chunks": q_text_chunks,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
     "sparql_path_opt": q_sparql_path_opt,
@@ -5671,6 +5685,22 @@ ranked AS (
   FROM scored
 )
 SELECT doc, rnk, term, tf, df, score FROM ranked WHERE rnk <= 5"""
+
+ORACLES["text_chunks"] = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc, t, CAST(gs.s AS BIGINT) AS s
+  FROM toks, UNNEST(generate_series(0, len(t) - 1, 12)) AS gs(s)
+  WHERE len(t) > 0
+)
+SELECT doc, s // 12 AS chunk_id,
+       len(list_slice(t, s + 1, s + 16)) AS n_tokens,
+       array_to_string(list_slice(t, s + 1, s + 16), ' ') AS chunk
+FROM starts"""
 
 ORACLES["text_repetition"] = """
 WITH base AS (
