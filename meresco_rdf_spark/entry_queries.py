@@ -4774,6 +4774,37 @@ def q_text_tfidf(spark, sf_dir):
     return tfidf_topk(_read(spark, sf_dir, "documents"), k=5)
 
 
+def q_kg_graph_hashes(spark, sf_dir):
+    """Per-named-graph canonical content fingerprints
+    (kg/fingerprint.py::graph_content_hashes): membership edges in one
+    graph per nation, the customer slice unioned TWICE so the oracle
+    also proves set semantics (duplicates collapse before the XOR
+    fold).  Order-independent 60-bit md5-prefix bit_xor + count — no
+    per-graph sort, no collect_list, hub graphs never materialize in a
+    task.  Oracle = the same fold in SQL (DISTINCT + bit_xor over
+    CAST('0x'||substr(md5(...)) AS BIGINT))."""
+    from .kg.fingerprint import graph_content_hashes
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+
+    def q(df, subj, nkey):
+        return df.select(
+            F.concat(F.lit("urn:g:"),
+                     F.col(nkey).cast("string")).alias("context"),
+            subj.alias("subj"), F.lit("urn:rel:in").alias("pred"),
+            F.concat(F.lit("urn:nation:"),
+                     F.col(nkey).cast("string")).alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    cq = q(cust, F.concat(F.lit("urn:cust:"),
+                          F.col("c_custkey").cast("string")), "c_nationkey")
+    sq = q(supp, F.concat(F.lit("urn:supp:"),
+                          F.col("s_suppkey").cast("string")), "s_nationkey")
+    return graph_content_hashes(cq.unionByName(cq).unionByName(sq))
+
+
 def q_text_chunks(spark, sf_dir):
     """Fixed-window chunking with overlap
     (textops/chunking.py::chunk_documents): 16-token windows sliding by
@@ -4894,6 +4925,7 @@ QUERIES = {
     "text_boilerplate": q_text_boilerplate,
     "text_tfidf": q_text_tfidf,
     "text_chunks": q_text_chunks,
+    "kg_graph_hashes": q_kg_graph_hashes,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
     "sparql_path_opt": q_sparql_path_opt,
@@ -5685,6 +5717,25 @@ ranked AS (
   FROM scored
 )
 SELECT doc, rnk, term, tf, df, score FROM ranked WHERE rnk <= 5"""
+
+ORACLES["kg_graph_hashes"] = """
+WITH quads AS (
+  SELECT DISTINCT 'urn:g:' || c_nationkey AS g,
+         'urn:cust:' || c_custkey AS s, 'urn:rel:in' AS p,
+         'urn:nation:' || c_nationkey AS v, 'uri' AS k,
+         CAST(NULL AS VARCHAR) AS l
+  FROM customer
+  UNION
+  SELECT DISTINCT 'urn:g:' || s_nationkey, 'urn:supp:' || s_suppkey,
+         'urn:rel:in', 'urn:nation:' || s_nationkey, 'uri',
+         CAST(NULL AS VARCHAR)
+  FROM supplier
+)
+SELECT g AS graph, COUNT(*) AS n_triples,
+       bit_xor(CAST(('0x' || substr(
+         md5(concat_ws(chr(31), s, p, v, k, coalesce(l, ''))),
+         1, 15)) AS BIGINT)) AS content_hash
+FROM quads GROUP BY g"""
 
 ORACLES["text_chunks"] = """
 WITH toks AS (
