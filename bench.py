@@ -131,6 +131,9 @@ def main() -> None:
         "rdfs_entailment", "sparql_update_graphs", "kg_sameas_smush",
         "similarity_ivf_kmeans", "owl_entailment",
         "kg_shacl_paths", "kg_shacl_graphs", "sparql_path_mixed",
+        "text_tfidf", "text_boilerplate", "text_chunks",
+        "graph_shortest_paths", "graph_hits", "kg_graph_hashes",
+        "kg_shacl_closed",
     ]
     for name in heads:
         fn = eq.QUERIES[name]

@@ -4631,6 +4631,56 @@ def q_stream_nq_ingest(spark, sf_dir):
     return spark.read.parquet(table)
 
 
+def q_stream_graph_hashes(spark, sf_dir):
+    """Incremental per-graph content fingerprints over streaming ingest
+    (streaming/quad_stream.py::run_nquads_with_graph_hashes): per-nation
+    membership quads written as six .nq slices, streamed two files per
+    micro-batch; each batch's genuinely-new rows XOR-fold into the
+    manifest-committed hash state (the fold distributes over set-insert
+    deltas, so incremental == batch exactly).  Oracle = the batch fold
+    in SQL over the same relations — the streamed state must hash-match
+    it bit-for-bit."""
+    import os
+    import tempfile
+
+    from .sinks.nquads_sink import write_nquads
+    from .streaming.quad_stream import (
+        read_graph_hashes,
+        read_nquads_stream,
+        run_nquads_with_graph_hashes,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+
+    def q(df, subj, nkey):
+        return df.select(
+            F.concat(F.lit("urn:g:"),
+                     F.col(nkey).cast("string")).alias("context"),
+            subj.alias("subj"), F.lit("urn:rel:in").alias("pred"),
+            F.concat(F.lit("urn:nation:"),
+                     F.col(nkey).cast("string")).alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    quads = (q(cust, F.concat(F.lit("urn:cust:"),
+                              F.col("c_custkey").cast("string")),
+               "c_nationkey")
+             .unionByName(q(supp, F.concat(F.lit("urn:supp:"),
+                                           F.col("s_suppkey").cast("string")),
+                            "s_nationkey")))
+    base = tempfile.mkdtemp(prefix="stream_gh_")
+    in_dir = os.path.join(base, "in")
+    write_nquads(quads, in_dir, num_files=6)
+    stream = read_nquads_stream(spark, in_dir, glob="*.txt",
+                                max_files_per_trigger=2)
+    q_ = run_nquads_with_graph_hashes(
+        stream, os.path.join(base, "table"), os.path.join(base, "hashes"),
+        os.path.join(base, "ckpt"))
+    q_.awaitTermination(600)
+    return read_graph_hashes(spark, os.path.join(base, "hashes"))
+
+
 def q_similarity_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
@@ -4926,6 +4976,7 @@ QUERIES = {
     "text_tfidf": q_text_tfidf,
     "text_chunks": q_text_chunks,
     "kg_graph_hashes": q_kg_graph_hashes,
+    "stream_graph_hashes": q_stream_graph_hashes,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
     "sparql_path_opt": q_sparql_path_opt,
@@ -5719,6 +5770,25 @@ ranked AS (
 SELECT doc, rnk, term, tf, df, score FROM ranked WHERE rnk <= 5"""
 
 ORACLES["kg_graph_hashes"] = """
+WITH quads AS (
+  SELECT DISTINCT 'urn:g:' || c_nationkey AS g,
+         'urn:cust:' || c_custkey AS s, 'urn:rel:in' AS p,
+         'urn:nation:' || c_nationkey AS v, 'uri' AS k,
+         CAST(NULL AS VARCHAR) AS l
+  FROM customer
+  UNION
+  SELECT DISTINCT 'urn:g:' || s_nationkey, 'urn:supp:' || s_suppkey,
+         'urn:rel:in', 'urn:nation:' || s_nationkey, 'uri',
+         CAST(NULL AS VARCHAR)
+  FROM supplier
+)
+SELECT g AS graph, COUNT(*) AS n_triples,
+       bit_xor(CAST(('0x' || substr(
+         md5(concat_ws(chr(31), s, p, v, k, coalesce(l, ''))),
+         1, 15)) AS BIGINT)) AS content_hash
+FROM quads GROUP BY g"""
+
+ORACLES["stream_graph_hashes"] = """
 WITH quads AS (
   SELECT DISTINCT 'urn:g:' || c_nationkey AS g,
          'urn:cust:' || c_custkey AS s, 'urn:rel:in' AS p,

@@ -74,3 +74,158 @@ def run_nquads_to_quad_table(quads: DataFrame, table_path: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+# --------------------------------------------------------------------------
+# incremental per-graph content hashes (exactly-once, two tables)
+# --------------------------------------------------------------------------
+
+HASH_COLS = ["graph", "n_triples", "content_hash"]
+
+
+def run_nquads_with_graph_hashes(quads: DataFrame, table_path: str,
+                                 hash_root: str, checkpoint: str):
+    """Quad-table ingest PLUS transactionally consistent per-graph
+    content fingerprints, maintained incrementally.
+
+    The XOR fold of ``kg.fingerprint.graph_content_hashes`` distributes
+    over disjoint unions, so set-inserts maintain it exactly: fold the
+    genuinely-new rows of each micro-batch into the running state —
+    never rescan the table.  The subtle part is keeping TWO tables
+    (quads + hashes) exactly-once under replays and crashes; appending
+    to one and then updating the other leaves a drift window whichever
+    order is chosen.  Protocol (per micro-batch):
+
+    1. stage: the batch's novel rows (dedup + null-safe anti-join
+       against every OTHER batch directory — partition pruning makes
+       the self-exclusion free) are written to an immutable
+       ``batch=<id>`` directory.  A replayed batch finds the completed
+       directory and REUSES it instead of recomputing — recomputation
+       after a partial append would see its own rows and stage a loss.
+    2. fold: the per-graph delta of the staged rows merges into the
+       hash state (full outer join; counts add, hashes XOR) written as
+       a NEW immutable version directory.
+    3. commit: a ``_meta/v<N>.json`` manifest recording ``batch_id``
+       is renamed into place — the rename IS the commit (the
+       ``kg.snapshots`` discipline).  A batch whose id is <= the
+       committed manifest's skips the fold; a crash after staging but
+       before commit replays into step 2 from the staged directory.
+
+    Readers see the quad table as the union of completed batch
+    directories and the hash table through ``read_graph_hashes`` (the
+    latest committed manifest only — a half-written version directory
+    without its manifest is invisible).
+    """
+    import json as _json
+
+    from ..kg.fingerprint import graph_content_hashes
+    from ..kg.snapshots import _fs
+
+    spark = quads.sparkSession
+
+    def versions(fs, hpath):
+        meta = hpath("%s/_meta" % hash_root)
+        if not fs.exists(meta):
+            return []
+        out = []
+        for st in fs.listStatus(meta):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        fs, hpath = _fs(spark, table_path)
+        bdir = "%s/batch=%d" % (table_path, batch_id)
+        if not fs.exists(hpath("%s/_SUCCESS" % bdir)):
+            fresh = batch.select(*QUAD_COLS).dropDuplicates(QUAD_COLS)
+            try:
+                current = (spark.read.parquet(table_path)
+                           .filter(F.col("batch") != batch_id)
+                           .select(*QUAD_COLS))
+                cond = None
+                for c in QUAD_COLS:
+                    eq = fresh[c].eqNullSafe(current[c])
+                    cond = eq if cond is None else cond & eq
+                fresh = fresh.join(current, cond, "left_anti")
+            except AnalysisException:  # first batch: no table yet
+                pass
+            fresh.write.mode("overwrite").parquet(bdir)
+        staged = spark.read.parquet(bdir).select(*QUAD_COLS)
+
+        vs = versions(fs, hpath)
+        state, last_bid = None, -1
+        if vs:
+            stream = fs.open(hpath("%s/_meta/v%d.json" % (hash_root, vs[-1])))
+            try:
+                m = _json.loads(bytes(stream.readAllBytes()).decode())
+            finally:
+                stream.close()
+            last_bid = m["batch_id"]
+            state = spark.read.parquet("%s/%s" % (hash_root, m["data"]))
+        if last_bid >= batch_id:
+            return  # replay of a committed batch: full no-op
+        delta = graph_content_hashes(staged)
+        if state is not None:
+            old = state.select(
+                "graph", F.col("n_triples").alias("_n0"),
+                F.col("content_hash").alias("_h0"))
+            new = delta.select(
+                "graph", F.col("n_triples").alias("_n1"),
+                F.col("content_hash").alias("_h1"))
+            delta = (old.join(new, "graph", "full")
+                     .select("graph",
+                             (F.coalesce("_n0", F.lit(0))
+                              + F.coalesce("_n1", F.lit(0)))
+                             .alias("n_triples"),
+                             F.expr("coalesce(_h0, 0L) ^ coalesce(_h1, 0L)")
+                             .alias("content_hash")))
+        ver = (vs[-1] if vs else 0) + 1
+        data_rel = "data/v%d" % ver
+        delta.write.mode("overwrite").parquet(
+            "%s/%s" % (hash_root, data_rel))
+        meta_dir = "%s/_meta" % hash_root
+        fs.mkdirs(hpath(meta_dir))
+        tmp = hpath("%s/.v%d.json.tmp" % (meta_dir, ver))
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(_json.dumps(
+                {"version": ver, "batch_id": batch_id,
+                 "data": data_rel}).encode()))
+        finally:
+            out.close()
+        if not fs.rename(tmp, hpath("%s/v%d.json" % (meta_dir, ver))):
+            fs.delete(tmp, False)
+            raise RuntimeError(
+                "hash manifest commit race at %s v%d" % (hash_root, ver))
+
+    return (quads.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_graph_hashes(spark: SparkSession, hash_root: str) -> DataFrame:
+    """The latest COMMITTED per-graph hash state (manifest-resolved;
+    uncommitted version directories are invisible)."""
+    import json as _json
+
+    from ..kg.snapshots import _fs
+
+    fs, hpath = _fs(spark, hash_root)
+    meta = hpath("%s/_meta" % hash_root)
+    vs = []
+    if fs.exists(meta):
+        for st in fs.listStatus(meta):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                vs.append(int(name[1:-5]))
+    if not vs:
+        return spark.createDataFrame(
+            [], "graph string, n_triples long, content_hash long")
+    stream = fs.open(hpath("%s/_meta/v%d.json" % (hash_root, max(vs))))
+    try:
+        m = _json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    return spark.read.parquet("%s/%s" % (hash_root, m["data"]))

@@ -3,6 +3,8 @@ extraction, watermarked windowed aggregation, exactly-once parquet sink."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from meresco_rdf_spark.sources.transcripts import synthesize_transcripts
@@ -458,3 +460,79 @@ class TestQuadStream:
             str(tmp_path / "ckpt2"))
         q.awaitTermination(300)
         assert spark.read.parquet(table).count() == n1
+
+
+class TestQuadStreamHashes:
+    """Incremental per-graph content hashes riding the quad ingest
+    (run_nquads_with_graph_hashes): XOR fold distributes over the
+    set-insert deltas, manifest rename is the commit."""
+
+    def _run(self, spark, tmp_path, ckpt="ckpt", per_trigger=1):
+        from meresco_rdf_spark.streaming.quad_stream import (
+            read_nquads_stream,
+            run_nquads_with_graph_hashes,
+        )
+
+        in_dir = str(tmp_path / "in")
+        if not os.path.isdir(in_dir):
+            from meresco_rdf_spark.sinks import write_nquads
+            quads = spark.createDataFrame(TestQuadStream.QUADS,
+                                          TestQuadStream.SCHEMA)
+            write_nquads(quads, in_dir, num_files=3)
+        q = run_nquads_with_graph_hashes(
+            read_nquads_stream(spark, in_dir, glob="*.txt",
+                               max_files_per_trigger=per_trigger),
+            str(tmp_path / "table"), str(tmp_path / "hashes"),
+            str(tmp_path / ckpt))
+        q.awaitTermination(300)
+
+    def _hashes(self, spark, tmp_path):
+        from meresco_rdf_spark.streaming.quad_stream import read_graph_hashes
+        return {r.graph: (r.n_triples, r.content_hash)
+                for r in read_graph_hashes(
+                    spark, str(tmp_path / "hashes")).collect()}
+
+    def _batch_hashes(self, spark):
+        from meresco_rdf_spark.kg.fingerprint import graph_content_hashes
+        quads = spark.createDataFrame(TestQuadStream.QUADS,
+                                      TestQuadStream.SCHEMA)
+        return {r.graph: (r.n_triples, r.content_hash)
+                for r in graph_content_hashes(quads).collect()}
+
+    def test_incremental_equals_batch_fold(self, spark, tmp_path):
+        self._run(spark, tmp_path)
+        assert self._hashes(spark, tmp_path) == self._batch_hashes(spark)
+        # quad table converged too
+        got = {tuple(r) for r in spark.read.parquet(
+            str(tmp_path / "table")).select(
+                "context", "subj", "pred", "obj_value", "obj_kind",
+                "obj_lang").collect()}
+        assert got == set(map(tuple, TestQuadStream.QUADS))
+
+    def test_replay_is_a_full_noop(self, spark, tmp_path):
+        self._run(spark, tmp_path)
+        before = self._hashes(spark, tmp_path)
+        # fresh checkpoint = every batch re-delivered
+        self._run(spark, tmp_path, ckpt="ckpt2")
+        assert self._hashes(spark, tmp_path) == before
+
+    def test_crash_between_stage_and_commit_recovers(self, spark, tmp_path):
+        self._run(spark, tmp_path)
+        want = self._hashes(spark, tmp_path)
+        # simulate a crash after staging batch 2 but before its hash
+        # commit: drop the last manifest (+ its data dir), then replay
+        import glob as _glob
+        import shutil
+        metas = sorted(_glob.glob(str(tmp_path / "hashes" / "_meta" / "v*.json")))
+        os.remove(metas[-1])
+        shutil.rmtree(str(tmp_path / "hashes" / "data" /
+                          ("v%d" % len(metas))))
+        assert self._hashes(spark, tmp_path) != want  # state rolled back
+        self._run(spark, tmp_path, ckpt="ckpt3")
+        assert self._hashes(spark, tmp_path) == want
+
+    def test_reader_of_empty_root_is_empty(self, spark, tmp_path):
+        from meresco_rdf_spark.streaming.quad_stream import read_graph_hashes
+        df = read_graph_hashes(spark, str(tmp_path / "nowhere"))
+        assert df.columns == ["graph", "n_triples", "content_hash"]
+        assert df.count() == 0
