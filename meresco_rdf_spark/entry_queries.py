@@ -4292,6 +4292,34 @@ def q_stream_shacl_maintain(spark, sf_dir):
     return spark.read.parquet(report)
 
 
+def q_kg_snapshot_diff(spark, sf_dir):
+    """Manifest-pruned change feed between snapshot versions
+    (kg/snapshots.py::snapshot_diff): v1 = the TPC-H triples, v2 = the
+    graph_merge delta (drop rel:region edges, add lowercase region alt
+    labels) committed through the COW path.  Buckets whose manifest
+    pointers are identical across versions are provably unchanged and
+    never opened — diff cost tracks churn, not table size; changed
+    buckets diff by two co-partitioned null-safe anti-joins.  Oracle =
+    the delta stated directly in SQL."""
+    import tempfile
+
+    from .kg.snapshots import snapshot_create, snapshot_diff, snapshot_merge
+
+    base = tpch_triples(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kg_snapdiff_") + "/table"
+    snapshot_create(spark, base, root, buckets=8)
+    region = _read(spark, sf_dir, "region")
+    adds = region.select(
+        F.concat(F.lit("urn:region:"),
+                 F.col("r_regionkey").cast("string")).alias("subj"),
+        F.lit(SKOS_ALTLABEL).alias("pred"),
+        F.lower(F.col("r_name")).alias("obj_value"),
+        F.lit("literal").alias("obj_kind"), F.lit("en").alias("obj_lang"))
+    deletes = base.filter(F.col("pred") == REL_REGION)
+    snapshot_merge(spark, root, adds=adds, deletes=deletes)
+    return snapshot_diff(spark, root, 1, 2)
+
+
 def q_kg_snapshot_merge(spark, sf_dir):
     """The SAME merge algebra as ``graph_merge`` executed through the
     snapshot-versioned COW table (``kg/snapshots.py``) instead of the
@@ -4977,6 +5005,7 @@ QUERIES = {
     "text_chunks": q_text_chunks,
     "kg_graph_hashes": q_kg_graph_hashes,
     "stream_graph_hashes": q_stream_graph_hashes,
+    "kg_snapshot_diff": q_kg_snapshot_diff,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
     "sparql_path_opt": q_sparql_path_opt,
@@ -5333,6 +5362,15 @@ FROM (
   UNION ALL
   SELECT pred AS p, COUNT(*) AS n, 2 AS version FROM v2 GROUP BY pred
 )""")
+
+ORACLES["kg_snapshot_diff"] = _fmt("""
+WITH {cte}
+SELECT 'removed' AS change, subj, pred, obj_value, obj_kind, obj_lang
+FROM triples WHERE pred = '{rel_region}'
+UNION ALL
+SELECT 'added', 'urn:region:' || r_regionkey, '{skos_alt}',
+       lower(r_name), 'literal', 'en'
+FROM region""")
 
 ORACLES["kg_snapshot_merge"] = _fmt("""
 WITH {cte},

@@ -339,3 +339,43 @@ def expire_snapshots(spark: SparkSession, root: str,
                 fs.delete(status.getPath(), True)
                 removed_dirs.append(rel)
     return {"expired_versions": drop, "removed_dirs": sorted(removed_dirs)}
+
+
+def snapshot_diff(spark: SparkSession, root: str,
+                  from_version: int, to_version: int) -> DataFrame:
+    """Row-level diff between two snapshot versions, manifest-pruned:
+    ``(change, subj, pred, obj_value, obj_kind, obj_lang)`` with change
+    = ``added`` / ``removed``.
+
+    Buckets whose manifests point at the SAME immutable data directory
+    are provably identical and never opened — the diff scans only
+    buckets that actually changed between the two versions, so its cost
+    tracks the churn, not the table (a 10^12-turn table where one merge
+    touched 3 of 1024 buckets diffs by reading 3 buckets twice).  Within
+    the changed buckets the diff is two null-safe anti-joins; both sides
+    arrive pre-bucketed on subj, so the join keys are co-partitioned.
+
+    This is the snapshot-native change feed: incremental downstream
+    maintenance (re-validate SHACL on changed subjects, re-fingerprint
+    changed graphs) consumes it instead of re-scanning the table.
+    """
+    fs, hpath = _fs(spark, root)
+    m_from = _load_manifest(fs, hpath, root, from_version)
+    m_to = _load_manifest(fs, hpath, root, to_version)
+    if m_from["n_buckets"] != m_to["n_buckets"]:
+        raise ValueError("snapshots use different bucket counts")
+    changed = sorted(
+        int(b) for b in set(m_from["buckets"]) | set(m_to["buckets"])
+        if m_from["buckets"].get(b) != m_to["buckets"].get(b))
+    old = _scan(spark, root, m_from, only_buckets=changed)
+    new = _scan(spark, root, m_to, only_buckets=changed)
+
+    def anti(a: DataFrame, b: DataFrame, label: str) -> DataFrame:
+        cond = None
+        for c in TRIPLE_COLS + ["subj_bucket"]:
+            eq = a[c].eqNullSafe(b[c])
+            cond = eq if cond is None else cond & eq
+        return (a.join(b, cond, "left_anti")
+                .select(F.lit(label).alias("change"), *TRIPLE_COLS))
+
+    return anti(new, old, "added").unionByName(anti(old, new, "removed"))

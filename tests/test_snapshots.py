@@ -180,3 +180,49 @@ class TestSnapshotTable:
         assert sum(m2["row_counts"].values()) == m2["total_rows"] == 81
         vs = snapshot_versions(spark, root)
         assert [m["version"] for m in vs] == [1, 2]
+
+
+class TestSnapshotDiff:
+    def _setup(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.snapshots import snapshot_diff
+        root = str(tmp_path / "t")
+        snapshot_create(spark, tri(spark, base_rows()), root, buckets=4)
+        adds = tri(spark, [("urn:s:1", "urn:p:new", "v", "literal", None)])
+        dels = tri(spark, [("urn:s:1", "urn:p:label", "name 1",
+                            "literal", None)])
+        snapshot_merge(spark, root, adds=adds, deletes=dels)
+        return root, snapshot_diff
+
+    def test_diff_reports_added_and_removed(self, spark, tmp_path):
+        root, snapshot_diff = self._setup(spark, tmp_path)
+        got = {(r.change, r.subj, r.pred, r.obj_value)
+               for r in snapshot_diff(spark, root, 1, 2).collect()}
+        assert got == {("added", "urn:s:1", "urn:p:new", "v"),
+                       ("removed", "urn:s:1", "urn:p:label", "name 1")}
+
+    def test_diff_is_directional(self, spark, tmp_path):
+        root, snapshot_diff = self._setup(spark, tmp_path)
+        got = {(r.change, r.pred)
+               for r in snapshot_diff(spark, root, 2, 1).collect()}
+        assert got == {("removed", "urn:p:new"), ("added", "urn:p:label")}
+
+    def test_diff_scans_only_changed_buckets(self, spark, tmp_path):
+        root, snapshot_diff = self._setup(spark, tmp_path)
+        import re as _re
+        files = snapshot_diff(spark, root, 1, 2).inputFiles()
+        assert files  # resolved to concrete parquet files
+        # only the single touched bucket's directories (old + new) scan
+        buckets = {_re.search(r"subj_bucket=(\d+)", f).group(1)
+                   for f in files}
+        assert len(buckets) == 1
+
+    def test_self_diff_empty(self, spark, tmp_path):
+        root, snapshot_diff = self._setup(spark, tmp_path)
+        assert snapshot_diff(spark, root, 2, 2).count() == 0
+
+    def test_mismatched_bucket_counts_raise(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.snapshots import snapshot_diff
+        r1 = str(tmp_path / "a")
+        snapshot_create(spark, tri(spark, base_rows()), r1, buckets=4)
+        with pytest.raises(SnapshotNotFound):
+            snapshot_diff(spark, r1, 1, 9)
