@@ -4320,6 +4320,56 @@ def q_kg_snapshot_diff(spark, sf_dir):
     return snapshot_diff(spark, root, 1, 2)
 
 
+def q_kg_snapshot_revalidate(spark, sf_dir):
+    """The change feed driving incremental validation end-to-end:
+    snapshot v1 -> COW merge adds a SECOND rel:nation edge for every
+    50th customer -> snapshot_diff(1,2) names exactly the churned
+    subjects -> SHACL revalidates ONLY those focus nodes
+    (validate(only_focus=...) semi-join) against the v2 table.  The
+    affected set comes from the manifest-pruned diff, so revalidation
+    cost tracks churn, not table size — the maintenance loop a
+    publish-gated KG runs after every merge.  Oracle = the violations
+    stated directly (each touched customer now has 2 nation edges >
+    maxCount 1)."""
+    import tempfile
+
+    from .operators.shacl import shapes_from_graph, validate
+    from .rdfxml.turtle import iter_turtle
+    from .kg.snapshots import (
+        read_snapshot,
+        snapshot_create,
+        snapshot_diff,
+        snapshot_merge,
+    )
+
+    base = tpch_triples(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kg_snapreval_") + "/table"
+    snapshot_create(spark, base, root, buckets=8)
+    cust = _read(spark, sf_dir, "customer")
+    adds = cust.filter(F.col("c_custkey") % 50 == 0).select(
+        F.concat(F.lit("urn:cust:"),
+                 F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit(REL_NATION).alias("pred"),
+        F.concat(F.lit("urn:nation:"),
+                 ((F.col("c_nationkey") + 1) % 25).cast("string"))
+        .alias("obj_value"),
+        F.lit("uri").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    snapshot_merge(spark, root, adds=adds)
+    affected = (snapshot_diff(spark, root, 1, 2)
+                .select(F.col("subj").alias("focus")).distinct())
+    focus = affected.select(
+        F.lit("urn:shape:MemberNation").alias("shape_id"), "focus")
+    ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+    <urn:shape:MemberNation> a sh:NodeShape ;
+      sh:targetSubjectsOf <urn:rel:nation> ;
+      sh:property [ sh:path <urn:rel:nation> ; sh:maxCount 1 ;
+                    sh:nodeKind sh:IRI ] ."""
+    return validate(read_snapshot(spark, root).drop("subj_bucket"),
+                    shapes_from_graph(iter_turtle(ttl)),
+                    only_focus=focus)
+
+
 def q_kg_snapshot_merge(spark, sf_dir):
     """The SAME merge algebra as ``graph_merge`` executed through the
     snapshot-versioned COW table (``kg/snapshots.py``) instead of the
@@ -5006,6 +5056,7 @@ QUERIES = {
     "kg_graph_hashes": q_kg_graph_hashes,
     "stream_graph_hashes": q_stream_graph_hashes,
     "kg_snapshot_diff": q_kg_snapshot_diff,
+    "kg_snapshot_revalidate": q_kg_snapshot_revalidate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
     "sparql_path_opt": q_sparql_path_opt,
@@ -5371,6 +5422,13 @@ UNION ALL
 SELECT 'added', 'urn:region:' || r_regionkey, '{skos_alt}',
        lower(r_name), 'literal', 'en'
 FROM region""")
+
+ORACLES["kg_snapshot_revalidate"] = """
+SELECT 'urn:shape:MemberNation' AS shape_id,
+       'urn:cust:' || c_custkey AS focus,
+       'urn:rel:nation' AS path, 'maxCount' AS "constraint",
+       '2' AS value
+FROM customer WHERE c_custkey % 50 = 0"""
 
 ORACLES["kg_snapshot_merge"] = _fmt("""
 WITH {cte},
