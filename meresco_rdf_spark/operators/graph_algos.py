@@ -258,8 +258,7 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
     return dist
 
 
-def hits(edges: DataFrame, iterations: int = 3,
-         checkpoint_every: int = 4) -> DataFrame:
+def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """HITS hubs & authorities in fixed-point integer arithmetic.
 
     Per iteration (standard two-phase update): authority' = Σ over
@@ -276,7 +275,8 @@ def hits(edges: DataFrame, iterations: int = 3,
     score relation across the (cached, deduped) edge relation with a
     partial/map-side-combined SUM, then a node-keyed left join keeps
     zero-degree nodes at score 0.  Lineage truncated every
-    ``checkpoint_every`` iterations.  Returns ``(node, auth, hub)`` in
+    phase (each phase's max is an action anyway, so the checkpoint is
+    where the work lands once).  Returns ``(node, auth, hub)`` in
     HITS_SCALE units (BIGINT; each phase's max-scoring node sits at
     exactly HITS_SCALE).  HITS_SCALE is 1e6, not pagerank's 1e9: the
     normalization multiplies a degree-sized phase sum by the scale
@@ -298,6 +298,10 @@ def hits(edges: DataFrame, iterations: int = 3,
                .select(F.col(key_out).alias("node"), "raw"))
         full = (nodes.join(raw, "node", "left")
                 .select("node", F.coalesce("raw", F.lit(0)).alias("raw")))
+        # each phase triggers an action (the max); checkpoint the phase
+        # relation so that action and every later phase read it instead
+        # of re-executing the whole phase chain (O(k^2) otherwise)
+        full = full.localCheckpoint(eager=True)
         mx = full.agg(F.max("raw")).collect()[0][0] or 1
         if mx > (2**63 - 1) // HITS_SCALE:
             # raw*HITS_SCALE must stay in BIGINT; at HITS_SCALE=1e6 this
@@ -312,9 +316,6 @@ def hits(edges: DataFrame, iterations: int = 3,
     for i in range(iterations):
         auth = phase(hub, "src", "dst")
         hub = phase(auth, "dst", "src")
-        if (i + 1) % checkpoint_every == 0:
-            auth = auth.localCheckpoint(eager=True)
-            hub = hub.localCheckpoint(eager=True)
     out = (auth.withColumnRenamed("score", "auth")
            .join(hub.withColumnRenamed("score", "hub"), "node"))
     e.unpersist()
