@@ -4946,6 +4946,21 @@ def q_text_chunks(spark, sf_dir):
                            max_tokens=16, overlap=4)
 
 
+def q_text_collocations(spark, sf_dir):
+    """Windowed co-occurrence counts
+    (textops/collocations.py::collocation_counts): ordered token pairs
+    within 2 positions plus unigram marginals and the corpus total —
+    the exact-integer relation every PMI-family association score is a
+    presentation function of (no log, no float, no overflow).  Pair
+    generation is row-local array algebra (no positional self-join);
+    counting is two partial aggregations.  Oracle = the same windows
+    via generate_series + list_slice."""
+    from .textops.collocations import collocation_counts
+
+    return collocation_counts(_read(spark, sf_dir, "documents"),
+                              window=2, min_count=3)
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-node triangle participation over a deterministic circulant
     graph C_n(1,2) on the nation nodes (each i linked to i+1 and i+2 mod
@@ -5056,6 +5071,7 @@ QUERIES = {
     "kg_graph_hashes": q_kg_graph_hashes,
     "stream_graph_hashes": q_stream_graph_hashes,
     "kg_snapshot_diff": q_kg_snapshot_diff,
+    "text_collocations": q_text_collocations,
     "kg_snapshot_revalidate": q_kg_snapshot_revalidate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
@@ -5902,6 +5918,34 @@ SELECT g AS graph, COUNT(*) AS n_triples,
          md5(concat_ws(chr(31), s, p, v, k, coalesce(l, ''))),
          1, 15)) AS BIGINT)) AS content_hash
 FROM quads GROUP BY g"""
+
+ORACLES["text_collocations"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, CAST(gs.i AS BIGINT) AS i
+  FROM toks, UNNEST(generate_series(1, len(t))) AS gs(i)
+),
+pairs AS (
+  SELECT t[i] AS x, u.y
+  FROM pos, UNNEST(list_slice(t, i + 1, i + 2)) AS u(y)
+),
+pc AS (
+  SELECT x, y, COUNT(*) AS pair_count FROM pairs GROUP BY x, y
+  HAVING COUNT(*) >= 3
+),
+uni AS (
+  SELECT u.tok, COUNT(*) AS cnt FROM toks, UNNEST(t) AS u(tok)
+  GROUP BY u.tok
+),
+n AS (SELECT SUM(cnt) AS total FROM uni)
+SELECT p.x, p.y, p.pair_count, ux.cnt AS x_count, uy.cnt AS y_count,
+       CAST(n.total AS BIGINT) AS n_tokens
+FROM pc p JOIN uni ux ON ux.tok = p.x JOIN uni uy ON uy.tok = p.y, n"""
 
 ORACLES["text_chunks"] = """
 WITH toks AS (
