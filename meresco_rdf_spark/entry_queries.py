@@ -4933,6 +4933,25 @@ def q_kg_graph_hashes(spark, sf_dir):
     return graph_content_hashes(cq.unionByName(cq).unionByName(sq))
 
 
+def q_text_bpe(spark, sf_dir):
+    """BPE vocabulary training (textops/bpe.py::train_bpe): 10 merges
+    learned over the seeded synthetic transcript corpus — the REAL
+    Sennrich merge loop, with the per-word greedy fold expressed as a
+    pure JVM F.aggregate column expression (no Python UDF anywhere).
+    Per round: one partial-aggregated (pair, count) shuffle + a
+    driver-side argmax (control-plane, like kmeans' centroids); ties
+    break lexicographically so the merge list is bit-identical across
+    partitionings.  Oracle = committed golden from the independent
+    pure-Python trainer (tools/golden_ref.py::ref_bpe_merges)."""
+    from .textops.bpe import train_bpe
+
+    merges = train_bpe(_synth_transcripts(spark), n_merges=10,
+                       min_count=2)
+    return spark.createDataFrame(
+        [(r, l, rt, n) for r, l, rt, n in merges],
+        "rank int, left string, right string, n long")
+
+
 def q_text_chunks(spark, sf_dir):
     """Fixed-window chunking with overlap
     (textops/chunking.py::chunk_documents): 16-token windows sliding by
@@ -5072,6 +5091,7 @@ QUERIES = {
     "stream_graph_hashes": q_stream_graph_hashes,
     "kg_snapshot_diff": q_kg_snapshot_diff,
     "text_collocations": q_text_collocations,
+    "text_bpe": q_text_bpe,
     "kg_snapshot_revalidate": q_kg_snapshot_revalidate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
@@ -5946,6 +5966,9 @@ n AS (SELECT SUM(cnt) AS total FROM uni)
 SELECT p.x, p.y, p.pair_count, ux.cnt AS x_count, uy.cnt AS y_count,
        CAST(n.total AS BIGINT) AS n_tokens
 FROM pc p JOIN uni ux ON ux.tok = p.x JOIN uni uy ON uy.tok = p.y, n"""
+
+ORACLES["text_bpe"] = """
+SELECT * FROM read_parquet('/root/repo/tests/golden/text_bpe.parquet')"""
 
 ORACLES["text_chunks"] = """
 WITH toks AS (

@@ -289,3 +289,39 @@ def ref_mention_rate(rows, window_seconds=3600):
          "surface_key": key, "n_mentions": n, "n_convs": len(convs)}
         for (ws, key), (n, convs) in sorted(agg.items())
     ]
+
+
+def ref_bpe_merges(texts, n_merges=10, min_count=2):
+    """Pure-Python BPE trainer (greedy left-to-right fold semantics —
+    the same contract textops/bpe.py implements with F.aggregate).
+    Returns [(rank, left, right, n)]."""
+    corpus = []
+    for text in texts:
+        for w in text.lower().split():
+            syms = list(w)
+            syms[-1] = syms[-1] + "</w>"
+            corpus.append(syms)
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms in corpus:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (left, right), n = min(counts.items(),
+                               key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((rank, left, right, n))
+        nxt = []
+        for syms in corpus:
+            out = []
+            for t in syms:
+                if out and out[-1] == left and t == right:
+                    out[-1] = left + right
+                else:
+                    out.append(t)
+            nxt.append(out)
+        corpus = nxt
+    return merges

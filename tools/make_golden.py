@@ -67,6 +67,8 @@ def main() -> None:
     rates = ref.ref_mention_rate(input_rows)
     stream_triples = ref.ref_stream_triples(mentions)
     structure = ref.ref_structure_triples(structure_rows)
+    bpe = ref.ref_bpe_merges([x for _, _, x, _ in input_rows],
+                             n_merges=10, min_count=2)
 
     write("kg_mentions", pa.table({
         "conv_id": pa.array([m["conv_id"] for m in mentions], pa.string()),
@@ -103,6 +105,12 @@ def main() -> None:
         [pa.array([t[i] for t in structure], pa.string())
          for i in range(5)],
         schema=TRIPLE_SCHEMA))
+    write("text_bpe", pa.table({
+        "rank": pa.array([m[0] for m in bpe], pa.int32()),
+        "left": pa.array([m[1] for m in bpe], pa.string()),
+        "right": pa.array([m[2] for m in bpe], pa.string()),
+        "n": pa.array([m[3] for m in bpe], pa.int64()),
+    }))
     write("stream_mention_rate", pa.table({
         "window_start": pa.array([r["window_start"] for r in rates], pa.int64()),
         "window_end": pa.array([r["window_end"] for r in rates], pa.int64()),
@@ -125,7 +133,7 @@ def main() -> None:
     for name in ("kg_mentions", "kg_triples", "kg_canonical_map",
                  "kg_entity_labels", "kg_rdfxml_shards",
                  "stream_mention_rate", "stream_merge_triples",
-                 "kg_structure_triples"):
+                 "kg_structure_triples", "text_bpe"):
         sdf = QUERIES[name](spark, "/root/testdata/sf0.01")
         s_cols = sorted(sdf.columns)
         s_rows = sorted(
