@@ -597,6 +597,24 @@ def main() -> None:
         and "partial_count" in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # collocations: row-local pair generation (no positional self-join
+    # anywhere below the marginal joins), partial aggs, no python
+    from meresco_rdf_spark.textops.collocations import collocation_counts
+    p = plan_of(collocation_counts(docs_rel, window=2, min_count=3))
+    results.append(check(
+        "collocations: partial aggs, no python",
+        "partial_count" in p
+        and "CartesianProduct" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
+    # bpe application: K chained aggregate folds stay JVM-side
+    from meresco_rdf_spark.textops.bpe import apply_bpe
+    p = plan_of(apply_bpe(docs_rel, [(0, "e", "r</w>", 9), (1, "t", "h", 7)]))
+    results.append(check(
+        "bpe apply: jvm fold, no python",
+        "aggregate(" in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
