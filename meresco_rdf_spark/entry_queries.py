@@ -2986,6 +2986,57 @@ def q_rdfs_entailment(spark, sf_dir):
                         schema_triples=_rdfs_onto_df(spark))
 
 
+def q_rdfs_graphs_entailment(spark, sf_dir):
+    """Per-named-graph RDFS closure in ONE job
+    (operators/rdfs.py::rdfs_closure_quads): the customer and supplier
+    membership graphs carry DIFFERENT ontologies for the same
+    urn:rel:in predicate (cust: domain Member subClassOf Party; supp:
+    domain Vendor + range NationS), so the SAME nation node types
+    differently per graph and nothing leaks across — the graph label
+    rides every broadcast-join branch and both dedups.  Oracle = the
+    per-graph rule applications stated directly in SQL."""
+    from .operators.rdfs import (
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASS,
+        rdfs_closure_quads,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+
+    def edges(df, ctx, subj, nkey):
+        return df.select(
+            F.lit(ctx).alias("context"), subj.alias("subj"),
+            F.lit("urn:rel:in").alias("pred"),
+            F.concat(F.lit("urn:nation:"),
+                     F.col(nkey).cast("string")).alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    onto = spark.createDataFrame([
+        ("urn:g:cust", "urn:rel:in", RDFS_DOMAIN, "urn:class:Member",
+         "uri", None),
+        ("urn:g:cust", "urn:class:Member", RDFS_SUBCLASS,
+         "urn:class:Party", "uri", None),
+        ("urn:g:supp", "urn:rel:in", RDFS_DOMAIN, "urn:class:Vendor",
+         "uri", None),
+        ("urn:g:supp", "urn:rel:in", RDFS_RANGE, "urn:class:NationS",
+         "uri", None),
+    ], ("context string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string"))
+    quads = (edges(cust, "urn:g:cust",
+                   F.concat(F.lit("urn:cust:"),
+                            F.col("c_custkey").cast("string")),
+                   "c_nationkey")
+             .unionByName(edges(supp, "urn:g:supp",
+                                F.concat(F.lit("urn:supp:"),
+                                         F.col("s_suppkey").cast("string")),
+                                "s_nationkey"))
+             .unionByName(onto))
+    return rdfs_closure_quads(quads)
+
+
 def q_owl_chain_entailment(spark, sf_dir):
     """owl:propertyChainAxiom materialization (OWL RL prp-spo2):
     inRegion <- rel:nation ∘ rel:region walks member -> nation ->
@@ -5092,6 +5143,7 @@ QUERIES = {
     "kg_snapshot_diff": q_kg_snapshot_diff,
     "text_collocations": q_text_collocations,
     "text_bpe": q_text_bpe,
+    "rdfs_graphs_entailment": q_rdfs_graphs_entailment,
     "kg_snapshot_revalidate": q_kg_snapshot_revalidate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
@@ -5534,6 +5586,46 @@ SELECT i.subj, 'urn:rel:zoneOf',
                             AS INTEGER) % 2),
        'uri', CAST(NULL AS VARCHAR)
 FROM in_region i""")
+
+ORACLES["rdfs_graphs_entailment"] = """
+WITH ce AS (
+  SELECT DISTINCT 'urn:cust:' || c_custkey AS s,
+         'urn:nation:' || c_nationkey AS o FROM customer
+),
+se AS (
+  SELECT DISTINCT 'urn:supp:' || s_suppkey AS s,
+         'urn:nation:' || s_nationkey AS o FROM supplier
+)
+SELECT context, subj, pred, obj_value, obj_kind, obj_lang FROM (
+  SELECT 'urn:g:cust' AS context, s AS subj, 'urn:rel:in' AS pred,
+         o AS obj_value, 'uri' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang FROM ce
+  UNION ALL SELECT 'urn:g:supp', s, 'urn:rel:in', o, 'uri', NULL FROM se
+  UNION ALL SELECT 'urn:g:cust', 'urn:rel:in',
+    'http://www.w3.org/2000/01/rdf-schema#domain', 'urn:class:Member',
+    'uri', NULL
+  UNION ALL SELECT 'urn:g:cust', 'urn:class:Member',
+    'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'urn:class:Party',
+    'uri', NULL
+  UNION ALL SELECT 'urn:g:supp', 'urn:rel:in',
+    'http://www.w3.org/2000/01/rdf-schema#domain', 'urn:class:Vendor',
+    'uri', NULL
+  UNION ALL SELECT 'urn:g:supp', 'urn:rel:in',
+    'http://www.w3.org/2000/01/rdf-schema#range', 'urn:class:NationS',
+    'uri', NULL
+  UNION ALL SELECT 'urn:g:cust', s,
+    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+    'urn:class:Member', 'uri', NULL FROM ce
+  UNION ALL SELECT 'urn:g:cust', s,
+    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+    'urn:class:Party', 'uri', NULL FROM ce
+  UNION ALL SELECT 'urn:g:supp', s,
+    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+    'urn:class:Vendor', 'uri', NULL FROM se
+  UNION ALL SELECT DISTINCT 'urn:g:supp', o,
+    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+    'urn:class:NationS', 'uri', NULL FROM se
+)"""
 
 ORACLES["rdfs_schema_cycles"] = """
 WITH RECURSIVE edges(pred, a, b) AS (

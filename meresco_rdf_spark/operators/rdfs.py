@@ -330,3 +330,118 @@ def schema_cycles(triples: DataFrame,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.dropDuplicates()
+
+
+def rdfs_closure_quads(quads: DataFrame,
+                       local_threshold: int = 1_000_000,
+                       keep_schema: bool = True) -> DataFrame:
+    """Per-named-graph RDFS closure of a QUAD relation in ONE job: each
+    graph closes under ITS OWN ontology (the schema slice found in that
+    graph), with no cross-graph leakage — the dataset analogue of
+    ``rdfs_closure``, the same discipline as SHACL ``per_graph=True``.
+
+    Soundness note: every ρdf instance rule derives from ONE instance
+    row plus schema, so per-graph closure is exactly the triple closure
+    applied graph-wise — the graph label rides each of the four
+    broadcast-join branches as one more (null-safe) equality and each
+    dedup as one more key.  Nothing iterates over graphs.
+
+    Scale shape: identical to ``rdfs_closure`` — schema composition is
+    driver-local per graph (ontologies are KB-sized; the combined slice
+    is gated by ``local_threshold`` and REJECTED loudly beyond it —
+    datasets with TB-sized "schema" slices should close graph-by-graph
+    through the triple path), instance data is scanned once per rule,
+    and the only quad-sized shuffles are the two final dedups (now
+    keyed with ``context``).  The default graph participates as the
+    NULL context.
+    """
+    spark = quads.sparkSession
+    cols = ["context", "subj", "pred", "obj_value", "obj_kind",
+            "obj_lang"]
+    quads = quads.select(*cols)
+
+    schema = (quads.filter(F.col("pred").isin(*_SCHEMA_PREDS)
+                           & (F.col("obj_kind") != "literal"))
+              .select("context", "subj", "pred", "obj_value"))
+    schema_rows = schema.limit(local_threshold + 1).collect()
+    if len(schema_rows) > local_threshold:
+        raise ValueError(
+            "combined schema slice exceeds local_threshold=%d; close "
+            "oversized graphs individually via rdfs_closure" %
+            local_threshold)
+
+    _VOCAB = set(_SCHEMA_PREDS) | {RDF_TYPE}
+    by_graph: dict = {}
+    for r in schema_rows:
+        by_graph.setdefault(r["context"], {p: [] for p in _SCHEMA_PREDS})[
+            r["pred"]].append((r["subj"], r["obj_value"]))
+
+    sp_rows, sc_rows, dom_rows, rng_rows = [], [], [], []
+    for g, by_pred in by_graph.items():
+        if any(q in _VOCAB for _, q in by_pred[RDFS_SUBPROP]):
+            raise RdfsVocabularyRedefined(
+                "graph %r declares a subPropertyOf into the RDFS/rdf "
+                "vocabulary" % (g,))
+        sp = _transitive_closure_local(by_pred[RDFS_SUBPROP])
+        sc = _transitive_closure_local(by_pred[RDFS_SUBCLASS])
+        dom, rng = by_pred[RDFS_DOMAIN], by_pred[RDFS_RANGE]
+        sp_refl = _with_identity(sp, [p for p, _ in dom + rng])
+        sc_refl = _with_identity(sc, [c for _, c in dom + rng])
+        sp_rows += [(g, a, b) for a, b in sp]
+        sc_rows += [(g, a, b) for a, b in sc]
+        dom_rows += [(g, a, b)
+                     for a, b in _compose(_compose(sp_refl, dom), sc_refl)]
+        rng_rows += [(g, a, b)
+                     for a, b in _compose(_compose(sp_refl, rng), sc_refl)]
+
+    gp = "g string, a string, b string"
+
+    def as_df(rows):
+        return spark.createDataFrame(rows or [], gp)
+
+    sp_df, sc_df = as_df(sp_rows), as_df(sc_rows)
+    dom_df, rng_df = as_df(dom_rows), as_df(rng_rows)
+
+    def on(pairs, key):
+        return ((quads[key] == pairs["a"])
+                & quads["context"].eqNullSafe(pairs["g"]))
+
+    typed_dom = (quads.join(F.broadcast(dom_df), on(dom_df, "pred"))
+                 .select("context", "subj",
+                         F.col("b").alias("obj_value")))
+    typed_rng = (quads.filter(F.col("obj_kind") != "literal")
+                 .join(F.broadcast(rng_df), on(rng_df, "pred"))
+                 .select("context", F.col("obj_value").alias("subj"),
+                         F.col("b").alias("obj_value")))
+    super_types = (quads.filter(F.col("pred") == RDF_TYPE)
+                   .join(F.broadcast(sc_df), on(sc_df, "obj_value"))
+                   .select("context", "subj",
+                           F.col("b").alias("obj_value")))
+    inherited = (quads.join(F.broadcast(sp_df), on(sp_df, "pred"))
+                 .select("context", "subj", F.col("b").alias("pred"),
+                         "obj_value", "obj_kind", "obj_lang"))
+
+    wf_type = ((F.col("pred") == RDF_TYPE)
+               & (F.col("obj_kind") == "uri") & F.col("obj_lang").isNull())
+    narrow = [quads.filter(wf_type).select("context", "subj", "obj_value"),
+              typed_dom, typed_rng, super_types]
+    wide = [quads.filter(~wf_type), inherited]
+    if keep_schema:
+        for pred, pairs in ((RDFS_SUBPROP, sp_df), (RDFS_SUBCLASS, sc_df)):
+            wide.append(pairs.select(
+                F.col("g").alias("context"), F.col("a").alias("subj"),
+                F.lit(pred).alias("pred"), F.col("b").alias("obj_value"),
+                F.lit("uri").alias("obj_kind"),
+                F.lit(None).cast("string").alias("obj_lang")))
+
+    narrow_union = narrow[0]
+    for p in narrow[1:]:
+        narrow_union = narrow_union.unionByName(p)
+    typed = (narrow_union.dropDuplicates(["context", "subj", "obj_value"])
+             .select("context", "subj", F.lit(RDF_TYPE).alias("pred"),
+                     "obj_value", F.lit("uri").alias("obj_kind"),
+                     F.lit(None).cast("string").alias("obj_lang")))
+    wide_union = wide[0]
+    for p in wide[1:]:
+        wide_union = wide_union.unionByName(p)
+    return wide_union.dropDuplicates(cols).unionByName(typed)

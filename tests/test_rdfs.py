@@ -254,3 +254,60 @@ class TestSchemaCycles:
         rows = [("urn:a", self.SC, "urn:b", "uri", None),
                 ("urn:b", self.SC, "urn:c", "uri", None)]
         assert self._run(spark, rows) == set()
+
+
+class TestPerGraphClosure:
+    """rdfs_closure_quads: each named graph closes under its own
+    ontology, no cross-graph leakage, default graph = NULL context."""
+
+    QSCHEMA = ("context string, subj string, pred string, "
+               "obj_value string, obj_kind string, obj_lang string")
+
+    def _quads(self, spark, rows):
+        return spark.createDataFrame(rows, self.QSCHEMA)
+
+    def _run(self, spark, rows):
+        from meresco_rdf_spark.operators.rdfs import rdfs_closure_quads
+        return {tuple(r) for r in
+                rdfs_closure_quads(self._quads(spark, rows)).collect()}
+
+    def test_per_graph_matches_per_graph_triple_closure(self, spark):
+        rows = ([("g1",) + r for r in ROWS]
+                + [("g2", "ex:inRegion", RDFS_DOMAIN, "ex:Zone",
+                    "uri", None),
+                   ("g2", "urn:n9", "ex:inRegion", "urn:r9", "uri", None)])
+        got = self._run(spark, rows)
+        t1 = spark.createDataFrame(ROWS, SCHEMA)
+        want1 = {("g1",) + tuple(r) for r in rdfs_closure(t1).collect()}
+        t2 = spark.createDataFrame(
+            [r[1:] for r in rows if r[0] == "g2"], SCHEMA)
+        want2 = {("g2",) + tuple(r) for r in rdfs_closure(t2).collect()}
+        assert got == want1 | want2
+
+    def test_no_cross_graph_leakage(self, spark):
+        # g1 holds the ontology, g2 holds the instance row: nothing
+        # derives (and the instance graph's row passes through intact)
+        rows = [("g1", "ex:p", RDFS_DOMAIN, "ex:C", "uri", None),
+                ("g2", "urn:s", "ex:p", "urn:o", "uri", None)]
+        got = self._run(spark, rows)
+        assert got == {("g1", "ex:p", RDFS_DOMAIN, "ex:C", "uri", None),
+                       ("g2", "urn:s", "ex:p", "urn:o", "uri", None)}
+
+    def test_default_graph_participates_as_null(self, spark):
+        rows = [(None, "ex:p", RDFS_DOMAIN, "ex:C", "uri", None),
+                (None, "urn:s", "ex:p", "urn:o", "uri", None)]
+        got = self._run(spark, rows)
+        assert (None, "urn:s", RDF_TYPE, "ex:C", "uri", None) in got
+
+    def test_redefinition_names_the_graph(self, spark):
+        from meresco_rdf_spark.operators.rdfs import rdfs_closure_quads
+        rows = [("gX", "ex:p", RDFS_SUBPROP, RDFS_SUBCLASS, "uri", None)]
+        with pytest.raises(RdfsVocabularyRedefined, match="gX"):
+            rdfs_closure_quads(self._quads(spark, rows)).collect()
+
+    def test_oversized_schema_rejected(self, spark):
+        from meresco_rdf_spark.operators.rdfs import rdfs_closure_quads
+        rows = [("g", "ex:a", RDFS_SUBCLASS, "ex:b", "uri", None)]
+        with pytest.raises(ValueError, match="local_threshold"):
+            rdfs_closure_quads(self._quads(spark, rows),
+                               local_threshold=0).collect()
