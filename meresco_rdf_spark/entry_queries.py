@@ -5003,6 +5003,24 @@ def q_text_bpe(spark, sf_dir):
         "rank int, left string, right string, n long")
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE application end-to-end (textops/bpe.py::apply_bpe): the
+    merges trained by ``text_bpe`` replayed over the same transcript
+    corpus as K chained JVM F.aggregate folds, token streams
+    reassembled with explicit posexplode ordering, then exploded to
+    one (conv_id, turn_idx, pos, token) row per sub-word.  Oracle =
+    committed golden from the independent pure-Python
+    tokenizer (golden_ref.ref_bpe_tokens)."""
+    from .textops.bpe import apply_bpe, train_bpe
+
+    t = _synth_transcripts(spark)
+    merges = train_bpe(t, n_merges=10, min_count=2)
+    toks = apply_bpe(t, merges, id_cols=["conv_id", "turn_idx"])
+    return toks.select(
+        "conv_id", "turn_idx",
+        F.posexplode("bpe_tokens").alias("pos", "token"))
+
+
 def q_text_chunks(spark, sf_dir):
     """Fixed-window chunking with overlap
     (textops/chunking.py::chunk_documents): 16-token windows sliding by
@@ -5144,6 +5162,7 @@ QUERIES = {
     "text_collocations": q_text_collocations,
     "text_bpe": q_text_bpe,
     "rdfs_graphs_entailment": q_rdfs_graphs_entailment,
+    "text_bpe_tokens": q_text_bpe_tokens,
     "kg_snapshot_revalidate": q_kg_snapshot_revalidate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
@@ -6061,6 +6080,10 @@ FROM pc p JOIN uni ux ON ux.tok = p.x JOIN uni uy ON uy.tok = p.y, n"""
 
 ORACLES["text_bpe"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/text_bpe.parquet')"""
+
+ORACLES["text_bpe_tokens"] = """
+SELECT * FROM
+read_parquet('/root/repo/tests/golden/text_bpe_tokens.parquet')"""
 
 ORACLES["text_chunks"] = """
 WITH toks AS (

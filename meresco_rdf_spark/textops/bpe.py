@@ -110,24 +110,26 @@ def train_bpe(docs: DataFrame, n_merges: int,
 
 
 def apply_bpe(docs: DataFrame, merges: List[Tuple[int, str, str, int]],
-              text_col: str = "text",
-              out_col: str = "bpe_tokens") -> DataFrame:
+              text_col: str = "text", out_col: str = "bpe_tokens",
+              id_cols: Optional[List[str]] = None) -> DataFrame:
     """Tokenize ``text_col`` with a trained merge list: per word, the
     character symbols folded through every merge in rank order; output
     is one array of sub-word symbols per document (end-of-word marker
     kept — strip at render time).  Adds ``out_col``; K chained folds
     stay JVM-side (plan depth grows with K — the expression tree is
     built once per QUERY, not per row)."""
+    if id_cols is None:
+        id_cols = ["doc_id"]
     expr = _char_symbols(F.col("word"))
     for _, left, right, _n in sorted(merges):
         expr = _merge_expr(expr, left, right)
     per_word = (docs.select(
-        F.col("doc_id"),
+        *[F.col(c) for c in id_cols],
         F.posexplode(tokens(F.col(text_col))).alias("pos", "word"))
-        .select("doc_id", "pos", expr.alias("ws")))
+        .select(*id_cols, "pos", expr.alias("ws")))
     # order restored explicitly: collect_list order across a shuffle is
     # not a contract — sort the (pos, ws) structs, then flatten
-    return (per_word.groupBy("doc_id")
+    return (per_word.groupBy(*id_cols)
             .agg(F.flatten(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "ws"))),
                 lambda x: x["ws"])).alias(out_col)))

@@ -325,3 +325,25 @@ def ref_bpe_merges(texts, n_merges=10, min_count=2):
             nxt.append(out)
         corpus = nxt
     return merges
+
+
+def ref_bpe_tokens(rows, merges):
+    """Apply a trained merge list per (conv_id, turn_idx) text row —
+    the reference for textops/bpe.py::apply_bpe."""
+    out = []
+    for conv_id, turn_idx, text in rows:
+        toks = []
+        for w in text.lower().split():
+            syms = list(w)
+            syms[-1] = syms[-1] + "</w>"
+            for _, left, right, _n in merges:
+                nxt = []
+                for t in syms:
+                    if nxt and nxt[-1] == left and t == right:
+                        nxt[-1] = left + right
+                    else:
+                        nxt.append(t)
+                syms = nxt
+            toks.extend(syms)
+        out.append((conv_id, turn_idx, toks))
+    return out

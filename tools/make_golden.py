@@ -69,6 +69,8 @@ def main() -> None:
     structure = ref.ref_structure_triples(structure_rows)
     bpe = ref.ref_bpe_merges([x for _, _, x, _ in input_rows],
                              n_merges=10, min_count=2)
+    bpe_tokens = ref.ref_bpe_tokens(
+        [(c, t, x) for c, t, x, _ in input_rows], bpe)
 
     write("kg_mentions", pa.table({
         "conv_id": pa.array([m["conv_id"] for m in mentions], pa.string()),
@@ -111,6 +113,14 @@ def main() -> None:
         "right": pa.array([m[2] for m in bpe], pa.string()),
         "n": pa.array([m[3] for m in bpe], pa.int64()),
     }))
+    tok_rows = [(c, t, i, tok) for c, t, toks in bpe_tokens
+                for i, tok in enumerate(toks)]
+    write("text_bpe_tokens", pa.table({
+        "conv_id": pa.array([r[0] for r in tok_rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in tok_rows], pa.int32()),
+        "pos": pa.array([r[2] for r in tok_rows], pa.int32()),
+        "token": pa.array([r[3] for r in tok_rows], pa.string()),
+    }))
     write("stream_mention_rate", pa.table({
         "window_start": pa.array([r["window_start"] for r in rates], pa.int64()),
         "window_end": pa.array([r["window_end"] for r in rates], pa.int64()),
@@ -133,7 +143,8 @@ def main() -> None:
     for name in ("kg_mentions", "kg_triples", "kg_canonical_map",
                  "kg_entity_labels", "kg_rdfxml_shards",
                  "stream_mention_rate", "stream_merge_triples",
-                 "kg_structure_triples", "text_bpe"):
+                 "kg_structure_triples", "text_bpe",
+                 "text_bpe_tokens"):
         sdf = QUERIES[name](spark, "/root/testdata/sf0.01")
         s_cols = sorted(sdf.columns)
         s_rows = sorted(
