@@ -3037,6 +3037,55 @@ def q_rdfs_graphs_entailment(spark, sf_dir):
     return rdfs_closure_quads(quads)
 
 
+def q_owl_graphs_entailment(spark, sf_dir):
+    """Per-named-graph OWL closure in ONE job
+    (operators/owl.py::owl_closure_quads): the customer graph declares
+    urn:rel:in TRANSITIVE (cust->nation->region composes to
+    cust->region), the supplier graph declares the SAME predicate
+    inverseOf urn:rel:hosts (nation hosts supp) — each graph closes
+    under its own axioms via reserved-vocabulary graph encoding, and
+    neither derivation leaks into the other graph.  Oracle = both
+    graphs' closures stated directly in SQL."""
+    from .operators.owl import (
+        OWL_INVERSE_OF,
+        OWL_TRANSITIVE,
+        RDF_TYPE,
+        owl_closure_quads,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+
+    def e(df, ctx, subj, pred, obj):
+        return df.select(
+            F.lit(ctx).alias("context"), subj.alias("subj"),
+            F.lit(pred).alias("pred"), obj.alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    nuri = lambda c: F.concat(F.lit("urn:nation:"), F.col(c).cast("string"))
+    quads = (
+        e(cust, "urn:g:a",
+          F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")),
+          "urn:rel:in", nuri("c_nationkey"))
+        .unionByName(e(nat, "urn:g:a", nuri("n_nationkey"), "urn:rel:in",
+                       F.concat(F.lit("urn:region:"),
+                                F.col("n_regionkey").cast("string"))))
+        .unionByName(e(supp, "urn:g:b",
+                       F.concat(F.lit("urn:supp:"),
+                                F.col("s_suppkey").cast("string")),
+                       "urn:rel:in", nuri("s_nationkey")))
+        .unionByName(spark.createDataFrame([
+            ("urn:g:a", "urn:rel:in", RDF_TYPE, OWL_TRANSITIVE,
+             "uri", None),
+            ("urn:g:b", "urn:rel:in", OWL_INVERSE_OF, "urn:rel:hosts",
+             "uri", None),
+        ], ("context string, subj string, pred string, obj_value string,"
+            " obj_kind string, obj_lang string"))))
+    return owl_closure_quads(quads)
+
+
 def q_owl_chain_entailment(spark, sf_dir):
     """owl:propertyChainAxiom materialization (OWL RL prp-spo2):
     inRegion <- rel:nation ∘ rel:region walks member -> nation ->
@@ -5141,6 +5190,7 @@ QUERIES = {
     "events_range_hot_hours_bucketized": q_events_range_hot_hours_bucketized,
     "events_quantiles": q_events_quantiles,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "owl_graphs_entailment": q_owl_graphs_entailment,
     "pricing_summary": q_pricing_summary,
     "pricing_pivot": q_pricing_pivot,
     "pricing_cube": q_pricing_cube,
@@ -5163,6 +5213,7 @@ QUERIES = {
     "text_bpe": q_text_bpe,
     "rdfs_graphs_entailment": q_rdfs_graphs_entailment,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "owl_graphs_entailment": q_owl_graphs_entailment,
     "kg_snapshot_revalidate": q_kg_snapshot_revalidate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
@@ -5605,6 +5656,36 @@ SELECT i.subj, 'urn:rel:zoneOf',
                             AS INTEGER) % 2),
        'uri', CAST(NULL AS VARCHAR)
 FROM in_region i""")
+
+ORACLES["owl_graphs_entailment"] = """
+WITH ce AS (
+  SELECT 'urn:cust:' || c_custkey AS s,
+         'urn:nation:' || c_nationkey AS n FROM customer
+),
+ne AS (
+  SELECT 'urn:nation:' || n_nationkey AS n,
+         'urn:region:' || n_regionkey AS r FROM nation
+),
+se AS (
+  SELECT 'urn:supp:' || s_suppkey AS s,
+         'urn:nation:' || s_nationkey AS n FROM supplier
+)
+SELECT context, subj, pred, obj_value, obj_kind, obj_lang FROM (
+  SELECT 'urn:g:a' AS context, s AS subj, 'urn:rel:in' AS pred,
+         n AS obj_value, 'uri' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang FROM ce
+  UNION ALL SELECT 'urn:g:a', n, 'urn:rel:in', r, 'uri', NULL FROM ne
+  UNION ALL SELECT 'urn:g:a', ce.s, 'urn:rel:in', ne.r, 'uri', NULL
+    FROM ce JOIN ne USING (n)
+  UNION ALL SELECT 'urn:g:a', 'urn:rel:in',
+    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+    'http://www.w3.org/2002/07/owl#TransitiveProperty', 'uri', NULL
+  UNION ALL SELECT 'urn:g:b', s, 'urn:rel:in', n, 'uri', NULL FROM se
+  UNION ALL SELECT 'urn:g:b', n, 'urn:rel:hosts', s, 'uri', NULL FROM se
+  UNION ALL SELECT 'urn:g:b', 'urn:rel:in',
+    'http://www.w3.org/2002/07/owl#inverseOf', 'urn:rel:hosts',
+    'uri', NULL
+)"""
 
 ORACLES["rdfs_graphs_entailment"] = """
 WITH ce AS (

@@ -646,3 +646,55 @@ class TestPropertyChains:
             self._chain("urn:p", ("urn:parent",), "s"), self.S)
         with _pytest.raises(OwlUnsupportedPattern, match="two steps"):
             owl_chain_closure(inst, schema_triples=short)
+
+
+class TestPerGraphClosure:
+    """owl_closure_quads: graph-encoded per-graph closure — each graph
+    closes under its own axioms, nothing leaks."""
+
+    QSCHEMA = ("context string, subj string, pred string, "
+               "obj_value string, obj_kind string, obj_lang string")
+
+    def _run(self, spark, rows):
+        from meresco_rdf_spark.operators.owl import owl_closure_quads
+        q = spark.createDataFrame(rows, self.QSCHEMA)
+        return {tuple(r) for r in owl_closure_quads(q).collect()}
+
+    def test_matches_per_graph_triple_closure(self, spark):
+        g1 = [("ex:part", RDF_TYPE, OWL_TRANSITIVE, "uri", None),
+              ("urn:a", "ex:part", "urn:b", "uri", None),
+              ("urn:b", "ex:part", "urn:c", "uri", None)]
+        g2 = [("ex:part", OWL_INVERSE_OF, "ex:whole", "uri", None),
+              ("urn:a", "ex:part", "urn:b", "uri", None)]
+        rows = [("g1",) + r for r in g1] + [("g2",) + r for r in g2]
+        got = self._run(spark, rows)
+        want = set()
+        for g, tri in (("g1", g1), ("g2", g2)):
+            want |= {(g,) + tuple(r)
+                     for r in owl_closure(df(spark, tri)).collect()}
+        assert got == want
+        # the transitive hop exists only in g1; the inverse only in g2
+        assert ("g1", "urn:a", "ex:part", "urn:c", "uri", None) in got
+        assert ("g2", "urn:b", "ex:whole", "urn:a", "uri", None) in got
+        assert ("g2", "urn:a", "ex:part", "urn:c", "uri", None) not in got
+        assert ("g1", "urn:b", "ex:whole", "urn:a", "uri", None) not in got
+
+    def test_default_graph_is_null_context(self, spark):
+        rows = [(None, "ex:knows", RDF_TYPE, OWL_SYMMETRIC, "uri", None),
+                (None, "urn:a", "ex:knows", "urn:b", "uri", None)]
+        got = self._run(spark, rows)
+        assert (None, "urn:b", "ex:knows", "urn:a", "uri", None) in got
+
+    def test_literals_never_encoded(self, spark):
+        rows = [("g", "ex:p", OWL_INVERSE_OF, "ex:q", "uri", None),
+                ("g", "urn:a", "ex:name", "plain text", "literal", "en")]
+        got = self._run(spark, rows)
+        assert ("g", "urn:a", "ex:name", "plain text", "literal", "en") \
+            in got
+
+    def test_unencodable_reserved_rows_rejected(self, spark):
+        rows = [("g", "http://www.w3.org/2002/07/owl#Thing",
+                 "http://www.w3.org/2000/01/rdf-schema#label",
+                 "thing", "literal", None)]
+        with pytest.raises(OwlUnsupportedPattern, match="reserved"):
+            self._run(spark, rows)
