@@ -2986,6 +2986,37 @@ def q_rdfs_entailment(spark, sf_dir):
                         schema_triples=_rdfs_onto_df(spark))
 
 
+def q_kg_void(spark, sf_dir):
+    """VoID dataset self-description (operators/void_stats.py): the
+    publish-metadata step — triples/distinctSubjects/distinctObjects/
+    properties/classes/entities plus per-predicate propertyPartition
+    and per-class classPartition bnodes, emitted AS TRIPLES so the
+    description feeds the serializers/SPARQL like any graph.  Three
+    aggregations total (one expand-based global pass + two partition
+    groupBys, all map-side combined); partition bnode labels derive
+    from md5(IRI) so the output is value-hash stable.  Oracle = the
+    same statistics in SQL (DuckDB md5 = Spark md5)."""
+    from .operators.void_stats import RDF_TYPE as _T, void_description
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+
+    def typed(df, prefix, key, cls):
+        return df.select(
+            F.concat(F.lit(prefix), F.col(key).cast("string"))
+            .alias("subj"),
+            F.lit(_T).alias("pred"), F.lit(cls).alias("obj_value"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"))
+
+    triples = (tpch_triples(spark, sf_dir)
+               .unionByName(typed(cust, "urn:cust:", "c_custkey",
+                                  "urn:class:Customer"))
+               .unionByName(typed(supp, "urn:supp:", "s_suppkey",
+                                  "urn:class:Supplier")))
+    return void_description(triples)
+
+
 def q_rdfs_graphs_entailment(spark, sf_dir):
     """Per-named-graph RDFS closure in ONE job
     (operators/rdfs.py::rdfs_closure_quads): the customer and supplier
@@ -5191,6 +5222,7 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "text_bpe_tokens": q_text_bpe_tokens,
     "owl_graphs_entailment": q_owl_graphs_entailment,
+    "kg_void": q_kg_void,
     "pricing_summary": q_pricing_summary,
     "pricing_pivot": q_pricing_pivot,
     "pricing_cube": q_pricing_cube,
@@ -5214,6 +5246,7 @@ QUERIES = {
     "rdfs_graphs_entailment": q_rdfs_graphs_entailment,
     "text_bpe_tokens": q_text_bpe_tokens,
     "owl_graphs_entailment": q_owl_graphs_entailment,
+    "kg_void": q_kg_void,
     "kg_snapshot_revalidate": q_kg_snapshot_revalidate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
@@ -5656,6 +5689,76 @@ SELECT i.subj, 'urn:rel:zoneOf',
                             AS INTEGER) % 2),
        'uri', CAST(NULL AS VARCHAR)
 FROM in_region i""")
+
+ORACLES["kg_void"] = _fmt("""
+WITH {cte},
+t AS (
+  SELECT * FROM triples
+  UNION ALL
+  SELECT 'urn:cust:' || c_custkey,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'urn:class:Customer', 'uri', NULL FROM customer
+  UNION ALL
+  SELECT 'urn:supp:' || s_suppkey,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'urn:class:Supplier', 'uri', NULL FROM supplier
+),
+tot AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT subj) AS d_s,
+         COUNT(DISTINCT obj_value) AS d_o, COUNT(DISTINCT pred) AS np,
+         COUNT(DISTINCT CASE WHEN pred =
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+           THEN obj_value END) AS nc,
+         COUNT(DISTINCT CASE WHEN NOT subj LIKE '_:%' THEN subj END)
+           AS ne
+  FROM t
+),
+pp AS (
+  SELECT pred, COUNT(*) AS n, '_:pp-' || md5(pred) AS part
+  FROM t GROUP BY pred
+),
+cp AS (
+  SELECT obj_value AS c, COUNT(DISTINCT subj) AS n,
+         '_:cp-' || md5(obj_value) AS part
+  FROM t WHERE pred =
+    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+  GROUP BY obj_value
+)
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM (
+  SELECT 'urn:void:dataset' AS subj,
+         'http://rdfs.org/ns/void#triples' AS pred,
+         CAST(n AS VARCHAR) AS obj_value, 'literal' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang FROM tot
+  UNION ALL SELECT 'urn:void:dataset',
+    'http://rdfs.org/ns/void#distinctSubjects', CAST(d_s AS VARCHAR),
+    'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset',
+    'http://rdfs.org/ns/void#distinctObjects', CAST(d_o AS VARCHAR),
+    'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset',
+    'http://rdfs.org/ns/void#properties', CAST(np AS VARCHAR),
+    'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset',
+    'http://rdfs.org/ns/void#classes', CAST(nc AS VARCHAR),
+    'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset',
+    'http://rdfs.org/ns/void#entities', CAST(ne AS VARCHAR),
+    'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset',
+    'http://rdfs.org/ns/void#propertyPartition', part, 'bnode', NULL
+    FROM pp
+  UNION ALL SELECT part, 'http://rdfs.org/ns/void#property', pred,
+    'uri', NULL FROM pp
+  UNION ALL SELECT part, 'http://rdfs.org/ns/void#triples',
+    CAST(n AS VARCHAR), 'literal', NULL FROM pp
+  UNION ALL SELECT 'urn:void:dataset',
+    'http://rdfs.org/ns/void#classPartition', part, 'bnode', NULL
+    FROM cp
+  UNION ALL SELECT part, 'http://rdfs.org/ns/void#class', c, 'uri',
+    NULL FROM cp
+  UNION ALL SELECT part, 'http://rdfs.org/ns/void#entities',
+    CAST(n AS VARCHAR), 'literal', NULL FROM cp
+)""")
 
 ORACLES["owl_graphs_entailment"] = """
 WITH ce AS (
