@@ -4501,6 +4501,41 @@ def q_kg_snapshot_revalidate(spark, sf_dir):
                     only_focus=focus)
 
 
+def q_kg_snapshot_compact(spark, sf_dir):
+    """Write-fast-then-compact maintenance (kg/snapshots.py): the table
+    is created with 4 salted writer files per bucket (within-bucket
+    write parallelism — one task per 10-TB bucket would serialize the
+    create), then snapshot_compact rewrites each fragmented bucket as
+    ONE sorted file in a new immutable version; no logical change.
+    In-query asserts turn regressions red: exactly one file per
+    compacted bucket, pre-compaction time travel intact, per-bucket row
+    counts unchanged (compact itself recounts and refuses drift).
+    Returns the compacted table; oracle = the triples view itself."""
+    import glob as _glob
+    import tempfile
+
+    from .kg.snapshots import (
+        read_snapshot,
+        snapshot_compact,
+        snapshot_create,
+    )
+
+    base = tpch_triples(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kg_snapcomp_") + "/table"
+    snapshot_create(spark, base, root, buckets=8, files_per_bucket=4)
+    m = snapshot_compact(spark, root)
+    if m["operation"] != "compact":
+        raise AssertionError("nothing was fragmented: %s" % m["operation"])
+    for b in m["buckets_touched"]:
+        d = root + "/" + m["buckets"][str(b)]
+        n = len(_glob.glob(d + "/*.parquet"))
+        if n != 1:
+            raise AssertionError("bucket %d has %d files" % (b, n))
+    if read_snapshot(spark, root, version=m["parent"]).count()             != m["total_rows"]:
+        raise AssertionError("pre-compaction version broken")
+    return read_snapshot(spark, root).drop("subj_bucket")
+
+
 def q_kg_snapshot_merge(spark, sf_dir):
     """The SAME merge algebra as ``graph_merge`` executed through the
     snapshot-versioned COW table (``kg/snapshots.py``) instead of the
@@ -5223,6 +5258,7 @@ QUERIES = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "owl_graphs_entailment": q_owl_graphs_entailment,
     "kg_void": q_kg_void,
+    "kg_snapshot_compact": q_kg_snapshot_compact,
     "pricing_summary": q_pricing_summary,
     "pricing_pivot": q_pricing_pivot,
     "pricing_cube": q_pricing_cube,
@@ -5247,6 +5283,7 @@ QUERIES = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "owl_graphs_entailment": q_owl_graphs_entailment,
     "kg_void": q_kg_void,
+    "kg_snapshot_compact": q_kg_snapshot_compact,
     "kg_snapshot_revalidate": q_kg_snapshot_revalidate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
@@ -5604,6 +5641,10 @@ FROM (
   UNION ALL
   SELECT pred AS p, COUNT(*) AS n, 2 AS version FROM v2 GROUP BY pred
 )""")
+
+ORACLES["kg_snapshot_compact"] = _fmt("""
+WITH {cte}
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM triples""")
 
 ORACLES["kg_snapshot_diff"] = _fmt("""
 WITH {cte}

@@ -170,13 +170,36 @@ def _bucket_counts(spark: SparkSession, root: str, rel: str) -> dict:
 
 
 def snapshot_create(spark: SparkSession, triples: DataFrame, root: str,
-                    buckets: int = 64) -> dict:
+                    buckets: int = 64,
+                    files_per_bucket: int = 1) -> dict:
     """Create (or full-overwrite) the table: every bucket written fresh,
-    committed as the next version.  Returns the manifest."""
+    committed as the next version.  Returns the manifest.
+
+    ``files_per_bucket`` — write parallelism WITHIN a bucket: one
+    writer task per bucket is the read-optimal layout but serializes a
+    10-TB bucket through one task at create time; salting the
+    repartition key fans each bucket across k writers (k files).  Run
+    ``snapshot_compact`` afterwards to consolidate — the standard
+    write-fast-then-compact recipe."""
+    if files_per_bucket < 1:
+        raise ValueError("files_per_bucket must be >= 1")
     fs, hpath = _fs(spark, root)
     version = (_manifest_versions(fs, hpath, root) or [0])[-1] + 1
     df = with_subj_bucket(triples.select(*TRIPLE_COLS), buckets)
-    rel = _write_data(df, root, version, buckets, buckets)
+    if files_per_bucket > 1:
+        # a DIFFERENT hash than with_subj_bucket's: pmod(h, k) of the
+        # same h is constant within a bucket whenever k divides the
+        # bucket count (the low bits are already fixed by the bucket)
+        salt = F.pmod(F.xxhash64(F.lit("file-salt"), F.col("subj")),
+                      F.lit(files_per_bucket))
+        df = (df.repartition(buckets * files_per_bucket,
+                             F.col("subj_bucket"), salt)
+              .sortWithinPartitions(*TRIPLE_SORT))
+        rel = _write_data(df, root, version, buckets,
+                          buckets * files_per_bucket,
+                          pre_partitioned=True)
+    else:
+        rel = _write_data(df, root, version, buckets, buckets)
     counts = _bucket_counts(spark, root, rel)
     manifest = {
         "version": version,
@@ -379,3 +402,71 @@ def snapshot_diff(spark: SparkSession, root: str,
                 .select(F.lit(label).alias("change"), *TRIPLE_COLS))
 
     return anti(new, old, "added").unionByName(anti(old, new, "removed"))
+
+
+def snapshot_compact(spark: SparkSession, root: str,
+                     max_files_per_bucket: int = 1,
+                     only_buckets: list[int] | None = None) -> dict:
+    """Compaction maintenance: rewrite fragmented bucket directories
+    (more than ``max_files_per_bucket`` data files) as ONE new immutable
+    data directory with one sorted file per bucket, and commit a
+    manifest splicing them in — the Iceberg ``rewrite_data_files``
+    action on this layout.  No logical change: the committed rowset is
+    identical, readers of earlier versions are untouched, and
+    non-fragmented buckets' manifest entries are reused verbatim
+    (copy-on-write copies nothing it doesn't have to).
+
+    Small-file pressure is the chronic failure mode of streaming/
+    incremental MERGE at scale (every micro-batch appends a file per
+    touched bucket); periodic compaction keeps scan task counts and
+    footer overhead bounded.  Returns the new manifest (or the current
+    one unchanged when nothing is fragmented).
+    """
+    fs, hpath = _fs(spark, root)
+    versions = _manifest_versions(fs, hpath, root)
+    if not versions:
+        raise SnapshotNotFound("no snapshot at %s" % root)
+    parent = _load_manifest(fs, hpath, root, versions[-1])
+
+    fragmented = []
+    for b, rel in sorted(parent["buckets"].items(), key=lambda kv: int(kv[0])):
+        if only_buckets is not None and int(b) not in only_buckets:
+            continue
+        st = fs.listStatus(hpath(root + "/" + rel))
+        n_files = sum(1 for s in st
+                      if s.getPath().getName().endswith(".parquet"))
+        if n_files > max_files_per_bucket:
+            fragmented.append(int(b))
+    if not fragmented:
+        return parent
+
+    rows = _scan(spark, root, parent, only_buckets=fragmented)
+    version = versions[-1] + 1
+    rel = _write_data(
+        rows.repartition(len(fragmented), "subj_bucket")
+        .sortWithinPartitions(*TRIPLE_SORT),
+        root, version, parent["n_buckets"], len(fragmented),
+        pre_partitioned=True)
+    counts = _bucket_counts(spark, root, rel)
+
+    new_buckets = dict(parent["buckets"])
+    row_counts = dict(parent["row_counts"])
+    for b, n in counts.items():
+        if row_counts.get(str(b)) != n:
+            raise RuntimeError(
+                "compaction changed bucket %s row count (%s -> %s)"
+                % (b, row_counts.get(str(b)), n))
+        new_buckets[str(b)] = "%s/subj_bucket=%d" % (rel, b)
+    manifest = {
+        "version": version,
+        "parent": parent["version"],
+        "operation": "compact",
+        "n_buckets": parent["n_buckets"],
+        "buckets": new_buckets,
+        "row_counts": row_counts,
+        "total_rows": parent["total_rows"],
+        "buckets_touched": fragmented,
+        "created_unix": time.time(),
+    }
+    _commit_manifest(fs, hpath, root, manifest)
+    return manifest

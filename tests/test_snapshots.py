@@ -226,3 +226,47 @@ class TestSnapshotDiff:
         snapshot_create(spark, tri(spark, base_rows()), r1, buckets=4)
         with pytest.raises(SnapshotNotFound):
             snapshot_diff(spark, r1, 1, 9)
+
+
+class TestSnapshotCompact:
+    def _fragmented(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.snapshots import snapshot_compact
+        root = str(tmp_path / "t")
+        # parallel salted create: 3 writers (files) per bucket — the
+        # write-fast layout compaction exists to consolidate
+        snapshot_create(spark, tri(spark, base_rows()), root, buckets=4,
+                        files_per_bucket=3)
+        return root, snapshot_compact
+
+    def test_compaction_preserves_rowset_and_history(self, spark, tmp_path):
+        root, snapshot_compact = self._fragmented(spark, tmp_path)
+        before = rowset(read_snapshot(spark, root))
+        m = snapshot_compact(spark, root)
+        assert m["operation"] == "compact"
+        assert rowset(read_snapshot(spark, root)) == before
+        # time travel to pre-compaction versions still works
+        assert rowset(read_snapshot(spark, root, version=m["parent"])) \
+            == before
+
+    def test_one_file_per_compacted_bucket(self, spark, tmp_path):
+        import glob as _glob
+        root, snapshot_compact = self._fragmented(spark, tmp_path)
+        m = snapshot_compact(spark, root)
+        for b in m["buckets_touched"]:
+            d = root + "/" + m["buckets"][str(b)]
+            assert len(_glob.glob(d + "/*.parquet")) == 1
+
+    def test_unfragmented_is_a_noop(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.snapshots import snapshot_compact
+        root = str(tmp_path / "t")
+        snapshot_create(spark, tri(spark, base_rows()), root, buckets=4)
+        m1 = snapshot_versions(spark, root)[-1]
+        assert snapshot_compact(spark, root)["version"] == m1["version"]
+
+    def test_untouched_buckets_reuse_parent_dirs(self, spark, tmp_path):
+        root, snapshot_compact = self._fragmented(spark, tmp_path)
+        parent = snapshot_versions(spark, root)[-1]
+        m = snapshot_compact(spark, root)
+        for b, rel in m["buckets"].items():
+            if int(b) not in m["buckets_touched"]:
+                assert rel == parent["buckets"][b]
