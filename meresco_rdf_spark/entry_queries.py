@@ -441,6 +441,92 @@ SELECT a2.node, a2.s AS auth, h2.s AS hub
 FROM a2 JOIN h2 ON h2.node = a2.node"""
 
 
+def q_graph_walks(spark, sf_dir):
+    """Deterministic pseudo-random walks
+    (operators/graph_algos.py::deterministic_walks): 6-step walks from
+    sampled customers over the membership graph + region ring — the
+    graph-embedding corpus-generation step with the md5-prefix hash as
+    the RNG, so the walks are byte-identical across engines,
+    partitionings, and resumes (no RNG state to checkpoint).  One
+    partial-aggregatable argmin shuffle per step, frontier
+    checkpointed.  Oracle = a recursive CTE replaying the exact hash
+    argmin via NOT EXISTS."""
+    from .operators.graph_algos import deterministic_walks
+
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    edges = (
+        cust.select(
+            F.concat(F.lit("urn:cust:"),
+                     F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:nation:"),
+                     F.col("c_nationkey").cast("string")).alias("dst"))
+        .unionByName(nat.select(
+            F.concat(F.lit("urn:nation:"),
+                     F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:region:"),
+                     F.col("n_regionkey").cast("string")).alias("dst")))
+        .unionByName(reg.select(
+            F.concat(F.lit("urn:region:"),
+                     F.col("r_regionkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:region:"),
+                     ((F.col("r_regionkey") + 1) % 5).cast("string"))
+            .alias("dst")))
+        .unionByName(reg.select(
+            F.concat(F.lit("urn:region:"),
+                     F.col("r_regionkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:nation:"),
+                     (F.col("r_regionkey") * 5).cast("string"))
+            .alias("dst"))))
+    starts = (cust.filter(F.col("c_custkey") % 100 == 0)
+              .select(F.concat(F.lit("urn:cust:"),
+                               F.col("c_custkey").cast("string"))
+                      .alias("node")))
+    return deterministic_walks(edges, starts, steps=6)
+
+
+_WALKS_ORACLE = """
+WITH RECURSIVE edges(src, dst) AS (
+  SELECT 'urn:cust:' || c_custkey, 'urn:nation:' || c_nationkey
+  FROM customer
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, 'urn:region:' || n_regionkey
+  FROM nation
+  UNION ALL
+  SELECT 'urn:region:' || r_regionkey,
+         'urn:region:' || ((r_regionkey + 1) % 5) FROM region
+  UNION ALL
+  SELECT 'urn:region:' || r_regionkey,
+         'urn:nation:' || (r_regionkey * 5) FROM region
+),
+walk(walk_id, step, node) AS (
+  SELECT 'urn:cust:' || c_custkey, 0, 'urn:cust:' || c_custkey
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT w.walk_id, w.step + 1, e.dst
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.step < 6 AND NOT EXISTS (
+    SELECT 1 FROM edges e2 WHERE e2.src = w.node AND (
+      CAST(('0x' || substr(md5(w.walk_id || chr(31)
+        || CAST(w.step + 1 AS VARCHAR) || chr(31) || e2.dst), 1, 15))
+        AS BIGINT)
+      < CAST(('0x' || substr(md5(w.walk_id || chr(31)
+        || CAST(w.step + 1 AS VARCHAR) || chr(31) || e.dst), 1, 15))
+        AS BIGINT)
+      OR (e2.dst < e.dst AND
+        CAST(('0x' || substr(md5(w.walk_id || chr(31)
+          || CAST(w.step + 1 AS VARCHAR) || chr(31) || e2.dst), 1, 15))
+          AS BIGINT)
+        = CAST(('0x' || substr(md5(w.walk_id || chr(31)
+          || CAST(w.step + 1 AS VARCHAR) || chr(31) || e.dst), 1, 15))
+          AS BIGINT))
+    )
+  )
+)
+SELECT walk_id, step, node FROM walk"""
+
+
 _SSSP_ORACLE = """
 WITH RECURSIVE edges(src, dst, w) AS (
   SELECT 'urn:cust:' || c_custkey, 'urn:nation:' || c_nationkey,
@@ -1445,6 +1531,7 @@ _GRAPH_ALGO_ORACLES = {
     "graph_khop": _KHOP_ORACLE,
     "graph_shortest_paths": _SSSP_ORACLE,
     "graph_hits": _HITS_ORACLE,
+    "graph_walks": _WALKS_ORACLE,
     "rdfs_entailment": _RDFS_ENTAILMENT_ORACLE,
     # incremental maintenance must converge to the batch closure: the
     # SAME oracle checks the streamed table
@@ -5306,6 +5393,7 @@ QUERIES = {
     "graph_khop": q_graph_khop,
     "graph_shortest_paths": q_graph_shortest_paths,
     "graph_hits": q_graph_hits,
+    "graph_walks": q_graph_walks,
     "rdfs_entailment": q_rdfs_entailment,
     "kg_sameas_smush": q_kg_sameas_smush,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,

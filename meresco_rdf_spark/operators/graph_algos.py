@@ -321,3 +321,53 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def deterministic_walks(edges: DataFrame, starts: DataFrame,
+                        steps: int) -> DataFrame:
+    """Hash-driven "random" walks for graph sampling (the DeepWalk /
+    node2vec corpus-generation step, made reproducible): from each
+    start node, at every step move to the out-neighbor minimizing the
+    60-bit md5-prefix of (walk_id, step, neighbor).  The hash plays the
+    RNG — walks LOOK uniform across steps and walkers but are a pure
+    function of the graph, so re-runs, resumes, engines, and
+    partitionings all produce byte-identical corpora (no RNG state to
+    checkpoint, and a SQL oracle can replay the exact walks).
+
+    Returns ``(walk_id, step, node)`` with step 0 = the start node; a
+    walk ends early at a node with no out-edges.
+
+    Scale shape: per step, ONE shuffle — the frontier-edge join feeds a
+    partial-aggregatable ``min(struct(hash, dst))`` per walker (the
+    argmin combines map-side; no window, no sort); the frontier is
+    localCheckpoint-ed per step (``k_hop`` discipline), so cost per
+    step tracks the live-walker count times average out-degree.
+    """
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    e = edges.select("src", "dst").distinct().persist()
+    frontier = (starts.select(F.col("node").alias("walk_id"))
+                .distinct()
+                .select("walk_id", F.col("walk_id").alias("node"))
+                .localCheckpoint(eager=True))
+    out = [frontier.select("walk_id", F.lit(0).alias("step"), "node")]
+    for step in range(1, steps + 1):
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            "\x1f", F.col("walk_id"), F.lit(str(step)), F.col("dst"))),
+            1, 15), 16, 10).cast("long")
+        frontier = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("walk_id", h.alias("h"), "dst")
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("node"))
+            .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        out.append(frontier.select(
+            "walk_id", F.lit(step).alias("step"), "node"))
+    e.unpersist()
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionByName(part)
+    return res

@@ -253,3 +253,69 @@ def test_hits_rejects_zero_iterations(spark):
     from meresco_rdf_spark.operators.graph_algos import hits
     with pytest.raises(ValueError):
         hits(_edges(spark, [("a", "b")]), iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# deterministic_walks
+# ---------------------------------------------------------------------------
+
+def _model_walks(pairs, starts, steps):
+    import hashlib
+
+    def h(wid, step, dst):
+        m = hashlib.md5(("\x1f".join([wid, str(step), dst])).encode())
+        return int(m.hexdigest()[:15], 16)
+
+    out_adj = {}
+    for s, d in sorted(set(pairs)):
+        out_adj.setdefault(s, []).append(d)
+    rows = []
+    for wid in sorted(set(starts)):
+        node = wid
+        rows.append((wid, 0, node))
+        for step in range(1, steps + 1):
+            nbrs = out_adj.get(node)
+            if not nbrs:
+                break
+            node = min(nbrs, key=lambda d: (h(wid, step, d), d))
+            rows.append((wid, step, node))
+    return sorted(rows)
+
+
+def _run_walks(spark, pairs, starts, steps):
+    from meresco_rdf_spark.operators.graph_algos import deterministic_walks
+    s = spark.createDataFrame([(x,) for x in starts], "node string")
+    return sorted(tuple(r) for r in deterministic_walks(
+        _edges(spark, pairs), s, steps).collect())
+
+
+def test_walks_match_model(spark):
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("d", "a"), ("d", "b")]
+    assert _run_walks(spark, pairs, ["a", "b", "d"], 5) \
+        == _model_walks(pairs, ["a", "b", "d"], 5)
+
+
+def test_walks_end_at_sinks(spark):
+    pairs = [("a", "b")]  # b is a sink
+    got = _run_walks(spark, pairs, ["a"], 5)
+    assert got == [("a", 0, "a"), ("a", 1, "b")]
+
+
+def test_walks_partitioning_invariant(spark):
+    pairs = [("n%d" % i, "n%d" % ((i * 3 + 1) % 20)) for i in range(20)]
+    pairs += [("n%d" % i, "n%d" % ((i + 7) % 20)) for i in range(20)]
+    starts = ["n0", "n5", "n13"]
+    a = _run_walks(spark, pairs, starts, 6)
+    from meresco_rdf_spark.operators.graph_algos import deterministic_walks
+    s = spark.createDataFrame([(x,) for x in starts], "node string")
+    b = sorted(tuple(r) for r in deterministic_walks(
+        _edges(spark, pairs).repartition(13), s, 6).collect())
+    assert a == b == _model_walks(pairs, starts, 6)
+
+
+def test_walks_reject_zero_steps(spark):
+    from meresco_rdf_spark.operators.graph_algos import deterministic_walks
+    s = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError):
+        deterministic_walks(_edges(spark, [("a", "b")]), s, 0)
