@@ -5119,6 +5119,23 @@ def q_text_repetition(spark, sf_dir):
     return repetition_features(_read(spark, sf_dir, "documents"))
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic per-row Bernoulli mixing
+    (textops/sampling.py::weighted_sample): each language gets its own
+    keep rate (en 800k ppm, zh 500k, rest 250k — a data-mixing recipe),
+    drawn as md5int(id) mod 1e6 < rate so the coin flips are exact
+    integers, reproducible across engines, and independent of row
+    order.  Zero shuffle — the draw is a pushable per-row predicate.
+    Oracle = the identical draw in SQL."""
+    from .textops.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    rate = (F.when(F.col("lang") == "en", 800_000)
+            .when(F.col("lang") == "zh", 500_000)
+            .otherwise(250_000))
+    return weighted_sample(docs, rate).select("doc_id", "lang", "source")
+
+
 def q_text_boilerplate(spark, sf_dir):
     """Boilerplate line removal (textops/boilerplate.py): the documents
     table is deterministically wrapped with a per-source HEADER and
@@ -5359,6 +5376,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "text_repetition": q_text_repetition,
     "text_boilerplate": q_text_boilerplate,
+    "sample_weighted": q_sample_weighted,
     "text_tfidf": q_text_tfidf,
     "text_chunks": q_text_chunks,
     "kg_graph_hashes": q_kg_graph_hashes,
@@ -6243,6 +6261,13 @@ def _hash_split_sql() -> str:
 
 
 ORACLES["sample_hash_split"] = _hash_split_sql()
+
+ORACLES["sample_weighted"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000000
+      < CASE WHEN lang = 'en' THEN 800000
+             WHEN lang = 'zh' THEN 500000 ELSE 250000 END"""
 
 ORACLES["sample_stratified"] = """
 WITH ranked AS (

@@ -175,3 +175,32 @@ def pack_sequences(df: DataFrame, id_col: str, max_len: int,
             .withColumn("pack_id", F.expr("_start div %d" % max_len))
             .withColumn("pack_offset", F.col("_start") % max_len)
             .drop("_h", "_start"))
+
+
+def weighted_sample(df: DataFrame, rate_ppm: Column | int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-row Bernoulli sampling with DETERMINISTIC coin flips: keep a
+    row iff ``md5int(id) mod 1e6 < rate_ppm`` (parts-per-million, so
+    the keep probability is an exact integer — no float boundary).
+
+    ``rate_ppm`` may be a per-row Column — the data-mixing primitive: a
+    mixture recipe assigns each domain/language/quality-tier its own
+    rate and ONE shuffle-free pass materializes the mix.  The md5 key
+    gives the repo-wide sampling guarantees (reproducible across
+    engines, stable under re-runs and repartitioning, independent of
+    row order) and composes with ``assign_split``: the split uses the
+    hash PREFIX, this draw uses the hash value mod 1e6 — decorrelated
+    digits of the same hash, so sampling never biases splits.
+
+    Scale shape: a narrow per-row filter, zero shuffle, pushes down to
+    the scan's data filters like any other predicate.
+    """
+    if isinstance(rate_ppm, int):
+        if not 0 <= rate_ppm <= 1_000_000:
+            raise ValueError("rate_ppm must be in [0, 1e6]")
+        rate_ppm = F.lit(rate_ppm)
+    draw = F.pmod(
+        F.conv(F.substring(_md5_of(F.col(id_col)), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(1_000_000))
+    return df.filter(draw < rate_ppm)

@@ -207,3 +207,45 @@ def test_triangle_participation_k4(spark):
     got = {r["node"]: r["n_triangles"]
            for r in triangle_participation(_edges(spark, pairs)).collect()}
     assert got == {n: 3 for n in nodes}
+
+
+class TestWeightedSample:
+    def _docs(self, spark, n=400):
+        return spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(n)],
+            "doc_id long, lang string")
+
+    def test_rate_zero_and_full(self, spark):
+        from meresco_rdf_spark.textops.sampling import weighted_sample
+        d = self._docs(spark)
+        assert weighted_sample(d, 0).count() == 0
+        assert weighted_sample(d, 1_000_000).count() == 400
+
+    def test_rate_is_approximately_honored(self, spark):
+        from meresco_rdf_spark.textops.sampling import weighted_sample
+        n = weighted_sample(self._docs(spark, 2000), 250_000).count()
+        assert 400 < n < 600  # 500 expected; md5 is uniform
+
+    def test_per_row_rates_by_column(self, spark):
+        from pyspark.sql import functions as F
+
+        from meresco_rdf_spark.textops.sampling import weighted_sample
+        rate = F.when(F.col("lang") == "en", 1_000_000).otherwise(0)
+        got = weighted_sample(self._docs(spark), rate)
+        assert {r.lang for r in got.collect()} == {"en"}
+        assert got.count() == 200
+
+    def test_deterministic_under_repartition(self, spark):
+        from meresco_rdf_spark.textops.sampling import weighted_sample
+        d = self._docs(spark, 1000)
+        a = {r.doc_id for r in weighted_sample(d, 300_000).collect()}
+        b = {r.doc_id
+             for r in weighted_sample(d.repartition(17), 300_000).collect()}
+        assert a == b
+
+    def test_bad_rate_raises(self, spark):
+        import pytest as _pytest
+
+        from meresco_rdf_spark.textops.sampling import weighted_sample
+        with _pytest.raises(ValueError):
+            weighted_sample(self._docs(spark), 1_000_001)
