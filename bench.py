@@ -134,6 +134,8 @@ def main() -> None:
         "text_tfidf", "text_boilerplate", "text_chunks",
         "graph_shortest_paths", "graph_hits", "kg_graph_hashes",
         "kg_shacl_closed",
+        "text_collocations", "graph_walks", "kg_void",
+        "rdfs_graphs_entailment", "sample_weighted",
     ]
     for name in heads:
         fn = eq.QUERIES[name]
