@@ -4472,6 +4472,19 @@ def q_kg_shacl_closed(spark, sf_dir):
                     with_severity=True)
 
 
+def q_kg_shacl_report_rdf(spark, sf_dir):
+    """The violations report rendered as W3C validation-report RDF
+    (operators/shacl.py::report_triples): the kg_shacl_closed report
+    (with resolved severities) becomes sh:ValidationReport /
+    sh:ValidationResult triples — deterministic md5-derived result
+    bnodes, sh:conforms computed from the same frame — so the publish
+    gate's output feeds serializers and SPARQL like any graph.  Oracle
+    = the same rendering in SQL over the same report relation."""
+    from .operators.shacl import report_triples
+
+    return report_triples(q_kg_shacl_closed(spark, sf_dir))
+
+
 def q_stream_shacl_maintain(spark, sf_dir):
     """Incremental SHACL maintenance end-to-end: the SAME KG the batch
     ``kg_shacl_report`` validates, written as four ``.nq`` slice files
@@ -5311,6 +5324,7 @@ QUERIES = {
     "kg_shacl_paths": q_kg_shacl_paths,
     "kg_shacl_graphs": q_kg_shacl_graphs,
     "kg_shacl_closed": q_kg_shacl_closed,
+    "kg_shacl_report_rdf": q_kg_shacl_report_rdf,
     "rdfs_schema_cycles": q_rdfs_schema_cycles,
     "owl_chain_entailment": q_owl_chain_entailment,
     "kg_snapshot_merge": q_kg_snapshot_merge,
@@ -6037,6 +6051,56 @@ SELECT shape_id, focus, path, "constraint", value, severity FROM (
          'http://www.w3.org/ns/shacl#Info'
   FROM nation WHERE n_nationkey >= 20
   -- the deactivated urn:shape:Audit contributes nothing by design
+)"""
+
+ORACLES["kg_shacl_report_rdf"] = """
+WITH rep(shape_id, focus, path, "constraint", value, severity) AS (
+  SELECT 'urn:shape:NationClosed', 'urn:nation:' || n_nationkey,
+         'urn:rel:slug', 'closed', lower(n_name),
+         'http://www.w3.org/ns/shacl#Warning'
+  FROM nation
+  UNION ALL
+  SELECT 'urn:shape:NationClosed', 'urn:nation:' || n_nationkey,
+         'urn:rel:pop', 'minInclusive', CAST(n_nationkey AS VARCHAR),
+         'http://www.w3.org/ns/shacl#Info'
+  FROM nation WHERE n_nationkey < 5
+  UNION ALL
+  SELECT 'urn:shape:NationClosed', 'urn:nation:' || n_nationkey,
+         'urn:rel:pop', 'maxExclusive', CAST(n_nationkey AS VARCHAR),
+         'http://www.w3.org/ns/shacl#Info'
+  FROM nation WHERE n_nationkey >= 20
+),
+nodes AS (
+  SELECT *, '_:r' || md5(concat_ws(chr(31), shape_id, focus, path,
+                                   "constraint", value, severity))
+         AS node
+  FROM rep
+)
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM (
+  SELECT '_:report' AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://www.w3.org/ns/shacl#ValidationReport' AS obj_value,
+         'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang
+  UNION ALL SELECT '_:report', 'http://www.w3.org/ns/shacl#conforms',
+    'false', 'literal', NULL
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#focusNode',
+    focus, 'uri', NULL FROM nodes
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#resultPath',
+    path, 'uri', NULL FROM nodes
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#value', value,
+    CASE WHEN value LIKE 'urn:%' OR value LIKE 'http%'
+         THEN 'uri' ELSE 'literal' END, NULL FROM nodes
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#sourceShape',
+    shape_id, 'uri', NULL FROM nodes
+  UNION ALL SELECT node,
+    'http://www.w3.org/ns/shacl#sourceConstraintComponent',
+    'http://www.w3.org/ns/shacl#' || upper("constraint"[1])
+      || "constraint"[2:] || 'ConstraintComponent',
+    'uri', NULL FROM nodes
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#resultSeverity',
+    severity, 'uri', NULL FROM nodes
+  UNION ALL SELECT '_:report', 'http://www.w3.org/ns/shacl#result',
+    node, 'bnode', NULL FROM nodes
 )"""
 
 ORACLES["kg_shacl_report"] = """

@@ -1158,3 +1158,79 @@ def conforms(triples: DataFrame, shapes) -> bool:
     Control-plane limit-1 probe."""
     rep = validate(triples, shapes, with_severity=True)
     return rep.filter(F.col("severity") == SH + "Violation").isEmpty()
+
+
+def report_triples(report: DataFrame,
+                   report_node: str = "_:report") -> DataFrame:
+    """Render a violations report as W3C SHACL validation-report RDF
+    (sh:ValidationReport / sh:ValidationResult), so the publish gate's
+    output feeds the repo's serializers and SPARQL like any graph.
+
+    Per report row: one result bnode carrying sh:focusNode,
+    sh:resultPath (omitted for node-level '' paths), sh:value (the
+    report's value column is untyped — cardinality counts and offending
+    terms alike — so its kind is re-derived heuristically: urn:/http
+    prefixes render as IRIs, everything else as a literal),
+    sh:sourceShape, sh:sourceConstraintComponent
+    (sh:<Constraint>ConstraintComponent from the report's constraint
+    label), and sh:resultSeverity when the report carries the severity
+    column (validate(with_severity=True)); plus the report header
+    (rdf:type sh:ValidationReport, sh:conforms true/false — computed
+    from the same frame, one control-plane limit-1 probe).
+
+    Result bnode labels derive from the md5 of the full row, so the
+    rendering is deterministic and value-hash stable; duplicate report
+    rows collapse to one result node.  Scale shape: one dedup exchange
+    plus a row-local explode of the per-row statement array — nothing
+    else.
+    """
+    spark = report.sparkSession
+    has_sev = "severity" in report.columns
+    has_graph = "graph" in report.columns
+    cols = ["shape_id", "focus", "path", "constraint", "value"] \
+        + (["severity"] if has_sev else [])
+    rep = report.select(*cols).dropDuplicates()
+    node = F.concat(F.lit("_:r"), F.md5(F.concat_ws("\x1f", *cols)))
+    if has_graph:
+        raise ShaclUnsupported(
+            "render per-graph reports one graph at a time (filter on "
+            "the graph column first)")
+
+    def stmt(p, v, kind):
+        return F.struct(F.lit(SH + p).alias("pred"),
+                        v.alias("obj_value"), F.lit(kind).alias("obj_kind"))
+
+    component = F.concat(
+        F.lit(SH), F.upper(F.substring("constraint", 1, 1)),
+        F.expr("substring(constraint, 2)"), F.lit("ConstraintComponent"))
+    stmts = F.array_compact(F.array(
+        stmt("focusNode", F.col("focus"),
+             F.when(F.col("focus").startswith("_:"), "bnode")
+             .otherwise("uri")),
+        F.when(F.col("path") != "",
+               stmt("resultPath", F.col("path"), F.lit("uri"))),
+        stmt("value", F.col("value"),
+             F.when(F.col("value").startswith("urn:")
+                    | F.col("value").startswith("http"), "uri")
+             .otherwise("literal")),
+        stmt("sourceShape", F.col("shape_id"), F.lit("uri")),
+        stmt("sourceConstraintComponent", component, F.lit("uri")),
+        *([stmt("resultSeverity", F.col("severity"), F.lit("uri"))]
+          if has_sev else [])))
+    results = (rep.select(node.alias("subj"), F.explode(stmts).alias("s"))
+               .select("subj", F.col("s.pred").alias("pred"),
+                       F.col("s.obj_value").alias("obj_value"),
+                       F.col("s.obj_kind").alias("obj_kind"),
+                       F.lit(None).cast("string").alias("obj_lang")))
+    links = rep.select(
+        F.lit(report_node).alias("subj"),
+        F.lit(SH + "result").alias("pred"),
+        node.alias("obj_value"), F.lit("bnode").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    conforms_val = "false" if rep.limit(1).count() else "true"
+    header = spark.createDataFrame(
+        [(report_node, RDF_TYPE, SH + "ValidationReport", "uri", None),
+         (report_node, SH + "conforms", conforms_val, "literal", None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string")
+    return header.unionByName(results).unionByName(links)

@@ -1043,3 +1043,56 @@ class TestDeactivatedAndSeverity:
           sh:property [ sh:path <urn:p:n> ; sh:minCount 1 ] ."""
         with pytest.raises(ShaclUnsupported, match="severity"):
             shapes_from_graph(iter_turtle(ttl))
+
+
+class TestReportTriples:
+    """report_triples: the report rendered as W3C validation-report RDF."""
+
+    TTL = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+    <urn:s:R> a sh:NodeShape ; sh:targetSubjectsOf <urn:p:n> ;
+      sh:severity sh:Warning ;
+      sh:property [ sh:path <urn:p:n> ; sh:maxCount 1 ] ."""
+
+    def _render(self, spark, rows, with_severity=False):
+        from meresco_rdf_spark.operators.shacl import (
+            report_triples,
+            validate,
+        )
+        rep = validate(tri(spark, rows),
+                       shapes_from_graph(iter_turtle(self.TTL)),
+                       with_severity=with_severity)
+        return {(r.subj, r.pred, r.obj_value, r.obj_kind)
+                for r in report_triples(rep).collect()}
+
+    BAD = [("urn:a", "urn:p:n", "x", "literal", None),
+           ("urn:a", "urn:p:n", "y", "literal", None)]
+
+    def test_violation_renders_result_node(self, spark):
+        got = self._render(spark, self.BAD)
+        assert ("_:report", RDF_TYPE, SH + "ValidationReport", "uri") in got
+        assert ("_:report", SH + "conforms", "false", "literal") in got
+        results = {s for (s, p, v, k) in got if p == SH + "focusNode"}
+        assert len(results) == 1
+        (node,) = results
+        assert (node, SH + "focusNode", "urn:a", "uri") in got
+        assert (node, SH + "resultPath", "urn:p:n", "uri") in got
+        assert (node, SH + "value", "2", "literal") in got
+        assert (node, SH + "sourceShape", "urn:s:R", "uri") in got
+        assert (node, SH + "sourceConstraintComponent",
+                SH + "MaxCountConstraintComponent", "uri") in got
+        assert ("_:report", SH + "result", node, "bnode") in got
+
+    def test_severity_column_renders_when_present(self, spark):
+        got = self._render(spark, self.BAD, with_severity=True)
+        assert any(p == SH + "resultSeverity" and v == SH + "Warning"
+                   for (_, p, v, _k) in got)
+        got2 = self._render(spark, self.BAD, with_severity=False)
+        assert not any(p == SH + "resultSeverity"
+                       for (_, p, v, _k) in got2)
+
+    def test_conforming_report_is_header_only(self, spark):
+        got = self._render(spark, [("urn:a", "urn:p:n", "x",
+                                    "literal", None)])
+        assert got == {
+            ("_:report", RDF_TYPE, SH + "ValidationReport", "uri"),
+            ("_:report", SH + "conforms", "true", "literal")}
