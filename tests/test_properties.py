@@ -405,3 +405,147 @@ def test_quantified_path_agrees_with_pure_python_closure(spark, edges,
         df, "SELECT DISTINCT ?x ?y WHERE { ?x %s ?y }" % rendered
     ).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-3 closing-session operators vs pure-Python models
+# ---------------------------------------------------------------------------
+
+_WORDS = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                  min_size=0, max_size=9)
+_CHUNK_DOCS = st.lists(_WORDS, min_size=1, max_size=4)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_CHUNK_DOCS, st.integers(min_value=1, max_value=5),
+       st.integers(min_value=0, max_value=4))
+def test_chunking_matches_window_model(spark, docs, max_tokens, overlap):
+    """chunk_documents vs direct window arithmetic: every window starts
+    at a stride multiple, lengths cap at max_tokens, token streams are
+    exact slices, empty docs vanish."""
+    from meresco_rdf_spark.textops.chunking import chunk_documents
+
+    overlap = min(overlap, max_tokens - 1)
+    stride = max_tokens - overlap
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string")
+    got = {(r.doc, r.chunk_id): (r.n_tokens, r.chunk)
+           for r in chunk_documents(df, max_tokens, overlap).collect()}
+    want = {}
+    for i, words in enumerate(docs):
+        for ci, start in enumerate(range(0, len(words), stride)):
+            w = words[start:start + max_tokens]
+            want[(i, ci)] = (len(w), " ".join(w))
+    assert got == want
+
+
+_COLL_DOCS = st.lists(_WORDS, min_size=1, max_size=3)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_COLL_DOCS, st.integers(min_value=1, max_value=3))
+def test_collocations_match_counting_model(spark, docs, window):
+    from meresco_rdf_spark.textops.collocations import collocation_counts
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string")
+    got = {(r.x, r.y): (r.pair_count, r.x_count, r.y_count, r.n_tokens)
+           for r in collocation_counts(df, window=window).collect()}
+    pair, uni = {}, {}
+    for words in docs:
+        for i, x in enumerate(words):
+            uni[x] = uni.get(x, 0) + 1
+            for y in words[i + 1:i + 1 + window]:
+                pair[(x, y)] = pair.get((x, y), 0) + 1
+    n = sum(uni.values())
+    assert got == {(x, y): (c, uni[x], uni[y], n)
+                   for (x, y), c in pair.items()}
+
+
+_G_EDGES = st.lists(
+    st.tuples(st.sampled_from("abcde"), st.sampled_from("abcde")),
+    min_size=1, max_size=10, unique=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_G_EDGES, st.integers(min_value=1, max_value=4))
+def test_walks_match_hash_argmin_model(spark, edges, steps):
+    import hashlib
+
+    from meresco_rdf_spark.operators.graph_algos import deterministic_walks
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    starts = sorted({s for s, _ in edges})[:2]
+    sdf = spark.createDataFrame([(x,) for x in starts], "node string")
+    got = sorted(tuple(r) for r in
+                 deterministic_walks(df, sdf, steps).collect())
+
+    def h(wid, step, dst):
+        m = hashlib.md5(("\x1f".join([wid, str(step), dst])).encode())
+        return int(m.hexdigest()[:15], 16)
+
+    adj = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    want = []
+    for wid in starts:
+        node = wid
+        want.append((wid, 0, node))
+        for step in range(1, steps + 1):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            node = min(nbrs, key=lambda d: (h(wid, step, d), d))
+            want.append((wid, step, node))
+    assert got == sorted(want)
+
+
+_W_EDGES = st.lists(
+    st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd"),
+              st.integers(min_value=0, max_value=9)),
+    min_size=1, max_size=8, unique_by=lambda e: (e[0], e[1]))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_W_EDGES, st.integers(min_value=1, max_value=5))
+def test_shortest_paths_match_bellman_ford(spark, edges, max_hops):
+    from meresco_rdf_spark.operators.graph_algos import shortest_paths
+
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist
+           for r in shortest_paths(df, src, max_hops=max_hops).collect()}
+    dist = {"a": 0}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        if nxt == dist:
+            break
+        dist = nxt
+    assert got == dist
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=60, unique=True),
+       st.integers(min_value=0, max_value=1_000_000),
+       st.integers(min_value=0, max_value=1_000_000))
+def test_weighted_sample_monotone_in_rate(spark, ids, r1, r2):
+    """A row kept at the lower rate is kept at every higher rate (the
+    draw is one fixed number per id compared against the threshold)."""
+    from meresco_rdf_spark.textops.sampling import weighted_sample
+
+    lo, hi = min(r1, r2), max(r1, r2)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    a = {r.doc_id for r in weighted_sample(df, lo).collect()}
+    b = {r.doc_id for r in weighted_sample(df, hi).collect()}
+    assert a <= b
