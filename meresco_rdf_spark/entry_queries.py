@@ -3073,6 +3073,22 @@ def q_rdfs_entailment(spark, sf_dir):
                         schema_triples=_rdfs_onto_df(spark))
 
 
+def q_kg_edge_cut(spark, sf_dir):
+    """Bucket-locality diagnostic (kg/materialize.py::edge_cut_stats):
+    of the traversable uri-object edges (object appears as a subject),
+    the exact parts-per-million crossing a bucket boundary — the
+    shuffle a subject-co-located traversal pays per hop, measured
+    instead of hoped.  Buckets here assigned by md5 prefix (16-way) so
+    the oracle reproduces them bit-for-bit; production tables use the
+    xxhash64 bucket, same statistics."""
+    from .kg.materialize import edge_cut_stats
+
+    t = tpch_triples(spark, sf_dir).withColumn(
+        "subj_bucket",
+        F.conv(F.substring(F.md5("subj"), 1, 1), 16, 10).cast("int"))
+    return edge_cut_stats(t)
+
+
 def q_kg_void(spark, sf_dir):
     """VoID dataset self-description (operators/void_stats.py): the
     publish-metadata step — triples/distinctSubjects/distinctObjects/
@@ -5377,6 +5393,7 @@ QUERIES = {
     "owl_graphs_entailment": q_owl_graphs_entailment,
     "kg_void": q_kg_void,
     "kg_snapshot_compact": q_kg_snapshot_compact,
+    "kg_edge_cut": q_kg_edge_cut,
     "pricing_summary": q_pricing_summary,
     "pricing_pivot": q_pricing_pivot,
     "pricing_cube": q_pricing_cube,
@@ -5403,6 +5420,7 @@ QUERIES = {
     "owl_graphs_entailment": q_owl_graphs_entailment,
     "kg_void": q_kg_void,
     "kg_snapshot_compact": q_kg_snapshot_compact,
+    "kg_edge_cut": q_kg_edge_cut,
     "kg_snapshot_revalidate": q_kg_snapshot_revalidate,
     "graph_triangles": q_graph_triangles,
     "sparql_path_star": q_sparql_path_star,
@@ -5850,6 +5868,28 @@ SELECT i.subj, 'urn:rel:zoneOf',
                             AS INTEGER) % 2),
        'uri', CAST(NULL AS VARCHAR)
 FROM in_region i""")
+
+ORACLES["kg_edge_cut"] = _fmt("""
+WITH {cte},
+b AS (
+  SELECT *, CAST(('0x' || substr(md5(subj), 1, 1)) AS INTEGER)
+         AS subj_bucket
+  FROM triples
+),
+subj_b AS (
+  SELECT subj AS o_subj, MIN(subj_bucket) AS o_bucket FROM b
+  GROUP BY subj
+),
+joined AS (
+  SELECT e.subj_bucket AS s_bucket, s.o_bucket
+  FROM b e JOIN subj_b s ON s.o_subj = e.obj_value
+  WHERE e.obj_kind = 'uri'
+)
+SELECT COUNT(*) AS n_edges,
+       SUM(CASE WHEN s_bucket != o_bucket THEN 1 ELSE 0 END) AS cut_edges,
+       SUM(CASE WHEN s_bucket != o_bucket THEN 1 ELSE 0 END) * 1000000
+         // COUNT(*) AS cut_ppm
+FROM joined""")
 
 ORACLES["kg_void"] = _fmt("""
 WITH {cte},

@@ -309,3 +309,35 @@ def merge_triple_table(spark, path: str, adds: DataFrame | None = None,
         .filter(F.col("subj_bucket").isin(touched)).count()
         if has_buckets else 0)
     return {"buckets_touched": touched, "rows_after": rows_after}
+
+
+def edge_cut_stats(triples: DataFrame,
+                   bucket_col: str = "subj_bucket") -> DataFrame:
+    """Locality diagnostic for a bucketed triple table: of the
+    uri-object edges whose object also appears as a subject (the edges
+    a traversal or self-join actually follows), how many cross a
+    bucket boundary — i.e. the shuffle a subject-co-located plan pays
+    per hop.  Returns one row
+    ``(n_edges, cut_edges, cut_ppm)`` with the ratio in exact
+    parts-per-million (BIGINT, no float).
+
+    Operational use: compare layouts (hash vs domain-aware bucketing)
+    and justify ``assume_conv_partitioned``-style elisions with a
+    number instead of a hope.  Plan: one dedup of the (subj, bucket)
+    projection (bucket is functional on subj), one obj-keyed join of
+    the uri-edge slice, one global aggregate — no corpus-sized
+    broadcast.
+    """
+    subj_b = (triples.select("subj", bucket_col)
+              .dropDuplicates(["subj"])
+              .select(F.col("subj").alias("o_subj"),
+                      F.col(bucket_col).alias("o_bucket")))
+    edges = (triples.filter(F.col("obj_kind") == "uri")
+             .select(F.col(bucket_col).alias("s_bucket"), "obj_value"))
+    joined = edges.join(subj_b, edges["obj_value"] == subj_b["o_subj"])
+    return joined.agg(
+        F.count("*").alias("n_edges"),
+        F.sum((F.col("s_bucket") != F.col("o_bucket")).cast("long"))
+        .alias("cut_edges")).select(
+        "n_edges", "cut_edges",
+        F.expr("cut_edges * 1000000 div n_edges").alias("cut_ppm"))
