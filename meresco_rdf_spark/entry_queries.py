@@ -2203,19 +2203,6 @@ def q_text_quality(spark, sf_dir):
         F.col("quality_score").cast("long").alias("quality_score"))
 
 
-def q_text_bpe_tokens(spark, sf_dir):
-    """BPE-ish sub-word token counts (letter/digit-boundary splitting).
-    The Spark regex uses lookarounds (unsupported by DuckDB's RE2), so
-    the oracle counts the equivalent closed form: maximal alnum runs +
-    non-space punctuation characters."""
-    from .textops.textstats import bpe_ish_tokens
-
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe"))
-
-
 def q_graph_contains(spark, sf_dir):
     """O8 batch existence: masked membership probes resolved in ONE scan
     of the triples relation (probes broadcast; null = wildcard position),
@@ -5269,6 +5256,29 @@ def q_text_bpe_tokens(spark, sf_dir):
         F.posexplode("bpe_tokens").alias("pos", "token"))
 
 
+def q_text_bpe_arrow(spark, sf_dir):
+    """BPE application via the PRODUCTION-vocab path
+    (textops/bpe.py::_apply_bpe_arrow): the same trained merges as
+    ``text_bpe_tokens`` applied through the single-pass Arrow
+    ``mapInPandas`` tokenizer (per-batch unique-word cache,
+    lowest-rank-pair iteration — provably equivalent to the rank-order
+    fold for trained merge lists, see apply_bpe's docstring).  Zero
+    shuffle and O(1) plan depth in vocabulary size, vs. the fold
+    path's K-deep expression tree — this is the strategy auto-selected
+    above ARROW_MERGE_THRESHOLD merges.  Oracle = the SAME committed
+    golden as text_bpe_tokens (golden_ref.ref_bpe_tokens), so the
+    driver pins cross-strategy parity."""
+    from .textops.bpe import apply_bpe, train_bpe
+
+    t = _synth_transcripts(spark)
+    merges = train_bpe(t, n_merges=10, min_count=2)
+    toks = apply_bpe(t, merges, id_cols=["conv_id", "turn_idx"],
+                     strategy="arrow")
+    return toks.select(
+        "conv_id", "turn_idx",
+        F.posexplode("bpe_tokens").alias("pos", "token"))
+
+
 def q_text_chunks(spark, sf_dir):
     """Fixed-window chunking with overlap
     (textops/chunking.py::chunk_documents): 16-token windows sliding by
@@ -5390,6 +5400,7 @@ QUERIES = {
     "events_range_hot_hours_bucketized": q_events_range_hot_hours_bucketized,
     "events_quantiles": q_events_quantiles,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "text_bpe_arrow": q_text_bpe_arrow,
     "owl_graphs_entailment": q_owl_graphs_entailment,
     "kg_void": q_kg_void,
     "kg_snapshot_compact": q_kg_snapshot_compact,
@@ -5494,21 +5505,31 @@ QUERIES = {
 }
 
 
-# Queries with a driver-written green CORRECTNESS_r02 row (frozen list —
-# provenance, not config).  The reorder below keeps every entry but moves
-# anything NOT in this set to the front, so a budget-capped driver run
-# always covers never-driver-verified queries (including everything new
-# this round) before re-proving the proven.
-_R02_GREEN = frozenset({
+# Queries with a driver-written green CORRECTNESS row in ANY of rounds
+# r01/r02/r03 (frozen union of the three driver files -- provenance, not
+# config).  The reorder below keeps every entry but moves anything NOT in
+# this set to the front, so the driver's budget-capped run (50/round)
+# covers the 47 never-driver-verified queries (plus anything new this
+# round) before re-proving the proven.  47 + round-4 additions < 50, so
+# CORRECTNESS_r04 closes the provenance gap in one rotation.
+_DRIVER_GREEN = frozenset({
     "dedup_clusters",
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
+    "embed_cosine_topk",
+    "embed_dup_clusters",
+    "embed_dup_pairs",
+    "events_asof_signup",
+    "events_quantiles",
+    "events_range_hot_hours",
+    "events_sessions",
     "graph_add_dedup",
     "graph_adjacency_topk",
     "graph_bgp",
     "graph_connected_components",
+    "graph_contains",
     "graph_diff",
     "graph_find_labels",
     "graph_in_degree",
@@ -5520,21 +5541,63 @@ _R02_GREEN = frozenset({
     "graph_pagerank",
     "graph_remove",
     "graph_scan_masked",
+    "jsonld_ingest",
+    "jsonld_roundtrip",
+    "kg_canonical_map",
+    "kg_checkpoint_resume",
+    "kg_e2e_sparql",
+    "kg_entity_labels",
+    "kg_mentions",
+    "kg_rdfxml_shards",
+    "kg_shacl_closed",
+    "kg_shacl_graphs",
+    "kg_shacl_paths",
+    "kg_shacl_report",
+    "kg_shacl_report_rdf",
+    "kg_snapshot_merge",
+    "kg_snapshot_sparql",
+    "kg_sparql_entities",
+    "kg_structure_triples",
+    "kg_triples",
+    "nq_ingest",
+    "nq_roundtrip",
+    "nt_ingest",
+    "nt_roundtrip",
+    "owl_chain_entailment",
+    "pricing_cube",
+    "pricing_pivot",
+    "pricing_summary",
+    "rdf_ingest_dir",
+    "rdfs_schema_cycles",
+    "rdfxml_roundtrip",
+    "scalar_functions",
+    "scalar_matches_iri",
+    "similarity_ivf_arrow",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
     "sparql_agg_expr",
     "sparql_aggregate",
     "sparql_arithmetic",
     "sparql_ask",
     "sparql_construct",
+    "sparql_dataset_ingest",
+    "sparql_datetime_funcs",
     "sparql_describe",
     "sparql_group_concat",
+    "sparql_group_order_expr",
+    "sparql_hash_funcs",
     "sparql_having",
+    "sparql_json_decode",
     "sparql_json_encode",
     "sparql_minus",
+    "sparql_named_graphs",
     "sparql_negated_set",
     "sparql_not_exists",
     "sparql_optional",
     "sparql_path_alt_plus",
+    "sparql_path_graph_var",
     "sparql_path_inverse",
+    "sparql_path_mixed",
     "sparql_path_seq",
     "sparql_scalar_funcs",
     "sparql_select_bgp",
@@ -5542,7 +5605,10 @@ _R02_GREEN = frozenset({
     "sparql_subquery",
     "sparql_union",
     "sparql_update",
+    "sparql_update_graphs",
     "sparql_values_bind",
+    "stream_mention_rate",
+    "stream_shacl_maintain",
     "text_decontaminate",
     "text_fingerprint",
     "text_lang_id",
@@ -5550,11 +5616,16 @@ _R02_GREEN = frozenset({
     "text_quality",
     "text_simhash",
     "text_token_count",
+    "trig_ingest",
+    "trig_roundtrip",
+    "ttl_ingest",
+    "ttl_roundtrip",
 })
 
+
 QUERIES = {name: QUERIES[name] for group in (
-    [n for n in QUERIES if n not in _R02_GREEN],
-    [n for n in QUERIES if n in _R02_GREEN],
+    [n for n in QUERIES if n not in _DRIVER_GREEN],
+    [n for n in QUERIES if n in _DRIVER_GREEN],
 ) for name in group}
 
 
@@ -5687,11 +5758,6 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "scalar_matches_iri": "SELECT candidate, is_iri FROM (VALUES\n  %s) AS t(candidate, is_iri)" % ",\n  ".join(
         "('%s', %s)" % (c.replace("'", "''"), "TRUE" if e else "FALSE")
         for c, e in _IRI_CASES),
-    "text_bpe_tokens": """
-SELECT doc_id,
-  (len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x != ''))
-   + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_bpe
-FROM documents""",
     "graph_contains": _fmt("""
 WITH {cte},
 probes(probe_id, p_subj, p_pred, p_obj) AS (VALUES
@@ -6524,6 +6590,10 @@ ORACLES["text_bpe"] = """
 SELECT * FROM read_parquet('/root/repo/tests/golden/text_bpe.parquet')"""
 
 ORACLES["text_bpe_tokens"] = """
+SELECT * FROM
+read_parquet('/root/repo/tests/golden/text_bpe_tokens.parquet')"""
+
+ORACLES["text_bpe_arrow"] = """
 SELECT * FROM
 read_parquet('/root/repo/tests/golden/text_bpe_tokens.parquet')"""
 

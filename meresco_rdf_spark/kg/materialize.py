@@ -335,9 +335,16 @@ def edge_cut_stats(triples: DataFrame,
     edges = (triples.filter(F.col("obj_kind") == "uri")
              .select(F.col(bucket_col).alias("s_bucket"), "obj_value"))
     joined = edges.join(subj_b, edges["obj_value"] == subj_b["o_subj"])
+    # Empty-corpus guard: sum() over zero rows is NULL and the ppm ratio
+    # would divide by zero — a diagnostic must return defined zeros, not
+    # a row of NULLs.
     return joined.agg(
         F.count("*").alias("n_edges"),
-        F.sum((F.col("s_bucket") != F.col("o_bucket")).cast("long"))
+        F.coalesce(
+            F.sum((F.col("s_bucket") != F.col("o_bucket")).cast("long")),
+            F.lit(0).cast("long"))
         .alias("cut_edges")).select(
         "n_edges", "cut_edges",
-        F.expr("cut_edges * 1000000 div n_edges").alias("cut_ppm"))
+        F.when(F.col("n_edges") > 0,
+               F.expr("cut_edges * 1000000 div n_edges"))
+        .otherwise(F.lit(0).cast("long")).alias("cut_ppm"))

@@ -231,6 +231,14 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
         raise ValueError("max_hops must be >= 1")
     e = edges.select("src", "dst",
                      F.col("weight").cast("long").alias("weight")).persist()
+    # Early-exit convergence and the hop-bound semantics are only sound
+    # for non-negative weights (a relaxed node never needs re-expanding
+    # once settled); negative weights would return silently wrong
+    # distances, so refuse them loudly.
+    if e.filter(F.col("weight") < 0).limit(1).count():
+        e.unpersist()
+        raise ValueError(
+            "shortest_paths requires non-negative integer weights")
     dist = (sources.select("node").distinct()
             .select("node", F.lit(0).cast("long").alias("dist"))
             .localCheckpoint(eager=True))

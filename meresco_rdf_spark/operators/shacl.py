@@ -136,6 +136,18 @@ class ShaclUnsupported(ValueError):
     """A shapes-graph construct outside the supported SHACL-core subset."""
 
 
+def _numeric_bound(pred: str, val) -> float:
+    """Parse a sh:min/maxInclusive/Exclusive bound, keeping the module's
+    loud-rejection discipline: a non-numeric bound literal is a shapes
+    authoring error, reported as ShaclUnsupported rather than a bare
+    ValueError from float()."""
+    try:
+        return float(val)
+    except (TypeError, ValueError):
+        raise ShaclUnsupported(
+            "non-numeric %s bound %r" % (pred.rsplit("#", 1)[-1], val))
+
+
 # --------------------------------------------------------------------------
 # shapes-graph parsing (driver-side; shapes graphs are KB-sized)
 # --------------------------------------------------------------------------
@@ -389,13 +401,13 @@ def _parse_property(by_subj: dict, node: str, rdf_list,
         elif p == SH + "uniqueLang":
             prop["unique_lang"] = val == "true"
         elif p == SH + "minInclusive":
-            prop["min_inclusive"] = float(val)
+            prop["min_inclusive"] = _numeric_bound(p, val)
         elif p == SH + "maxInclusive":
-            prop["max_inclusive"] = float(val)
+            prop["max_inclusive"] = _numeric_bound(p, val)
         elif p == SH + "minExclusive":
-            prop["min_exclusive"] = float(val)
+            prop["min_exclusive"] = _numeric_bound(p, val)
         elif p == SH + "maxExclusive":
-            prop["max_exclusive"] = float(val)
+            prop["max_exclusive"] = _numeric_bound(p, val)
         elif p == SH + "deactivated":
             prop["deactivated"] = val == "true"
         elif p == SH + "severity":

@@ -63,12 +63,17 @@ def collocation_counts(docs: DataFrame, window: int = 2,
     if min_count > 1:
         pair_counts = pair_counts.filter(
             F.col("pair_count") >= min_count)
-    # vocabulary-sized; cached because it feeds the total (an action)
-    # plus both marginal joins — without it the corpus would re-scan
-    # three times
+    # vocabulary-sized; materialized because it feeds the total (an
+    # action) plus both marginal joins — without it the corpus would
+    # re-scan three times.  localCheckpoint rather than persist: the
+    # blocks are released by the ContextCleaner when the returned plan
+    # is dropped, so repeated calls in one session don't accumulate
+    # leaked cache entries (persist would need an explicit unpersist
+    # AFTER the caller finishes executing the result, which we can't
+    # schedule from here).
     uni = (toks.select(F.explode("t").alias("tok"))
            .groupBy("tok").agg(F.count("*").alias("cnt"))
-           .persist())
+           .localCheckpoint(eager=True))
     total = uni.agg(F.sum("cnt")).collect()[0][0] or 0
     return (pair_counts
             .join(uni.select(F.col("tok").alias("x"),

@@ -112,3 +112,72 @@ def test_sample_training_applies_corpus_wide(spark):
 def test_bad_k_raises(spark):
     with pytest.raises(ValueError):
         train_bpe(docs(spark, ROWS), 0)
+
+
+# --- Arrow (mapInPandas) production-vocab apply path -----------------------
+
+def test_arrow_apply_matches_fold_and_reference(spark):
+    merges = train_bpe(docs(spark, ROWS), 8)
+    fold = {r.doc_id: list(r.bpe_tokens)
+            for r in apply_bpe(docs(spark, ROWS), merges,
+                               strategy="fold").collect()}
+    arrow = {r.doc_id: list(r.bpe_tokens)
+             for r in apply_bpe(docs(spark, ROWS), merges,
+                                strategy="arrow").collect()}
+    assert arrow == fold == {d: _pyapply(t, merges) for d, t in ROWS}
+
+
+def test_arrow_apply_greedy_overlap(spark):
+    rows = [(1, "aaaa aaaa")]
+    merges = train_bpe(docs(spark, rows), 1, min_count=2)
+    got = apply_bpe(docs(spark, rows), merges,
+                    strategy="arrow").collect()[0].bpe_tokens
+    assert list(got) == ["aa", "a", "a</w>", "aa", "a", "a</w>"]
+
+
+def test_arrow_apply_drops_empty_docs_like_fold(spark):
+    rows = [(1, "low low"), (2, "   "), (3, None), (4, "")]
+    merges = train_bpe(docs(spark, [(1, "low low")]), 2, min_count=2)
+    for strategy in ("fold", "arrow"):
+        got = apply_bpe(docs(spark, rows), merges,
+                        strategy=strategy).collect()
+        assert [r.doc_id for r in got] == [1], strategy
+
+
+def test_auto_strategy_switches_on_merge_count(spark):
+    from meresco_rdf_spark.textops.bpe import ARROW_MERGE_THRESHOLD
+    few = [(i, "x", "y", 2) for i in range(2)]
+    many = [(i, "x", "y", 2) for i in range(ARROW_MERGE_THRESHOLD + 1)]
+    d = docs(spark, ROWS)
+    plan_few = apply_bpe(d, few)._jdf.queryExecution().toString()
+    plan_many = apply_bpe(d, many)._jdf.queryExecution().toString()
+    assert "MapInPandas" not in plan_few
+    assert "MapInPandas" in plan_many
+
+
+def test_production_vocab_compiles_and_runs(spark):
+    # 1,000 chained merges: the fold path's expression tree would blow
+    # Catalyst analysis long before data size matters; the arrow path
+    # must stay O(1) in plan depth and actually tokenize.  Merge list
+    # built in trained form (each left is the product of the previous
+    # merge), over a 1,001-char word of distinct non-ascii letters.
+    chars = [chr(0x4E00 + i) for i in range(1001)]  # caseless, distinct
+    word = "".join(chars)
+    merges, acc = [], chars[0]
+    for i in range(1, 1001):
+        right = chars[i] + ("</w>" if i == 1000 else "")
+        merges.append((i - 1, acc, right, 2))
+        acc = acc + right
+    d = docs(spark, [(1, word), (2, word + " " + word)])
+    out = {r.doc_id: list(r.bpe_tokens)
+           for r in apply_bpe(d, merges).collect()}
+    assert out[1] == [word + "</w>"]
+    assert out[2] == [word + "</w>", word + "</w>"]
+    # guard: auto really chose the flat-plan path
+    plan = apply_bpe(d, merges)._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan
+
+
+def test_bad_strategy_raises(spark):
+    with pytest.raises(ValueError, match="strategy"):
+        apply_bpe(docs(spark, ROWS), [], strategy="nope")

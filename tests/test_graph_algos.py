@@ -136,6 +136,15 @@ def _run_sssp(spark, triples_, sources, max_hops=10):
     return got
 
 
+def test_sssp_negative_weight_rejected(spark):
+    # convergence/early-exit is only sound for non-negative weights;
+    # silently wrong distances are worse than a loud refusal
+    from meresco_rdf_spark.operators.graph_algos import shortest_paths
+    src = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths(_wedges(spark, [("a", "b", -1)]), src, max_hops=3)
+
+
 def test_sssp_matches_model(spark):
     tri = [("a", "b", 4), ("a", "c", 1), ("c", "b", 1), ("b", "d", 1),
            ("c", "d", 10), ("d", "e", 2)]

@@ -25,3 +25,13 @@ class TestEdgeCut:
                 ("b", "p", "a", "uri", None, 3)]
         got = edge_cut_stats(self._t(spark, rows)).collect()[0]
         assert (got.n_edges, got.cut_edges, got.cut_ppm) == (2, 0, 0)
+
+    def test_zero_traversable_edges_yields_defined_zeros(self, spark):
+        # a corpus with no uri-object edge that resolves to a subject
+        # must report (0, 0, 0), not a row of NULLs (sum over empty is
+        # NULL; the ppm ratio would divide by zero)
+        from meresco_rdf_spark.kg.materialize import edge_cut_stats
+        rows = [("a", "q", "lit", "literal", None, 0),
+                ("a", "p", "dangling", "uri", None, 0)]
+        got = edge_cut_stats(self._t(spark, rows)).collect()[0]
+        assert (got.n_edges, got.cut_edges, got.cut_ppm) == (0, 0, 0)

@@ -698,3 +698,26 @@ class TestPerGraphClosure:
                  "thing", "literal", None)]
         with pytest.raises(OwlUnsupportedPattern, match="reserved"):
             self._run(spark, rows)
+
+    def test_axiom_over_reserved_term_rejected(self, spark):
+        # (c1 equivalentClass owl:Thing) in g1 + (c2 equivalentClass
+        # owl:Thing) in g2: owl:Thing stays unprefixed, so the two
+        # graphs' class orbits would merge through it — g1 would gain
+        # (x rdf:type ex:c2) from g2's axiom.  Must be refused, not
+        # silently leaked.
+        thing = "http://www.w3.org/2002/07/owl#Thing"
+        rows = [("g1", "ex:c1", OWL_EQUIV_CLASS, thing, "uri", None),
+                ("g2", "ex:c2", OWL_EQUIV_CLASS, thing, "uri", None),
+                ("g1", "urn:x", RDF_TYPE, "ex:c1", "uri", None)]
+        with pytest.raises(OwlUnsupportedPattern, match="leak"):
+            self._run(spark, rows)
+        # reserved SUBJECT endpoint is the symmetric leak
+        rows2 = [("g1", thing, OWL_EQUIV_CLASS, "ex:c1", "uri", None)]
+        with pytest.raises(OwlUnsupportedPattern, match="leak"):
+            self._run(spark, rows2)
+        # inverseOf onto a reserved predicate leaks the property orbit
+        rows3 = [("g1", "ex:p", OWL_INVERSE_OF,
+                  "http://www.w3.org/2000/01/rdf-schema#seeAlso",
+                  "uri", None)]
+        with pytest.raises(OwlUnsupportedPattern, match="leak"):
+            self._run(spark, rows3)

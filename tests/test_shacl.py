@@ -89,6 +89,13 @@ class TestShapesFromGraph:
         with pytest.raises(ShaclUnsupported, match="nodeKind"):
             shapes_from_graph(iter_turtle(ttl))
 
+    def test_non_numeric_bound_raises_shacl_unsupported(self):
+        ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        <urn:s> a sh:NodeShape ; sh:targetClass <urn:C> ;
+          sh:property [ sh:path <urn:p> ; sh:minInclusive "abc" ] ."""
+        with pytest.raises(ShaclUnsupported, match="non-numeric"):
+            shapes_from_graph(iter_turtle(ttl))
+
     def test_shape_without_target_raises(self):
         ttl = """@prefix sh: <http://www.w3.org/ns/shacl#> .
         <urn:s> a sh:NodeShape ;
