@@ -4065,6 +4065,30 @@ def q_multimodal_features(spark, sf_dir):
         F.round(F.col("f").cast("double") * 255).cast("long").alias("byte_val"))
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode end-to-end, no codec library required:
+    deterministic 16x16 RGB PNGs (pixel (y,x,c) = (3x+5y+7m+11c) % 256,
+    row filters cycling through all five PNG filter types) synthesized
+    worker-side, decoded by the pure-stdlib PNG decoder
+    (textops/multimodal.py::decode_png — zlib inflate + Sub/Up/Average/
+    Paeth reconstruction), pooled into 8 band means, and quantized back
+    to integer byte values.  The oracle re-derives every value from the
+    pixel formula in pure SQL — if the encoder, decoder, any filter
+    branch, or the pooling kernel is wrong, the hash mismatches.
+    Quantization is float32-safe: every exact band mean sits >= 0.16
+    from a rounding boundary (verified exhaustively)."""
+    from .textops.multimodal import extract_features, synthesize_png_media
+
+    media = synthesize_png_media(spark, 64, size=16)
+    feats = extract_features(media, dim=8, use_fake=False)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("i", "f")
+    ).select(
+        "media_id", F.col("i").cast("long").alias("i"),
+        F.round(F.col("f").cast("double") * 255).cast("long")
+        .alias("byte_val"))
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Distributed image resize plumbing (8x8 RGB): image rows only,
     Arrow mapInPandas, fake kernel = sha256 hex stream of the payload
@@ -4090,6 +4114,16 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 ORACLES_MULTIMODAL_EXTRA = {
+    "multimodal_decode": """
+WITH px AS (
+  SELECT m.range AS mid, y.range AS y,
+         ((3*x.range + 5*y.range + 7*m.range) % 256
+        + (3*x.range + 5*y.range + 7*m.range + 11) % 256
+        + (3*x.range + 5*y.range + 7*m.range + 22) % 256) AS s
+  FROM range(0, 64) m, range(0, 16) y, range(0, 16) x)
+SELECT 'png' || mid AS media_id, CAST(y // 2 AS BIGINT) AS i,
+       CAST(ROUND(SUM(s) / 96.0) AS BIGINT) AS byte_val
+FROM px GROUP BY mid, y // 2""",
     "multimodal_resize": """
 WITH ids AS (SELECT range AS id FROM range(0, 96)),
 m AS (SELECT 'm' || id AS media_id, sha256('media-42-' || id) AS h
@@ -5392,6 +5426,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_ivf_arrow": q_similarity_ivf_arrow,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "events_sessions": q_events_sessions,

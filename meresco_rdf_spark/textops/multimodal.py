@@ -6,9 +6,13 @@ frame-sample) runs as Arrow-batched ``mapInPandas`` stages so payload
 bytes never round-trip through Python row objects.
 
 Image decode probes for a real codec at runtime (Pillow first, then
-OpenCV — ``_image_codec``); when neither is importable (this container
-ships neither), real-decode mode raises ``NotImplementedError`` with a
-clear message and the deterministic fake remains the test-mode kernel.
+OpenCV, then the always-available pure-stdlib PNG decoder
+``decode_png`` — ``_image_codec``).  The stdlib branch makes REAL
+decode executable even in containers shipping neither library (this
+one); it covers 8-bit grey/RGB/(+alpha) non-interlaced PNG, and any
+payload outside that subset still raises ``NotImplementedError`` with
+a clear message.  The deterministic fake remains the default
+test-mode kernel for oracle-checkable plumbing runs.
 The Spark-side contract (schemas, partitioning, UDF signatures, Arrow
 batch shapes) is identical in all three modes and tested in all of
 them — ``extract_features`` also accepts an injected ``codec`` callable
@@ -51,12 +55,166 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decoder (zlib inflate + per-row filter
+    reconstruction, PNG spec §9): 8-bit greyscale / greyscale+alpha /
+    RGB / RGBA, non-interlaced.  Returns float32 (H, W, 3) in [0, 1]
+    (grey broadcast to RGB, alpha dropped) — the same contract as the
+    Pillow/OpenCV decoders, so the REAL decode branch is executable in
+    containers that ship neither.  Raises ``NotImplementedError`` for
+    non-PNG payloads and for PNG variants outside this subset (palette,
+    16-bit, interlaced), ``ValueError`` for corrupt PNG streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not isinstance(payload, (bytes, bytearray)) \
+            or not bytes(payload[:8]) == _PNG_MAGIC:
+        raise NotImplementedError(
+            "stdlib codec decodes PNG only (payload lacks the PNG "
+            "signature); other image formats require Pillow or OpenCV")
+    data = bytes(payload)
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk %r" % ctype)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG stream missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            "stdlib PNG codec supports 8-bit grey/RGB/(+alpha) only "
+            "(depth=%d colorType=%d); install Pillow or OpenCV for "
+            "palette/16-bit images" % (depth, color))
+    if interlace != 0:
+        raise NotImplementedError(
+            "stdlib PNG codec does not support Adam7 interlacing; "
+            "install Pillow or OpenCV")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    nchan = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError("corrupt PNG IDAT stream: %s" % e)
+    stride = w * nchan
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    prev = bytearray(stride)
+    rows = []
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:      # Sub
+            for i in range(nchan, stride):
+                line[i] = (line[i] + line[i - nchan]) & 0xFF
+        elif ftype == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:    # Average
+            for i in range(stride):
+                left = line[i - nchan] if i >= nchan else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for i in range(stride):
+                left = line[i - nchan] if i >= nchan else 0
+                ul = prev[i - nchan] if i >= nchan else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:    # None
+            raise ValueError("invalid PNG filter type %d" % ftype)
+        prev = line
+        rows.append(line)
+    px = np.frombuffer(b"".join(bytes(r) for r in rows),
+                       dtype=np.uint8).reshape(h, w, nchan)
+    if color in (0, 4):     # grey (+alpha) -> RGB
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif color == 6:        # drop alpha
+        px = px[:, :, :3]
+    return px.astype(np.float32) / 255.0
+
+
+def encode_png(pixels, filter_per_row=None) -> bytes:
+    """Pure-stdlib PNG writer for deterministic test/bench payloads:
+    8-bit RGB, non-interlaced.  ``pixels``: (H, W, 3) uint8-compatible
+    array; ``filter_per_row(y) -> 0..4`` selects each row's filter type
+    (default 0), letting tests exercise every reconstruction branch of
+    ``decode_png``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    stride = w * 3
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        line = bytearray(px[y].tobytes())
+        ftype = filter_per_row(y) if filter_per_row else 0
+        enc = bytearray(line)
+        if ftype == 1:
+            for i in range(stride - 1, 2, -1):
+                enc[i] = (line[i] - line[i - 3]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError("invalid filter type %d" % ftype)
+        raw.append(ftype)
+        raw.extend(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+            + chunk(b"IEND", b""))
+
+
 def _image_codec():
     """Probe for an image codec library.  Returns ``(name, decode)`` —
-    ``decode(payload: bytes) -> float32 ndarray (H, W, 3) in [0, 1]`` —
-    or ``None`` when neither Pillow nor OpenCV is importable.  Runs on
-    the worker (the probe result must reflect the EXECUTOR environment,
-    not the driver's)."""
+    ``decode(payload: bytes) -> float32 ndarray (H, W, 3) in [0, 1]``.
+    Pillow, then OpenCV, then the always-available stdlib PNG decoder
+    (``decode_png`` — PNG-only, so non-PNG payloads still gate loudly
+    with ``NotImplementedError``).  Runs on the worker (the probe result
+    must reflect the EXECUTOR environment, not the driver's)."""
     try:  # pragma: no cover - codec libs absent in this container
         import io
 
@@ -83,14 +241,16 @@ def _image_codec():
 
         return ("opencv", decode_cv2)
     except ImportError:
-        return None
+        pass
+    return ("stdlib-png", decode_png)
 
 
 def decode_image(payload: bytes):
-    """Real decode entry point: Pillow or OpenCV when available, a clear
-    ``NotImplementedError`` otherwise."""
+    """Real decode entry point: Pillow or OpenCV when available, the
+    stdlib PNG decoder otherwise (non-PNG payloads then raise a clear
+    ``NotImplementedError``)."""
     codec = _image_codec()
-    if codec is None:
+    if codec is None:  # pragma: no cover - stdlib probe always succeeds
         raise NotImplementedError(
             "image decoding requires Pillow or OpenCV, neither of which "
             "is importable in this environment; use fake_feature for "
@@ -317,6 +477,41 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthesize_png_media(spark, n: int = 64, size: int = 16,
+                         seed: int = 0) -> DataFrame:
+    """Deterministic REAL-PNG media table: item ``m``'s pixel
+    ``(y, x, c) = (3x + 5y + 7m + 11c + seed) % 256`` — a closed form
+    an ANSI-SQL oracle can re-derive — encoded worker-side by
+    ``encode_png`` with the row filter cycling through all five PNG
+    filter types (``y % 5``), so downstream real-decode stages exercise
+    every reconstruction branch.  Payload generation is a mapInPandas
+    over ``spark.range``: embarrassingly parallel, no driver loop."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        y, x, c = np.meshgrid(np.arange(size), np.arange(size),
+                              np.arange(3), indexing="ij")
+        base = 3 * x + 5 * y + 11 * c + seed
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime", "payload",
+                                    "width", "height", "duration_ms")}
+            for m in pdf["id"]:
+                px = ((base + 7 * int(m)) % 256).astype(np.uint8)
+                rows["media_id"].append("png%d" % int(m))
+                rows["kind"].append("image")
+                rows["mime"].append("image/png")
+                rows["payload"].append(
+                    encode_png(px, filter_per_row=lambda yy: yy % 5))
+                rows["width"].append(size)
+                rows["height"].append(size)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

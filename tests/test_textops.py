@@ -689,3 +689,124 @@ def test_redact_pii_sequential_no_double_count(spark):
     r = redact_pii(df).collect()[0]
     assert r.n_ssn == 1 and r.n_phone == 0 and r.n_pii == 1
     assert r.redacted == "id [SSN] only"
+
+
+class TestStdlibPng:
+    """Pure-stdlib PNG codec (multimodal.decode_png / encode_png)."""
+
+    def _px(self, size=8, m=0):
+        import numpy as np
+        y, x, c = np.meshgrid(np.arange(size), np.arange(size),
+                              np.arange(3), indexing="ij")
+        return ((3 * x + 5 * y + 11 * c + 7 * m) % 256).astype(np.uint8)
+
+    def test_roundtrip_every_filter_type(self):
+        import numpy as np
+        from meresco_rdf_spark.textops.multimodal import (
+            decode_png, encode_png)
+        px = self._px(16)
+        for filt in (0, 1, 2, 3, 4):
+            png = encode_png(px, filter_per_row=lambda y, f=filt: f)
+            back = (np.asarray(decode_png(png)) * 255).round()
+            assert np.array_equal(back.astype(np.uint8), px), filt
+        # mixed filters per row
+        png = encode_png(px, filter_per_row=lambda y: y % 5)
+        back = (np.asarray(decode_png(png)) * 255).round()
+        assert np.array_equal(back.astype(np.uint8), px)
+
+    def test_probe_finds_stdlib_codec_here(self):
+        from meresco_rdf_spark.textops.multimodal import _image_codec
+        name, decode = _image_codec()
+        # Pillow/OpenCV absent in this container -> stdlib branch
+        assert name in ("stdlib-png", "pillow", "opencv")
+
+    def test_decode_image_real_png(self):
+        import numpy as np
+        from meresco_rdf_spark.textops.multimodal import (
+            decode_image, encode_png)
+        arr = np.asarray(decode_image(encode_png(self._px(4))))
+        assert arr.shape == (4, 4, 3)
+        assert 0.0 <= float(arr.min()) and float(arr.max()) <= 1.0
+
+    def test_non_png_payload_gates_loudly(self):
+        from meresco_rdf_spark.textops.multimodal import decode_png
+        with pytest.raises(NotImplementedError, match="PNG"):
+            decode_png(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+    def test_corrupt_idat_raises_value_error(self):
+        from meresco_rdf_spark.textops.multimodal import (
+            decode_png, encode_png)
+        png = bytearray(encode_png(self._px(4)))
+        png[60] ^= 0xFF  # flip a byte inside IDAT
+        with pytest.raises(ValueError):
+            decode_png(bytes(png))
+
+    def test_grey_and_alpha_color_types(self):
+        # hand-build a 2x1 greyscale PNG (color type 0) and an RGBA one
+        import struct
+        import zlib
+
+        import numpy as np
+        from meresco_rdf_spark.textops.multimodal import decode_png
+
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+
+        magic = b"\x89PNG\r\n\x1a\n"
+        grey = (magic
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00\x40\x80"))
+                + chunk(b"IEND", b""))
+        g = np.asarray(decode_png(grey))
+        assert g.shape == (1, 2, 3)
+        assert np.allclose(g[0, 0], 64 / 255.0)
+        assert np.allclose(g[0, 1], 128 / 255.0)
+        rgba = (magic
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00\x10\x20\x30\xff"))
+                + chunk(b"IEND", b""))
+        a = np.asarray(decode_png(rgba))
+        assert a.shape == (1, 1, 3)
+        assert np.allclose(a[0, 0] * 255, [0x10, 0x20, 0x30])
+
+    def test_unsupported_variants_gate(self):
+        import struct
+        import zlib
+
+        from meresco_rdf_spark.textops.multimodal import decode_png
+
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+
+        magic = b"\x89PNG\r\n\x1a\n"
+        # 16-bit depth
+        deep = (magic
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+                + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError, match="8-bit"):
+            decode_png(deep)
+        # Adam7 interlace
+        inter = (magic
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+                 + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+                 + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError, match="interlacing"):
+            decode_png(inter)
+
+    def test_synthesized_media_decodes_distributed(self, spark):
+        import numpy as np
+        from meresco_rdf_spark.textops.multimodal import (
+            extract_features, synthesize_png_media)
+        feats = extract_features(synthesize_png_media(spark, 6, size=8),
+                                 dim=4, use_fake=False).collect()
+        assert len(feats) == 6
+        got = {r.media_id: list(r.feature) for r in feats}
+        # independent expectation from the pixel formula
+        for m in range(6):
+            px = self._px(8, m).astype(np.float32) / np.float32(255.0)
+            want = [float(b.mean()) for b in
+                    np.array_split(px.mean(axis=2), 4, axis=0)]
+            assert np.allclose(got["png%d" % m], want, atol=1e-6), m
