@@ -3076,6 +3076,97 @@ def q_kg_edge_cut(spark, sf_dir):
     return edge_cut_stats(t)
 
 
+def q_kg_publish_pipeline(spark, sf_dir):
+    """CAPSTONE composition — the full KG publish pipeline as ONE query
+    over on-disk state, exercising five subsystems end-to-end exactly
+    the way a production publish run chains them:
+
+    1. INGEST: all six supported RDF formats from one directory into a
+       unified relation (``sources/rdf_source.py::read_rdf_directory``).
+    2. CLOSURE: RDFS entailment under a 4-axiom ontology (subClassOf,
+       domain, range — ``operators/rdfs.py::rdfs_closure``, schema
+       passed explicitly = the no-instance-scan scale shape).
+    3. GATE: SHACL validation of the closed graph (every
+       ``urn:class:Work`` needs a ``dcterms:title``), the violations
+       report rendered as W3C validation-report RDF
+       (``operators/shacl.py::validate`` + ``report_triples``).
+    4. PUBLISH: snapshot v1 = ingested base; COW MERGE commits the
+       entailed delta + the validation report as v2
+       (``kg/snapshots.py`` — immutable manifests, lineage asserted
+       in-query so a regression turns the row red).
+    5. DESCRIBE: VoID dataset statistics computed over the PUBLISHED v2
+       snapshot read back from disk
+       (``operators/void_stats.py::void_description``) — the returned
+       relation.
+
+    Oracle = the whole pipeline restated in SQL: six hand-transcribed
+    fixture relations, the four RDFS rule applications, the
+    NOT-EXISTS violation derivation + the md5-bnode report rendering,
+    and the VoID statistics over the published union."""
+    import tempfile
+
+    from .kg.snapshots import (
+        read_snapshot,
+        snapshot_create,
+        snapshot_merge,
+        snapshot_versions,
+    )
+    from .operators.rdfs import (
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASS,
+        rdfs_closure,
+    )
+    from .operators.shacl import report_triples, shapes_from_graph, validate
+    from .operators.void_stats import void_description
+    from .rdfxml.turtle import iter_turtle
+    from .sources.driver_fixtures import (
+        JSONLD_DOCS,
+        NQ_DOCS,
+        NT_DOCS,
+        RDF_DOCS,
+        TRIG_DOCS,
+        TTL_DOCS,
+        write_fixture_dir,
+    )
+    from .sources.rdf_source import read_rdf_directory
+
+    foaf = "http://xmlns.com/foaf/0.1/"
+    dct = "http://purl.org/dc/terms/"
+    rdfs_ns = "http://www.w3.org/2000/01/rdf-schema#"
+
+    base_dir = write_fixture_dir(
+        {**RDF_DOCS, **NT_DOCS, **TTL_DOCS, **NQ_DOCS, **TRIG_DOCS,
+         **JSONLD_DOCS})
+    base = (read_rdf_directory(spark, base_dir)
+            .drop("context").dropDuplicates())
+
+    onto = spark.createDataFrame([
+        (foaf + "Document", RDFS_SUBCLASS, "urn:class:Work", "uri", None),
+        (foaf + "Person", RDFS_SUBCLASS, "urn:class:Agent", "uri", None),
+        (dct + "creator", RDFS_DOMAIN, "urn:class:Work", "uri", None),
+        (rdfs_ns + "seeAlso", RDFS_RANGE, "urn:class:Linked", "uri", None),
+    ], "subj string, pred string, obj_value string, obj_kind string, "
+       "obj_lang string")
+    closed = rdfs_closure(base, schema_triples=onto)
+
+    shapes = shapes_from_graph(iter_turtle("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+<urn:shape:Work> a sh:NodeShape ; sh:targetClass <urn:class:Work> ;
+  sh:property [ sh:path <http://purl.org/dc/terms/title> ;
+                sh:minCount 1 ] ."""))
+    report_rdf = report_triples(validate(closed, shapes))
+
+    root = tempfile.mkdtemp(prefix="kg_publish_") + "/table"
+    snapshot_create(spark, base, root, buckets=8)
+    snapshot_merge(spark, root,
+                   adds=closed.exceptAll(base).unionByName(report_rdf))
+    if [m["version"] for m in snapshot_versions(spark, root)] != [1, 2]:
+        raise AssertionError("publish lineage broken")
+    published = read_snapshot(spark, root).drop("subj_bucket")
+    return void_description(published)
+
+
 def q_kg_void(spark, sf_dir):
     """VoID dataset self-description (operators/void_stats.py): the
     publish-metadata step — triples/distinctSubjects/distinctObjects/
@@ -5437,6 +5528,7 @@ QUERIES = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_bpe_arrow": q_text_bpe_arrow,
     "owl_graphs_entailment": q_owl_graphs_entailment,
+    "kg_publish_pipeline": q_kg_publish_pipeline,
     "kg_void": q_kg_void,
     "kg_snapshot_compact": q_kg_snapshot_compact,
     "kg_edge_cut": q_kg_edge_cut,
@@ -5991,6 +6083,119 @@ SELECT COUNT(*) AS n_edges,
        SUM(CASE WHEN s_bucket != o_bucket THEN 1 ELSE 0 END) * 1000000
          // COUNT(*) AS cut_ppm
 FROM joined""")
+
+
+ORACLES["kg_publish_pipeline"] = """
+WITH all_quads AS (
+  %s
+),
+base AS (
+  SELECT DISTINCT subj, pred, obj_value, obj_kind, obj_lang FROM all_quads
+),
+onto(subj, pred, obj_value, obj_kind, obj_lang) AS (VALUES
+  ('http://xmlns.com/foaf/0.1/Document', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'urn:class:Work', 'uri',
+   CAST(NULL AS VARCHAR)),
+  ('http://xmlns.com/foaf/0.1/Person', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'urn:class:Agent', 'uri', NULL),
+  ('http://purl.org/dc/terms/creator', 'http://www.w3.org/2000/01/rdf-schema#domain', 'urn:class:Work', 'uri', NULL),
+  ('http://www.w3.org/2000/01/rdf-schema#seeAlso', 'http://www.w3.org/2000/01/rdf-schema#range', 'urn:class:Linked', 'uri', NULL)),
+inf AS (
+  SELECT DISTINCT subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred, 'urn:class:Work' AS obj_value,
+         'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang
+  FROM base WHERE pred = 'http://purl.org/dc/terms/creator'
+  UNION
+  SELECT DISTINCT obj_value, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:class:Linked', 'uri', NULL
+  FROM base WHERE pred = 'http://www.w3.org/2000/01/rdf-schema#seeAlso' AND obj_kind <> 'literal'
+  UNION
+  SELECT DISTINCT subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:class:Work', 'uri', NULL
+  FROM base WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AND obj_value = 'http://xmlns.com/foaf/0.1/Document'
+  UNION
+  SELECT DISTINCT subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:class:Agent', 'uri', NULL
+  FROM base WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AND obj_value = 'http://xmlns.com/foaf/0.1/Person'
+),
+closed AS (
+  SELECT * FROM base UNION SELECT * FROM onto UNION SELECT * FROM inf
+),
+works AS (
+  SELECT DISTINCT subj FROM closed
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AND obj_value = 'urn:class:Work'
+),
+rep AS (
+  SELECT 'urn:shape:Work' AS shape_id, w.subj AS focus,
+         'http://purl.org/dc/terms/title' AS path, 'minCount' AS "constraint", '0' AS value
+  FROM works w WHERE NOT EXISTS (
+    SELECT 1 FROM closed t
+    WHERE t.subj = w.subj AND t.pred = 'http://purl.org/dc/terms/title')
+),
+nodes AS (
+  SELECT *, '_:r' || md5(concat_ws(chr(31), shape_id, focus, path,
+                                   "constraint", value)) AS node
+  FROM rep
+),
+report AS (
+  SELECT '_:report' AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://www.w3.org/ns/shacl#ValidationReport' AS obj_value, 'uri' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang
+  UNION ALL SELECT '_:report', 'http://www.w3.org/ns/shacl#conforms', 'false', 'literal', NULL
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#focusNode', focus,
+    CASE WHEN focus LIKE '_:%%' THEN 'bnode' ELSE 'uri' END, NULL FROM nodes
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#resultPath', path, 'uri', NULL FROM nodes
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#value', value,
+    CASE WHEN value LIKE 'urn:%%' OR value LIKE 'http%%'
+         THEN 'uri' ELSE 'literal' END, NULL FROM nodes
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#sourceShape', shape_id, 'uri', NULL FROM nodes
+  UNION ALL SELECT node, 'http://www.w3.org/ns/shacl#sourceConstraintComponent',
+    'http://www.w3.org/ns/shacl#MinCountConstraintComponent', 'uri', NULL FROM nodes
+  UNION ALL SELECT '_:report', 'http://www.w3.org/ns/shacl#result', node, 'bnode', NULL FROM nodes
+),
+published AS (
+  SELECT * FROM closed UNION SELECT * FROM report
+),
+tot AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT subj) AS d_s,
+         COUNT(DISTINCT obj_value) AS d_o, COUNT(DISTINCT pred) AS np,
+         COUNT(DISTINCT CASE WHEN pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+           THEN obj_value END) AS nc,
+         COUNT(DISTINCT CASE WHEN NOT subj LIKE '_:%%' THEN subj END) AS ne
+  FROM published
+),
+pp AS (
+  SELECT pred, COUNT(*) AS n, '_:pp-' || md5(pred) AS part
+  FROM published GROUP BY pred
+),
+cp AS (
+  SELECT obj_value AS c, COUNT(DISTINCT subj) AS n,
+         '_:cp-' || md5(obj_value) AS part
+  FROM published WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+  GROUP BY obj_value
+)
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM (
+  SELECT 'urn:void:dataset' AS subj, 'http://rdfs.org/ns/void#triples' AS pred,
+         CAST(n AS VARCHAR) AS obj_value, 'literal' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang FROM tot
+  UNION ALL SELECT 'urn:void:dataset', 'http://rdfs.org/ns/void#distinctSubjects',
+    CAST(d_s AS VARCHAR), 'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset', 'http://rdfs.org/ns/void#distinctObjects',
+    CAST(d_o AS VARCHAR), 'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset', 'http://rdfs.org/ns/void#properties',
+    CAST(np AS VARCHAR), 'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset', 'http://rdfs.org/ns/void#classes',
+    CAST(nc AS VARCHAR), 'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset', 'http://rdfs.org/ns/void#entities',
+    CAST(ne AS VARCHAR), 'literal', NULL FROM tot
+  UNION ALL SELECT 'urn:void:dataset', 'http://rdfs.org/ns/void#propertyPartition', part,
+    'bnode', NULL FROM pp
+  UNION ALL SELECT part, 'http://rdfs.org/ns/void#property', pred, 'uri', NULL FROM pp
+  UNION ALL SELECT part, 'http://rdfs.org/ns/void#triples', CAST(n AS VARCHAR), 'literal',
+    NULL FROM pp
+  UNION ALL SELECT 'urn:void:dataset', 'http://rdfs.org/ns/void#classPartition', part,
+    'bnode', NULL FROM cp
+  UNION ALL SELECT part, 'http://rdfs.org/ns/void#class', c, 'uri', NULL FROM cp
+  UNION ALL SELECT part, 'http://rdfs.org/ns/void#entities', CAST(n AS VARCHAR), 'literal',
+    NULL FROM cp
+)""" % "\n  UNION ALL ".join(
+    _driver_fixture_sql(k)
+    for k in ("rdf", "nt", "ttl", "nq", "trig", "jsonld"))
+
 
 ORACLES["kg_void"] = _fmt("""
 WITH {cte},
