@@ -984,6 +984,24 @@ def q_sparql_negated_set(spark, sf_dir):
     """.format(rel_nation=REL_NATION))
 
 
+def q_sparql_path_negated(spark, sf_dir):
+    """Negated property set with INVERSE members as a path atom
+    (SPARQL 1.1 SS18.4 PathOneInPropertySet): ``!(p|^q)`` desugars to
+    the union of a forward NOT-IN pattern and the same pattern with
+    swapped endpoint terms — both components reach the scan as pushed
+    NOT-IN filters, no predicate variable bound.  Anchored on nation 7
+    so BOTH components bind: forward = its non-label edges (the region
+    edge), inverse = every edge arriving at it that is not a name edge
+    (all customer and supplier memberships)."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        SELECT ?o WHERE {{
+            <urn:nation:7> !(<{rdfs}>|^<{foaf}>) ?o .
+        }}
+    """.format(rdfs=RDFS_LABEL, foaf=FOAF_NAME))
+
+
 def q_sparql_arithmetic(spark, sf_dir):
     """Arithmetic expressions (+ - * / with precedence) in FILTER and
     BIND: numeric coercion via try_cast so a non-numeric lexical is a
@@ -5612,6 +5630,7 @@ QUERIES = {
     "sparql_agg_expr": q_sparql_agg_expr,
     "sparql_json_encode": q_sparql_json_encode,
     "sparql_negated_set": q_sparql_negated_set,
+    "sparql_path_negated": q_sparql_path_negated,
     "sparql_arithmetic": q_sparql_arithmetic,
     "sparql_subquery": q_sparql_subquery,
     "sparql_update": q_sparql_update,
@@ -5750,8 +5769,17 @@ _DRIVER_GREEN = frozenset({
 })
 
 
+# Round-4 additions beyond the driver's 50-query budget (the 47-query
+# provenance gap + 3 new queries fill it exactly): run these AFTER the
+# never-driver-verified block so they take round 5's budget instead of
+# displacing a gap query.  They are fully covered by pytest and
+# tools/check_oracles.py in the meantime.
+_DEFER_PAST_GAP = frozenset({"sparql_path_negated"})
+
 QUERIES = {name: QUERIES[name] for group in (
-    [n for n in QUERIES if n not in _DRIVER_GREEN],
+    [n for n in QUERIES
+     if n not in _DRIVER_GREEN and n not in _DEFER_PAST_GAP],
+    [n for n in QUERIES if n in _DEFER_PAST_GAP],
     [n for n in QUERIES if n in _DRIVER_GREEN],
 ) for name in group}
 
@@ -6195,6 +6223,19 @@ SELECT subj, pred, obj_value, obj_kind, obj_lang FROM (
 )""" % "\n  UNION ALL ".join(
     _driver_fixture_sql(k)
     for k in ("rdf", "nt", "ttl", "nq", "trig", "jsonld"))
+
+
+ORACLES["sparql_path_negated"] = _fmt("""
+WITH {cte}
+SELECT 'urn:region:' || n_regionkey AS o, 'uri' AS o_kind,
+       CAST(NULL AS VARCHAR) AS o_lang
+FROM nation WHERE n_nationkey = 7
+UNION ALL
+SELECT 'urn:cust:' || c_custkey, 'uri', NULL
+FROM customer WHERE c_nationkey = 7
+UNION ALL
+SELECT 'urn:supp:' || s_suppkey, 'uri', NULL
+FROM supplier WHERE s_nationkey = 7""")
 
 
 ORACLES["kg_void"] = _fmt("""

@@ -26,8 +26,10 @@ keyword (rdf:type), ``?var``, literals ``"s"``, ``"s"@lang``,
 Property paths (predicate position): sequence ``p1/p2`` (desugared into
 chained patterns over fresh internal variables), inverse ``^p`` (subject/
 object swap), alternation ``p1|p2`` (desugared to UNION branches),
-negated property sets ``!p`` / ``!(p1|p2)`` (a NOT-IN predicate filter,
-no variable bound), and the quantifiers over an IRI, an alternation of
+negated property sets ``!p`` / ``!(p1|p2)`` / ``!^q`` / ``!(p|^q)``
+(a NOT-IN predicate filter, no variable bound; inverse members swap the
+endpoint terms and a mixed set desugars to the union of its forward and
+inverse components per §18.4), and the quantifiers over an IRI, an alternation of
 IRIs, or any ``|``/``/``/``^`` combination of IRIs (DNF ``branches`` of
 fwd/inv steps — e.g. ``(skos:broader|^skos:narrower)+``, ``(p/q)*``,
 ``^p+``): one-or-more ``p+`` (``PathPlus`` — the compiler runs an
@@ -1311,29 +1313,40 @@ class _Parser:
             self.fail("a path element cannot start with '*'")
         if self.at_op("!"):
             self.next()
-            preds: List[str] = []
+            fwd: List[str] = []
+            inv: List[str] = []
+
+            def member():
+                if self.at_op("^"):
+                    self.next()
+                    inv.append(self._path_iri().uri)
+                else:
+                    fwd.append(self._path_iri().uri)
+
             if self.at_op("("):
                 self.next()
-                if self.at_op("^"):
-                    self.fail("inverse inside a negated property set is "
-                              "not supported")
-                preds.append(self._path_iri().uri)
+                member()
                 while self.at_op("|"):
                     self.next()
-                    if self.at_op("^"):
-                        self.fail("inverse inside a negated property set "
-                                  "is not supported")
-                    preds.append(self._path_iri().uri)
+                    member()
                 self.eat_op(")")
             else:
-                if self.at_op("^"):
-                    self.fail("inverse inside a negated property set is "
-                              "not supported")
-                preds.append(self._path_iri().uri)
+                member()
             if self.at_op("+") or self.at_op("*") or self.at_op("?"):
                 self.fail("quantifiers over a negated property set are "
                           "not supported")
-            return ("neg", tuple(preds))
+            # §18.4: !(p1|..|^q1|..) = NPS{p} union ^NPS{q}; a component
+            # is present only when its member list is non-empty.  The
+            # inverse component is the same NegatedSet pattern with the
+            # endpoint terms swapped (exactly how plain ^iri steps
+            # desugar), and the mixed form rides the existing alt-DNF
+            # expansion so each component compiles as its own branch.
+            if fwd and inv:
+                return ("alt", [[("neg", tuple(fwd))],
+                                [("neg_inv", tuple(inv))]])
+            if inv:
+                return ("neg_inv", tuple(inv))
+            return ("neg", tuple(fwd))
         inverse = False
         if self.at_op("^"):
             self.next()
@@ -1401,6 +1414,9 @@ class _Parser:
                 pats.append((nxt, step[1], cur))
             elif tag == "neg":
                 pats.append((cur, NegatedSet(step[1]), nxt))
+            elif tag == "neg_inv":
+                # !^q between cur and nxt = !q from nxt to cur
+                pats.append((nxt, NegatedSet(step[1]), cur))
             elif tag == "star":
                 pats.append((cur, PathStar(step[1], step[2]), nxt))
             elif tag == "opt":

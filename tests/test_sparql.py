@@ -1497,12 +1497,33 @@ def test_negated_set_in_sequence_and_errors(small_graph):
         SELECT ?n WHERE { <urn:alice> !<urn:p:name>/<urn:p:name> ?n }
     """).collect()}
     assert got == {"Bob", "Bobby"}
-    with pytest.raises(SparqlSyntaxError, match="inverse inside"):
-        parse_query("SELECT ?o WHERE { ?s !(^<urn:p>) ?o }")
     with pytest.raises(SparqlSyntaxError, match="quantifiers"):
         parse_query("SELECT ?o WHERE { ?s !<urn:p>+ ?o }")
     with pytest.raises(SparqlSyntaxError, match="property paths"):
         parse_query("CONSTRUCT { ?s !<urn:p> ?o } WHERE { ?s ?p ?o }")
+
+
+def test_negated_set_inverse_members(small_graph):
+    # !^p: every edge ARRIVING at the subject whose predicate is not p
+    # (§18.4 — the inverse component swaps the endpoint terms)
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:carol> !(^<urn:p:name>) ?o }
+    """).collect()}
+    assert got == {"urn:bob"}  # bob knows carol; knows not-in {name}
+    # bare !^iri form
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:carol> !^<urn:p:knows> ?o }
+    """).collect()}
+    assert got == set()  # the only inbound edge IS knows
+    # mixed set = union of forward and inverse components
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:bob> !(<urn:p:name>|^<urn:p:knows>) ?o }
+    """).collect()}
+    assert got == {"urn:carol"}  # fwd: knows->carol; inv: only alice-knows
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:bob> !(<urn:p:name>|^<urn:p:name>) ?o }
+    """).collect()}
+    assert got == {"urn:carol", "urn:alice"}  # inv side now admits knows
 
 
 # ---------------------------------------------------------------------------
