@@ -136,6 +136,11 @@ def main() -> None:
         "kg_shacl_closed",
         "text_collocations", "graph_walks", "kg_void",
         "rdfs_graphs_entailment", "sample_weighted",
+        # round 4: Arrow BPE apply, stdlib real PNG decode, negated-set
+        # path atoms (kg_publish_pipeline is deliberately absent: it is
+        # a fixture-scale composition capstone dominated by snapshot
+        # control-plane latency, not a throughput query)
+        "text_bpe_arrow", "multimodal_decode", "sparql_path_negated",
     ]
     for name in heads:
         fn = eq.QUERIES[name]

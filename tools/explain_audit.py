@@ -615,6 +615,50 @@ def main() -> None:
         "aggregate(" in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # bpe apply, production-vocab strategy: ONE Arrow mapInPandas stage,
+    # zero exchanges (the fold path's posexplode/groupBy reassembly must
+    # be gone), and auto-selection flips exactly at the threshold
+    from meresco_rdf_spark.textops.bpe import ARROW_MERGE_THRESHOLD
+    many = [(i, "x%d" % i, "y%d" % i, 2)
+            for i in range(ARROW_MERGE_THRESHOLD + 1)]
+    p = plan_of(apply_bpe(docs_rel, many))
+    results.append(check(
+        "bpe apply arrow: one python stage, no exchange",
+        p.count("MapInPandas") == 1 and "Exchange" not in p
+        and "aggregate(" not in p))
+
+    # stdlib real-PNG decode path: generation + decode are each ONE
+    # mapInPandas over spark.range / the media relation — no exchange
+    # anywhere in the decode pipeline
+    from meresco_rdf_spark.textops.multimodal import (
+        extract_features,
+        synthesize_png_media,
+    )
+    p = plan_of(extract_features(synthesize_png_media(spark, 8, size=8),
+                                 dim=4, use_fake=False))
+    results.append(check(
+        "png real decode: two narrow python stages, no exchange",
+        p.count("MapInPandas") == 2 and "Exchange" not in p))
+
+    # negated property set with inverse members: over the
+    # union-of-branches view both components' NOT-INs constant-fold to
+    # branch pruning (same mechanism as the plain !set check) — the
+    # excluded rdfs:label branch vanishes from BOTH components, the
+    # inverse component's constant-OBJECT filter additionally prunes
+    # every literal-kind branch, leaving 6 forward + 3 inverse = 9
+    # scans under one Union, no runtime pred filter, no python
+    from meresco_rdf_spark.sparql import sparql_select
+    p = plan_of(sparql_select(tpch_triples(spark, sf_dir), """
+        SELECT ?o WHERE { <urn:nation:7>
+            !(<http://www.w3.org/2000/01/rdf-schema#label>|
+              ^<http://xmlns.com/foaf/0.1/name>) ?o }"""))
+    results.append(check(
+        "negated set inverse: folded branch pruning",
+        p.count("Union") >= 1
+        and "rdf-schema#label" not in p
+        and p.count("Scan parquet") == 9
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)

@@ -25,7 +25,8 @@ from meresco_rdf_spark.operators.shacl import validate
 
 cpus = {cpus}
 spark = get_spark(app_name="forensics-shacl-%d" % cpus,
-                  master="local[%d]" % cpus, shuffle_partitions=cpus,
+                  master="local[%d]" % cpus,
+                  shuffle_partitions={shufpart},
                   extra_conf={{
                       "spark.locality.wait": "0",
                       "spark.ui.enabled": "true",
@@ -97,11 +98,14 @@ def main() -> None:
              SYNTH_TEMPLATE.format(repo=REPO, n_triples=n_triples,
                                    path=path)],
             check=True, timeout=3600)
-    levels = {c: _run(RUN_TEMPLATE.format(repo=REPO, cpus=c, path=path),
+    shufpart = int(os.environ.get("SCALING_SHUFFLE", str(low * 4)))
+    levels = {c: _run(RUN_TEMPLATE.format(repo=REPO, cpus=c, path=path,
+                                          shufpart=shufpart),
                       "local[%d]" % c) for c in (low, low * 4)}
     lo, hi = levels[low], levels[low * 4]
     eff = round((lo["wall"] / hi["wall"]) / 4, 3)
     report = {"n_triples": n_triples, "efficiency": eff,
+              "shuffle_partitions": shufpart,
               "low": lo, "high": hi}
     md = ["# SHACL plain-validate stage forensics (last run)", "",
           "efficiency %.3f (local[%d] %.2fs -> local[%d] %.2fs)"
