@@ -6778,7 +6778,7 @@ SELECT b.doc_id, b.source,
          chr(10)) AS text
 FROM built b LEFT JOIN boiler bo USING (source)"""
 
-ORACLES["text_tfidf"] = """
+ORACLES["text_tfidf"] = r"""
 WITH tf AS (
   SELECT doc_id AS doc, t.term, COUNT(*) AS tf
   FROM documents,
@@ -6839,7 +6839,7 @@ SELECT g AS graph, COUNT(*) AS n_triples,
          1, 15)) AS BIGINT)) AS content_hash
 FROM quads GROUP BY g"""
 
-ORACLES["text_collocations"] = """
+ORACLES["text_collocations"] = r"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
@@ -6878,7 +6878,7 @@ ORACLES["text_bpe_arrow"] = """
 SELECT * FROM
 read_parquet('/root/repo/tests/golden/text_bpe_tokens.parquet')"""
 
-ORACLES["text_chunks"] = """
+ORACLES["text_chunks"] = r"""
 WITH toks AS (
   SELECT doc_id AS doc,
          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
