@@ -1002,6 +1002,24 @@ def q_sparql_path_negated(spark, sf_dir):
     """.format(rdfs=RDFS_LABEL, foaf=FOAF_NAME))
 
 
+def q_sparql_path_negated_star(spark, sf_dir):
+    """Quantified negated property set (SS18.4: NPS is a PathPrimary,
+    so ``!(p)*`` closes over the predicate-COMPLEMENT edge relation):
+    everything reachable from customer 1 through non-name edges, plus
+    the zero-length identity.  The complement chain walks
+    cust -> nation -> region and picks up each node's literal label;
+    the closure machinery is the same seeded semi-naive walk as
+    ``sparql_path_star``, the edge step just carries a NOT-IN filter
+    instead of an equality."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        SELECT ?o WHERE {{
+            <urn:cust:1> !(<{foaf}>)* ?o .
+        }}
+    """.format(foaf=FOAF_NAME))
+
+
 def q_sparql_arithmetic(spark, sf_dir):
     """Arithmetic expressions (+ - * / with precedence) in FILTER and
     BIND: numeric coercion via try_cast so a non-numeric lexical is a
@@ -5236,6 +5254,54 @@ def q_similarity_ivf_kmeans(spark, sf_dir):
 # repetition-based quality stats, whole-graph triangle analytics
 # ==========================================================================
 
+def q_data_prep_pipeline(spark, sf_dir):
+    """CAPSTONE composition, training-data side (the LLM-pretraining
+    mirror of ``kg_publish_pipeline``): the full data-prep chain a
+    100-TB corpus runs before tokenization, as ONE query —
+
+    1. FUZZY DEDUP DECISION: MinHash-LSH pairs -> connected components
+       -> per-doc keep flag (``textops/dedup.py``); drop the dups.
+    2. QUALITY GATE: survivors scored by
+       ``textstats.quality_features``; keep ``quality_score >= 4``.
+    3. DECONTAMINATION: drop any survivor sharing a 13-gram with the
+       held-out eval slice (``doc_id % 10 == 3``), hashed-gram
+       broadcast probe (``textops/decontaminate.py``).
+    4. SPLIT + BUDGET: deterministic md5 train/val/test assignment
+       (``textops/sampling.assign_split``) and per-doc token counts —
+       the (doc_id, split, n_tokens) relation a packing/mixing stage
+       consumes.
+
+    Every stage's per-doc metric is subset-independent (dedup keep
+    flags come from the full corpus; quality/contamination/split are
+    per-doc functions), so the oracle composes the four independently
+    verified component oracles by doc_id equi-joins — one green row
+    pins the whole chain end-to-end.  Plan shape: the corpus is
+    scanned by each metric stage, the decision sets are id-only and
+    AQE-broadcast back; no corpus-sized shuffle beyond the components'
+    own audited exchanges."""
+    from .textops.decontaminate import decontaminate
+    from .textops.dedup import minhash_dedup_clusters
+    from .textops.sampling import assign_split
+    from .textops.textstats import quality_features, token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = (minhash_dedup_clusters(docs, k=16, bands=8, threshold=0.6,
+                                   hash_fn="md5")
+            .filter(F.col("keep")).select("doc_id"))
+    stage1 = docs.join(kept, "doc_id")
+    good = (quality_features(stage1.select("doc_id", "text"))
+            .filter(F.col("quality_score") >= 4).select("doc_id"))
+    stage2 = stage1.join(good, "doc_id")
+    corpus = stage2.filter(F.col("doc_id") % 10 != 3)
+    eval_set = docs.filter(F.col("doc_id") % 10 == 3)
+    clean = (decontaminate(corpus, eval_set, n=13)
+             .filter(~F.col("contaminated")).select("doc_id"))
+    stage3 = corpus.join(clean, "doc_id")
+    return assign_split(stage3, "doc_id").select(
+        "doc_id", "split",
+        token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
 def q_sample_hash_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment keyed on md5(id):
     shuffle-free, order-independent, stable under incremental ingestion
@@ -5559,6 +5625,7 @@ QUERIES = {
     "stream_merge_triples": q_stream_merge_triples,
     "stream_nq_ingest": q_stream_nq_ingest,
     "sample_hash_split": q_sample_hash_split,
+    "data_prep_pipeline": q_data_prep_pipeline,
     "sample_stratified": q_sample_stratified,
     "pack_sequences": q_pack_sequences,
     "text_repetition": q_text_repetition,
@@ -5631,6 +5698,7 @@ QUERIES = {
     "sparql_json_encode": q_sparql_json_encode,
     "sparql_negated_set": q_sparql_negated_set,
     "sparql_path_negated": q_sparql_path_negated,
+    "sparql_path_negated_star": q_sparql_path_negated_star,
     "sparql_arithmetic": q_sparql_arithmetic,
     "sparql_subquery": q_sparql_subquery,
     "sparql_update": q_sparql_update,
@@ -5774,7 +5842,9 @@ _DRIVER_GREEN = frozenset({
 # never-driver-verified block so they take round 5's budget instead of
 # displacing a gap query.  They are fully covered by pytest and
 # tools/check_oracles.py in the meantime.
-_DEFER_PAST_GAP = frozenset({"sparql_path_negated"})
+_DEFER_PAST_GAP = frozenset({"sparql_path_negated",
+                             "sparql_path_negated_star",
+                             "data_prep_pipeline"})
 
 QUERIES = {name: QUERIES[name] for group in (
     [n for n in QUERIES
@@ -6236,6 +6306,22 @@ FROM customer WHERE c_nationkey = 7
 UNION ALL
 SELECT 'urn:supp:' || s_suppkey, 'uri', NULL
 FROM supplier WHERE s_nationkey = 7""")
+
+
+ORACLES["sparql_path_negated_star"] = _fmt("""
+WITH {cte},
+hop AS (SELECT c.c_custkey, n.n_nationkey, n.n_name, n.n_regionkey,
+               r.r_name
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE c.c_custkey = 1)
+SELECT 'urn:cust:1' AS o, 'uri' AS o_kind,
+       CAST(NULL AS VARCHAR) AS o_lang
+UNION ALL SELECT 'urn:nation:' || n_nationkey, 'uri', NULL FROM hop
+UNION ALL SELECT n_name, 'literal', 'en' FROM hop
+UNION ALL SELECT 'urn:region:' || n_regionkey, 'uri', NULL FROM hop
+UNION ALL SELECT r_name, 'literal', NULL FROM hop""")
 
 
 ORACLES["kg_void"] = _fmt("""
@@ -6941,3 +7027,21 @@ nodes AS (
   SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
   UNION ALL SELECT z FROM tri)
 SELECT node, count(*)::BIGINT AS n_triangles FROM nodes GROUP BY node"""
+
+
+ORACLES["data_prep_pipeline"] = """
+WITH dedup AS (%s),
+qual AS (%s),
+dec AS (%s),
+spl AS (%s)
+SELECT d.doc_id, s.split,
+       len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                       x -> x != ''))::BIGINT AS n_tokens
+FROM documents d
+JOIN dedup k ON k.doc_id = d.doc_id AND k.keep
+JOIN qual q ON q.doc_id = d.doc_id AND q.quality_score >= 4
+JOIN dec x ON x.doc_id = d.doc_id AND NOT x.contaminated
+JOIN spl s ON s.doc_id = d.doc_id
+WHERE d.doc_id %% 10 != 3""" % (
+    ORACLES["dedup_clusters"], ORACLES["text_quality"],
+    ORACLES["text_decontaminate"], ORACLES["sample_hash_split"])

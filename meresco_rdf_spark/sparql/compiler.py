@@ -121,9 +121,18 @@ def _path_base_edges(triples: DataFrame, preds: Sequence[str],
                         F.col("obj_lang").alias("dst_lang"), *ctx)
                 .distinct())
 
-    def atomic(direction: str, uri: str) -> DataFrame:
-        t = triples.filter(F.col("pred") == uri)
-        if direction == "fwd":
+    def atomic(direction: str, payload) -> DataFrame:
+        # payload: one IRI for fwd/inv; a tuple of excluded IRIs for the
+        # negated-set steps negf/negi (SS18.4 NPS inside a quantifier —
+        # the edge relation is the predicate COMPLEMENT, still one
+        # pushdown-eligible NOT-IN filter)
+        if direction in ("negf", "negi"):
+            t = triples.filter(~F.col("pred").isin(list(payload)))
+            forward = direction == "negf"
+        else:
+            t = triples.filter(F.col("pred") == payload)
+            forward = direction == "fwd"
+        if forward:
             return t.select(
                 F.col("subj").alias("src"), _subj_kind().alias("src_kind"),
                 _null_str().alias("src_lang"),
@@ -229,12 +238,17 @@ def _seeded_branch_closure(triples: DataFrame,
     spark = triples.sparkSession
     node_cols = ["node", "kind", "lang"] + (["ctx"] if with_ctx else [])
 
-    def atomic(direction: str, uri: str) -> DataFrame:
-        t = triples.filter(F.col("pred") == uri)
+    def atomic(direction: str, payload) -> DataFrame:
+        if direction in ("negf", "negi"):
+            t = triples.filter(~F.col("pred").isin(list(payload)))
+            forward = direction == "negf"
+        else:
+            t = triples.filter(F.col("pred") == payload)
+            forward = direction == "fwd"
         ctx = [F.col("context").alias("ctx")] if with_ctx else []
         sk = (F.when(F.col("subj").startswith("_:"), F.lit("bnode"))
               .otherwise(F.lit("uri")))
-        if direction == "fwd":
+        if forward:
             return t.select(
                 F.col("subj").alias("src"), sk.alias("src_kind"),
                 _null_str().alias("src_lang"),

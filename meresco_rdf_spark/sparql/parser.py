@@ -1294,17 +1294,22 @@ class _Parser:
                     steps.append(("fwd", step[1].uri))
                 elif step[0] == "inv":
                     steps.append(("inv", step[1].uri))
+                elif step[0] == "neg":
+                    steps.append(("negf", step[1]))
+                elif step[0] == "neg_inv":
+                    steps.append(("negi", step[1]))
                 else:
                     self.fail(
-                        "%s applies to |, / and ^ combinations of IRIs "
-                        "only (no nested quantifiers or negated sets)"
-                        % quant)
+                        "%s applies to |, / , ^ and ! combinations "
+                        "only (no nested quantifiers)" % quant)
             branches.append(tuple(steps))
         if inverse:
-            flip = {"fwd": "inv", "inv": "fwd"}
+            flip = {"fwd": "inv", "inv": "fwd",
+                    "negf": "negi", "negi": "negf"}
             branches = [tuple((flip[d], u) for d, u in reversed(br))
                         for br in branches]
-        if all(len(br) == 1 and br[0][0] == "fwd" for br in branches):
+        if all(len(br) == 1 and br[0][0] == "fwd"
+               and isinstance(br[0][1], str) for br in branches):
             return tuple(br[0][1] for br in branches), ()
         return (), tuple(branches)
 
@@ -1332,9 +1337,19 @@ class _Parser:
                 self.eat_op(")")
             else:
                 member()
-            if self.at_op("+") or self.at_op("*") or self.at_op("?"):
-                self.fail("quantifiers over a negated property set are "
-                          "not supported")
+            tag = self._path_quantifier()
+            if tag is not None:
+                # !(...)+ / * / ? — SS18.4 PathPrimary includes NPS, so
+                # the quantifier closes over the COMPLEMENT edge
+                # relation: forward-complement edges union
+                # inverse-complement edges (branch union), then the
+                # ordinary closure machinery
+                nbr = []
+                if fwd:
+                    nbr.append((("negf", tuple(fwd)),))
+                if inv:
+                    nbr.append((("negi", tuple(inv)),))
+                return (tag, (), tuple(nbr))
             # §18.4: !(p1|..|^q1|..) = NPS{p} union ^NPS{q}; a component
             # is present only when its member list is non-empty.  The
             # inverse component is the same NegatedSet pattern with the

@@ -567,12 +567,12 @@ def test_path_plus_mixed_direction_alternation(spark):
     assert {r["x"] for r in out.collect()} == {"urn:n1", "urn:c1", "urn:c2"}
 
 
-def test_path_quantified_group_rejects_nested_quantifiers_and_negation():
-    for q in ("SELECT ?x ?y WHERE { ?x (<urn:p>+/<urn:q>)+ ?y }",
-              "SELECT ?x ?y WHERE { ?x (!<urn:p>)* ?y }"):
-        with pytest.raises(SparqlSyntaxError,
-                           match="combinations of IRIs only"):
-            parse_query(q)
+def test_path_quantified_group_rejects_nested_quantifiers():
+    # negated sets inside quantified groups are now supported (SS18.4);
+    # nested quantifiers remain the documented refusal
+    with pytest.raises(SparqlSyntaxError, match="no nested quantifiers"):
+        parse_query("SELECT ?x ?y WHERE { ?x (<urn:p>+/<urn:q>)+ ?y }")
+    parse_query("SELECT ?x ?y WHERE { ?x (!<urn:p>)* ?y }")  # parses now
 
 
 # ---------------------------------------------------------------------------
@@ -1497,8 +1497,6 @@ def test_negated_set_in_sequence_and_errors(small_graph):
         SELECT ?n WHERE { <urn:alice> !<urn:p:name>/<urn:p:name> ?n }
     """).collect()}
     assert got == {"Bob", "Bobby"}
-    with pytest.raises(SparqlSyntaxError, match="quantifiers"):
-        parse_query("SELECT ?o WHERE { ?s !<urn:p>+ ?o }")
     with pytest.raises(SparqlSyntaxError, match="property paths"):
         parse_query("CONSTRUCT { ?s !<urn:p> ?o } WHERE { ?s ?p ?o }")
 
@@ -2400,3 +2398,49 @@ def test_parse_mixed_group_goes_to_branches():
     pred = q.where.parts[0].patterns[0][1]
     assert pred.preds == ()
     assert pred.branches == ((("fwd", "urn:a"),), (("inv", "urn:b"),))
+
+
+def test_quantified_negated_set(small_graph):
+    # !(p)+ : closure over the predicate-COMPLEMENT edge relation
+    # complement of {name} = knows/age edges; from alice:
+    # alice-knows->bob, alice-age->"34", bob-knows->carol, carol-age->"29"
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:alice> !(<urn:p:name>)+ ?o }
+    """).collect()}
+    assert got == {"urn:bob", "34", "urn:carol", "29"}
+    # bare form: !p+ == (!p)+ per the SPARQL grammar
+    got2 = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:alice> !<urn:p:name>+ ?o }
+    """).collect()}
+    assert got2 == got
+
+
+def test_quantified_negated_set_star_identity(small_graph):
+    # !(^knows)* from carol: the only inbound edge is knows (excluded),
+    # so the closure is empty and the zero-length identity remains
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:carol> !(^<urn:p:knows>)* ?o }
+    """).collect()}
+    assert got == {"urn:carol"}
+
+
+def test_quantified_negated_set_mixed(small_graph):
+    # !(name|^knows)+ from bob: forward complement-of-name edges union
+    # reverse complement-of-knows edges.  bob-knows->carol (fwd),
+    # carol-age->"29" (fwd), "29"-[rev age]->carol (adds nothing new)
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE {
+            <urn:bob> !(<urn:p:name>|^<urn:p:knows>)+ ?o }
+    """).collect()}
+    assert got == {"urn:carol", "29"}
+
+
+def test_negated_set_inside_quantified_sequence(small_graph):
+    # (!name/name)+ : one complement step then one name step, repeated.
+    # From alice: !name -> {bob, "34"}; name from bob -> {Bob, Bobby}
+    # (literals end the path; no further rounds produce new pairs)
+    got = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE {
+            <urn:alice> (!<urn:p:name>/<urn:p:name>)+ ?o }
+    """).collect()}
+    assert got == {"Bob", "Bobby"}
