@@ -35,8 +35,10 @@ fwd/inv steps — e.g. ``(skos:broader|^skos:narrower)+``, ``(p/q)*``,
 ``^p+``): one-or-more ``p+`` (``PathPlus`` — the compiler runs an
 iterative closure), zero-or-more ``p*`` (``PathStar`` — the closure
 UNION the zero-length identity matches per SPARQL 1.1 §18.4), and
-zero-or-one ``p?`` (``PathOpt``).  Nested quantifiers and negated sets
-inside a quantified group are rejected with a clear error.
+zero-or-one ``p?`` (``PathOpt``).  Negated sets are also valid under
+quantifiers and inside quantified groups (``!(p)+``, ``(!p/q)*`` — the
+closure runs over the predicate-COMPLEMENT edge relation); nested
+quantifiers are rejected with a clear error.
 
 Aggregates: ``SELECT ?g (COUNT(?v) AS ?n) ... GROUP BY ?g`` with
 COUNT (incl. ``*`` and DISTINCT) / SUM / AVG / MIN / MAX / SAMPLE /
