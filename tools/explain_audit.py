@@ -659,6 +659,18 @@ def main() -> None:
         and p.count("Scan parquet") == 9
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # quantified negated set: the closure's edge relation is the
+    # predicate COMPLEMENT — over the union-of-branches view the NOT-IN
+    # constant-folds per branch like every other pred filter (the
+    # excluded foaf branch is pruned), the seeded walk stays JVM-side
+    p = plan_of(sparql_select(tpch_triples(spark, sf_dir), """
+        SELECT ?o WHERE { <urn:cust:1>
+            !(<http://xmlns.com/foaf/0.1/name>)+ ?o }"""))
+    results.append(check(
+        "quantified negated set: complement closure, no python",
+        "foaf" not in p
+        and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
