@@ -63,3 +63,37 @@ class TestDriverContract:
         queries = entry_mod.queries()
         df = queries["kg_mentions"](spark, SF_DIR)
         assert df.count() > 0
+
+
+class TestDynamicRotation:
+    def test_driver_green_unions_correctness_files(self, tmp_path):
+        import json
+
+        from meresco_rdf_spark.entry_queries import _driver_green
+
+        (tmp_path / "CORRECTNESS_r01.json").write_text(
+            json.dumps({"a": {}, "b": {}}))
+        (tmp_path / "CORRECTNESS_r02.json").write_text(
+            json.dumps({"b": {}, "c": {}}))
+        (tmp_path / "CORRECTNESS_r02_broken.json").write_text("not json")
+        assert _driver_green(str(tmp_path)) == {"a", "b", "c"}
+
+    def test_driver_green_falls_back_when_no_files(self, tmp_path):
+        from meresco_rdf_spark.entry_queries import (
+            _DRIVER_GREEN_FALLBACK,
+            _driver_green,
+        )
+
+        assert _driver_green(str(tmp_path)) == _DRIVER_GREEN_FALLBACK
+
+    def test_repo_rotation_front_loads_unverified(self):
+        # in the actual repo: every entry before the first driver-green
+        # one must be non-green (the driver's budget is spent on
+        # provenance gaps first)
+        import meresco_rdf_spark.entry_queries as eq
+
+        green = eq._driver_green()
+        names = list(eq.QUERIES.keys())
+        first_green = next(i for i, n in enumerate(names) if n in green)
+        assert all(n not in green for n in names[:first_green])
+        assert all(n in green for n in names[first_green:])
