@@ -5854,34 +5854,31 @@ def _driver_green(base: str = None) -> frozenset:
                                                 "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen.update(_json.load(fh).keys())
+                loaded = _json.load(fh)
+            if isinstance(loaded, dict):
+                seen.update(loaded.keys())
         except (OSError, ValueError):
             continue
     return frozenset(seen) if seen else _DRIVER_GREEN_FALLBACK
 
 
 # Round-4 additions beyond that round's 50-query budget (the 47-query
-# provenance gap + 3 new queries filled it exactly): deferred BEHIND the
-# never-driver-verified block, but only while the block itself fills the
-# budget — any spare slots pull deferred entries forward, so they run at
-# the first round with room (round 5, once CORRECTNESS_r04 turns the
-# round-4 block green).  Fully covered by pytest and
-# tools/check_oracles.py in the meantime.
+# provenance gap + 3 new queries filled it exactly): ordered BEHIND the
+# rest of the never-driver-verified block.  Because deferred entries sit
+# immediately after the gap block, they land inside the driver's
+# 50-query window exactly when the gap leaves room — i.e. round 5, once
+# CORRECTNESS_r04 turns the round-4 block green and _driver_green()
+# shrinks the gap.  Fully covered by pytest and tools/check_oracles.py
+# in the meantime.
 _DEFER_PAST_GAP = frozenset({"sparql_path_negated",
                              "sparql_path_negated_star",
                              "data_prep_pipeline"})
 
-_DRIVER_BUDGET = 50
 _green = _driver_green()
-_gap = [n for n in QUERIES
-        if n not in _green and n not in _DEFER_PAST_GAP]
-_deferred = [n for n in QUERIES
-             if n in _DEFER_PAST_GAP and n not in _green]
-_spare = max(0, _DRIVER_BUDGET - len(_gap))
 QUERIES = {name: QUERIES[name] for group in (
-    _gap,
-    _deferred[:_spare],
-    _deferred[_spare:],
+    [n for n in QUERIES
+     if n not in _green and n not in _DEFER_PAST_GAP],
+    [n for n in QUERIES if n in _DEFER_PAST_GAP and n not in _green],
     [n for n in QUERIES if n in _green],
 ) for name in group}
 

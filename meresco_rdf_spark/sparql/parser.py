@@ -1315,59 +1315,73 @@ class _Parser:
             return tuple(br[0][1] for br in branches), ()
         return (), tuple(branches)
 
+    def _negated_set_elt(self, inverse: bool) -> tuple:
+        """Parse a negated property set (the ``!`` is already consumed)
+        into its step/alt/closure tuple.  ``inverse`` applies an outer
+        ``^``: inverting an NPS swaps every member's direction
+        (``^!(p|^q)`` ≡ ``!(^p|q)``), so the member lists just trade
+        places before the usual desugaring."""
+        fwd: List[str] = []
+        inv: List[str] = []
+
+        def member():
+            if self.at_op("^"):
+                self.next()
+                inv.append(self._path_iri().uri)
+            else:
+                fwd.append(self._path_iri().uri)
+
+        if self.at_op("("):
+            self.next()
+            member()
+            while self.at_op("|"):
+                self.next()
+                member()
+            self.eat_op(")")
+        else:
+            member()
+        if inverse:
+            fwd, inv = inv, fwd
+        tag = self._path_quantifier()
+        if tag is not None:
+            # !(...)+ / * / ? — SS18.4 PathPrimary includes NPS, so
+            # the quantifier closes over the COMPLEMENT edge
+            # relation: forward-complement edges union
+            # inverse-complement edges (branch union), then the
+            # ordinary closure machinery
+            nbr = []
+            if fwd:
+                nbr.append((("negf", tuple(fwd)),))
+            if inv:
+                nbr.append((("negi", tuple(inv)),))
+            return (tag, (), tuple(nbr))
+        # §18.4: !(p1|..|^q1|..) = NPS{p} union ^NPS{q}; a component
+        # is present only when its member list is non-empty.  The
+        # inverse component is the same NegatedSet pattern with the
+        # endpoint terms swapped (exactly how plain ^iri steps
+        # desugar), and the mixed form rides the existing alt-DNF
+        # expansion so each component compiles as its own branch.
+        if fwd and inv:
+            return ("alt", [[("neg", tuple(fwd))],
+                            [("neg_inv", tuple(inv))]])
+        if inv:
+            return ("neg_inv", tuple(inv))
+        return ("neg", tuple(fwd))
+
     def _path_elt(self) -> tuple:
         if self.at_op("*"):
             self.fail("a path element cannot start with '*'")
         if self.at_op("!"):
             self.next()
-            fwd: List[str] = []
-            inv: List[str] = []
-
-            def member():
-                if self.at_op("^"):
-                    self.next()
-                    inv.append(self._path_iri().uri)
-                else:
-                    fwd.append(self._path_iri().uri)
-
-            if self.at_op("("):
-                self.next()
-                member()
-                while self.at_op("|"):
-                    self.next()
-                    member()
-                self.eat_op(")")
-            else:
-                member()
-            tag = self._path_quantifier()
-            if tag is not None:
-                # !(...)+ / * / ? — SS18.4 PathPrimary includes NPS, so
-                # the quantifier closes over the COMPLEMENT edge
-                # relation: forward-complement edges union
-                # inverse-complement edges (branch union), then the
-                # ordinary closure machinery
-                nbr = []
-                if fwd:
-                    nbr.append((("negf", tuple(fwd)),))
-                if inv:
-                    nbr.append((("negi", tuple(inv)),))
-                return (tag, (), tuple(nbr))
-            # §18.4: !(p1|..|^q1|..) = NPS{p} union ^NPS{q}; a component
-            # is present only when its member list is non-empty.  The
-            # inverse component is the same NegatedSet pattern with the
-            # endpoint terms swapped (exactly how plain ^iri steps
-            # desugar), and the mixed form rides the existing alt-DNF
-            # expansion so each component compiles as its own branch.
-            if fwd and inv:
-                return ("alt", [[("neg", tuple(fwd))],
-                                [("neg_inv", tuple(inv))]])
-            if inv:
-                return ("neg_inv", tuple(inv))
-            return ("neg", tuple(fwd))
+            return self._negated_set_elt(False)
         inverse = False
         if self.at_op("^"):
             self.next()
             inverse = True
+            if self.at_op("!"):
+                # ^!set — PathEltOrInverse over an NPS PathPrimary
+                self.next()
+                return self._negated_set_elt(True)
         if self.at_op("("):
             self.next()
             inner = self.parse_path()
@@ -1379,9 +1393,13 @@ class _Parser:
             if len(inner) == 1 and len(inner[0]) == 1:
                 step = inner[0][0]
                 if inverse:
-                    if step[0] != "fwd":
-                        self.fail("cannot invert this path element")
-                    return ("inv", step[1])
+                    if step[0] == "fwd":
+                        return ("inv", step[1])
+                    if step[0] == "neg":
+                        return ("neg_inv", step[1])
+                    if step[0] == "neg_inv":
+                        return ("neg", step[1])
+                    self.fail("cannot invert this path element")
                 return step
             if inverse:
                 self.fail("inverse of a parenthesized path group is not "

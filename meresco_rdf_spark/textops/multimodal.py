@@ -306,12 +306,10 @@ def extract_features(media: DataFrame, dim: int = 8,
 
         decode = codec
         if not use_fake and decode is None:
-            found = _image_codec()   # probe on the WORKER
-            if found is None:
-                raise NotImplementedError(
-                    "real-decode mode needs Pillow or OpenCV on the "
-                    "executors (or an injected codec)")
-            decode = found[1]
+            # probe on the WORKER; never None — the stdlib PNG decoder
+            # is the always-available last resort (non-PNG payloads
+            # gate inside it)
+            decode = _image_codec()[1]
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
@@ -394,12 +392,8 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8,
 
         decode = codec
         if not use_fake and decode is None:
-            found = _image_codec()
-            if found is None:
-                raise NotImplementedError(
-                    "real-resize mode needs Pillow or OpenCV on the "
-                    "executors (or an injected codec)")
-            decode = found[1]
+            # worker-side probe; never None (stdlib PNG last resort)
+            decode = _image_codec()[1]
         n = out_h * out_w * 3
         for pdf in batches:
             out = {k: [] for k in ("media_id", "kind", "out_width",

@@ -97,3 +97,14 @@ class TestDynamicRotation:
         first_green = next(i for i, n in enumerate(names) if n in green)
         assert all(n not in green for n in names[:first_green])
         assert all(n in green for n in names[first_green:])
+
+    def test_driver_green_tolerates_non_dict_json(self, tmp_path):
+        import json
+
+        from meresco_rdf_spark.entry_queries import _driver_green
+
+        (tmp_path / "CORRECTNESS_r01.json").write_text(
+            json.dumps(["not", "a", "dict"]))
+        (tmp_path / "CORRECTNESS_r02.json").write_text(
+            json.dumps({"x": {}}))
+        assert _driver_green(str(tmp_path)) == {"x"}

@@ -2444,3 +2444,28 @@ def test_negated_set_inside_quantified_sequence(small_graph):
             <urn:alice> (!<urn:p:name>/<urn:p:name>)+ ?o }
     """).collect()}
     assert got == {"Bob", "Bobby"}
+
+
+def test_inverse_of_negated_set(small_graph):
+    # ^!p == !^p: inverting an NPS swaps every member's direction
+    a = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:carol> ^!<urn:p:name> ?o }
+    """).collect()}
+    b = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:carol> !^<urn:p:name> ?o }
+    """).collect()}
+    assert a == b == {"urn:bob"}
+    # parenthesized form and quantified inverse form
+    c = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:carol> ^(!<urn:p:name>) ?o }
+    """).collect()}
+    assert c == a
+    d = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:carol> ^!(<urn:p:name>)+ ?o }
+    """).collect()}
+    e = {r["o"] for r in sparql_select(small_graph, """
+        SELECT ?o WHERE { <urn:carol> !(^<urn:p:name>)+ ?o }
+    """).collect()}
+    # carol <-knows- bob <-knows- alice; reverse edges only, so
+    # alice's outgoing age literal is NOT reachable
+    assert d == e == {"urn:bob", "urn:alice"}

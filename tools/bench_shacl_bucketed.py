@@ -13,8 +13,9 @@ BOTH exchanges (and the SMJ sorts) disappear from the plan — no change
 to ``validate`` itself, the elision is pure table layout.
 
 Measures wall at local[N] / local[4N] over (a) plain parquet and
-(b) the bucketed table, asserts the bucketed plan contains no Exchange
-upstream of the cardinality aggregate, and prints both efficiencies.
+(b) the bucketed table, ASSERTS the bucketed plan has strictly fewer
+hash exchanges than the plain plan (exit nonzero otherwise), records
+both counts, and prints both efficiencies.
 
 Usage: python tools/bench_shacl_bucketed.py [n_triples]
 Env: SCALING_N (default 2).  Writes BENCH/shacl_bucketed_last_run.md.
@@ -148,6 +149,11 @@ def main() -> None:
         lines = [ln for ln in out.splitlines() if ln.startswith("{")]
         levels[cpus] = json.loads(lines[-1])
     lo, hi = levels[low], levels[low * 4]
+    if hi["bucketed_exchanges"] >= hi["plain_exchanges"]:
+        raise AssertionError(
+            "bucket layout elided no exchanges (plain %d, bucketed %d) "
+            "— the experiment's premise does not hold on this build"
+            % (hi["plain_exchanges"], hi["bucketed_exchanges"]))
     report = {
         "n_triples": n_triples,
         "exchanges_plain_vs_bucketed": [hi["plain_exchanges"], hi["bucketed_exchanges"]],
