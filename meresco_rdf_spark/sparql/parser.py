@@ -27,6 +27,7 @@ Property paths (predicate position): sequence ``p1/p2`` (desugared into
 chained patterns over fresh internal variables), inverse ``^p`` (subject/
 object swap), alternation ``p1|p2`` (desugared to UNION branches),
 negated property sets ``!p`` / ``!(p1|p2)`` / ``!^q`` / ``!(p|^q)``
+/ ``^!set``
 (a NOT-IN predicate filter, no variable bound; inverse members swap the
 endpoint terms and a mixed set desugars to the union of its forward and
 inverse components per §18.4), and the quantifiers over an IRI, an alternation of
