@@ -437,8 +437,15 @@ h2r AS (
 ),
 h2 AS (SELECT node, raw * 1000000 // (SELECT MAX(raw) FROM h2r) AS s
        FROM h2r)
-SELECT a2.node, a2.s AS auth, h2.s AS hub
+SELECT a2.node, CAST(a2.s AS BIGINT) AS auth, CAST(h2.s AS BIGINT) AS hub
 FROM a2 JOIN h2 ON h2.node = a2.node"""
+# The final CASTs above are load-bearing: DuckDB types
+# ``x * 1000000 // max`` as HUGEINT (int128), and the driver's fetch
+# path renders HUGEINT through a different dtype than BIGINT, so an
+# uncast oracle value-hash diverges from Spark's BIGINT output even
+# when the numbers are identical (round-4 red row).  Values are bounded
+# by the 1e6 fixed-point scale — the BIGINT cast cannot overflow.
+# tests/test_entry_contract.py::TestOracleOutputTyping guards the class.
 
 
 def q_graph_walks(spark, sf_dir):
@@ -5838,48 +5845,64 @@ _DRIVER_GREEN_FALLBACK = frozenset({
 })
 
 
-def _driver_green(base: str = None) -> frozenset:
-    """Union of every CORRECTNESS_r*.json the driver has written —
-    read at import time so the never-driver-verified front-load tracks
-    the actual provenance record round over round.  ``base`` overrides
-    the repo root (tests)."""
+def _row_is_green(row) -> bool:
+    """A CORRECTNESS row counts as driver-verified ONLY when every
+    check the driver performs passed: row count, schema, value hash,
+    no error.  Mere presence of a name in a CORRECTNESS file is NOT
+    verification — round 4's ``kg_edge_cut``/``graph_hits`` rows had
+    ``hash_match: false`` and must stay front-loaded until a round
+    writes them green (round-4 verdict directive #1/#2)."""
+    return (isinstance(row, dict)
+            and row.get("rows_match") is True
+            and row.get("schema_match") is True
+            and row.get("hash_match") is True
+            and not row.get("err"))
+
+
+def _driver_green(base: str = None) -> dict:
+    """Map of query name -> latest round whose CORRECTNESS_r*.json row
+    for it is fully green (see ``_row_is_green``) — read at import time
+    so the front-load tracks the actual provenance record round over
+    round.  Red or errored rows do NOT register: a query that last
+    appeared red sorts with the never-verified block and re-enters the
+    driver's 50-query window automatically.  ``base`` overrides the
+    repo root (tests)."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     if base is None:
         base = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    seen: set = set()
+    seen: dict = {}
     for path in sorted(_glob.glob(_os.path.join(base,
                                                 "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 loaded = _json.load(fh)
             if isinstance(loaded, dict):
-                seen.update(loaded.keys())
+                for name, row in loaded.items():
+                    if _row_is_green(row):
+                        seen[name] = max(seen.get(name, 0), rnd)
         except (OSError, ValueError):
             continue
-    return frozenset(seen) if seen else _DRIVER_GREEN_FALLBACK
+    return seen if seen else {n: 0 for n in _DRIVER_GREEN_FALLBACK}
 
 
-# Round-4 additions beyond that round's 50-query budget (the 47-query
-# provenance gap + 3 new queries filled it exactly): ordered BEHIND the
-# rest of the never-driver-verified block.  Because deferred entries sit
-# immediately after the gap block, they land inside the driver's
-# 50-query window exactly when the gap leaves room — i.e. round 5, once
-# CORRECTNESS_r04 turns the round-4 block green and _driver_green()
-# shrinks the gap.  Fully covered by pytest and tools/check_oracles.py
-# in the meantime.
-_DEFER_PAST_GAP = frozenset({"sparql_path_negated",
-                             "sparql_path_negated_star",
-                             "data_prep_pipeline"})
-
+# Registry order = what the driver verifies (it runs the first ~50
+# entries in dict order).  Two blocks:
+#   1. every query WITHOUT a fully-green driver row (never run, red, or
+#      errored) — these need verification most;
+#   2. the green block, oldest verification first, so the driver's
+#      spare slots continuously re-confirm the stalest provenance
+#      instead of re-running last round's fresh greens.
+# Ties keep original registry order (Python sort is stable).
 _green = _driver_green()
 QUERIES = {name: QUERIES[name] for group in (
-    [n for n in QUERIES
-     if n not in _green and n not in _DEFER_PAST_GAP],
-    [n for n in QUERIES if n in _DEFER_PAST_GAP and n not in _green],
-    [n for n in QUERIES if n in _green],
+    [n for n in QUERIES if n not in _green],
+    sorted([n for n in QUERIES if n in _green], key=_green.get),
 ) for name in group}
 
 
@@ -6206,10 +6229,14 @@ joined AS (
   WHERE e.obj_kind = 'uri'
 )
 SELECT COUNT(*) AS n_edges,
-       SUM(CASE WHEN s_bucket != o_bucket THEN 1 ELSE 0 END) AS cut_edges,
-       SUM(CASE WHEN s_bucket != o_bucket THEN 1 ELSE 0 END) * 1000000
-         // COUNT(*) AS cut_ppm
+       CAST(SUM(CASE WHEN s_bucket != o_bucket THEN 1 ELSE 0 END)
+            AS BIGINT) AS cut_edges,
+       CAST(SUM(CASE WHEN s_bucket != o_bucket THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS cut_ppm
 FROM joined""")
+# CASTs load-bearing: DuckDB SUM(int)/int-ratio outputs are HUGEINT,
+# which the driver's fetch renders differently from BIGINT (round-4
+# red row).  Guarded by TestOracleOutputTyping.
 
 
 ORACLES["kg_publish_pipeline"] = """

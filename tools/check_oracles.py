@@ -2,6 +2,25 @@
 on Spark and its DuckDB oracle side-by-side, compare row count, column
 names, and order-insensitive values.
 
+Round-5 alignment with the driver's fetch semantics (round-4 verdict
+directive #3): the round-4 replica fetched the DuckDB side via
+``fetchall()``, which renders every integer type — including HUGEINT —
+as a Python int, so the two oracles whose uncast ``SUM(...)//x`` columns
+bound to HUGEINT passed locally while the driver (whose fetch goes
+through a dtype-preserving pandas/Arrow path that upcasts HUGEINT to
+float64/Decimal) hash-failed them.  This replica now:
+
+1. binds each oracle and REJECTS any output column whose DuckDB type is
+   outside the canonical set {VARCHAR, BOOLEAN, INTEGER, BIGINT, DOUBLE}
+   — the only types with one unambiguous Python rendering shared by
+   Spark and every DuckDB fetch path (a deliberately HUGEINT-typed
+   oracle is therefore red here BEFORE it reaches the driver);
+2. fetches through ``rel.df()`` (the dtype-preserving pandas path) and
+   normalizes per DECLARED column type — ``%.9g`` for DOUBLE, canonical
+   int string for INTEGER/BIGINT even when pandas upcast a nullable
+   column to float64 — instead of trusting ``fetchall()``'s lossy
+   int coercion.
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
@@ -18,6 +37,11 @@ sys.path.insert(0, ".")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The only DuckDB output types whose value rendering is identical across
+# fetchall / pandas / Arrow AND matches Spark's: anything else (HUGEINT,
+# DECIMAL, UBIGINT, lists, ...) must be CAST in the oracle SQL.
+ALLOWED_DUCK_TYPES = {"VARCHAR", "BOOLEAN", "INTEGER", "BIGINT", "DOUBLE"}
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -29,11 +53,58 @@ def norm_cell(v):
     return str(v) if v is not None else "<NULL>"
 
 
-def df_to_multiset(cols, rows):
+def norm_duck_cell(v, duck_type: str):
+    """Normalize a pandas-fetched DuckDB cell by its DECLARED type, not
+    its fetched dtype: a nullable BIGINT column comes back float64 from
+    pandas, and ``str(5.0)`` must still render '5' to match Spark."""
+    if v is None:
+        return "<NULL>"
+    if duck_type == "DOUBLE":
+        return norm_cell(float(v))
+    if duck_type in ("INTEGER", "BIGINT"):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "<NULL>"  # pandas NULL-in-int-column upcast
+            return str(int(v))
+        return str(int(v))
+    if duck_type == "BOOLEAN":
+        return str(bool(v))
+    # VARCHAR
+    return str(v)
+
+
+def duck_fetch(con, sql):
+    """Bind + execute an oracle through the dtype-preserving path.
+
+    Returns ``(cols, norm_rows, type_offenders)`` where ``norm_rows``
+    are tuples of normalized strings (declared-type-driven) and
+    ``type_offenders`` lists ``(col, duck_type)`` pairs outside
+    ALLOWED_DUCK_TYPES.  Callers must treat a non-empty offender list
+    as a failure — the driver's hash for such a column is undefined
+    relative to this replica.
+    """
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    offenders = [(c, t) for c, t in zip(cols, types)
+                 if t not in ALLOWED_DUCK_TYPES]
+    if offenders:
+        return cols, [], offenders
+    df = rel.df()
+    rows = [tuple(norm_duck_cell(v, t) for v, t in zip(tup, types))
+            for tup in df.itertuples(index=False, name=None)]
+    return cols, rows, offenders
+
+
+def spark_norm_rows(cols, rows):
+    return [tuple(norm_cell(v) for v in row) for row in rows]
+
+
+def to_multiset(cols, norm_rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
-    for row in rows:
-        key = tuple(norm_cell(row[i]) for i in order)
+    for row in norm_rows:
+        key = tuple(row[i] for i in order)
         out[key] = out.get(key, 0) + 1
     return out
 
@@ -65,28 +136,35 @@ def main():
                   % (name, len(s_rows), s_cols, dt))
             continue
         try:
-            res = con.execute(ORACLES[name])
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            o_cols, o_norm, offenders = duck_fetch(con, ORACLES[name])
         except Exception as exc:
             failures.append(name)
-            print("%-24s ORACLE SQL ERROR: %s" % (name, str(exc).splitlines()[0]))
+            print("%-24s ORACLE SQL ERROR: %s"
+                  % (name, str(exc).splitlines()[0]))
+            continue
+        if offenders:
+            failures.append(name)
+            print("%-24s ORACLE TYPE ERROR (driver-ambiguous dtypes, "
+                  "CAST them): %s" % (name, offenders))
             continue
         ok = True
         if sorted(s_cols) != sorted(o_cols):
             ok = False
-            print("%-24s SCHEMA MISMATCH spark=%s duck=%s" % (name, sorted(s_cols), sorted(o_cols)))
-        if len(s_rows) != len(o_rows):
+            print("%-24s SCHEMA MISMATCH spark=%s duck=%s"
+                  % (name, sorted(s_cols), sorted(o_cols)))
+        if len(s_rows) != len(o_norm):
             ok = False
-            print("%-24s COUNT MISMATCH spark=%d duck=%d" % (name, len(s_rows), len(o_rows)))
+            print("%-24s COUNT MISMATCH spark=%d duck=%d"
+                  % (name, len(s_rows), len(o_norm)))
         if ok:
-            sm = df_to_multiset(s_cols, s_rows)
-            om = df_to_multiset(o_cols, o_rows)
+            sm = to_multiset(s_cols, spark_norm_rows(s_cols, s_rows))
+            om = to_multiset(o_cols, o_norm)
             if sm != om:
                 ok = False
                 extra_s = [k for k in sm if sm[k] != om.get(k, 0)][:3]
                 extra_o = [k for k in om if om[k] != sm.get(k, 0)][:3]
-                print("%-24s VALUE MISMATCH (%d rows)\n  spark-only: %s\n  duck-only:  %s"
+                print("%-24s VALUE MISMATCH (%d rows)\n  spark-only: %s\n"
+                      "  duck-only:  %s"
                       % (name, len(s_rows), extra_s, extra_o))
         if ok:
             print("%-24s OK (%d rows) [%.1fs]" % (name, len(s_rows), dt))
