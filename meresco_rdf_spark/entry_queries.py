@@ -19,6 +19,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+# Scratch dirs for snapshot/stream/roundtrip fixtures live under one
+# per-process root removed at interpreter exit (advisor leak finding);
+# see _scratch.py.  Cleanup runs at process exit, not when the returned
+# DataFrame is consumed — lazy plans and restarted streams may read the
+# fixture files any time before that.
+from ._scratch import scratch_dir as _scratch_dir
+
 from .model import (
     DCTERMS_TITLE,
     FOAF_NAME,
@@ -248,12 +256,11 @@ def q_graph_merge(spark, sf_dir):
     Returns the full post-merge table; only delta-touched buckets were
     rewritten (partition pruning + dynamic partition overwrite), so the
     untouched buckets' survival is part of what the oracle checks."""
-    import tempfile
 
     from .kg.materialize import merge_triple_table, write_triple_table
 
     base = tpch_triples(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="graph_merge_") + "/triples"
+    path = _scratch_dir("graph_merge_") + "/triples"
     write_triple_table(base, path, buckets=8)
 
     region = _read(spark, sf_dir, "region")
@@ -3030,12 +3037,11 @@ def q_jsonld_roundtrip(spark, sf_dir):
     per statement — ZERO exchanges, JVM-exact JSON escaping via the
     to_json slice) and parsed back through the NDJSON fallback — oracle
     is the original triples CTE, hash-checking the full round trip."""
-    import tempfile
 
     from .sinks.jsonld_sink import write_jsonld
     from .sources.rdf_source import read_jsonld_quads
 
-    base = tempfile.mkdtemp(prefix="jsonld_roundtrip_")
+    base = _scratch_dir("jsonld_roundtrip_")
     write_jsonld(tpch_triples(spark, sf_dir), base, num_files=8)
     return read_jsonld_quads(spark, base, glob="*.txt").drop("context")
 
@@ -3146,7 +3152,6 @@ def q_kg_publish_pipeline(spark, sf_dir):
     fixture relations, the four RDFS rule applications, the
     NOT-EXISTS violation derivation + the md5-bnode report rendering,
     and the VoID statistics over the published union."""
-    import tempfile
 
     from .kg.snapshots import (
         read_snapshot,
@@ -3200,7 +3205,7 @@ def q_kg_publish_pipeline(spark, sf_dir):
                 sh:minCount 1 ] ."""))
     report_rdf = report_triples(validate(closed, shapes))
 
-    root = tempfile.mkdtemp(prefix="kg_publish_") + "/table"
+    root = _scratch_dir("kg_publish_") + "/table"
     snapshot_create(spark, base, root, buckets=8)
     snapshot_merge(spark, root,
                    adds=closed.exceptAll(base).unionByName(report_rdf))
@@ -3434,7 +3439,6 @@ def q_stream_rdfs_maintain(spark, sf_dir):
     per-batch closures must converge to exactly the batch closure,
     whatever the slicing."""
     import os
-    import tempfile
 
     from .sinks.nquads_sink import write_nquads
     from .streaming.quad_stream import read_nquads_stream
@@ -3442,7 +3446,7 @@ def q_stream_rdfs_maintain(spark, sf_dir):
 
     instance = _rdfs_instance(spark, sf_dir).withColumn(
         "context", F.lit(None).cast("string"))
-    base = tempfile.mkdtemp(prefix="stream_rdfs_")
+    base = _scratch_dir("stream_rdfs_")
     in_dir = os.path.join(base, "in")
     write_nquads(instance, in_dir, num_files=4)
     stream = read_nquads_stream(spark, in_dir, glob="*.txt",
@@ -3586,7 +3590,6 @@ def q_stream_owl_maintain(spark, sf_dir):
     VERBATIM — whatever the slicing, the maintained table must equal
     the batch closure."""
     import os
-    import tempfile
 
     from .sinks.nquads_sink import write_nquads
     from .streaming.owl_stream import run_owl_maintenance
@@ -3594,7 +3597,7 @@ def q_stream_owl_maintain(spark, sf_dir):
 
     instance = _owl_instance(spark, sf_dir).withColumn(
         "context", F.lit(None).cast("string"))
-    base = tempfile.mkdtemp(prefix="stream_owl_")
+    base = _scratch_dir("stream_owl_")
     in_dir = os.path.join(base, "in")
     write_nquads(instance, in_dir, num_files=4)
     stream = read_nquads_stream(spark, in_dir, glob="*.txt",
@@ -3909,12 +3912,11 @@ def q_nt_roundtrip(spark, sf_dir):
     """K-side .nt egress + S-side ingest identity: the TPC-H triples view
     written as N-Triples text (pure column expressions, splittable files)
     and parsed back — oracle is the original triples CTE."""
-    import tempfile
 
     from .sinks.nt_sink import write_ntriples
     from .sources.rdf_source import read_ntriples_triples
 
-    base = tempfile.mkdtemp(prefix="nt_roundtrip_")
+    base = _scratch_dir("nt_roundtrip_")
     write_ntriples(tpch_triples(spark, sf_dir), base, num_files=8)
     return read_ntriples_triples(spark, base, glob="*.txt").drop("context")
 
@@ -3925,12 +3927,11 @@ def q_ttl_roundtrip(spark, sf_dir):
     expressions, ``a`` shorthand) and parsed back — oracle is the
     original triples CTE, so the driver hash-checks the full
     serialize->parse identity including statement grouping."""
-    import tempfile
 
     from .sinks.turtle_sink import write_turtle
     from .sources.rdf_source import read_turtle_triples
 
-    base = tempfile.mkdtemp(prefix="ttl_roundtrip_")
+    base = _scratch_dir("ttl_roundtrip_")
     write_turtle(tpch_triples(spark, sf_dir), base, num_files=8)
     return read_turtle_triples(spark, base, glob="*.txt").drop("context")
 
@@ -3942,7 +3943,6 @@ def q_nq_roundtrip(spark, sf_dir):
     expressions) and parsed back — oracle recomputes the same quads, so
     the driver hash-checks the round trip INCLUDING graph terms and
     default-graph NULLs."""
-    import tempfile
 
     from .sinks.nquads_sink import write_nquads
     from .sources.rdf_source import read_nquads_quads
@@ -3952,7 +3952,7 @@ def q_nq_roundtrip(spark, sf_dir):
         F.when(F.col("subj").startswith("urn:cust:"), F.lit("urn:g:cust"))
         .when(F.col("subj").startswith("urn:supp:"), F.lit("urn:g:supp"))
         .otherwise(F.lit(None).cast("string")))
-    base = tempfile.mkdtemp(prefix="nq_roundtrip_")
+    base = _scratch_dir("nq_roundtrip_")
     write_nquads(quads, base, num_files=8)
     return read_nquads_quads(spark, base, glob="*.txt")
 
@@ -3964,7 +3964,6 @@ def q_trig_roundtrip(spark, sf_dir):
     window shuffle, union-of-blocks semantics) and parsed back — the
     driver hash-checks the round trip including graph terms and
     default-graph NULLs."""
-    import tempfile
 
     from .sinks.trig_sink import write_trig
     from .sources.rdf_source import read_trig_quads
@@ -3974,7 +3973,7 @@ def q_trig_roundtrip(spark, sf_dir):
         F.when(F.col("subj").startswith("urn:cust:"), F.lit("urn:g:cust"))
         .when(F.col("subj").startswith("urn:supp:"), F.lit("urn:g:supp"))
         .otherwise(F.lit(None).cast("string")))
-    base = tempfile.mkdtemp(prefix="trig_roundtrip_")
+    base = _scratch_dir("trig_roundtrip_")
     write_trig(quads, base, num_files=8)
     return read_trig_quads(spark, base, glob="*.txt")
 
@@ -4402,7 +4401,6 @@ def q_kg_e2e_sparql(spark, sf_dir):
     rename applied — so the row set pins write + merge + update + query
     agreeing end-to-end."""
     import os
-    import tempfile
 
     from .kg.extract import structure_triples
     from .kg.materialize import merge_triple_table, write_triple_table
@@ -4410,7 +4408,7 @@ def q_kg_e2e_sparql(spark, sf_dir):
     from .sparql.compiler import sparql_update_sets
 
     res = _pipeline_result(spark)
-    table = os.path.join(tempfile.mkdtemp(prefix="kg_e2e_"), "triples")
+    table = os.path.join(_scratch_dir("kg_e2e_"), "triples")
     write_triple_table(res.triples, table, buckets=8)
     merge_triple_table(spark, table,
                        adds=structure_triples(_synth_transcripts(spark)),
@@ -4450,13 +4448,12 @@ def q_kg_checkpoint_resume(spark, sf_dir):
     the oracle pins to the committed golden of the single-shot pipeline:
     resume slicing must not change a single row."""
     import os
-    import tempfile
 
     from .kg.pipeline import run_checkpointed
 
     t = _synth_transcripts(spark)
     half = t.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
-    out = os.path.join(tempfile.mkdtemp(prefix="kg_ckpt_"), "kg")
+    out = os.path.join(_scratch_dir("kg_ckpt_"), "kg")
     r1 = run_checkpointed(spark, half, out, n_buckets=4, table_buckets=4)
     r2 = run_checkpointed(spark, t, out, n_buckets=4, table_buckets=4)
     if r1["buckets_processed"] != 2 or r2["buckets_processed"] != 2 \
@@ -4669,7 +4666,6 @@ def q_stream_shacl_maintain(spark, sf_dir):
     trigger the maintained report must equal batch validation, whatever
     the slicing."""
     import os
-    import tempfile
 
     from .operators.shacl import shapes_from_graph
     from .rdfxml.turtle import iter_turtle
@@ -4680,7 +4676,7 @@ def q_stream_shacl_maintain(spark, sf_dir):
     golden = spark.read.parquet(
         "/root/repo/tests/golden/kg_triples.parquet").withColumn(
         "context", F.lit(None).cast("string"))
-    base = tempfile.mkdtemp(prefix="stream_shacl_")
+    base = _scratch_dir("stream_shacl_")
     in_dir = os.path.join(base, "in")
     write_nquads(golden, in_dir, num_files=4)
     stream = read_nquads_stream(spark, in_dir, glob="*.txt",
@@ -4703,12 +4699,11 @@ def q_kg_snapshot_diff(spark, sf_dir):
     never opened — diff cost tracks churn, not table size; changed
     buckets diff by two co-partitioned null-safe anti-joins.  Oracle =
     the delta stated directly in SQL."""
-    import tempfile
 
     from .kg.snapshots import snapshot_create, snapshot_diff, snapshot_merge
 
     base = tpch_triples(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="kg_snapdiff_") + "/table"
+    root = _scratch_dir("kg_snapdiff_") + "/table"
     snapshot_create(spark, base, root, buckets=8)
     region = _read(spark, sf_dir, "region")
     adds = region.select(
@@ -4733,7 +4728,6 @@ def q_kg_snapshot_revalidate(spark, sf_dir):
     publish-gated KG runs after every merge.  Oracle = the violations
     stated directly (each touched customer now has 2 nation edges >
     maxCount 1)."""
-    import tempfile
 
     from .operators.shacl import shapes_from_graph, validate
     from .rdfxml.turtle import iter_turtle
@@ -4745,7 +4739,7 @@ def q_kg_snapshot_revalidate(spark, sf_dir):
     )
 
     base = tpch_triples(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="kg_snapreval_") + "/table"
+    root = _scratch_dir("kg_snapreval_") + "/table"
     snapshot_create(spark, base, root, buckets=8)
     cust = _read(spark, sf_dir, "customer")
     adds = cust.filter(F.col("c_custkey") % 50 == 0).select(
@@ -4783,7 +4777,6 @@ def q_kg_snapshot_compact(spark, sf_dir):
     counts unchanged (compact itself recounts and refuses drift).
     Returns the compacted table; oracle = the triples view itself."""
     import glob as _glob
-    import tempfile
 
     from .kg.snapshots import (
         read_snapshot,
@@ -4792,7 +4785,7 @@ def q_kg_snapshot_compact(spark, sf_dir):
     )
 
     base = tpch_triples(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="kg_snapcomp_") + "/table"
+    root = _scratch_dir("kg_snapcomp_") + "/table"
     snapshot_create(spark, base, root, buckets=8, files_per_bucket=4)
     m = snapshot_compact(spark, root)
     if m["operation"] != "compact":
@@ -4818,7 +4811,6 @@ def q_kg_snapshot_merge(spark, sf_dir):
     the parent (copy-on-write actually copied nothing it didn't have
     to), and the commit CAS rejects a duplicate version.  Returns the
     current snapshot; oracle = the merge in SQL (same as graph_merge)."""
-    import tempfile
 
     from .kg.snapshots import (
         SnapshotConflict,
@@ -4831,7 +4823,7 @@ def q_kg_snapshot_merge(spark, sf_dir):
     )
 
     base = tpch_triples(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="kg_snap_") + "/table"
+    root = _scratch_dir("kg_snap_") + "/table"
     m1 = snapshot_create(spark, base, root, buckets=8)
     v1_reader = read_snapshot(spark, root)  # resolved pre-merge
     v1_rows = v1_reader.count()
@@ -4875,13 +4867,12 @@ def q_kg_snapshot_sparql(spark, sf_dir):
     those but sees the new alt-labels.  Demonstrates SPARQL-over-
     snapshot composition; oracle rebuilds both versions' relations in
     SQL."""
-    import tempfile
 
     from .kg.snapshots import read_snapshot, snapshot_create, snapshot_merge
     from .sparql import sparql_select
 
     base = tpch_triples(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="kg_snap_sparql_") + "/table"
+    root = _scratch_dir("kg_snap_sparql_") + "/table"
     snapshot_create(spark, base, root, buckets=8)
 
     region = _read(spark, sf_dir, "region")
@@ -4971,7 +4962,6 @@ def q_stream_mention_rate(spark, sf_dir):
     one (append + watermark would hold the tail window back forever on a
     bounded input).  Hash-compared against the committed pure-Python
     golden windows."""
-    import tempfile
 
     from .streaming.transcript_stream import (
         mention_rate,
@@ -4980,7 +4970,7 @@ def q_stream_mention_rate(spark, sf_dir):
         stream_mentions,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_q_")
+    base = _scratch_dir("stream_q_")
     _synth_transcripts(spark).write.mode("overwrite").parquet(base + "/in")
     q = run_to_parquet_complete(
         mention_rate(stream_mentions(read_transcript_stream(spark, base + "/in")),
@@ -5030,7 +5020,6 @@ def q_stream_stateful_scores(spark, sf_dir):
     scores.  Oracle: the golden kg_mentions scores reformatted — the
     operator's contract is exact batch equivalence."""
     import os
-    import tempfile
 
     from .streaming.transcript_stream import (
         await_drain,
@@ -5040,7 +5029,7 @@ def q_stream_stateful_scores(spark, sf_dir):
         stream_mentions,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_state_q_")
+    base = _scratch_dir("stream_state_q_")
     in_dir = _write_turn_slices(spark, base)
     stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=1)
     q = run_to_parquet(
@@ -5063,12 +5052,11 @@ def q_stream_dedup_fps(spark, sf_dir):
     the oracle-stable projection is the surviving FINGERPRINT set —
     which must equal DuckDB's ``SELECT DISTINCT md5(normalized)``."""
     import os
-    import tempfile
 
     from .streaming.doc_stream import read_document_stream, stream_exact_dedup
     from .streaming.transcript_stream import run_to_parquet
 
-    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    base = _scratch_dir("stream_dedup_")
     in_dir = os.path.join(base, "in")
     _read(spark, sf_dir, "documents").repartition(2, "doc_id") \
         .write.parquet(in_dir)
@@ -5091,7 +5079,6 @@ def q_stream_merge_triples(spark, sf_dir):
     the stateless fan-out over all mentions — the table the merges must
     converge to regardless of batch slicing."""
     import os
-    import tempfile
 
     from .streaming.transcript_stream import (
         read_transcript_stream,
@@ -5100,7 +5087,7 @@ def q_stream_merge_triples(spark, sf_dir):
         stream_triples,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_merge_q_")
+    base = _scratch_dir("stream_merge_q_")
     in_dir = _write_turn_slices(spark, base)
     stream = read_transcript_stream(spark, in_dir, max_files_per_trigger=1)
     table = os.path.join(base, "triple_table")
@@ -5121,7 +5108,6 @@ def q_stream_nq_ingest(spark, sf_dir):
     = the batch quads relation — six successive merges must converge to
     exactly the batch parse, including default-graph NULL contexts."""
     import os
-    import tempfile
 
     from .sinks.nquads_sink import write_nquads
     from .streaming.quad_stream import (
@@ -5134,7 +5120,7 @@ def q_stream_nq_ingest(spark, sf_dir):
         F.when(F.col("subj").startswith("urn:cust:"), F.lit("urn:g:cust"))
         .when(F.col("subj").startswith("urn:supp:"), F.lit("urn:g:supp"))
         .otherwise(F.lit(None).cast("string")))
-    base = tempfile.mkdtemp(prefix="stream_nq_")
+    base = _scratch_dir("stream_nq_")
     in_dir = os.path.join(base, "in")
     write_nquads(quads, in_dir, num_files=6)
     stream = read_nquads_stream(spark, in_dir, glob="*.txt",
@@ -5156,7 +5142,6 @@ def q_stream_graph_hashes(spark, sf_dir):
     in SQL over the same relations — the streamed state must hash-match
     it bit-for-bit."""
     import os
-    import tempfile
 
     from .sinks.nquads_sink import write_nquads
     from .streaming.quad_stream import (
@@ -5184,7 +5169,7 @@ def q_stream_graph_hashes(spark, sf_dir):
              .unionByName(q(supp, F.concat(F.lit("urn:supp:"),
                                            F.col("s_suppkey").cast("string")),
                             "s_nationkey")))
-    base = tempfile.mkdtemp(prefix="stream_gh_")
+    base = _scratch_dir("stream_gh_")
     in_dir = os.path.join(base, "in")
     write_nquads(quads, in_dir, num_files=6)
     stream = read_nquads_stream(spark, in_dir, glob="*.txt",

@@ -319,11 +319,14 @@ EXPECTED_JSONLD_ROWS = [
 
 
 def write_fixture_dir(docs: dict[str, str]) -> str:
-    """Materialize fixture docs into a fresh temp directory; returns it."""
+    """Materialize fixture docs into a fresh temp directory; returns it.
+    The directory lives under entry_queries' per-process scratch root,
+    so it is removed at interpreter exit (advisor leak finding)."""
     import os
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="rdf_fixtures_")
+    from .._scratch import scratch_dir
+
+    base = scratch_dir("rdf_fixtures_")
     for name, content in docs.items():
         with open(os.path.join(base, name), "w", encoding="utf-8") as fh:
             fh.write(content)

@@ -145,6 +145,44 @@ def test_sssp_negative_weight_rejected(spark):
         shortest_paths(_wedges(spark, [("a", "b", -1)]), src, max_hops=3)
 
 
+def test_sssp_validate_weights_opt_out(spark):
+    # callers that own a pre-validated edge table skip the guard scan
+    # entirely (validate_weights=False) — results on a valid corpus are
+    # identical, and the caller accepts responsibility for weight signs
+    from meresco_rdf_spark.operators.graph_algos import shortest_paths
+    src = spark.createDataFrame([("a",)], "node string")
+    tri = [("a", "b", 2), ("b", "c", 3)]
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(_wedges(spark, tri), src, max_hops=4,
+                                   validate_weights=False).collect()}
+    assert got == {"a": 0, "b": 2, "c": 5}
+    # with the guard off, a negative weight is NOT rejected — documents
+    # that the opt-out genuinely removes the scan
+    shortest_paths(_wedges(spark, [("a", "b", -1)]), src, max_hops=1,
+                   validate_weights=False).collect()
+
+
+def test_sssp_guard_is_single_job(spark):
+    # the guard must be ONE aggregate job (round-4 verdict #4): the old
+    # filter+limit+count form ran a limit-escalation job cascade that
+    # never short-circuited on all-positive corpora.  Baseline-relative
+    # pin: the guarded call may run at most ONE more Spark job than the
+    # opt-out call on the same input.
+    from meresco_rdf_spark.operators.graph_algos import shortest_paths
+
+    def n_jobs(**kw):
+        src = spark.createDataFrame([("a",)], "node string")
+        edges = _wedges(spark, [("a", "b", 1)])
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        shortest_paths(edges, src, max_hops=1, **kw)
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    without = n_jobs(validate_weights=False)
+    with_guard = n_jobs(validate_weights=True)
+    assert with_guard - without <= 1, (without, with_guard)
+
+
 def test_sssp_matches_model(spark):
     tri = [("a", "b", 4), ("a", "c", 1), ("c", "b", 1), ("b", "d", 1),
            ("c", "d", 10), ("d", "e", 2)]
