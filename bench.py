@@ -49,6 +49,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # Ambient-load stamps (round-4 verdict #6): the shared host injects a
+    # documented 10-20% noise band; recording os.getloadavg() at start and
+    # end lets the next reader separate host noise from plan regressions
+    # mechanically instead of re-deriving it from cross-round forensics.
+    extras["load_avg_start"] = [round(x, 2) for x in os.getloadavg()]
+
     # --- session warmup (NOT timed per-query; reported separately) ---
     # The first job on a cold JVM pays one-time costs that have nothing to
     # do with any operator: spawning $cpus Python workers (each importing
@@ -141,6 +147,10 @@ def main() -> None:
         # a fixture-scale composition capstone dominated by snapshot
         # control-plane latency, not a throughput query)
         "text_bpe_arrow", "multimodal_decode", "sparql_path_negated",
+        # round 5: the training-data capstone (fuzzy-dedup -> quality
+        # gate -> decontaminate -> split + token budgets as one query)
+        # and the bucket-locality diagnostic join
+        "data_prep_pipeline", "kg_edge_cut",
     ]
     for name in heads:
         fn = eq.QUERIES[name]
@@ -153,6 +163,9 @@ def main() -> None:
     timed("dedup_minhash_xx", lambda: force(minhash_dedup_pairs(
         spark.read.parquet("%s/documents.parquet" % sf_dir),
         k=16, bands=8, threshold=0.6, hash_fn="xx")))
+
+    extras["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
+    extras["repeats_per_query"] = repeats
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
