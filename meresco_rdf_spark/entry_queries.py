@@ -1126,6 +1126,30 @@ def q_sparql_scalar_funcs(spark, sf_dir):
     """)
 
 
+def q_sparql_term_constructors(spark, sf_dir):
+    """SPARQL 1.1 §17.4.2 term constructors (round-5 completeness
+    sweep): DATATYPE under the datatype-less term model (lang-tagged
+    literal -> rdf:langString, plain literal -> xsd:string), IRI()
+    built from a string expression, and STRLANG attaching a lowercased
+    language tag.  All JVM column expressions in one projection."""
+    from .sparql import sparql_select
+
+    return sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?name ?rname ?dtn ?dtr ?i ?l WHERE {
+            ?n rdfs:label ?name .
+            ?n <urn:rel:region> ?r .
+            ?r skos:prefLabel ?rname .
+            BIND(datatype(?name) AS ?dtn)
+            BIND(datatype(?rname) AS ?dtr)
+            BIND(iri(concat("urn:dt:", strafter(str(?r), "urn:region:")))
+                 AS ?i)
+            BIND(strlang(?rname, "EN-us") AS ?l)
+        }
+    """)
+
+
 def q_sparql_hash_funcs(spark, sf_dir):
     """SPARQL 1.1 §17.4.4 hash built-ins (MD5/SHA256 — the two DuckDB
     can oracle; SHA1/384/512 are pytest-checked vs hashlib) plus
@@ -1987,6 +2011,25 @@ SELECT substr(n, length(n), 1) AS k, 'literal' AS k_kind,
        count(*)::BIGINT AS cnt,
        string_agg(n, ',' ORDER BY n) AS names
 FROM names GROUP BY 1""",
+    "sparql_term_constructors": """
+WITH {cte},
+lab AS (SELECT subj AS n, obj_value AS name, obj_lang AS name_lang
+        FROM triples WHERE pred = '{rdfs}'),
+reg AS (SELECT subj AS n, obj_value AS r FROM triples
+        WHERE pred = '{rel_region}'),
+pre AS (SELECT subj AS r, obj_value AS rname FROM triples
+        WHERE pred = '{skos_pref}')
+SELECT lab.name AS name, 'literal' AS name_kind, lab.name_lang AS name_lang,
+  pre.rname AS rname, 'literal' AS rname_kind,
+  CAST(NULL AS VARCHAR) AS rname_lang,
+  'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dtn,
+  'uri' AS dtn_kind, CAST(NULL AS VARCHAR) AS dtn_lang,
+  'http://www.w3.org/2001/XMLSchema#string' AS dtr,
+  'uri' AS dtr_kind, CAST(NULL AS VARCHAR) AS dtr_lang,
+  'urn:dt:' || substr(reg.r, length('urn:region:') + 1) AS i,
+  'uri' AS i_kind, CAST(NULL AS VARCHAR) AS i_lang,
+  pre.rname AS l, 'literal' AS l_kind, 'en-us' AS l_lang
+FROM lab JOIN reg ON reg.n = lab.n JOIN pre ON pre.r = reg.r""",
     "sparql_hash_funcs": """
 WITH {cte}
 SELECT obj_value AS rname, obj_kind AS rname_kind, obj_lang AS rname_lang,
@@ -5562,6 +5605,7 @@ QUERIES = {
     "kg_structure_triples": q_kg_structure_triples,
     "kg_e2e_sparql": q_kg_e2e_sparql,
     "sparql_hash_funcs": q_sparql_hash_funcs,
+    "sparql_term_constructors": q_sparql_term_constructors,
     "sparql_datetime_funcs": q_sparql_datetime_funcs,
     "sparql_named_graphs": q_sparql_named_graphs,
     "sparql_group_order_expr": q_sparql_group_order_expr,

@@ -1268,6 +1268,39 @@ def _func_term_cols(e: FuncCall, frame_vars: Set[str],
             # (round(-2.5) = -2), unlike Spark's HALF_UP
             out = F.floor(d + F.lit(0.5)).cast("double")
         return _num_lexical(out), F.lit("literal"), _null_str()
+    if name == "datatype":
+        # §17.4.2.7 under the datatype-less term model (reference
+        # meresco/rdf/graph.py Literal carries language only): a
+        # language-tagged literal is rdf:langString, any other literal
+        # xsd:string; DATATYPE of a uri/bnode is a type error -> the
+        # all-NULL term (row eliminated in FILTER, unbound in BIND)
+        _, k, lg = term(0)
+        is_lit = k == "literal"
+        dt = (F.when(is_lit & lg.isNotNull(),
+                     F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                           "langString"))
+              .when(is_lit,
+                    F.lit("http://www.w3.org/2001/XMLSchema#string")))
+        return dt, F.when(is_lit, F.lit("uri")), _null_str()
+    if name in ("iri", "uri"):
+        # §17.4.2.8: IRI of an IRI is itself; of a plain literal, the
+        # IRI with that lexical form (absolute IRIs only — the subset
+        # declares no BASE, so there is nothing to resolve against);
+        # any other operand is a type error -> all-NULL term
+        v, k, lg = term(0)
+        ok = (k == "uri") | ((k == "literal") & lg.isNull())
+        return F.when(ok, v), F.when(ok, F.lit("uri")), _null_str()
+    if name == "strlang":
+        # §17.4.2.12: both operands must be plain (lang-less) literals;
+        # tags normalize to lowercase exactly like parsed LANGTAGs
+        if len(e.args) != 2:
+            raise SparqlCompileError("strlang(lexical, langtag)")
+        v0, k0, lg0 = term(0)
+        v1, k1, lg1 = term(1)
+        ok = ((k0 == "literal") & lg0.isNull() & (k1 == "literal")
+              & lg1.isNull() & (v1 != F.lit("")))
+        return (F.when(ok, v0), F.when(ok, F.lit("literal")),
+                F.when(ok, F.lower(v1)))
     raise SparqlCompileError("unsupported term in expression: %r" % (e,))
 
 

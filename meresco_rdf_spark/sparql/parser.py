@@ -102,6 +102,9 @@ _FUNC_NAMES = frozenset((
     "year", "month", "day", "hours", "minutes", "seconds",
     "timezone", "tz",
     "uuid", "struuid", "now", "rand", "bnode",
+    # §17.4.2 constructors expressible under the datatype-less term
+    # model (STRDT is NOT: rejected loudly below)
+    "datatype", "iri", "uri", "strlang",
 ))
 
 
@@ -1505,6 +1508,21 @@ class _Parser:
             % (position, pos, kind, val))
 
     # -- expressions --
+    def _reject_iri_call(self, iri: str):
+        """An IRI followed by ``(`` in an expression is a §17.5 XPath
+        constructor cast (``xsd:integer(?x)``) or an extension
+        function — neither is supported (casts presuppose datatyped
+        literals; the term model is datatype-less).  Name the feature
+        instead of dying on a generic 'expected expression' (the
+        SERVICE rejection pattern)."""
+        if self.at_op("("):
+            self.fail(
+                "IRI function call <%s>(...) is not supported: XPath "
+                "constructor casts and extension functions presuppose "
+                "datatyped literals, and the term model is "
+                "datatype-less (reference parity); use the built-in "
+                "§17.4 functions instead" % iri)
+
     def expr(self) -> Expr:
         return self._or_expr()
 
@@ -1603,6 +1621,7 @@ class _Parser:
             return Var(val[1:])
         if kind == "IRIREF":
             self.next()
+            self._reject_iri_call(val[1:-1])
             return Iri(val[1:-1])
         if kind == "PNAME":
             self.next()
@@ -1610,6 +1629,7 @@ class _Parser:
             if ns not in self.prefixes:
                 raise SparqlSyntaxError(
                     "undeclared prefix %r at offset %d" % (ns, pos))
+            self._reject_iri_call(self.prefixes[ns] + local)
             return Iri(self.prefixes[ns] + local)
         if kind == "STRING":
             self.next()
@@ -1650,6 +1670,17 @@ class _Parser:
                 func=func, var=var, distinct=distinct, alias=alias,
                 expr=agg_expr))
             return Var(alias)
+        if kind == "NAME" and val.lower() == "strdt":
+            # name the unsupported feature instead of a generic parse
+            # error (the SERVICE pattern): STRDT constructs a
+            # datatype-tagged literal, which the datatype-less term
+            # model (reference meresco/rdf Literal: language only)
+            # cannot represent
+            self.fail(
+                "STRDT is not supported: the term model is "
+                "datatype-less (reference parity — Literal carries a "
+                "language tag only); use STRLANG for language-tagged "
+                "literals or a plain literal")
         if kind == "NAME" and val.lower() in _FUNC_NAMES:
             fname = val.lower()
             if fname == "isiri":

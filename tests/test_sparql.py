@@ -2469,3 +2469,132 @@ def test_inverse_of_negated_set(small_graph):
     # carol <-knows- bob <-knows- alice; reverse edges only, so
     # alice's outgoing age literal is NOT reachable
     assert d == e == {"urn:bob", "urn:alice"}
+
+
+# ---------------------------------------------------------------------------
+# §17.4.2 term constructors (round-5 completeness sweep) + loud
+# rejections for the datatype-presupposing stragglers
+# ---------------------------------------------------------------------------
+
+def test_datatype_of_literals(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?n ?dt WHERE {
+            <urn:bob> <urn:p:name> ?n .
+            BIND (datatype(?n) AS ?dt)
+        }
+    """)
+    got = sorted((r["n"], r["dt"], r["dt_kind"]) for r in out.collect())
+    assert got == [
+        ("Bob", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+         "uri"),
+        ("Bobby", "http://www.w3.org/2001/XMLSchema#string", "uri"),
+    ]
+
+
+def test_datatype_of_uri_is_unbound(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?o ?dt WHERE {
+            <urn:alice> <urn:p:knows> ?o .
+            BIND (datatype(?o) AS ?dt)
+        }
+    """)
+    rows = out.collect()
+    assert [r["o"] for r in rows] == ["urn:bob"]
+    assert rows[0]["dt"] is None  # type error -> unbound in BIND
+
+
+def test_iri_constructor_from_string(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s ?i WHERE {
+            ?s <urn:p:age> "34" .
+            BIND (iri(concat("urn:idx:", str(?s))) AS ?i)
+        }
+    """)
+    rows = out.collect()
+    assert [(r["i"], r["i_kind"]) for r in rows] == \
+        [("urn:idx:urn:alice", "uri")]
+
+
+def test_uri_synonym_and_identity_on_iri(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?o ?u WHERE {
+            <urn:alice> <urn:p:knows> ?o .
+            BIND (uri(?o) AS ?u)
+        }
+    """)
+    rows = out.collect()
+    assert [(r["u"], r["u_kind"]) for r in rows] == [("urn:bob", "uri")]
+
+
+def test_iri_of_lang_literal_is_unbound(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?n ?i WHERE {
+            <urn:alice> <urn:p:name> ?n .
+            BIND (iri(?n) AS ?i)
+        }
+    """)
+    rows = out.collect()
+    assert rows[0]["n"] == "Alice" and rows[0]["i"] is None
+
+
+def test_strlang_builds_lang_literal(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?s ?l WHERE {
+            ?s <urn:p:age> ?a .
+            BIND (strlang(?a, "EN-gb") AS ?l)
+        }
+    """)
+    got = sorted((r["l"], r["l_kind"], r["l_lang"]) for r in out.collect())
+    # language tags normalize to lowercase exactly like parsed LANGTAGs
+    assert got == [("29", "literal", "en-gb"), ("34", "literal", "en-gb")]
+
+
+def test_strlang_of_lang_literal_is_unbound(small_graph):
+    out = sparql_select(small_graph, """
+        SELECT ?n ?l WHERE {
+            <urn:alice> <urn:p:name> ?n .
+            BIND (strlang(?n, "fr") AS ?l)
+        }
+    """)
+    rows = out.collect()
+    assert rows[0]["l"] is None  # arg0 already language-tagged
+
+
+def test_strlang_arity_error(small_graph):
+    with pytest.raises(SparqlCompileError, match="strlang"):
+        sparql_select(small_graph, """
+            SELECT ?l WHERE {
+                ?s <urn:p:age> ?a . BIND (strlang(?a) AS ?l)
+            }
+        """)
+
+
+def test_strdt_rejected_loudly():
+    with pytest.raises(SparqlSyntaxError, match="STRDT is not supported"):
+        parse_query("""
+            SELECT ?l WHERE {
+                ?s <urn:p:age> ?a .
+                BIND (STRDT(?a, <http://www.w3.org/2001/XMLSchema#int>)
+                      AS ?l)
+            }
+        """)
+
+
+def test_xsd_cast_rejected_loudly():
+    with pytest.raises(SparqlSyntaxError, match="IRI function call"):
+        parse_query("""
+            PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+            SELECT ?l WHERE {
+                ?s <urn:p:age> ?a . BIND (xsd:integer(?a) AS ?l)
+            }
+        """)
+
+
+def test_extension_function_rejected_loudly():
+    with pytest.raises(SparqlSyntaxError, match="IRI function call"):
+        parse_query("""
+            SELECT ?l WHERE {
+                ?s <urn:p:age> ?a .
+                BIND (<urn:my:fn>(?a) AS ?l)
+            }
+        """)
