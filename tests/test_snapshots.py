@@ -270,3 +270,117 @@ class TestSnapshotCompact:
         for b, rel in m["buckets"].items():
             if int(b) not in m["buckets_touched"]:
                 assert rel == parent["buckets"][b]
+
+
+class TestIcebergSeam:
+    """kg/iceberg.py: one API that routes filesystem paths to the
+    parquet COW layer and catalog identifiers to native Iceberg
+    DDL/DML; the catalog branch is config-gated (skips without a
+    configured spark.sql.catalog.*)."""
+
+    def test_path_target_delegates_to_parquet_layer(self, spark, tmp_path):
+        from meresco_rdf_spark.kg.iceberg import (
+            expire,
+            read_table,
+            table_create,
+            table_merge,
+            table_versions,
+        )
+
+        root = str(tmp_path / "seam")
+        df = tri(spark, base_rows())
+        m = table_create(spark, df, root, buckets=4)
+        assert m["version"] == 1  # parquet manifest returned
+        adds = tri(spark, [("urn:s:new", "urn:p:label", "n", "literal",
+                            None)])
+        dels = tri(spark, [("urn:s:0", "urn:p:label", "name 0", "literal",
+                            None)])
+        table_merge(spark, root, adds=adds, deletes=dels)
+        got = rowset(read_table(spark, root))
+        assert ("urn:s:new", "urn:p:label", "n", "literal", None) in got
+        assert ("urn:s:0", "urn:p:label", "name 0", "literal",
+                None) not in got
+        # time travel + lineage + expiry all reach the parquet layer
+        assert rowset(read_table(spark, root, version=1)) == rowset(df)
+        assert [v["version"] for v in table_versions(spark, root)] == [1, 2]
+        expire(spark, root, keep_last=1)
+        assert [v["version"] for v in table_versions(spark, root)] == [2]
+
+    def test_unconfigured_catalog_named_error(self, spark):
+        from meresco_rdf_spark.kg.iceberg import (
+            IcebergCatalogNotConfigured,
+            catalog_of,
+        )
+
+        assert catalog_of(spark, "/some/path/t") is None
+        assert catalog_of(spark, "file:/some/path") is None
+        with pytest.raises(IcebergCatalogNotConfigured,
+                           match="spark.sql.catalog.prod"):
+            catalog_of(spark, "prod.kg.triples")
+
+    def test_configured_catalog_detected(self, spark):
+        from meresco_rdf_spark.kg.iceberg import catalog_of
+
+        spark.conf.set("spark.sql.catalog.mycat", "x.y.FakeCatalog")
+        try:
+            assert catalog_of(spark, "mycat.db.t") == "mycat"
+        finally:
+            spark.conf.unset("spark.sql.catalog.mycat")
+
+    def test_merge_sql_shape(self):
+        from meresco_rdf_spark.kg.iceberg import merge_sql
+
+        sql = merge_sql("cat.db.t", "delta_v")
+        # null-safe identity on every triple column (obj_lang nullable)
+        for c in ("subj", "pred", "obj_value", "obj_kind", "obj_lang"):
+            assert "t.%s <=> s.%s" % (c, c) in sql
+        assert "WHEN MATCHED AND s.op = 'del' THEN DELETE" in sql
+        assert "WHEN NOT MATCHED AND s.op = 'add' THEN INSERT" in sql
+
+    def test_delta_source_add_wins(self, spark):
+        from meresco_rdf_spark.kg.iceberg import _delta_source
+
+        both = ("urn:s:b", "urn:p", "v", "literal", None)
+        adds = tri(spark, [both, ("urn:s:a", "urn:p", "v", "literal",
+                                  None)])
+        dels = tri(spark, [both, ("urn:s:d", "urn:p", "v", "literal",
+                                  None)])
+        got = {(r.subj, r.op) for r in _delta_source(adds, dels).collect()}
+        # the row in both sets resolves to 'add' (delete-then-add
+        # survives, matching snapshot_merge), one row per triple
+        assert got == {("urn:s:b", "add"), ("urn:s:a", "add"),
+                       ("urn:s:d", "del")}
+        assert _delta_source(None, None) is None
+
+    @pytest.mark.skipif(
+        not os.environ.get("MRS_ICEBERG_CATALOG"),
+        reason="no Iceberg catalog in this environment; set "
+               "MRS_ICEBERG_CATALOG=<catalog> (with spark.sql.catalog."
+               "<catalog> configured + the Iceberg runtime jar) to run "
+               "the native-branch end-to-end test")
+    def test_catalog_branch_end_to_end(self, spark):
+        from meresco_rdf_spark.kg.iceberg import (
+            read_table,
+            table_create,
+            table_merge,
+            table_versions,
+        )
+
+        cat = os.environ["MRS_ICEBERG_CATALOG"]
+        ident = "%s.mrs_test.triples_seam" % cat
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS %s.mrs_test" % cat)
+        df = tri(spark, base_rows())
+        table_create(spark, df, ident, buckets=4)
+        assert rowset(read_table(spark, ident)) == rowset(df)
+        adds = tri(spark, [("urn:s:new", "urn:p:label", "n", "literal",
+                            None)])
+        dels = tri(spark, [("urn:s:0", "urn:p:label", "name 0", "literal",
+                            None)])
+        table_merge(spark, ident, adds=adds, deletes=dels)
+        got = rowset(read_table(spark, ident))
+        assert ("urn:s:new", "urn:p:label", "n", "literal", None) in got
+        assert ("urn:s:0", "urn:p:label", "name 0", "literal",
+                None) not in got
+        assert rowset(read_table(spark, ident, version=1)) == rowset(df)
+        assert len(table_versions(spark, ident)) == 2
+        spark.sql("DROP TABLE %s" % ident)
