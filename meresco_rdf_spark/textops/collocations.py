@@ -70,7 +70,14 @@ def collocation_counts(docs: DataFrame, window: int = 2,
     # is dropped, so repeated calls in one session don't accumulate
     # leaked cache entries (persist would need an explicit unpersist
     # AFTER the caller finishes executing the result, which we can't
-    # schedule from here).
+    # schedule from here).  Trade (round-4 advisor): checkpoint blocks
+    # are unreplicated and lineage-free, so on a multi-executor cluster
+    # losing an executor between the total collect and the marginal
+    # joins FAILS the job instead of recomputing — acceptable in
+    # local mode; cluster callers that need fault tolerance should
+    # reliable-checkpoint (spark.sparkContext.setCheckpointDir +
+    # .checkpoint()) or persist the vocabulary themselves and unpersist
+    # after consuming the result.
     uni = (toks.select(F.explode("t").alias("tok"))
            .groupBy("tok").agg(F.count("*").alias("cnt"))
            .localCheckpoint(eager=True))

@@ -671,6 +671,38 @@ def main() -> None:
         "foaf" not in p
         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p))
 
+    # §17.4.2 term constructors (round 5): DATATYPE/IRI/STRLANG compile
+    # to CASE/WHEN column expressions inside the join projection — no
+    # extra exchange beyond the 3-pattern BGP's joins, no Python
+    p = plan_of(sparql_select(tpch_triples(spark, sf_dir), """
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?name ?dt ?i ?l WHERE {
+            ?n rdfs:label ?name . ?n <urn:rel:region> ?r .
+            BIND(datatype(?name) AS ?dt)
+            BIND(iri(concat("urn:dt:", str(?r))) AS ?i)
+            BIND(strlang("x", "EN") AS ?l)
+        }"""))
+    results.append(check(
+        "term constructors: pure column exprs, no python",
+        "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+        and "langString" in p))
+
+    # shortest_paths guard (round 5): the negative-weight probe is ONE
+    # partial+final min aggregate over the edge relation — map-side
+    # combined (partial_min before the single-row exchange), no limit
+    # cascade (GlobalLimit/CollectLimit absent)
+    from meresco_rdf_spark.operators.graph_algos import shortest_paths
+    edges = (tpch_triples(spark, sf_dir)
+             .filter(F.col("obj_kind") == "uri")
+             .select(F.col("subj").alias("src"),
+                     F.col("obj_value").alias("dst"),
+                     F.lit(1).cast("long").alias("weight")))
+    guard_plan = plan_of(edges.agg(F.min("weight").alias("mn")))
+    results.append(check(
+        "sssp weight guard: partial min agg, no limit cascade",
+        "partial_min" in guard_plan and "CollectLimit" not in guard_plan
+        and "GlobalLimit" not in guard_plan))
+
     print("\n%d/%d checks pass" % (sum(results), len(results)))
     spark.stop()
     sys.exit(0 if all(results) else 1)
