@@ -211,15 +211,31 @@ class TestReplicaFetchSemantics:
         assert offenders == []
         assert rows == [("1500000",)]
 
-    def test_replica_int_rendering_survives_nullable_upcast(self):
+    def test_replica_int_rendering_survives_nulls(self):
         sys.path.insert(0, str(REPO / "tools"))
         from check_oracles import duck_fetch
 
         con = duckdb.connect()
-        # pandas upcasts a nullable BIGINT column to float64; the
-        # declared-type normalization must still render canonical ints
+        # nullable BIGINT renders canonical int strings + <NULL> (the
+        # pandas path would upcast to float64 and print '5.0')
         _, rows, offenders = duck_fetch(
             con, "SELECT CAST(x AS BIGINT) AS x "
                  "FROM (VALUES (5), (NULL)) v(x) ORDER BY x NULLS LAST")
         assert offenders == []
         assert rows == [("5",), ("<NULL>",)]
+
+    def test_replica_null_double_distinct_from_nan(self):
+        sys.path.insert(0, str(REPO / "tools"))
+        from check_oracles import duck_fetch
+
+        con = duckdb.connect()
+        # a NULL double must hash as <NULL>, a real NaN as NaN — the
+        # pandas fetch path collapses both into NaN (caught live on
+        # events_asof_signup's genuinely-NULL doubles); Arrow keeps them
+        # distinct
+        _, rows, offenders = duck_fetch(
+            con, "SELECT CAST(x AS DOUBLE) AS x FROM (VALUES (1.5), "
+                 "(CAST('NaN' AS DOUBLE)), (NULL)) v(x) "
+                 "ORDER BY x NULLS LAST")
+        assert offenders == []
+        assert rows == [("1.5",), ("NaN",), ("<NULL>",)]

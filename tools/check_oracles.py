@@ -15,11 +15,11 @@ float64/Decimal) hash-failed them.  This replica now:
    — the only types with one unambiguous Python rendering shared by
    Spark and every DuckDB fetch path (a deliberately HUGEINT-typed
    oracle is therefore red here BEFORE it reaches the driver);
-2. fetches through ``rel.df()`` (the dtype-preserving pandas path) and
-   normalizes per DECLARED column type — ``%.9g`` for DOUBLE, canonical
-   int string for INTEGER/BIGINT even when pandas upcast a nullable
-   column to float64 — instead of trusting ``fetchall()``'s lossy
-   int coercion.
+2. fetches through Arrow (``fetch_arrow_table().to_pylist()``) — the
+   dtype-preserving AND null-faithful path (pandas would collapse NULL
+   doubles into NaN) — instead of trusting ``fetchall()``'s lossy int
+   coercion, then normalizes with the same rules as the Spark side
+   (``%.9g`` floats, str ints, ``<NULL>`` for None).
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
@@ -53,35 +53,25 @@ def norm_cell(v):
     return str(v) if v is not None else "<NULL>"
 
 
-def norm_duck_cell(v, duck_type: str):
-    """Normalize a pandas-fetched DuckDB cell by its DECLARED type, not
-    its fetched dtype: a nullable BIGINT column comes back float64 from
-    pandas, and ``str(5.0)`` must still render '5' to match Spark."""
-    if v is None:
-        return "<NULL>"
-    if duck_type == "DOUBLE":
-        return norm_cell(float(v))
-    if duck_type in ("INTEGER", "BIGINT"):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "<NULL>"  # pandas NULL-in-int-column upcast
-            return str(int(v))
-        return str(int(v))
-    if duck_type == "BOOLEAN":
-        return str(bool(v))
-    # VARCHAR
-    return str(v)
-
-
 def duck_fetch(con, sql):
     """Bind + execute an oracle through the dtype-preserving path.
 
     Returns ``(cols, norm_rows, type_offenders)`` where ``norm_rows``
-    are tuples of normalized strings (declared-type-driven) and
-    ``type_offenders`` lists ``(col, duck_type)`` pairs outside
-    ALLOWED_DUCK_TYPES.  Callers must treat a non-empty offender list
-    as a failure — the driver's hash for such a column is undefined
-    relative to this replica.
+    are tuples of normalized strings and ``type_offenders`` lists
+    ``(col, duck_type)`` pairs outside ALLOWED_DUCK_TYPES.  Callers
+    must treat a non-empty offender list as a failure — the driver's
+    hash for such a column is undefined relative to this replica.
+
+    The value fetch goes through Arrow (``to_pylist``): unlike the
+    pandas path it is BOTH dtype-preserving (HUGEINT would surface as
+    ``Decimal``, not silently as ``int`` — though the binding gate
+    rejects it first) and NULL-faithful (a NULL double stays ``None``
+    instead of collapsing into NaN, which real NaN values must hash
+    differently from — ``events_asof_signup`` has genuinely-NULL
+    doubles and exposed exactly that collapse in a pandas-path
+    draft of this replica).  Within ALLOWED_DUCK_TYPES, Arrow's
+    Python values normalize identically to Spark's collect() values
+    under ``norm_cell``.
     """
     rel = con.sql(sql)
     cols = list(rel.columns)
@@ -90,9 +80,11 @@ def duck_fetch(con, sql):
                  if t not in ALLOWED_DUCK_TYPES]
     if offenders:
         return cols, [], offenders
-    df = rel.df()
-    rows = [tuple(norm_duck_cell(v, t) for v, t in zip(tup, types))
-            for tup in df.itertuples(index=False, name=None)]
+    tbl = rel.fetch_arrow_table()
+    rows = [tuple(norm_cell(v) for v in row)
+            for row in zip(*(tbl.column(i).to_pylist()
+                             for i in range(tbl.num_columns)))] \
+        if tbl.num_columns else []
     return cols, rows, offenders
 
 
