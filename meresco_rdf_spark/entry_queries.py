@@ -4900,6 +4900,63 @@ def q_kg_snapshot_merge(spark, sf_dir):
     return read_snapshot(spark, root).drop("subj_bucket")
 
 
+def q_kg_iceberg_seam(spark, sf_dir):
+    """Round-5 Iceberg-catalog seam (kg/iceberg.py) exercised through
+    its UNIFIED API on the parquet branch: ``table_create`` (v1) ->
+    ``table_merge`` COW (v2: deletes every rel:nation membership edge,
+    adds lowercase nation alt-labels, and one membership edge present
+    in BOTH sets — delete-then-add precedence means it survives) ->
+    ``read_table`` current + time travel, with in-query assertions
+    that turn the row red on regression: time-travel v1 equals the
+    pre-merge rowset, lineage is [1, 2], a path target routes to the
+    parquet layer (``catalog_of`` None) and a table-shaped target
+    without a configured catalog raises the NAMED
+    ``IcebergCatalogNotConfigured`` (scope boundary held).  The
+    catalog branch of the same API is config-gated in pytest; this row
+    pins the dispatch + COW semantics under the driver's value-hash."""
+    from .kg.iceberg import (
+        IcebergCatalogNotConfigured,
+        catalog_of,
+        read_table,
+        table_create,
+        table_merge,
+        table_versions,
+    )
+
+    base = tpch_triples(spark, sf_dir)
+    root = _scratch_dir("kg_iceberg_") + "/table"
+    m1 = table_create(spark, base, root, buckets=8)
+    if m1["version"] != 1:
+        raise AssertionError("parquet branch did not return manifest v1")
+    v1_rows = read_table(spark, root).count()
+
+    nation = _read(spark, sf_dir, "nation")
+    nation_uri = F.concat(F.lit("urn:nation:"),
+                          F.col("n_nationkey").cast("string"))
+    alt = nation.select(
+        nation_uri.alias("subj"), F.lit(SKOS_ALTLABEL).alias("pred"),
+        F.lower(F.col("n_name")).alias("obj_value"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    deletes = base.filter(F.col("pred") == REL_NATION)
+    survivor = deletes.filter(F.col("subj") == "urn:cust:1")
+    table_merge(spark, root, adds=alt.unionByName(survivor),
+                deletes=deletes)
+
+    if catalog_of(spark, root) is not None:
+        raise AssertionError("path target misrouted to a catalog")
+    try:
+        catalog_of(spark, "prod.kg.triples")
+        raise AssertionError("unconfigured catalog not rejected")
+    except IcebergCatalogNotConfigured:
+        pass
+    if read_table(spark, root, version=1).count() != v1_rows:
+        raise AssertionError("seam time travel to v1 broken")
+    if [v["version"] for v in table_versions(spark, root)] != [1, 2]:
+        raise AssertionError("seam lineage broken")
+    return read_table(spark, root).drop("subj_bucket")
+
+
 def q_kg_snapshot_sparql(spark, sf_dir):
     """Time-travel SPARQL: the SAME aggregate query evaluated against
     two versions of a snapshot-versioned triple table — v1 the base
@@ -5598,6 +5655,7 @@ QUERIES = {
     "rdfs_schema_cycles": q_rdfs_schema_cycles,
     "owl_chain_entailment": q_owl_chain_entailment,
     "kg_snapshot_merge": q_kg_snapshot_merge,
+    "kg_iceberg_seam": q_kg_iceberg_seam,
     "kg_snapshot_sparql": q_kg_snapshot_sparql,
     "stream_shacl_maintain": q_stream_shacl_maintain,
     "stream_mention_rate": q_stream_mention_rate,
@@ -6171,6 +6229,23 @@ SELECT 'urn:shape:MemberNation' AS shape_id,
        'urn:rel:nation' AS path, 'maxCount' AS "constraint",
        '2' AS value
 FROM customer WHERE c_custkey % 50 = 0"""
+
+ORACLES["kg_iceberg_seam"] = _fmt("""
+WITH {cte},
+dels AS (SELECT * FROM triples WHERE pred = '{rel_nation}'),
+keep AS (SELECT * FROM triples
+         WHERE subj = 'urn:cust:1' AND pred = '{rel_nation}'),
+adds AS (SELECT 'urn:nation:' || n_nationkey AS subj,
+                '{skos_alt}' AS pred, lower(n_name) AS obj_value,
+                'literal' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang
+         FROM nation)
+SELECT subj, pred, obj_value, obj_kind, obj_lang FROM (
+  (SELECT * FROM triples EXCEPT SELECT * FROM dels)
+  UNION
+  SELECT * FROM adds
+  UNION
+  SELECT * FROM keep
+)""")
 
 ORACLES["kg_snapshot_merge"] = _fmt("""
 WITH {cte},
