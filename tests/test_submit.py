@@ -21,7 +21,25 @@ import zipfile
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+def _find_spark_submit() -> str | None:
+    """PATH first, then the standard install locations — containers
+    often ship Spark at $SPARK_HOME or /opt/spark without putting bin/
+    on PATH, and a real launcher beats skipping the only end-to-end
+    cluster-entry-point test."""
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    for home in (os.environ.get("SPARK_HOME"), "/opt/spark"):
+        if home:
+            cand = os.path.join(home, "bin", "spark-submit")
+            if os.access(cand, os.X_OK):
+                return cand
+    return None
+
+
+SPARK_SUBMIT = _find_spark_submit()
 
 
 def _package_zip(tmp_path) -> str:
